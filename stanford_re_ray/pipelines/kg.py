@@ -1,0 +1,274 @@
+"""The flagship KG-construction pipeline — SURVEY.md §7.1's eight stages as
+one lazy Ray Data graph.
+
+    pages ─S1 extract─► docs ─S2 nlp (actor pool)─► sentences
+          ─S3+S4 mentions+pairs+features (fused, sentence-local)─► pairs
+          ─S5 mention scoring (broadcast weights)─► scored mentions
+          ─S6 bag groupby (shuffle #1, KBPair key)─► candidate triples
+          ─S7 unary consistency + per-entity greedy (groupby subj)─► triples
+          ─S8 canonicalize (shuffle #4, blocked + salted) + edge merge
+               (shuffle #3)─► nodes / edges
+
+Everything streams: no full materialization until the final
+``write_parquet`` / small collect.  The only wide operations are the three
+groupbys, each keyed on *extracted* records (pairs/triples ≪ pages —
+SURVEY.md §7.5 scale posture).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages import canonicalize as canon
+from ..stages.classify import LRModel, MentionScorer, bag_aggregate
+from ..stages.consistency import greedy_consistency, unary_filter_batch
+from ..stages.extract import extract_batch, filter_lang
+from ..stages.nlp import Dictionaries, NlpAnnotator
+from ..stages.pairs import PairFeaturizer
+
+
+def extract_stage(pages: ray.data.Dataset, lang: str = "en") -> ray.data.Dataset:
+    """S1: html → text (frozen extractor), language filter, drop html."""
+    docs = pages.map_batches(extract_batch, batch_format="pyarrow")
+    if lang:
+        docs = docs.map_batches(
+            lambda t, _lang=lang: filter_lang(t, _lang), batch_format="pyarrow"
+        )
+    return docs
+
+
+def default_pool_size() -> tuple[int, int]:
+    """Autoscaling bounds for the NLP actor pool: ~3/4 of cluster CPUs.
+
+    An actor pool does not release idle actors while its operator is open;
+    a pool whose max ≥ cluster CPUs can hold every CPU and starve the
+    downstream sort/groupby tasks (observed deadlock: 4-CPU cluster, pool
+    scaled to 4 actors, `ray status` showed 4.0/4.0 CPU used + 1 pending
+    task forever).  Leaving ≥ 1/4 of CPUs for task pools keeps the
+    streaming executor live at any cluster size.
+    """
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(1, cpus - max(1, cpus // 4)))
+
+
+def nlp_stage(
+    docs: ray.data.Dataset,
+    dicts: Dictionaries | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+) -> ray.data.Dataset:
+    """S2: the actor-pool NLP stage (dictionaries broadcast once)."""
+    if concurrency is None:
+        concurrency = default_pool_size()
+    dicts_ref = ray.put(dicts) if dicts is not None else None
+    return docs.map_batches(
+        NlpAnnotator,
+        fn_constructor_kwargs={"dicts_ref": dicts_ref},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def pairs_stage(
+    sentences: ray.data.Dataset,
+    clusters: dict[str, str] | None = None,
+    batch_size: int = 512,
+) -> ray.data.Dataset:
+    """S3+S4 fused: mentions + pair generation + features (sentence-local).
+
+    Stateless TASK pool (an instance, not the class): cheap init + elastic
+    scheduling.  Only the NLP stage holds real per-actor state; extra
+    actor pools pin min-actors and can starve the all-to-all operators on
+    small clusters (observed deadlock at num_cpus=4 with 3 chained pools).
+    """
+    clusters_ref = ray.put(clusters) if clusters is not None else None
+    return sentences.map_batches(
+        PairFeaturizer(clusters_ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def score_stage(pairs: ray.data.Dataset, model: LRModel) -> ray.data.Dataset:
+    """S5: per-mention classification with zero-copy broadcast weights
+    (task pool; weights fetched once per worker process).  Drops
+    non-relation mentions before the bag shuffle."""
+    model_ref = ray.put(model)
+    return pairs.map_batches(
+        MentionScorer(model_ref),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+
+
+def bag_stage(scored: ray.data.Dataset) -> ray.data.Dataset:
+    """S6: bag formation + label aggregation — shuffle #1, key = KBPair
+    (Featurizer.java:38-70 / OneVsAllRelationExtractor.classifyRelations)."""
+    return scored.groupby(["subj", "subj_type", "obj", "obj_type"]).map_groups(
+        bag_aggregate, batch_format="pandas"
+    )
+
+
+def consistency_stage(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """S7: unary filters/rewrites, then entity-local greedy consistency."""
+    t = triples.map_batches(unary_filter_batch, batch_format="pyarrow")
+    return t.groupby(["subj", "subj_type"]).map_groups(
+        greedy_consistency, batch_format="pandas"
+    )
+
+
+def _names_of_triples(batch: pa.Table) -> pa.Table:
+    subj = pa.table(
+        {"name": batch.column("subj"), "type": batch.column("subj_type")}
+    )
+    obj = pa.table({"name": batch.column("obj"), "type": batch.column("obj_type")})
+    return pa.concat_tables([subj, obj])
+
+
+def nodes_stage(
+    triples: ray.data.Dataset, n_salt: int = 1, max_cluster: int = 150
+) -> ray.data.Dataset:
+    """S8a: entity canonicalization — shuffle #4, key = blocking key.
+
+    ``n_salt > 1`` splits each block by a hash of the *full* normalized
+    surface, so identical surfaces always colocate and only near-duplicate
+    linking across salt buckets is (knowingly) given up on hot keys —
+    the skew guardrail of SURVEY.md §7.4.
+    """
+    from ray.data.aggregate import Count
+
+    names = triples.map_batches(_names_of_triples, batch_format="pyarrow")
+    counted = names.groupby(["name", "type"]).aggregate(Count(alias_name="n_mentions"))
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = []
+        for name, etype in zip(
+            batch.column("name").to_pylist(), batch.column("type").to_pylist()
+        ):
+            bk = canon.block_key(name, etype)
+            if n_salt > 1:
+                salt = zlib.crc32(canon.normalize_surface(name).encode()) % n_salt
+                bk = f"{bk}#{salt}"
+            keys.append(bk)
+        return batch.append_column("block", pa.array(keys, pa.string()))
+
+    blocked = counted.map_batches(add_block, batch_format="pyarrow")
+    return blocked.groupby("block").map_groups(
+        lambda g: canon.link_cluster(g, max_cluster=max_cluster),
+        batch_format="pandas",
+    )
+
+
+def edges_stage(
+    triples: ray.data.Dataset, name_to_id: dict[tuple[str, str], str]
+) -> ray.data.Dataset:
+    """S8b: name→id resolution + noisy-OR edge merge — shuffle #3, key =
+    (src, pred, dst).
+
+    ``name_to_id`` is broadcast (ray.put) — fine while the node table fits a
+    worker (fixtures/bench).  Scale path at 10^12 docs: replace the
+    broadcast with a hash join of triples against the exploded
+    nodes.members table on (name, type).
+    """
+    ref = ray.put(name_to_id)
+
+    class Resolve:
+        def __init__(self):
+            self._ref = ref
+
+        @property
+        def m(self):
+            from ..state.broadcast import fetch
+
+            return fetch(self._ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            src = [
+                self.m.get((n, t), canon.entity_id(n, t))
+                for n, t in zip(
+                    batch.column("subj").to_pylist(),
+                    batch.column("subj_type").to_pylist(),
+                )
+            ]
+            dst = [
+                self.m.get((n, t), canon.entity_id(n, t))
+                for n, t in zip(
+                    batch.column("obj").to_pylist(),
+                    batch.column("obj_type").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "src_id": pa.array(src, pa.string()),
+                    "pred": batch.column("pred"),
+                    "dst_id": pa.array(dst, pa.string()),
+                    "score": batch.column("score"),
+                    "doc_id": batch.column("doc_id"),
+                    "sent_idx": batch.column("sent_idx"),
+                }
+            )
+
+    resolved = triples.map_batches(Resolve(), batch_format="pyarrow")
+    return resolved.groupby(["src_id", "pred", "dst_id"]).map_groups(
+        canon.noisy_or_merge, batch_format="pandas"
+    )
+
+
+def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
+    """Collect a SMALL dataset into one Arrow table (driver-side).  Only for
+    results that are provably small (nodes, aggregates, test outputs)."""
+    tables = ray.get(ds.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        all_t = ray.get(ds.to_arrow_refs())
+        return all_t[0] if all_t else pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def name_map_from_nodes(nodes_tbl: pa.Table) -> dict[tuple[str, str], str]:
+    """Explode nodes.members → (name, type) → entity_id lookup."""
+    out: dict[tuple[str, str], str] = {}
+    if "entity_id" not in nodes_tbl.column_names:
+        return out
+    for eid, etype, members in zip(
+        nodes_tbl.column("entity_id").to_pylist(),
+        nodes_tbl.column("type").to_pylist(),
+        nodes_tbl.column("members").to_pylist(),
+    ):
+        for name in members:
+            out[(name, etype)] = eid
+    return out
+
+
+def run_kg_pipeline(
+    pages: ray.data.Dataset,
+    model: LRModel,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+    nlp_concurrency: int | tuple[int, int] | None = None,
+    n_salt: int = 1,
+) -> dict[str, Any]:
+    """Full pages → {triples, nodes, edges} run.
+
+    ``triples`` is returned lazy; nodes are materialized (small — one row
+    per distinct entity) to build the name→id map for edge resolution.
+    """
+    docs = extract_stage(pages)
+    sentences = nlp_stage(docs, dicts, concurrency=nlp_concurrency)
+    pairs = pairs_stage(sentences, clusters)
+    scored = score_stage(pairs, model)
+    candidates = bag_stage(scored)
+    triples = consistency_stage(candidates).materialize()
+    nodes = nodes_stage(triples, n_salt=n_salt).materialize()
+    nodes_tbl = dataset_to_table(nodes)
+    name_map = name_map_from_nodes(nodes_tbl)
+    edges = edges_stage(triples, name_map)
+    return {"triples": triples, "nodes": nodes, "edges": edges}

@@ -1,0 +1,148 @@
+"""Arrow schemas for every logical table that flows between stages.
+
+The reference's data model is object-oriented (KBPEntity / KBPair / KBTriple /
+KBPSlotFill / SentenceGroup — SURVEY.md §1.1); here each becomes one Arrow
+table schema, and every inter-stage record is Arrow-native (no pickled
+objects between stages).  ``Maybe<T>`` (kbp/sf/common/Maybe.java) maps to
+Arrow nullability.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# Primary input (authoritative shape from BASELINE.json input_hint)
+PAGES = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# After S1 extract (html dropped immediately — it dominates row width)
+DOCS = pa.schema(
+    [
+        ("url", pa.string()),
+        ("doc_id", pa.string()),      # stable content-addressed id (sha1 of url)
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+# After S2 NLP annotate: one row per sentence, token-parallel list columns
+# (the CoreNLP CoreMap analog — SURVEY.md §1.4)
+SENTENCES = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("url", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("text", pa.string()),
+        ("tokens", pa.list_(pa.string())),
+        ("lemmas", pa.list_(pa.string())),
+        ("pos", pa.list_(pa.string())),
+        ("ner", pa.list_(pa.string())),
+        # coref surrogate: representative antecedent per token ("" = none)
+        ("antecedents", pa.list_(pa.string())),
+    ]
+)
+
+# After S3 mention detection: entity + slot-candidate mentions
+MENTIONS = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("span_begin", pa.int32()),
+        ("span_end", pa.int32()),      # half-open token span (Span semantics)
+        ("surface", pa.string()),
+        ("canonical", pa.string()),    # antecedent-resolved surface
+        ("ner", pa.string()),
+        ("is_entity", pa.bool_()),     # PERSON/ORG head mention (potential subject)
+    ]
+)
+
+# After S4 pair generation + featurization (the KBPair + Datum analog)
+PAIRS = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("subj_type", pa.string()),
+        ("obj", pa.string()),
+        ("obj_type", pa.string()),
+        ("doc_id", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("subj_begin", pa.int32()),
+        ("subj_end", pa.int32()),
+        ("obj_begin", pa.int32()),
+        ("obj_end", pa.int32()),
+        ("features", pa.list_(pa.string())),
+    ]
+)
+
+# After S6 scoring + S7 consistency (the KBPSlotFill analog)
+TRIPLES = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("subj_type", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_type", pa.string()),
+        ("score", pa.float64()),
+        ("doc_id", pa.string()),
+        ("sent_idx", pa.int32()),
+        ("subj_begin", pa.int32()),
+        ("subj_end", pa.int32()),
+        ("obj_begin", pa.int32()),
+        ("obj_end", pa.int32()),
+    ]
+)
+
+# S8 graph materialization (EntityGraph → two datasets, SURVEY.md §1.4)
+NODES = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("alt_names", pa.list_(pa.string())),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+EDGES = pa.schema(
+    [
+        ("src_id", pa.string()),
+        ("pred", pa.string()),
+        ("dst_id", pa.string()),
+        ("score", pa.float64()),       # noisy-OR merged (EntityGraph.java:85-98)
+        ("n_support", pa.int64()),
+        ("doc_id", pa.string()),       # best provenance (argmax score)
+        ("sent_idx", pa.int32()),
+    ]
+)
+
+# Training knowledge base (KB TSV → KBTriple, KBPIR.java:141-188)
+KB = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("entity_name", pa.string()),
+        ("rel", pa.string()),
+        ("slot_value", pa.string()),
+    ]
+)
+
+
+def empty_table(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Reorder/cast a table's columns to a schema (missing columns become
+    nulls). Keeps stage outputs stable regardless of construction order."""
+    cols = []
+    for f in schema:
+        if f.name in table.column_names:
+            cols.append(table.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(table.num_rows, f.type))
+    return pa.Table.from_arrays(cols, schema=schema)

@@ -1,0 +1,110 @@
+"""S7 consistency: rewrites, unary filters, per-entity greedy semantics."""
+
+import pandas as pd
+import pyarrow as pa
+
+from stanford_re_ray.stages.consistency import (
+    greedy_consistency,
+    normalize_date,
+    normalize_number,
+    normalize_url,
+    unary_filter_batch,
+)
+
+
+def test_date_normalization():
+    assert normalize_date("1983") == "1983-XX-XX"
+    assert normalize_date("May 1983") == "1983-05-XX"
+    assert normalize_date("May 3, 1983") == "1983-05-03"
+    assert normalize_date("1983-05-03") == "1983-05-03"
+    assert normalize_date("someday") == "someday"
+
+
+def test_number_and_url_normalization():
+    assert normalize_number("about 4,200 people") == "4200"
+    assert normalize_url("http://www.acme.example.com/about/") == "www.acme.example.com"
+
+
+def _triples_table(rows):
+    cols = {
+        "subj": [], "subj_type": [], "pred": [], "obj": [], "obj_type": [],
+        "score": [], "doc_id": [], "sent_idx": [], "subj_begin": [],
+        "subj_end": [], "obj_begin": [], "obj_end": [],
+    }
+    for r in rows:
+        cols["subj"].append(r[0]); cols["subj_type"].append(r[1])
+        cols["pred"].append(r[2]); cols["obj"].append(r[3])
+        cols["obj_type"].append(r[4]); cols["score"].append(r[5])
+        cols["doc_id"].append("d"); cols["sent_idx"].append(0)
+        cols["subj_begin"].append(0); cols["subj_end"].append(1)
+        cols["obj_begin"].append(2); cols["obj_end"].append(3)
+    return pa.table({
+        "subj": pa.array(cols["subj"]), "subj_type": pa.array(cols["subj_type"]),
+        "pred": pa.array(cols["pred"]), "obj": pa.array(cols["obj"]),
+        "obj_type": pa.array(cols["obj_type"]),
+        "score": pa.array(cols["score"], pa.float64()),
+        "doc_id": pa.array(cols["doc_id"]),
+        "sent_idx": pa.array(cols["sent_idx"], pa.int32()),
+        "subj_begin": pa.array(cols["subj_begin"], pa.int32()),
+        "subj_end": pa.array(cols["subj_end"], pa.int32()),
+        "obj_begin": pa.array(cols["obj_begin"], pa.int32()),
+        "obj_end": pa.array(cols["obj_end"], pa.int32()),
+    })
+
+
+def test_unary_type_and_sanity_filters():
+    t = _triples_table([
+        ("John Smith", "PERSON", "per:city_of_birth", "Paris", "CITY", 0.9),
+        # wrong object type for the relation
+        ("John Smith", "PERSON", "per:city_of_birth", "1983", "DATE", 0.9),
+        # subj == obj
+        ("John Smith", "PERSON", "per:spouse", "john smith", "PERSON", 0.9),
+        # overlong value
+        ("John Smith", "PERSON", "per:title", "x" * 100, "TITLE", 0.9),
+        # date rewrite applied
+        ("John Smith", "PERSON", "per:date_of_birth", "1983", "DATE", 0.9),
+    ])
+    out = unary_filter_batch(t)
+    assert out.num_rows == 2
+    objs = out.column("obj").to_pylist()
+    assert "Paris" in objs and "1983-XX-XX" in objs
+
+
+def test_greedy_single_cardinality_and_duplicates():
+    df = pd.DataFrame([
+        # SINGLE relation: keep best only
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:city_of_birth",
+         "obj": "Paris", "obj_type": "CITY", "score": 0.9},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:city_of_birth",
+         "obj": "Rome", "obj_type": "CITY", "score": 0.5},
+        # exact duplicate pred+obj: keep one
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:spouse",
+         "obj": "Mary Smith", "obj_type": "PERSON", "score": 0.8},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:spouse",
+         "obj": "mary smith", "obj_type": "PERSON", "score": 0.7},
+        # LIST relation: multiple objects survive
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:cities_of_residence",
+         "obj": "Lyon", "obj_type": "CITY", "score": 0.6},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:cities_of_residence",
+         "obj": "Osaka", "obj_type": "CITY", "score": 0.4},
+    ])
+    out = greedy_consistency(df)
+    preds = out.groupby("pred").size().to_dict()
+    assert preds["per:city_of_birth"] == 1
+    assert preds["per:spouse"] == 1
+    assert preds["per:cities_of_residence"] == 2
+    # the SINGLE winner is the higher-scoring fill
+    assert out[out["pred"] == "per:city_of_birth"]["obj"].iloc[0] == "Paris"
+
+
+def test_greedy_implausible_cooccurrence():
+    # same (subj,obj) with two relations that cannot co-occur:
+    # per:spouse + per:siblings -> keep only the higher-scoring one
+    df = pd.DataFrame([
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:spouse",
+         "obj": "B C", "obj_type": "PERSON", "score": 0.9},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:siblings",
+         "obj": "B C", "obj_type": "PERSON", "score": 0.8},
+    ])
+    out = greedy_consistency(df)
+    assert len(out) == 1 and out["pred"].iloc[0] == "per:spouse"

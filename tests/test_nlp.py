@@ -1,0 +1,62 @@
+"""S2 NLP stack: tokenizer, ssplit, NER dictionaries, coref surrogate."""
+
+from stanford_re_ray.fixtures import corpus_dictionaries
+from stanford_re_ray.stages.nlp import (
+    annotate_document,
+    split_sentences,
+    tokenize,
+)
+
+CD = corpus_dictionaries().compiled()
+
+
+def test_ssplit_and_tokenize():
+    text = "John Smith lives in Paris. He works hard.\nNew line here."
+    sents = split_sentences(text)
+    assert len(sents) == 3
+    assert tokenize("John Smith was born in 1983.") == [
+        "John", "Smith", "was", "born", "in", "1983", "."
+    ]
+    # URLs keep trailing punctuation out of the token
+    assert tokenize("See http://a.example.com/x.") == [
+        "See", "http://a.example.com/x", "."
+    ]
+
+
+def test_ner_dictionary_and_heuristics():
+    recs = annotate_document(
+        "Mary Johnson was born in Paris in 1984. "
+        "She works as a professor at Acme Corporation.",
+        CD,
+    )
+    s0, s1 = recs[0], recs[1]
+    assert s0["ner"][:2] == ["PERSON", "PERSON"]
+    assert s0["ner"][s0["tokens"].index("Paris")] == "CITY"
+    assert s0["ner"][s0["tokens"].index("1984")] == "DATE"
+    assert s1["ner"][s1["tokens"].index("professor")] == "TITLE"
+    assert s1["ner"][s1["tokens"].index("Acme")] == "ORGANIZATION"
+
+
+def test_coref_pronoun_topic_preference():
+    recs = annotate_document(
+        "Mary Johnson is married to David Johnson. She lives in Rome.",
+        CD,
+    )
+    she = recs[1]
+    assert she["antecedents"][0] == "Mary Johnson"  # topic, not recency
+
+
+def test_coref_bare_surname_prefers_topic():
+    recs = annotate_document(
+        "Mary Johnson is married to David Johnson. Johnson lives in Rome.",
+        CD,
+    )
+    s1 = recs[1]
+    assert s1["ner"][0] == "PERSON"
+    assert s1["antecedents"][0] == "Mary Johnson"
+
+
+def test_long_doc_sentence_cap():
+    text = " ".join(f"Sentence number {i}." for i in range(600))
+    recs = annotate_document(text, CD, max_sentences=512)
+    assert len(recs) <= 512
