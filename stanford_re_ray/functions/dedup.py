@@ -1,0 +1,333 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All follow the same Ray-Data-first shape: a vectorized ``map_batches``
+signature/sketch stage, then ONE groupby on the signature (hash-partitioned
+shuffle of small sketch rows, never of full documents), then per-group
+verification.  Document payloads never ride through a shuffle — only
+(doc_id, signature) pairs do, which is what keeps these viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def _text_hash_batch(batch: pa.Table, col: str) -> pa.Table:
+    hashes = [
+        hashlib.sha1((t or "").encode("utf-8", "surrogatepass")).hexdigest()
+        for t in batch.column(col).to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_sha1": pa.array(hashes, pa.string()),
+        }
+    )
+
+
+def exact_dedup(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
+    """Exact dedup = hash-partition on content hash + per-group first
+    (min doc_id — deterministic representative).  Returns one row per
+    distinct content: (doc_id, n_copies)."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b, _c=col: _text_hash_batch(b, _c), batch_format="pyarrow"
+    )
+    return hashed.groupby("text_sha1").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    )
+
+
+# --- shingling + MinHash ---------------------------------------------------
+
+def _shingles(text: str, k: int = 5) -> set[int]:
+    """Word k-shingles as crc32 ids."""
+    words = text.lower().split()
+    if len(words) < k:
+        return {zlib.crc32(" ".join(words).encode())} if words else set()
+    return {
+        zlib.crc32(" ".join(words[i:i + k]).encode())
+        for i in range(len(words) - k + 1)
+    }
+
+
+_MERSENNE = (1 << 31) - 1  # 31-bit prime: a*x fits in uint64 → vectorizable
+
+
+def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) parameter vectors derived from a seed via md5 —
+    no RNG state, reproducible everywhere."""
+    a = np.empty(n_hashes, dtype=np.uint64)
+    b = np.empty(n_hashes, dtype=np.uint64)
+    for i in range(n_hashes):
+        d = hashlib.md5(f"minhash:{seed}:{i}".encode()).digest()
+        a[i] = (int.from_bytes(d[:8], "little") % (_MERSENNE - 1)) + 1
+        b[i] = int.from_bytes(d[8:], "little") % _MERSENNE
+    return a, b
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized universal-hash MinHash: min over (a·x + b) mod p, computed
+    as one (n_hashes, n_shingles) uint64 matrix (p is 31-bit so products
+    never overflow)."""
+    if not shingles:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles)) % _MERSENNE
+    m = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return m.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: shingle → MinHash signature → LSH band rows.
+
+    Emits (band_id, band_hash, doc_id) rows; a single
+    groupby(band_id, band_hash) then yields candidate buckets.
+    """
+
+    def __init__(self, n_hashes: int = 64, n_bands: int = 16, k_shingle: int = 5):
+        assert n_hashes % n_bands == 0
+        self.a, self.b = _minhash_params(n_hashes)
+        self.n_bands = n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.k = k_shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = minhash_signature(_shingles(text or "", self.k), self.a, self.b)
+            for band in range(self.n_bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                doc_ids.append(did)
+                band_ids.append(band)
+                band_hashes.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
+
+
+def minhash_lsh_groups(
+    ds: ray.data.Dataset,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k_shingle: int = 5,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-dup clustering: shingle→minhash→band→bucket groupby.
+
+    Returns one row per LSH bucket with ≥ 2 docs: (band_id, band_hash,
+    doc_ids sorted, group_min = representative).  Downstream: verify with
+    ``jaccard`` and union-find the verified pairs (candidate set ≪ corpus).
+    """
+    bands = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "n_hashes": n_hashes, "n_bands": n_bands, "k_shingle": k_shingle
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame(columns=["band_id", "band_hash", "doc_ids", "rep"])
+        ids = sorted(group["doc_id"].tolist())
+        return pd.DataFrame(
+            [{
+                "band_id": group["band_id"].iloc[0],
+                "band_hash": group["band_hash"].iloc[0],
+                "doc_ids": ids,
+                "rep": ids[0],
+            }]
+        )
+
+    return bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket, batch_format="pandas"
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa, sb = _shingles(text_a, k), _shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (crc32+md5-mixed per word)."""
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8], "little")
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    hs = [simhash64(t or "") for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array([f"{h:016x}" for h in hs], pa.string()),
+            # 4 × 16-bit bands for hamming-neighbor blocking
+            "band0": pa.array([f"{(h >> 0) & 0xFFFF:04x}" for h in hs]),
+            "band1": pa.array([f"{(h >> 16) & 0xFFFF:04x}" for h in hs]),
+            "band2": pa.array([f"{(h >> 32) & 0xFFFF:04x}" for h in hs]),
+            "band3": pa.array([f"{(h >> 48) & 0xFFFF:04x}" for h in hs]),
+        }
+    )
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- n-gram Jaccard near-dup (small-block verify path) ---------------------
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset, threshold: float = 0.8, k: int = 5
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard near-dup pairs via LSH candidate generation +
+    within-bucket verification (texts re-read per bucket via a driver-side
+    broadcast at fixture scale; the scale path joins texts back to
+    candidates by doc_id)."""
+    import ray
+
+    # fixture-scale path: collect texts once (documents table is the small
+    # side here); at 100 TB this becomes a hash join candidates⋈documents
+    texts = {
+        r["doc_id"]: r["text"]
+        for b in ds.select_columns(["doc_id", "text"]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    texts_ref = ray.put(texts)
+    buckets = minhash_lsh_groups(ds, k_shingle=k)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        tx = fetch(texts_ref)
+        a_out, b_out, j_out = [], [], []
+        seen = set()
+        for ids in batch.column("doc_ids").to_pylist():
+            for i in range(len(ids)):
+                for jj in range(i + 1, len(ids)):
+                    key = (ids[i], ids[jj])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    j = jaccard(tx.get(ids[i], ""), tx.get(ids[jj], ""), k)
+                    if j >= threshold:
+                        a_out.append(ids[i])
+                        b_out.append(ids[jj])
+                        j_out.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    pairs = buckets.map_batches(verify, batch_format="pyarrow")
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard")
+    )
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+def embedding_neardup_pairs(
+    embeddings: ray.data.Dataset, threshold: float = 0.95, n_buckets: int = 8
+) -> ray.data.Dataset:
+    """Embedding near-dup: LSH by sign of deterministic random projections →
+    within-bucket exact cosine.  Scale path: more projections = smaller
+    buckets; the all-pairs work is bounded per bucket."""
+    import hashlib as _h
+
+    def project(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1] if vecs.ndim == 2 else 0
+        nb = max(1, int(np.log2(max(2, n_buckets))))
+        # deterministic projection matrix from md5 stream
+        proj = np.empty((dim, nb))
+        for i in range(dim):
+            for j in range(nb):
+                d = _h.md5(f"proj:{i}:{j}".encode()).digest()
+                proj[i, j] = int.from_bytes(d[:8], "little") / 2**63 - 1.0
+        signs = (vecs @ proj) > 0
+        bucket = signs.dot(1 << np.arange(nb)).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def _empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(group["embedding"].tolist(), dtype=np.float64)
+        ids = group["vec_id"].tolist()
+        if len(ids) < 2:
+            return _empty_pairs()
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms
+        sim = nv @ nv.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sim[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    rows.append({"vec_a": a, "vec_b": b,
+                                 "cosine": round(float(sim[i, j]), 6)})
+        return pd.DataFrame(rows) if rows else _empty_pairs()
+
+    return (
+        embeddings.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )

@@ -1,0 +1,134 @@
+"""Relational operator kit: distributed joins and helpers the Dataset API
+does not (portably) provide.
+
+``hash_join`` is the workhorse: a key-partitioned join built from
+union-with-side-tag + ``groupby(key).map_groups`` — the portable pattern
+for both-sides-large joins (each group holds only the rows of one key).
+Broadcast (small-side) joins should NOT use this: ship the small side via
+``ray.put`` and merge inside ``map_batches`` (see ``broadcast_join``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _tag_and_align(
+    ds: ray.data.Dataset, side: str, all_cols: list[str], types: dict
+) -> ray.data.Dataset:
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in all_cols:
+            if c in batch.column_names:
+                cols[c] = batch.column(c)
+            else:
+                cols[c] = pa.nulls(batch.num_rows, types[c])
+        cols["__side"] = pa.array([side] * batch.num_rows, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Key-partitioned hash join (both sides large).
+
+    Implementation: tag each side, align schemas (missing columns →
+    nulls), union, ``groupby(on)``, and pandas-merge the two sides inside
+    each group.  One shuffle, keyed on the join key; group size is bounded
+    by per-key cardinality (salt upstream if a key is pathologically hot).
+    ``how``: inner | left | semi | anti (left-anti).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    ls = left.schema()
+    rs = right.schema()
+    l_cols = list(ls.names)
+    r_cols = list(rs.names)
+    types = {n: t for n, t in zip(ls.names, ls.types)}
+    for n, t in zip(rs.names, rs.types):
+        types.setdefault(n, t)
+    shared = [c for c in r_cols if c in l_cols and c not in on]
+    if shared:
+        raise ValueError(f"overlapping non-key columns: {shared}; rename first")
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    tagged = _tag_and_align(left, "l", all_cols, types).union(
+        _tag_and_align(right, "r", all_cols, types)
+    )
+    l_only = [c for c in l_cols if c not in on]
+    r_only = [c for c in r_cols if c not in on]
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        rg = g[g["__side"] == "r"]
+        if how == "semi":
+            out = lg[on + l_only] if len(rg) else lg.iloc[0:0][on + l_only]
+            return out
+        if how == "anti":
+            return lg[on + l_only] if not len(rg) else lg.iloc[0:0][on + l_only]
+        if not len(lg):
+            return g.iloc[0:0][on + l_only + r_only]
+        if not len(rg):
+            if how == "left":
+                out = lg[on + l_only].copy()
+                for c in r_only:
+                    out[c] = None
+                return out
+            return g.iloc[0:0][on + l_only + r_only]
+        merged = lg[on + l_only].merge(
+            rg[on + r_only], on=on, how="inner" if how == "inner" else "left"
+        )
+        return merged
+
+    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    small_df: pd.DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Small-side join: ship ``small_df`` once via ray.put, pandas-merge
+    inside map_batches.  No shuffle (SURVEY.md §2.5 mapping for KB /
+    gazetteer / query joins)."""
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small_df)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import fetch
+
+        sm = fetch(ref)
+        return batch.merge(sm, on=on, how=how)
+
+    return left.map_batches(merge, batch_format="pandas")
+
+
+def semi_anti_filter(
+    left: ray.data.Dataset,
+    keys: set,
+    key_col: str,
+    keep_matching: bool,
+) -> ray.data.Dataset:
+    """Semi/anti join against a broadcast key set (Bloom-filter slot at
+    scale) — the "already known slot" anti-join analog
+    (HeuristicSlotfillPostProcessors.java:101-134)."""
+    ref = ray.put(keys)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        ks = fetch(ref)
+        col = batch.column(key_col).to_pylist()
+        mask = [(v in ks) == keep_matching for v in col]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return left.map_batches(flt, batch_format="pyarrow")

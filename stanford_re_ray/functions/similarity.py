@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — per-batch numpy matmul against
+  a broadcast query matrix, then a global merge of per-batch top-k partials
+  (never materializes the full score vector; the shuffle carries only
+  k rows per batch).
+- ``ivf_topk``: the scale path — coarse k-means-style quantization with
+  deterministic centroids; probes only the nearest ``n_probe`` partitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(batch_col) -> np.ndarray:
+    return np.array(batch_col.to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(
+    embeddings: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k: per-batch partial top-k (map_batches) + small
+    driver-side merge of the partials (k rows per batch ≪ data)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        qv = fetch(q_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            return pa.table({id_col: pa.array([], batch.column(id_col).type),
+                             "cosine": pa.array([], pa.float64())})
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ qv) / norms
+        idx = np.argsort(-sims, kind="stable")[:k]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(idx)),
+                "cosine": pa.array(np.round(sims[idx], 6), pa.float64()),
+            }
+        )
+
+    partials = embeddings.map_batches(partial_topk, batch_format="pyarrow")
+    merged = partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
+    import pyarrow as _pa
+
+    tables = ray.get(merged.to_arrow_refs())
+    tables = [t for t in tables if t.num_rows]
+    return (
+        _pa.concat_tables(tables) if tables
+        else _pa.table({id_col: [], "cosine": []})
+    )
+
+
+def _det_centroids(dim: int, n: int) -> np.ndarray:
+    """Deterministic pseudo-random unit centroids (md5 stream — stable
+    across processes; replaces a trained k-means codebook for tests)."""
+    c = np.empty((n, dim))
+    for i in range(n):
+        for j in range(dim):
+            d = hashlib.md5(f"centroid:{i}:{j}".encode()).digest()
+            c[i, j] = int.from_bytes(d[:8], "little") / 2**63 - 1.0
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return c / norms
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-style ANN: assign each vector to its nearest deterministic
+    centroid (map_batches), filter to the query's ``n_probe`` nearest lists,
+    exact-rank only those.  At scale the assignment is written partitioned
+    by list id so probing reads only n_probe/n_lists of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cents = _det_centroids(len(qn), n_lists)
+    probe_lists = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(probe_lists)
+
+    def assign_and_filter(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        cc = fetch(cents_ref)
+        probe = fetch(probe_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            return batch
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((vecs / norms) @ cc.T, axis=1)
+        keep = np.isin(assign, list(probe))
+        return batch.filter(pa.array(keep))
+
+    probed = embeddings.map_batches(assign_and_filter, batch_format="pyarrow")
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)

@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are stateless vectorized ``map_batches`` bodies over a ``documents``-like
+table (``doc_id, text, ...``): language-ID (stopword/char n-gram heuristic),
+quality scoring (length / punctuation / stopword ratios), token counting
+(whitespace + a BPE-ish regex), and document fingerprinting (rolling hash).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting --------------------------------------------------------
+
+_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens (whitespace), n_bpe_tokens (word/punct regex),
+    n_chars.  Whitespace tokens = Python ``str.split()`` semantics
+    (equivalently DuckDB ``string_split_regex`` + empty filter)."""
+    texts = batch.column("text").to_pylist()
+    n_tok = [len(t.split()) if t else 0 for t in texts]
+    n_bpe = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    n_chars = [len(t) if t else 0 for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+# --- quality stats ---------------------------------------------------------
+
+_STOPWORDS = frozenset(
+    "the a an and or but of to in on at for with from by is are was were be "
+    "been it its this that these those he she they them his her their".split()
+)
+_PUNCT = frozenset(".,;:!?'\"()[]{}-")
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc quality signals: digit/upper/punct counts (exact ints — safe
+    for value-hash comparison) and stopword ratio."""
+    texts = batch.column("text").to_pylist()
+    n_digit, n_upper, n_punct, stop_ratio, mean_wlen = [], [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_digit.append(sum(c.isdigit() for c in t))
+        n_upper.append(sum(c.isupper() for c in t))
+        n_punct.append(sum(c in _PUNCT for c in t))
+        words = t.lower().split()
+        stop_ratio.append(
+            round(sum(w in _STOPWORDS for w in words) / len(words), 6)
+            if words else 0.0
+        )
+        mean_wlen.append(
+            round(sum(len(w) for w in words) / len(words), 6) if words else 0.0
+        )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_digits": pa.array(n_digit, pa.int64()),
+            "n_upper": pa.array(n_upper, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "mean_word_len": pa.array(mean_wlen, pa.float64()),
+        }
+    )
+
+
+# --- language id -----------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"},
+    "es": {"el", "los", "las", "es", "una", "para", "que", "con", "por", "del"},
+}
+
+
+class LangId:
+    """Stopword-overlap language identifier (actor-pool pattern: marker
+    tables compiled once per actor in __init__)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def predict(self, text: str) -> str:
+        words = set(text.lower().split()[:200])
+        best, best_n = "unknown", 0
+        for lang in sorted(self.markers):
+            n = len(words & self.markers[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, pa.string()),
+            }
+        )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+_B = 1000003
+_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str, window: int = 64) -> str:
+    """Rolling (Rabin-Karp-style) document fingerprint: min of window hashes
+    (a 1-permutation winnowing sketch), hex-encoded."""
+    data = text.encode("utf-8", "surrogatepass")
+    if not data:
+        return "0"
+    if len(data) <= window:
+        h = 0
+        for byte in data:
+            h = (h * _B + byte) % _MOD
+        return f"{h:016x}"
+    pw = pow(_B, window - 1, _MOD)
+    h = 0
+    for byte in data[:window]:
+        h = (h * _B + byte) % _MOD
+    best = h
+    for i in range(window, len(data)):
+        h = ((h - data[i - window] * pw) * _B + data[i]) % _MOD
+        if h < best:
+            best = h
+    return f"{best:016x}"
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    fps = [rolling_fingerprint(t or "") for t in batch.column("text").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )

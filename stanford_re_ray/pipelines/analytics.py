@@ -1,0 +1,256 @@
+"""Generic analytical pipelines over the driver's test tables
+(``/root/testdata/sf*``): one function per engine primitive, each with an
+ANSI-SQL oracle (see ``__ray_entry__.oracle_sql``).
+
+These exercise the same physical operators the KG pipeline uses —
+map-side-partial groupby aggregation, broadcast joins, key-partitioned
+hash joins, sort/limit, window bucketing, dedup — over neutral inputs so
+the driver's DuckDB comparison can verify them value-for-value.
+
+Float policy: every computed float column is rounded (ROUND in the oracle,
+``np.round`` here) far above the double accumulation error so value hashes
+match across engines; counts/keys are exact ints.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q01_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-style grouped aggregation (map-side partials inside Ray's
+    groupby.aggregate; only partials shuffle)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = np.round(out["sum_qty"], 2)
+    out["sum_base_price"] = np.round(out["sum_base_price"], 2)
+    out["avg_disc"] = np.round(out["avg_disc"], 6)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q02_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Broadcast join: orders ⋈ customer ⋈ nation (dimension tables shipped
+    once via ray.put, merged inside map_batches — no shuffle)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    dim = dim[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey")
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q03_topk_orders(sf_dir: str, k: int = 10) -> pa.Table:
+    """Global top-k: sort + limit (no full materialization on the driver)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+
+
+def q04_distinct_brands(sf_dir: str) -> pa.Table:
+    """Distinct + count (groupby count)."""
+    from ray.data.aggregate import Count
+
+    out = (
+        _read(sf_dir, "part", ["p_brand"])
+        .groupby("p_brand")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def q05_events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window per user over the events stream table:
+    window key computed vectorized in map_batches, then grouped —
+    the Ray Data shape of a streaming tumbling-window aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def window(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        # epoch-second window start as plain int64: avoids cross-engine
+        # timestamp-resolution ambiguity in the value-hash comparison
+        start = pc.multiply(pc.divide(us, _HOUR_US), 3600)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_start": start,
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sum_value"], 6)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q06_filtered_revenue(sf_dir: str) -> pa.Table:
+    """Filter + computed column + aggregate, all Arrow-vectorized."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pd.Timestamp("1996-01-01"), pa.timestamp("us"))
+        b = batch.filter(pc.less(batch.column("l_shipdate"), cutoff))
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        return pa.table({"l_returnflag": b.column("l_returnflag"), "revenue": rev})
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q07_join_revenue_by_priority(sf_dir: str) -> pa.Table:
+    """Both-sides-large key-partitioned hash join (lineitem ⋈ orders)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey", how="inner")
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Sum("l_extendedprice", alias_name="revenue"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["revenue"] = np.round(out["revenue"], 2)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q08_customers_without_orders(sf_dir: str) -> pa.Table:
+    """Anti join against a broadcast key set."""
+    from ..functions.relational import semi_anti_filter
+
+    keys = set(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    out = semi_anti_filter(cust, keys, "c_custkey", keep_matching=False)
+    df = out.to_pandas()
+    if "c_custkey" not in df.columns:  # empty result: preserve the schema
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return pa.Table.from_pandas(
+        df.sort_values("c_custkey").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def q09_exact_dedup(sf_dir: str) -> pa.Table:
+    """Exact text dedup on documents (hash-partition + per-group min/count)."""
+    from ..functions.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(docs).to_pandas()[["doc_id", "n_copies"]]
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+def q10_token_counts(sf_dir: str) -> pa.Table:
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(
+        out.to_pandas()[["doc_id", "n_tokens", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def q11_quality_stats(sf_dir: str) -> pa.Table:
+    from ..functions.textstats import quality_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(quality_batch, batch_format="pyarrow")
+    return pa.Table.from_pandas(
+        out.to_pandas()[["doc_id", "n_digits", "n_upper"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    idx = tbl.column("vec_id").to_pylist().index(0)
+    return np.array(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
+
+
+def q12_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """Brute-force cosine top-k vs the embedding of vec_id 0."""
+    from ..functions.similarity import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(emb, _query_vector(sf_dir), k=k)
+    return pa.table({"vec_id": out.column("vec_id")})

@@ -226,10 +226,10 @@ def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
     """Collect a SMALL dataset into one Arrow table (driver-side).  Only for
     results that are provably small (nodes, aggregates, test outputs)."""
     tables = ray.get(ds.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows]
     if not tables:
-        all_t = ray.get(ds.to_arrow_refs())
-        return all_t[0] if all_t else pa.table({})
+        return pa.table({})
+    # keep empty blocks: they carry the schema (to_pandas() on an empty
+    # Dataset silently returns a column-less frame)
     return pa.concat_tables(tables, promote_options="default")
 
 
