@@ -43,13 +43,20 @@ LAST = ["Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
         "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
         "Wilson", "Anderson", "Taylor", "Moore", "Jackson", "Martin", "Lee",
         "Perez", "Thompson", "White", "Harris", "Sanchez", "Clark", "Ramirez",
-        "Lewis", "Robinson", "Walker"]
+        "Lewis", "Robinson", "Walker",
+        # extension (append-only: earlier indices must never change) for
+        # larger entity ranges in bench/scaling corpora
+        "Young", "Allen", "King", "Wright", "Scott", "Torres", "Nguyen",
+        "Hill", "Flores", "Green", "Adams", "Nelson", "Baker", "Hall",
+        "Rivera", "Campbell", "Mitchell", "Carter", "Roberts", "Gomez"]
 ORG_BASE = ["Acme", "Globex", "Initech", "Umbrella", "Stark", "Wayne",
             "Cyberdyne", "Tyrell", "Wonka", "Duff", "Hooli", "Vandelay",
             "Sterling", "Monarch", "Zenith", "Apex", "Vertex", "Orion",
             "Atlas", "Nimbus"]
 ORG_SUFFIX = ["Corporation", "Industries", "Systems", "Group", "University",
-              "Institute", "Bank", "Foundation", "Technologies", "Holdings"]
+              "Institute", "Bank", "Foundation", "Technologies", "Holdings",
+              # append-only extension (see LAST)
+              "Partners", "Networks", "Laboratories", "Media", "Airlines"]
 CITIES = [("Paris", "", "France"), ("Berlin", "", "Germany"),
           ("Tokyo", "", "Japan"), ("Toronto", "Ontario", "Canada"),
           ("Chicago", "Illinois", "United States"),
@@ -356,6 +363,123 @@ def _page_html(page_id: int, sentences: list[str], malformed: bool) -> bytes:
     return html.encode("utf-8")
 
 
+def _page_record(
+    p: int,
+    per_lo: int,
+    per_hi: int,
+    org_lo: int,
+    org_hi: int,
+    base_url: str,
+    fill_text: bool = True,
+) -> tuple[dict, list[FactSentence]]:
+    """One page's row + the fact sentences it expresses — a pure function
+    of the page index (the unit of distributed generation)."""
+    n_per = per_hi - per_lo
+    n_org = org_hi - org_lo
+    url = f"{base_url}/{per_lo}/{p}"
+    if p % 50 == 13:
+        lang = "de" if p % 100 == 13 else "fr"
+        sents = ["Dies ist ein Beispieltext ohne Inhalt.",
+                 "Der Bericht folgt morgen."]
+        html = _page_html(p, sents, malformed=False)
+        return (
+            {"url": url, "warc_ts": 1577836800_000000 + p * 3600_000000,
+             "html": html, "text": extract_text(html) if fill_text else "",
+             "lang": lang},
+            [],
+        )
+    # subject selection: 8% head entity, 20% orgs, rest spread
+    if p % 100 < 8:
+        subject_kind, idx = "per", per_lo
+    elif p % 5 == 4:
+        subject_kind, idx = "org", org_lo + (p * 7) % n_org
+    else:
+        subject_kind, idx = "per", per_lo + (p * 13) % n_per
+    if subject_kind == "per":
+        facts = person_sentences(idx, org_lo, org_hi, per_lo, per_hi)
+        subj_name = person_name(idx)
+        pronoun = "He" if idx % 2 == 0 else "She"
+        surname = subj_name.split()[-1]
+    else:
+        facts = org_sentences(idx, org_lo, org_hi, per_lo, per_hi)
+        subj_name = org_name(idx)
+        pronoun = "It"
+        surname = None
+    k = 2 + (p % 5)
+    chosen = [facts[(p + m) % len(facts)] for m in range(min(k, len(facts)))]
+    # dedupe template picks while preserving order
+    seen_t: set[str] = set()
+    chosen = [c for c in chosen if not (c.text in seen_t or seen_t.add(c.text))]
+    sents: list[str] = []
+    for s_i, fs in enumerate(chosen):
+        text = fs.text
+        # subject-surface variants after the first sentence (coref probe)
+        if s_i > 0 and text.startswith(subj_name):
+            v = (p + s_i) % 3
+            if v == 1:
+                text = pronoun + text[len(subj_name):]
+            elif v == 2 and surname:
+                text = surname + text[len(subj_name):]
+        sents.append(text)
+    # negative sentence
+    if p % 3 == 0:
+        neg = _NEGATIVE_TEMPLATES[p % 4].format(
+            p=subj_name if subject_kind == "per" else person_name(per_lo + (p + 23) % n_per),
+            p2=_NEG_PEOPLE[p % 4],
+            o=_NEG_ORGS[p % 3],
+            city=_NEG_CITIES[p % 5],
+        )
+        sents.append(neg)
+    # >150-token sentence: must be dropped by the featurizer cap
+    if p % 50 == 7:
+        sents.append(" ".join(f"w{z}" for z in range(160)) + ".")
+    html = _page_html(p, sents, malformed=(p % 97 == 96))
+    return (
+        {"url": url, "warc_ts": 1577836800_000000 + p * 3600_000000,
+         "html": html, "text": extract_text(html) if fill_text else "",
+         "lang": "en"},
+        chosen,
+    )
+
+
+def gen_pages_dataset(
+    n_pages: int,
+    per_lo: int = 0,
+    per_hi: int = 200,
+    org_lo: int = 0,
+    org_hi: int = 100,
+    base_url: str = "https://fixture.example",
+    fill_text: bool = False,
+    blocks: int | None = None,
+):
+    """Distributed deterministic pages generation: ``rd.range(n)`` →
+    map_batches over page indices — the same rows ``gen_corpus`` builds,
+    but generated in parallel across the cluster (for large bench/scaling
+    corpora).  ``fill_text=False`` skips the golden text column (the
+    pipeline recomputes extraction anyway)."""
+    import ray.data as rd
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = [
+            _page_record(int(p), per_lo, per_hi, org_lo, org_hi, base_url,
+                         fill_text)[0]
+            for p in batch.column("id").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                    pa.timestamp("us")),
+                "html": pa.array([r["html"] for r in rows], pa.binary()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+
+    ds = rd.range(n_pages, override_num_blocks=blocks)
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def gen_corpus(
     n_pages: int,
     per_lo: int = 0,
@@ -372,8 +496,6 @@ def gen_corpus(
     urls, tss, htmls, texts, langs = [], [], [], [], []
     gold: dict[tuple[str, str, str], dict] = {}
     kb_facts: set[tuple[str, str, str, str]] = set()
-    n_per = per_hi - per_lo
-    n_org = org_hi - org_lo
 
     # KB: every fact of every entity in range (distant-supervision side)
     for i in range(per_lo, per_hi):
@@ -386,70 +508,14 @@ def gen_corpus(
                 kb_facts.add((subj, f.pred, f.obj_surface, stype))
 
     for p in range(n_pages):
-        url = f"{base_url}/{per_lo}/{p}"
-        lang = "en"
-        if p % 50 == 13:
-            lang = "de" if p % 100 == 13 else "fr"
-            sents = ["Dies ist ein Beispieltext ohne Inhalt.",
-                     "Der Bericht folgt morgen."]
-            html = _page_html(p, sents, malformed=False)
-            urls.append(url); tss.append(1577836800_000000 + p * 3600_000000)
-            htmls.append(html)
-            texts.append(extract_text(html))
-            langs.append(lang)
-            continue
-        # subject selection: 8% head entity, 20% orgs, rest spread
-        if p % 100 < 8:
-            subject_kind, idx = "per", per_lo
-        elif p % 5 == 4:
-            subject_kind, idx = "org", org_lo + (p * 7) % n_org
-        else:
-            subject_kind, idx = "per", per_lo + (p * 13) % n_per
-        if subject_kind == "per":
-            facts = person_sentences(idx, org_lo, org_hi, per_lo, per_hi)
-            subj_name = person_name(idx)
-            pronoun = "He" if idx % 2 == 0 else "She"
-            surname = subj_name.split()[-1]
-        else:
-            facts = org_sentences(idx, org_lo, org_hi, per_lo, per_hi)
-            subj_name = org_name(idx)
-            pronoun = "It"
-            surname = None
-        k = 2 + (p % 5)
-        chosen = [facts[(p + m) % len(facts)] for m in range(min(k, len(facts)))]
-        # dedupe template picks while preserving order
-        seen_t: set[str] = set()
-        chosen = [c for c in chosen if not (c.text in seen_t or seen_t.add(c.text))]
-        sents: list[str] = []
-        for s_i, fs in enumerate(chosen):
-            text = fs.text
-            # subject-surface variants after the first sentence (coref probe)
-            if s_i > 0 and text.startswith(subj_name):
-                v = (p + s_i) % 3
-                if v == 1:
-                    text = pronoun + text[len(subj_name):]
-                elif v == 2 and surname:
-                    text = surname + text[len(subj_name):]
-            sents.append(text)
-        # negative sentence
-        if p % 3 == 0:
-            neg = _NEGATIVE_TEMPLATES[p % 4].format(
-                p=subj_name if subject_kind == "per" else person_name(per_lo + (p + 23) % n_per),
-                p2=_NEG_PEOPLE[p % 4],
-                o=_NEG_ORGS[p % 3],
-                city=_NEG_CITIES[p % 5],
-            )
-            sents.append(neg)
-        # >150-token sentence: must be dropped by the featurizer cap
-        if p % 50 == 7:
-            sents.append(" ".join(f"w{z}" for z in range(160)) + ".")
-        html = _page_html(p, sents, malformed=(p % 97 == 96))
-        text_all = extract_text(html)
-        urls.append(url)
-        tss.append(1577836800_000000 + p * 3600_000000)
-        htmls.append(html)
-        texts.append(text_all)
-        langs.append(lang)
+        row, chosen = _page_record(p, per_lo, per_hi, org_lo, org_hi,
+                                   base_url, fill_text=True)
+        url = row["url"]
+        urls.append(row["url"])
+        tss.append(row["warc_ts"])
+        htmls.append(row["html"])
+        texts.append(row["text"])
+        langs.append(row["lang"])
         # gold bookkeeping: sent_idx offset +1 because the extracted text's
         # first line is the <h1> boilerplate (it contains no sentences the
         # splitter keeps separate... it is its own line => sentence 0)

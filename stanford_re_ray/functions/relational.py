@@ -39,14 +39,16 @@ def hash_join(
     right: ray.data.Dataset,
     on: list[str] | str,
     how: str = "inner",
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
 
     Implementation: tag each side, align schemas (missing columns →
-    nulls), union, ``groupby(on)``, and pandas-merge the two sides inside
-    each group.  One shuffle, keyed on the join key; group size is bounded
-    by per-key cardinality (salt upstream if a key is pathologically hot).
-    ``how``: inner | left | semi | anti (left-anti).
+    nulls), union, add ``__bucket = hash(key) % n_buckets``, group by the
+    BUCKET (not the key — per-key groups pay pandas-per-group overhead for
+    every distinct key), and pandas-merge the two sides inside each bucket.
+    One shuffle; bucket size ≈ |rows| / n_buckets; salt upstream if one key
+    is pathologically hot.  ``how``: inner | left | semi | anti (left-anti).
     """
     on = [on] if isinstance(on, str) else list(on)
     ls = left.schema()
@@ -63,32 +65,51 @@ def hash_join(
     tagged = _tag_and_align(left, "l", all_cols, types).union(
         _tag_and_align(right, "r", all_cols, types)
     )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        if len(on) == 1 and pa.types.is_integer(batch.column(on[0]).type):
+            b = (batch.column(on[0]).to_numpy(zero_copy_only=False)
+                 % n_buckets).astype(np.int32)
+            buckets = pa.array(b, pa.int32())
+        else:
+            key_strs = [
+                "\x00".join(str(v) for v in row)
+                for row in zip(*(batch.column(c).to_pylist() for c in on))
+            ]
+            buckets = pa.array(
+                [zlib.crc32(s.encode("utf-8", "surrogatepass")) % n_buckets
+                 for s in key_strs],
+                pa.int32(),
+            )
+        return batch.append_column("__bucket", buckets)
+
+    bucketed = tagged.map_batches(add_bucket, batch_format="pyarrow")
     l_only = [c for c in l_cols if c not in on]
     r_only = [c for c in r_cols if c not in on]
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame):
+        from ..schema import pd_to_arrow
+
         lg = g[g["__side"] == "l"]
         rg = g[g["__side"] == "r"]
         if how == "semi":
-            out = lg[on + l_only] if len(rg) else lg.iloc[0:0][on + l_only]
-            return out
+            keys = rg[on].drop_duplicates()
+            return pd_to_arrow(lg[on + l_only].merge(keys, on=on, how="inner"))
         if how == "anti":
-            return lg[on + l_only] if not len(rg) else lg.iloc[0:0][on + l_only]
-        if not len(lg):
-            return g.iloc[0:0][on + l_only + r_only]
-        if not len(rg):
-            if how == "left":
-                out = lg[on + l_only].copy()
-                for c in r_only:
-                    out[c] = None
-                return out
-            return g.iloc[0:0][on + l_only + r_only]
+            keys = set(map(tuple, rg[on].itertuples(index=False)))
+            mask = [tuple(t) not in keys
+                    for t in lg[on].itertuples(index=False)]
+            return pd_to_arrow(lg[on + l_only][mask])
         merged = lg[on + l_only].merge(
             rg[on + r_only], on=on, how="inner" if how == "inner" else "left"
         )
-        return merged
+        return pd_to_arrow(merged)
 
-    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
 
 
 def broadcast_join(

@@ -25,7 +25,7 @@ import ray
 import ray.data
 
 from ..stages import canonicalize as canon
-from ..stages.classify import LRModel, MentionScorer, bag_aggregate
+from ..stages.classify import LRModel, MentionScorer
 from ..stages.consistency import greedy_consistency, unary_filter_batch
 from ..stages.extract import extract_batch, filter_lang
 from ..stages.nlp import Dictionaries, NlpAnnotator
@@ -61,8 +61,29 @@ def nlp_stage(
     dicts: Dictionaries | None = None,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    mode: str = "tasks",
 ) -> ray.data.Dataset:
-    """S2: the actor-pool NLP stage (dictionaries broadcast once)."""
+    """S2: the NLP annotation stage.
+
+    ``mode="tasks"`` (default): an ``NlpAnnotator`` INSTANCE (dictionaries
+    compiled once on the driver) runs as an elastic task pool; worker
+    processes cache the deserialized state across tasks.  Right whenever
+    per-worker state is megabytes and cheap to build — it fuses with the
+    adjacent map stages into one task chain and never pins CPUs.
+
+    ``mode="actors"``: the classic actor pool
+    (``map_batches(NlpAnnotator, concurrency=(1, N))``) — the CoreNLP-style
+    mapping for GENUINELY heavy state (multi-GB models, minutes-long
+    loads), where per-task deserialization would dominate.  Sized to ~3/4
+    of cluster CPUs (see ``default_pool_size``) so the pool cannot starve
+    the shuffle operators.
+    """
+    if mode == "tasks":
+        return docs.map_batches(
+            NlpAnnotator(dicts if dicts is not None else None),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if concurrency is None:
         concurrency = default_pool_size()
     dicts_ref = ray.put(dicts) if dicts is not None else None
@@ -107,19 +128,51 @@ def score_stage(pairs: ray.data.Dataset, model: LRModel) -> ray.data.Dataset:
     )
 
 
-def bag_stage(scored: ray.data.Dataset) -> ray.data.Dataset:
+def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
     """S6: bag formation + label aggregation — shuffle #1, key = KBPair
-    (Featurizer.java:38-70 / OneVsAllRelationExtractor.classifyRelations)."""
-    return scored.groupby(["subj", "subj_type", "obj", "obj_type"]).map_groups(
-        bag_aggregate, batch_format="pandas"
+    (Featurizer.java:38-70 / OneVsAllRelationExtractor.classifyRelations).
+
+    Physically: a map-side COMBINER (fused into the scorer's task chain)
+    collapses each batch to one row per (pair, rel) before the exchange,
+    the shuffle moves only those partials keyed by an int hash bucket, and
+    the reduce merges them vectorized.  Quantized int64 scores keep the
+    merge associative → bit-identical results at any parallelism."""
+    from ..stages.classify import bag_reduce_bucket, partial_bag_combine
+
+    partials = scored.map_batches(
+        lambda df, _n=n_buckets: partial_bag_combine(df, _n),
+        batch_format="pandas",
+    )
+    return partials.groupby("__bucket").map_groups(
+        bag_reduce_bucket, batch_format="pandas"
     )
 
 
-def consistency_stage(triples: ray.data.Dataset) -> ray.data.Dataset:
-    """S7: unary filters/rewrites, then entity-local greedy consistency."""
+def consistency_stage(triples: ray.data.Dataset,
+                      n_buckets: int = 64) -> ray.data.Dataset:
+    """S7: unary filters/rewrites, then entity-local greedy consistency
+    (bucketed by subject hash; greedy remains per-entity inside)."""
+    import zlib
+
+    from ..stages.consistency import greedy_consistency_bucket
+
     t = triples.map_batches(unary_filter_batch, batch_format="pyarrow")
-    return t.groupby(["subj", "subj_type"]).map_groups(
-        greedy_consistency, batch_format="pandas"
+
+    def add_subj_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{s}\x00{st}"
+            for s, st in zip(batch.column("subj").to_pylist(),
+                             batch.column("subj_type").to_pylist())
+        ]
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode("utf-8", "surrogatepass")) % n_buckets
+                      for k in keys], pa.int32()),
+        )
+
+    bucketed = t.map_batches(add_subj_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        greedy_consistency_bucket, batch_format="pandas"
     )
 
 
@@ -217,19 +270,48 @@ def edges_stage(
             )
 
     resolved = triples.map_batches(Resolve(), batch_format="pyarrow")
-    return resolved.groupby(["src_id", "pred", "dst_id"]).map_groups(
-        canon.noisy_or_merge, batch_format="pandas"
+
+    def add_edge_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+        import zlib
+
+        keys = [
+            f"{a}\x00{p}\x00{b}"
+            for a, p, b in zip(batch.column("src_id").to_pylist(),
+                               batch.column("pred").to_pylist(),
+                               batch.column("dst_id").to_pylist())
+        ]
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                     pa.int32()),
+        )
+
+    bucketed = resolved.map_batches(add_edge_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        canon.noisy_or_merge_bucket, batch_format="pandas"
     )
 
 
 def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
     """Collect a SMALL dataset into one Arrow table (driver-side).  Only for
     results that are provably small (nodes, aggregates, test outputs)."""
-    tables = ray.get(ds.to_arrow_refs())
+    import pandas as pd
+
+    blocks = ray.get(ds.to_arrow_refs())
+    tables = []
+    for b in blocks:
+        # groupby operators emit column-less EMPTY pandas blocks for
+        # dataless partitions, and to_arrow_refs passes them through
+        # unconverted — drop those, convert any non-empty pandas block
+        if isinstance(b, pd.DataFrame):
+            if len(b.columns) == 0:
+                continue
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        tables.append(b)
     if not tables:
         return pa.table({})
-    # keep empty blocks: they carry the schema (to_pandas() on an empty
-    # Dataset silently returns a column-less frame)
+    # keep empty Arrow blocks: they carry the schema (to_pandas() on an
+    # empty Dataset silently returns a column-less frame)
     return pa.concat_tables(tables, promote_options="default")
 
 
@@ -248,25 +330,89 @@ def name_map_from_nodes(nodes_tbl: pa.Table) -> dict[tuple[str, str], str]:
     return out
 
 
+def _graph_small_path(triples_tbl: pa.Table, max_cluster: int = 150):
+    """Driver-side S8 for small triple sets (same functions, no Ray
+    operators): canonicalize + noisy-OR merge in-process.  Semantics are
+    identical to nodes_stage/edges_stage — the group functions are shared —
+    but skips ~7 streaming operators whose fixed latency dominates when the
+    triple set is tiny relative to the corpus."""
+    import pandas as pd
+
+    names = pd.DataFrame(
+        {
+            "name": triples_tbl.column("subj").to_pylist()
+            + triples_tbl.column("obj").to_pylist(),
+            "type": triples_tbl.column("subj_type").to_pylist()
+            + triples_tbl.column("obj_type").to_pylist(),
+        }
+    )
+    counted = names.groupby(["name", "type"], sort=True).size().rename(
+        "n_mentions").reset_index()
+    counted["block"] = [
+        canon.block_key(n, t) for n, t in zip(counted["name"], counted["type"])
+    ]
+    parts = [
+        canon.link_cluster(g, max_cluster=max_cluster)
+        for _, g in counted.groupby("block", sort=True)
+    ]
+    nodes_df = (
+        pd.concat(parts, ignore_index=True) if parts
+        else pd.DataFrame(columns=["entity_id", "name", "type", "alt_names",
+                                   "n_mentions", "members"])
+    )
+    nodes_tbl = pa.Table.from_pandas(nodes_df, preserve_index=False)
+    name_map = name_map_from_nodes(nodes_tbl)
+    tdf = triples_tbl.to_pandas()
+    tdf["src_id"] = [
+        name_map.get((n, t), canon.entity_id(n, t))
+        for n, t in zip(tdf["subj"], tdf["subj_type"])
+    ]
+    tdf["dst_id"] = [
+        name_map.get((n, t), canon.entity_id(n, t))
+        for n, t in zip(tdf["obj"], tdf["obj_type"])
+    ]
+    edges_tbl = canon.noisy_or_merge_bucket(
+        tdf[["src_id", "pred", "dst_id", "score", "doc_id", "sent_idx"]]
+    )
+    return nodes_tbl, edges_tbl
+
+
+#: below this many triples, S8 runs driver-side (one process beats ~7
+#: streaming operators of fixed latency); above it, the distributed
+#: blocked/salted path runs.  Analogous to a broadcast-join threshold.
+SMALL_GRAPH_THRESHOLD = 2_000_000
+
+
 def run_kg_pipeline(
     pages: ray.data.Dataset,
     model: LRModel,
     dicts: Dictionaries | None = None,
     clusters: dict[str, str] | None = None,
     nlp_concurrency: int | tuple[int, int] | None = None,
+    nlp_mode: str = "tasks",
     n_salt: int = 1,
 ) -> dict[str, Any]:
     """Full pages → {triples, nodes, edges} run.
 
-    ``triples`` is returned lazy; nodes are materialized (small — one row
-    per distinct entity) to build the name→id map for edge resolution.
+    ``triples`` is returned materialized (it is the size anchor for the S8
+    path choice); nodes/edges come back as Datasets either way.
     """
+    import ray.data as rd
+
     docs = extract_stage(pages)
-    sentences = nlp_stage(docs, dicts, concurrency=nlp_concurrency)
+    sentences = nlp_stage(docs, dicts, concurrency=nlp_concurrency,
+                          mode=nlp_mode)
     pairs = pairs_stage(sentences, clusters)
     scored = score_stage(pairs, model)
     candidates = bag_stage(scored)
     triples = consistency_stage(candidates).materialize()
+    if triples.count() <= SMALL_GRAPH_THRESHOLD:
+        nodes_tbl, edges_tbl = _graph_small_path(dataset_to_table(triples))
+        return {
+            "triples": triples,
+            "nodes": rd.from_arrow(nodes_tbl),
+            "edges": rd.from_arrow(edges_tbl),
+        }
     nodes = nodes_stage(triples, n_salt=n_salt).materialize()
     nodes_tbl = dataset_to_table(nodes)
     name_map = name_map_from_nodes(nodes_tbl)

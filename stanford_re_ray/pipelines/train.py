@@ -65,6 +65,10 @@ def label_pairs_stage(
             subj = batch.column("subj").to_pylist()
             obj = batch.column("obj").to_pylist()
             feats = batch.column("features").to_pylist()
+            docs = batch.column("doc_id").to_pylist()
+            sidx = batch.column("sent_idx").to_pylist()
+            sb = batch.column("subj_begin").to_pylist()
+            ob = batch.column("obj_begin").to_pylist()
             rows_f, rows_l, rows_k = [], [], []
             for i in range(len(subj)):
                 rels = self.kb.get((subj[i].lower(), obj[i].lower()))
@@ -77,11 +81,15 @@ def label_pairs_stage(
                     continue
                 rows_f.append(feats[i])
                 rows_l.append(labs)
-                rows_k.append(f"{subj[i]}\x00{obj[i]}\x00{i}")
+                # content-based sort key: the fit's float accumulation order
+                # must not depend on batch/block boundaries
+                rows_k.append(
+                    f"{docs[i]}\x00{sidx[i]:06d}\x00{sb[i]:04d}\x00{ob[i]:04d}"
+                )
             return pa.table(
                 {
                     "sort_key": pa.array(rows_k, pa.string()),
-                    "features": pa.array(rows_f, pa.list_(pa.string())),
+                    "features": pa.array(rows_f, pa.list_(pa.int64())),
                     "labels": pa.array(rows_l, pa.list_(pa.string())),
                 }
             )
@@ -99,7 +107,7 @@ def fit_from_labeled(labeled: ray.data.Dataset, **fit_kwargs) -> LRModel:
         return train_lr([], [], **fit_kwargs)
     df = pd.concat(dfs, ignore_index=True)
     df = df.sort_values("sort_key", kind="mergesort").reset_index(drop=True)
-    feats = [hash_features(list(f)) for f in df["features"]]
+    feats = [np.asarray(f, dtype=np.int64) for f in df["features"]]
     labels = [set(l) for l in df["labels"]]
     return train_lr(feats, labels, **fit_kwargs)
 

@@ -76,7 +76,7 @@ PAIRS = pa.schema(
         ("subj_end", pa.int32()),
         ("obj_begin", pa.int32()),
         ("obj_end", pa.int32()),
-        ("features", pa.list_(pa.string())),
+        ("features", pa.list_(pa.int64())),   # hashed feature ids
     ]
 )
 
@@ -146,3 +146,14 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
         else:
             cols.append(pa.nulls(table.num_rows, f.type))
     return pa.Table.from_arrays(cols, schema=schema)
+
+
+def pd_to_arrow(df) -> pa.Table:
+    """pandas → Arrow without pandas schema metadata.
+
+    Group/join functions that run under ``map_groups(batch_format=
+    "pandas")`` must return Arrow: pandas-formatted blocks force every
+    downstream sort/aggregate through the (much slower) pandas block path
+    — measured 6x on a 600k-row join→aggregate chain.
+    """
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)

@@ -137,6 +137,36 @@ def link_cluster(group: pd.DataFrame, max_cluster: int = 150) -> pd.DataFrame:
     )
 
 
+def noisy_or_merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket edge merge: noisy-OR via sum of log(1-s),
+    argmax-score provenance, support counts (semantics of
+    ``noisy_or_merge`` / EntityGraph.mergeEdges)."""
+    import numpy as np
+
+    from ..schema import pd_to_arrow
+
+    if not len(df):
+        return pd_to_arrow(df.iloc[0:0].drop(columns=["__bucket"],
+                                             errors="ignore"))
+    key = ["src_id", "pred", "dst_id"]
+    df = (df.drop(columns=["__bucket"], errors="ignore")
+            .sort_values(key + ["doc_id", "sent_idx"], kind="mergesort")
+            .reset_index(drop=True))
+    clipped = np.clip(1.0 - df["score"].to_numpy(), 1e-15, 1.0)
+    df = df.assign(__log1m=np.log(clipped))
+    g = df.groupby(key, sort=False)
+    log_sum = g["__log1m"].sum()
+    n = g.size().rename("n_support")
+    best_idx = g["score"].idxmax()
+    best = df.loc[best_idx.values].set_index(key)
+    out = best.join((1.0 - np.exp(log_sum)).rename("merged")).join(n)
+    out = out.reset_index()
+    out["score"] = out.pop("merged")
+    out["n_support"] = out["n_support"].astype("int64")
+    return pd_to_arrow(out[["src_id", "pred", "dst_id", "score", "n_support",
+                            "doc_id", "sent_idx"]])
+
+
 def noisy_or_merge(group: pd.DataFrame) -> pd.DataFrame:
     """Edge merge: same (src_id, pred, dst_id) edges → one edge with
     noisy-OR score (Utils.noisyOr) + argmax-score provenance

@@ -259,70 +259,148 @@ class MentionScorer:
         from ..state.broadcast import fetch
 
         model = fetch(self._ref)
-        W, b = model.weights, model.bias
-        subj = batch.column("subj").to_pylist()
+        # compact row-major weights over the NONZERO feature dims only:
+        # after the count-≥5 threshold the (R, D) matrix is ~99% zeros, so
+        # the compact (n_dims, R) table usually fits in L2.  The dense
+        # transposed gather (43 MB private per worker) was measured to
+        # anti-scale 6.8x from 8 → 32 workers (shared-LLC thrash).
+        compact = getattr(model, "_compact", None)
+        if compact is None:
+            nz = np.nonzero(np.any(model.weights != 0, axis=0))[0]
+            Wc = np.ascontiguousarray(model.weights[:, nz].T)  # (n_dims, R)
+            compact = (nz.astype(np.int64), Wc)
+            try:
+                model._compact = compact  # cached per worker process
+            except Exception:
+                pass
+        dims, Wc = compact
+        b = model.bias
+        n = batch.num_rows
+        if n == 0:
+            return batch.drop_columns(["features"]).append_column(
+                "rel", pa.array([], pa.string())
+            ).append_column("sum_q", pa.array([], pa.int64())).append_column(
+                "best_q", pa.array([], pa.int64())
+            )
         subj_t = batch.column("subj_type").to_pylist()
-        obj = batch.column("obj").to_pylist()
         obj_t = batch.column("obj_type").to_pylist()
-        feats = batch.column("features").to_pylist()
-        keep_idx: list[int] = []
-        rels: list[str] = []
-        scores: list[float] = []
-        for i in range(len(subj)):
-            mask = type_mask(subj_t[i], obj_t[i])
-            if not mask.any():
-                continue
-            ids = hash_features(feats[i])
-            s = W[:, ids].sum(axis=1) + b
-            p = 1.0 / (1.0 + np.exp(-s))
-            p = np.where(mask, p, 0.0)
-            j = int(np.argmax(p))
-            if p[j] > 0.5:
-                # softmax-normalize over compatible relations (gamma=1.0)
-                z = np.where(mask, s, -np.inf)
-                z = z - z.max()
-                sm = np.exp(z)
-                sm /= sm.sum()
-                keep_idx.append(i)
-                rels.append(RELATION_NAMES[j])
-                scores.append(float(sm[j]))
-        kept = batch.take(pa.array(keep_idx, pa.int64())).drop_columns(["features"])
-        return kept.append_column(
-            "rel", pa.array(rels, pa.string())
-        ).append_column("score", pa.array(scores, pa.float64()))
-
-
-def bag_aggregate(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-bag label aggregation (OneVsAllRelationExtractor.java:81-97 →
-    classifyRelations): sum per-label mention scores, L1-normalize, emit one
-    triple per surviving label with argmax-score provenance.
-
-    Used as ``scored.groupby([subj, subj_type, obj, obj_type])
-    .map_groups(bag_aggregate, batch_format="pandas")`` — shuffle #1 of
-    SURVEY.md §7.4, keyed on the KBPair.
-    """
-    sums = group.groupby("rel")["score"].sum()
-    total = float(sums.sum())
-    if total <= 0:
-        return group.iloc[0:0]
-    out_rows = []
-    for rel, s in sums.items():
-        sub = group[group["rel"] == rel]
-        best = sub.iloc[int(sub["score"].to_numpy().argmax())]
-        out_rows.append(
-            {
-                "subj": best["subj"],
-                "subj_type": best["subj_type"],
-                "pred": rel,
-                "obj": best["obj"],
-                "obj_type": best["obj_type"],
-                "score": float(s / total),
-                "doc_id": best["doc_id"],
-                "sent_idx": best["sent_idx"],
-                "subj_begin": best["subj_begin"],
-                "subj_end": best["subj_end"],
-                "obj_begin": best["obj_begin"],
-                "obj_end": best["obj_end"],
-            }
+        # zero-copy flatten of the list<int64> feature-id column
+        feat_col = batch.column("features").combine_chunks()
+        offsets = feat_col.offsets.to_numpy().astype(np.int64)
+        flat = feat_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = offsets[:-1] - offsets[0]
+        lens = np.diff(offsets)
+        if len(flat) and len(dims):
+            # map hashed ids -> compact rows; out-of-vocab ids get weight 0
+            pos = np.searchsorted(dims, flat)
+            pos_c = np.clip(pos, 0, len(dims) - 1)
+            hit = (pos < len(dims)) & (dims[pos_c] == flat)
+            gathered = Wc[pos_c]
+            gathered[~hit] = 0.0
+            S = np.add.reduceat(gathered, bounds, axis=0)
+        else:
+            S = np.zeros((n, len(b)), dtype=np.float32)
+        S = S.astype(np.float64) + b
+        S[lens == 0] = 0.0
+        masks = np.stack([type_mask(st, ot) for st, ot in zip(subj_t, obj_t)])
+        P = 1.0 / (1.0 + np.exp(-S))
+        P = np.where(masks, P, 0.0)
+        best = P.argmax(axis=1)
+        best_p = P[np.arange(n), best]
+        keep = best_p > 0.5
+        # softmax-normalize over compatible relations (gamma=1.0)
+        Z = np.where(masks, S, -np.inf)
+        zmax = Z.max(axis=1, keepdims=True)
+        zmax[~np.isfinite(zmax)] = 0.0  # all-masked rows: avoid inf - inf
+        Z = Z - zmax
+        E = np.exp(Z)
+        denom = E.sum(axis=1)
+        denom[denom == 0] = 1.0
+        sm_best = E[np.arange(n), best] / denom
+        keep_idx = np.nonzero(keep)[0]
+        rels = [RELATION_NAMES[j] for j in best[keep_idx]]
+        q_vals = np.rint(sm_best[keep_idx] * SCORE_SCALE).astype(np.int64)
+        kept = batch.take(pa.array(keep_idx)).drop_columns(["features"])
+        q = pa.array(q_vals, pa.int64())
+        return (
+            kept.append_column("rel", pa.array(rels, pa.string()))
+            .append_column("sum_q", q)   # quantized score, summed per bag
+            .append_column("best_q", q)  # same value; argmax-merged per bag
         )
-    return pd.DataFrame(out_rows)
+
+
+# ---------------------------------------------------------------------------
+# Bag aggregation (shuffle #1) — combiner + reducer
+# ---------------------------------------------------------------------------
+# Per-bag label aggregation semantics (OneVsAllRelationExtractor.java:81-97,
+# classifyRelations): sum per-label mention scores over the bag's mentions,
+# L1-normalize per bag, keep argmax-score provenance per label.
+#
+# Physical plan: a MAP-SIDE COMBINER collapses each scored batch to one row
+# per (pair, rel) BEFORE the shuffle, then a bucket-keyed reduce merges the
+# partials.  Mention scores are quantized to the SCORE_SCALE grid and summed
+# as int64 — integer addition is associative + commutative, so the result is
+# bit-identical under ANY batch/block partitioning (float partial sums would
+# depend on accumulation order — SURVEY.md §4 "Ordering").
+
+PAIR_KEY = ["subj", "subj_type", "obj", "obj_type"]
+SCORE_SCALE = 1_000_000_000
+_PROV_COLS = ["doc_id", "sent_idx", "subj_begin", "subj_end",
+              "obj_begin", "obj_end"]
+_TIE_COLS = ["best_q", "doc_id", "sent_idx", "subj_begin", "obj_begin"]
+
+
+def _combine_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Merge bag partials per (pair, rel): sum_q adds; the best-provenance
+    row is the max of the (best_q, doc_id, sent_idx, spans) tuple — a true
+    associative max, so combine rounds compose in any order."""
+    keys = PAIR_KEY + ["rel"]
+    df = df.sort_values(keys + _TIE_COLS,
+                        ascending=[True] * len(keys) + [False] * len(_TIE_COLS),
+                        kind="mergesort")
+    sums = df.groupby(keys, sort=False)["sum_q"].sum()
+    best = df.drop_duplicates(keys, keep="first").set_index(keys)
+    return best.drop(columns=["sum_q"]).join(sums).reset_index()
+
+
+def partial_bag_combine(df: pd.DataFrame, n_buckets: int = 64) -> pa.Table:
+    """Map-side combiner (the 'pre-aggregate inside map_batches' pattern):
+    one row per (pair, rel) per batch, tagged with the shuffle bucket."""
+    import zlib
+
+    from ..schema import pd_to_arrow
+
+    if not len(df):
+        empty = df.iloc[0:0].copy()
+        empty["__bucket"] = pd.Series([], dtype="int32")
+        cols = [c for c in PAIR_KEY + ["rel", "sum_q", "best_q"]
+                + _PROV_COLS + ["__bucket"] if c in empty.columns]
+        return pd_to_arrow(empty[cols])
+    out = _combine_partials(df)
+    bucket = [
+        zlib.crc32("\x00".join(t).encode("utf-8", "surrogatepass")) % n_buckets
+        for t in zip(*(out[c] for c in PAIR_KEY))
+    ]
+    out["__bucket"] = pd.Series(bucket, dtype="int32")
+    return pd_to_arrow(out[PAIR_KEY + ["rel", "sum_q", "best_q"]
+                           + _PROV_COLS + ["__bucket"]])
+
+
+def bag_reduce_bucket(df: pd.DataFrame) -> pa.Table:
+    """Reduce side: merge partials, then L1-normalize per pair → TRIPLES
+    rows with float score = sum_q(rel) / sum_q(pair)."""
+    from ..schema import pd_to_arrow
+
+    if not len(df):
+        empty = df.iloc[0:0].drop(columns=["__bucket"], errors="ignore")
+        empty = empty.rename(columns={"rel": "pred"})
+        empty["score"] = pd.Series([], dtype="float64")
+        cols = [c for c in ["subj", "subj_type", "pred", "obj", "obj_type",
+                            "score"] + _PROV_COLS if c in empty.columns]
+        return pd_to_arrow(empty[cols])
+    out = _combine_partials(df.drop(columns=["__bucket"]))
+    totals = out.groupby(PAIR_KEY, sort=False)["sum_q"].transform("sum")
+    out["score"] = out["sum_q"] / totals
+    out = out.rename(columns={"rel": "pred"})
+    cols = ["subj", "subj_type", "pred", "obj", "obj_type", "score"] + _PROV_COLS
+    return pd_to_arrow(out[cols])

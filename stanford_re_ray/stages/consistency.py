@@ -133,6 +133,24 @@ def _fill_sort_key(row) -> tuple:
     )
 
 
+def greedy_consistency_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucketed wrapper: one Ray group = one hash bucket of subjects; the
+    per-entity greedy runs in a plain loop inside (same semantics, ~B Ray
+    groups instead of one per entity)."""
+    from ..schema import pd_to_arrow
+
+    if not len(df):
+        return pd_to_arrow(df.iloc[0:0].drop(columns=["__bucket"],
+                                             errors="ignore"))
+    df = df.drop(columns=["__bucket"], errors="ignore")
+    outs = [
+        greedy_consistency(g)
+        for _, g in df.groupby(["subj", "subj_type"], sort=True)
+    ]
+    outs = [o for o in outs if len(o)]
+    return pd_to_arrow(pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0])
+
+
 def greedy_consistency(group: pd.DataFrame) -> pd.DataFrame:
     """Entity-local greedy filter — ``groupby([subj, subj_type])
     .map_groups(greedy_consistency, batch_format="pandas")``."""

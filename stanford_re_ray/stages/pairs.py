@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .classify import hash_features
 from .features import featurize
 from .mentions import find_mentions
 
@@ -117,7 +118,7 @@ class PairFeaturizer:
                 cols["subj_end"].append(p["subj_end"])
                 cols["obj_begin"].append(p["obj_begin"])
                 cols["obj_end"].append(p["obj_end"])
-                cols["features"].append(p["features"])
+                cols["features"].append(hash_features(p["features"]))
         return pa.table(
             {
                 "subj": pa.array(cols["subj"], pa.string()),
@@ -130,7 +131,14 @@ class PairFeaturizer:
                 "subj_end": pa.array(cols["subj_end"], pa.int32()),
                 "obj_begin": pa.array(cols["obj_begin"], pa.int32()),
                 "obj_end": pa.array(cols["obj_end"], pa.int32()),
-                "features": pa.array(cols["features"], pa.list_(pa.string())),
+                # hashed feature ids, not strings: feature strings are
+                # transient inside featurize(); materializing tens of
+                # millions of them through Arrow was a measured memory-
+                # bandwidth bottleneck at high core counts
+                "features": pa.array(
+                    [ids.tolist() for ids in cols["features"]],
+                    pa.list_(pa.int64()),
+                ),
             },
             schema=PAIRS,
         )
