@@ -1,0 +1,205 @@
+"""Graph operators over the materialized nodes/edges tables — the
+InferentialSlotFiller / GraphConsistencyPostProcessors path (SURVEY.md
+§2.9), re-expressed as dataset transforms.
+
+- ``symmetrize``: symmetric relations (spouse, siblings, other_family)
+  completed with reverse edges (GraphConsistencyPostProcessors symmetric
+  pass).
+- ``add_inverses``: inverse-pair relations completed
+  (parents↔children, subsidiaries↔org:parents, member_of↔members).
+- ``apply_horn_rules``: weighted Horn rules ``w  p1(x,y) ∧ p2(y,z) ⇒
+  r(x,z)`` — one hash-join pass per rule, repeated to ``max_depth``
+  (GraphInferenceEngine.java:25-120; depth ≤ 3, confidence cutoff).
+- ``subgraph_bfs``: frontier expansion from pivot entities to a depth
+  bound with an entity budget (InferentialSlotFiller.java:181-310:
+  depth ≤ 2, entityBudget; EntityGraph.restrictToConnectedComponent
+  analog for per-query graphs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+SYMMETRIC_PREDS = ("per:spouse", "per:siblings", "per:other_family")
+INVERSE_PAIRS = (
+    ("per:parents", "per:children"),
+    ("per:children", "per:parents"),
+    ("org:subsidiaries", "org:parents"),
+    ("org:parents", "org:subsidiaries"),
+    ("org:member_of", "org:members"),
+    ("org:members", "org:member_of"),
+)
+_INVERSE = dict(INVERSE_PAIRS)
+
+
+def _flip(batch: pa.Table, pred_map: dict[str, str]) -> pa.Table:
+    import pyarrow.compute as pc
+
+    preds = batch.column("pred").to_pylist()
+    keep = [i for i, p in enumerate(preds) if p in pred_map]
+    flipped = batch.take(pa.array(keep, pa.int64()))
+    new_preds = [pred_map[p] for p in (preds[i] for i in keep)]
+    cols = {name: flipped.column(name) for name in flipped.column_names}
+    cols["src_id"], cols["dst_id"] = cols["dst_id"], cols["src_id"]
+    cols["pred"] = pa.array(new_preds, pa.string())
+    return pa.table(cols)
+
+
+def _merge_edges(edges: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+    """Noisy-OR re-merge after adding derived edges (same reducer as S8b)."""
+    import zlib
+
+    from ..stages.canonicalize import noisy_or_merge_bucket
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [
+            f"{a}\x00{p}\x00{b}"
+            for a, p, b in zip(batch.column("src_id").to_pylist(),
+                               batch.column("pred").to_pylist(),
+                               batch.column("dst_id").to_pylist())
+        ]
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                     pa.int32()),
+        )
+
+    def strip_support(batch: pa.Table) -> pa.Table:
+        # n_support is re-derived by the merge
+        if "n_support" in batch.column_names:
+            batch = batch.drop_columns(["n_support"])
+        return batch
+
+    prepped = edges.map_batches(strip_support, batch_format="pyarrow") \
+                   .map_batches(add_bucket, batch_format="pyarrow")
+    return prepped.groupby("__bucket").map_groups(
+        noisy_or_merge_bucket, batch_format="pandas"
+    )
+
+
+def symmetrize(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Add reverse edges for symmetric predicates, then re-merge."""
+    sym_map = {p: p for p in SYMMETRIC_PREDS}
+    rev = edges.map_batches(lambda b: _flip(b, sym_map),
+                            batch_format="pyarrow")
+    return _merge_edges(edges.union(rev))
+
+
+def add_inverses(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Complete inverse-pair predicates, then re-merge."""
+    rev = edges.map_batches(lambda b: _flip(b, _INVERSE),
+                            batch_format="pyarrow")
+    return _merge_edges(edges.union(rev))
+
+
+def apply_horn_rules(
+    edges: ray.data.Dataset,
+    rules: list[tuple[float, str, str, str]],
+    max_depth: int = 3,
+    min_conf: float = 0.2,
+) -> ray.data.Dataset:
+    """Weighted 2-atom Horn rules ``(w, p1, p2, r)``: p1(x,y) ∧ p2(y,z) ⇒
+    r(x,z) with score w·s1·s2, iterated to ``max_depth`` or fixpoint-ish.
+
+    Each pass is one hash join of the p1-edges against the p2-edges on the
+    shared variable y (key-partitioned, SURVEY.md §2.5), then a noisy-OR
+    re-merge.  Derived edges carry the JOIN's provenance (best of the two
+    supports)."""
+    from ..functions.relational import hash_join
+
+    current = edges
+    for _ in range(max_depth):
+        derived = []
+        for w, p1, p2, r in rules:
+            left = current.map_batches(
+                lambda b, _p=p1: b.filter(
+                    pa.compute.equal(b.column("pred"), _p)),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda b: pa.table({
+                    "y": b.column("dst_id"), "x": b.column("src_id"),
+                    "s1": b.column("score"), "doc_id": b.column("doc_id"),
+                    "sent_idx": b.column("sent_idx"),
+                }),
+                batch_format="pyarrow",
+            )
+            right = current.map_batches(
+                lambda b, _p=p2: b.filter(
+                    pa.compute.equal(b.column("pred"), _p)),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda b: pa.table({
+                    "y": b.column("src_id"), "z": b.column("dst_id"),
+                    "s2": b.column("score"),
+                }),
+                batch_format="pyarrow",
+            )
+            joined = hash_join(left, right, on="y")
+
+            def mk(batch: pa.Table, _w=w, _r=r) -> pa.Table:
+                import numpy as np
+
+                score = np.clip(
+                    _w
+                    * batch.column("s1").to_numpy(zero_copy_only=False)
+                    * batch.column("s2").to_numpy(zero_copy_only=False),
+                    0.0, 1.0,
+                )
+                t = pa.table({
+                    "src_id": batch.column("x"),
+                    "pred": pa.array([_r] * batch.num_rows, pa.string()),
+                    "dst_id": batch.column("z"),
+                    "score": pa.array(score, pa.float64()),
+                    "doc_id": batch.column("doc_id"),
+                    "sent_idx": batch.column("sent_idx"),
+                })
+                mask = pa.compute.and_(
+                    pa.compute.greater_equal(t.column("score"), min_conf),
+                    pa.compute.not_equal(t.column("src_id"),
+                                         t.column("dst_id")),
+                )
+                return t.filter(mask)
+
+            derived.append(joined.map_batches(mk, batch_format="pyarrow"))
+        if not derived:
+            break
+        all_edges = current
+        for d in derived:
+            all_edges = all_edges.union(d)
+        current = _merge_edges(all_edges).materialize()
+    return current
+
+
+def subgraph_bfs(
+    edges: ray.data.Dataset,
+    seed_ids: set[str],
+    depth: int = 2,
+    entity_budget: int = 1000,
+) -> ray.data.Dataset:
+    """Edges reachable from the seeds within ``depth`` hops (frontier ids
+    broadcast each round; the frontier is capped by ``entity_budget`` with
+    deterministic lexicographic selection — TEST_GRAPH_* caps,
+    Props.java:256-285)."""
+    from ..functions.relational import semi_anti_filter
+
+    visited = set(seed_ids)
+    frontier = set(seed_ids)
+    kept = None
+    for _ in range(depth):
+        if not frontier:
+            break
+        layer = semi_anti_filter(edges, frontier, "src_id",
+                                 keep_matching=True).materialize()
+        kept = layer if kept is None else kept.union(layer).materialize()
+        dsts = set()
+        for b in layer.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            dsts.update(b.column("dst_id").to_pylist())
+        frontier = set(sorted(dsts - visited)[:entity_budget])
+        visited |= frontier
+    if kept is None:
+        return edges.limit(0)
+    return kept

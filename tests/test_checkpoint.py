@@ -1,0 +1,104 @@
+"""Checkpoint/resume: per-partition manifests, lineage invalidation,
+poison-shard isolation."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from stanford_re_ray.fixtures import gen_corpus
+
+OUT = "/tmp/kgtest_ckpt/out"
+SHARDS = "/tmp/kgtest_ckpt/shards"
+
+
+@pytest.fixture(scope="module")
+def model(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.train import train_model
+
+    train = gen_corpus(200, per_lo=0, per_hi=200, org_lo=0, org_hi=100)
+    return train_model(rd.from_arrow(train.pages).repartition(4), train.kb,
+                       dicts=train.dicts, clusters=train.clusters,
+                       negative_subsample=1.0, epochs=80), train.dicts, train.clusters
+
+
+@pytest.fixture(scope="module")
+def shards():
+    shutil.rmtree("/tmp/kgtest_ckpt", ignore_errors=True)
+    os.makedirs(SHARDS, exist_ok=True)
+    test = gen_corpus(120, per_lo=200, per_hi=400, org_lo=100, org_hi=200,
+                      base_url="https://t.example")
+    tbl = test.pages
+    paths = []
+    for i in range(3):
+        part = tbl.slice(i * 40, 40)
+        p = f"{SHARDS}/shard-{i:02d}.parquet"
+        pq.write_table(part, p)
+        paths.append(p)
+    return paths
+
+
+def test_run_then_resume_skips_completed(ray_session, model, shards):
+    from stanford_re_ray.state.checkpoint import run_kg_checkpointed
+
+    m, dicts, clusters = model
+    r1 = run_kg_checkpointed(shards, m, OUT, dicts=dicts, clusters=clusters)
+    assert sorted(r1["processed"]) == ["shard-00", "shard-01", "shard-02"]
+    assert r1["failed"] == []
+    # outputs are partitioned parquet with rows
+    for t in ("triples", "nodes", "edges"):
+        parts = sorted(os.listdir(os.path.join(OUT, t)))
+        assert parts == ["part=shard-00", "part=shard-01", "part=shard-02"]
+    # resume: nothing reprocessed
+    r2 = run_kg_checkpointed(shards, m, OUT, dicts=dicts, clusters=clusters)
+    assert r2["processed"] == []
+    assert sorted(r2["completed_previously"]) == [
+        "shard-00", "shard-01", "shard-02"
+    ]
+
+
+def test_lineage_invalidation_reprocesses_one_shard(ray_session, model, shards):
+    from stanford_re_ray.state.checkpoint import run_kg_checkpointed
+
+    m, dicts, clusters = model
+    # touch one shard: its fingerprint (mtime) changes
+    os.utime(shards[1])
+    r = run_kg_checkpointed(shards, m, OUT, dicts=dicts, clusters=clusters)
+    assert r["processed"] == ["shard-01"]
+    assert sorted(r["completed_previously"]) == ["shard-00", "shard-02"]
+
+
+def test_counters_and_manifest_contents(ray_session, model, shards):
+    from stanford_re_ray.state.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(OUT)
+    ms = mgr.manifests()
+    assert len(ms) == 3
+    for man in ms:
+        assert man["status"] == "complete"
+        assert man["counters"]["pages"] == 40
+        assert man["counters"]["triples"] > 0
+        assert "extractor" in man["versions"]
+    ctr = mgr.counters_table()
+    assert ctr.num_rows == 3
+
+
+def test_poison_shard_isolated(ray_session, model, shards):
+    from stanford_re_ray.state.checkpoint import run_kg_checkpointed
+
+    m, dicts, clusters = model
+    bad = f"{SHARDS}/shard-99.parquet"
+    with open(bad, "wb") as f:
+        f.write(b"this is not parquet")
+    r = run_kg_checkpointed(shards + [bad], m, OUT, dicts=dicts,
+                            clusters=clusters)
+    assert r["failed"] == ["shard-99"]
+    assert sorted(r["completed_previously"]) == [
+        "shard-00", "shard-01", "shard-02"
+    ]
+    man = json.load(open(os.path.join(OUT, "_manifest", "part-shard-99.json")))
+    assert man["status"].startswith("failed")

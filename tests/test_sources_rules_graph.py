@@ -1,0 +1,154 @@
+"""Sources (readers/writers), rule extractor, graph operators."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from stanford_re_ray.fixtures import corpus_dictionaries
+
+
+def test_kb_tsv_roundtrip(tmp_path):
+    from stanford_re_ray.sources.readers import read_kb_tsv
+
+    p = tmp_path / "kb.tsv"
+    p.write_text(
+        "E1\tJohn Smith\tper:spouse\tMary Smith\n"
+        "E2\tAcme Corp\torg:founded\t1950\n"
+        "E3\tBad Row\tnot:a_relation\tx\n"
+        "short\tline\n"
+    )
+    t = read_kb_tsv(str(p))
+    assert t.num_rows == 2
+    assert t.column("rel").to_pylist() == ["per:spouse", "org:founded"]
+    t2 = read_kb_tsv(str(p), max_rows=1)
+    assert t2.num_rows == 1
+
+
+def test_query_xml(tmp_path):
+    from stanford_re_ray.sources.readers import read_query_xml
+
+    p = tmp_path / "q.xml"
+    p.write_text(
+        """<?xml version="1.0"?>
+        <kbpslotfill>
+          <query id="SF_T001">
+            <name>John Smith</name><docid>doc1</docid>
+            <enttype>PER</enttype><nodeid>E0001</nodeid>
+            <ignore>per:age per:religion</ignore>
+          </query>
+          <query id="SF_T002">
+            <name>Acme Corp</name><docid>doc2</docid>
+            <enttype>ORG</enttype>
+          </query>
+        </kbpslotfill>"""
+    )
+    t = read_query_xml(str(p))
+    assert t.num_rows == 2
+    assert t.column("query_id").to_pylist() == ["SF_T001", "SF_T002"]
+    assert t.column("ignored_slots").to_pylist()[0] == ["per:age",
+                                                        "per:religion"]
+
+
+def test_official_output_writer(tmp_path):
+    from stanford_re_ray.sources.writers import write_official_output
+
+    triples = pa.table({
+        "subj": ["John Smith"], "subj_type": ["PERSON"],
+        "pred": ["per:member_of"], "obj": ["Acme Corp"],
+        "obj_type": ["ORGANIZATION"], "score": [0.9],
+        "doc_id": ["d1"], "sent_idx": pa.array([0], pa.int32()),
+        "subj_begin": pa.array([0], pa.int32()),
+        "subj_end": pa.array([2], pa.int32()),
+        "obj_begin": pa.array([5], pa.int32()),
+        "obj_end": pa.array([7], pa.int32()),
+    })
+    out = tmp_path / "official.tsv"
+    n = write_official_output(str(out), triples,
+                              {("John Smith", "PERSON"): "SF_T001"})
+    lines = out.read_text().strip().split("\n")
+    assert n == len(lines)
+    # 2013 merged surface name for per:member_of
+    fill = [l for l in lines if "\tNIL" not in l]
+    assert len(fill) == 1
+    assert fill[0].startswith("SF_T001\tper:employee_or_member_of\tray_kg_1\td1")
+    # NIL rows for the other PER relations
+    assert any(l.endswith("NIL") for l in lines)
+
+
+def test_rule_extractor(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.kg import extract_stage, nlp_stage
+    from stanford_re_ray.stages.rules import RuleExtractor
+
+    html = (b"<html><body><p>John Smith is married to Mary Johnson."
+            b"</p></body></html>")
+    pages = rd.from_arrow(pa.table({
+        "url": ["u1"], "warc_ts": pa.array([0], pa.timestamp("us")),
+        "html": [html], "text": [""], "lang": ["en"],
+    }))
+    sents = nlp_stage(extract_stage(pages), corpus_dictionaries())
+    out = sents.map_batches(RuleExtractor(), batch_format="pyarrow").to_pandas()
+    assert len(out) == 1
+    assert out["rel"].iloc[0] == "per:spouse"
+    assert out["subj"].iloc[0] == "John Smith"
+    assert out["obj"].iloc[0] == "Mary Johnson"
+    from stanford_re_ray.stages.classify import SCORE_SCALE
+
+    assert out["sum_q"].iloc[0] == SCORE_SCALE
+
+
+def _edges_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src_id": [r[0] for r in rows],
+        "pred": [r[1] for r in rows],
+        "dst_id": [r[2] for r in rows],
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+        "n_support": pa.array([1] * len(rows), pa.int64()),
+        "doc_id": ["d"] * len(rows),
+        "sent_idx": pa.array([0] * len(rows), pa.int32()),
+    }))
+
+
+def test_symmetrize_and_inverses(ray_session):
+    from stanford_re_ray.pipelines.graph_ops import add_inverses, symmetrize
+
+    edges = _edges_ds([("a", "per:spouse", "b", 0.9),
+                       ("c", "per:parents", "d", 0.8)])
+    sym = symmetrize(edges).to_pandas()
+    spouse = sym[sym["pred"] == "per:spouse"]
+    assert {(r.src_id, r.dst_id) for r in spouse.itertuples()} == {
+        ("a", "b"), ("b", "a")
+    }
+    inv = add_inverses(edges).to_pandas()
+    assert ("d", "per:children", "c") in {
+        (r.src_id, r.pred, r.dst_id) for r in inv.itertuples()
+    }
+
+
+def test_horn_rules(ray_session):
+    from stanford_re_ray.pipelines.graph_ops import apply_horn_rules
+
+    # x member_of y ∧ y member_of z ⇒ x member_of z (toy transitivity)
+    edges = _edges_ds([("a", "org:member_of", "b", 0.9),
+                       ("b", "org:member_of", "c", 0.9)])
+    out = apply_horn_rules(
+        edges, [(0.8, "org:member_of", "org:member_of", "org:member_of")],
+        max_depth=1,
+    ).to_pandas()
+    derived = out[(out["src_id"] == "a") & (out["dst_id"] == "c")]
+    assert len(derived) == 1
+    assert abs(derived["score"].iloc[0] - 0.8 * 0.9 * 0.9) < 1e-9
+
+
+def test_subgraph_bfs(ray_session):
+    from stanford_re_ray.pipelines.graph_ops import subgraph_bfs
+
+    edges = _edges_ds([("a", "p", "b", 0.9), ("b", "p", "c", 0.9),
+                       ("c", "p", "d", 0.9), ("x", "p", "y", 0.9)])
+    out = subgraph_bfs(edges, {"a"}, depth=2).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in out.itertuples()}
+    assert got == {("a", "b"), ("b", "c")}  # depth 2, no x→y island
