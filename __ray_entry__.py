@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_token_counts": A.q10_token_counts,
         "q11_quality_stats": A.q11_quality_stats,
         "q12_ann_topk": A.q12_ann_topk,
+        "q20_semi_join": A.q20_semi_join,
+        "q21_sessions": A.q21_sessions,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -377,6 +379,25 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
                    length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
             FROM documents ORDER BY doc_id
+        """,
+        "q20_semi_join": """
+            SELECT DISTINCT c_custkey FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "q21_sessions": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               IS NULL
+                          OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts)
+                               > INTERVAL '30 minutes'
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   sum(new_session) AS n_sessions
+            FROM flagged GROUP BY user_id ORDER BY user_id
         """,
         "q12_ann_topk": """
             WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

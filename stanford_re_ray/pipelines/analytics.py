@@ -254,3 +254,49 @@ def q12_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = brute_force_topk(emb, _query_vector(sf_dir), k=k)
     return pa.table({"vec_id": out.column("vec_id")})
+
+
+def q20_semi_join(sf_dir: str) -> pa.Table:
+    """Distributed semi join (hash_join how='semi'): customers with ≥1
+    order."""
+    from ..functions.relational import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey"]), batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = hash_join(cust, orders, on="o_custkey", how="semi").to_pandas()
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    out = out.drop_duplicates().sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SESSION_GAP_S = 1800
+
+
+def q21_sessions(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30-min inactivity) per user over the
+    events stream table: ``groupby(user).map_groups`` over ts-sorted
+    groups — the Ray Data shape of session windows (no watermarks: batch
+    log semantics)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > _SESSION_GAP_S)).sum())
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "n_events": len(g),
+            "n_sessions": n_sessions,
+        }])
+
+    out = (
+        ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -126,3 +126,36 @@ def train_model(
     pairs = pairs_stage(sentences, clusters)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl), negative_subsample)
     return fit_from_labeled(labeled, **fit_kwargs)
+
+
+def feature_vocab(pairs: ray.data.Dataset,
+                  threshold: int = 5) -> np.ndarray:
+    """Distributed feature-count threshold — shuffle #2 of SURVEY.md §7.4
+    (KBPDataset.applyFeatureCountThreshold; KBPTrainer.java:414-416).
+
+    Combiner-style: each batch emits one (feature_id, partial_count) row
+    per distinct id (np.unique per batch), then a single small
+    groupby-sum; ids with global count ≥ threshold form the vocabulary
+    (returned as a sorted id array — ≤ D_FEATURES ints, broadcastable).
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        feat = batch.column("features").combine_chunks()
+        flat = feat.flatten().to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(flat, return_counts=True)
+        return pa.table({
+            "feature_id": pa.array(ids.astype(np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    counted = (
+        pairs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("feature_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = counted.to_pandas()
+    keep = df[df["n"] >= threshold]["feature_id"].to_numpy()
+    return np.sort(keep.astype(np.int64))

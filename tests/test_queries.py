@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "q04_distinct_brands", "q05_events_hourly", "q06_filtered_revenue",
     "q07_join_revenue_by_priority", "q08_customers_without_orders",
     "q09_exact_dedup", "q10_token_counts", "q11_quality_stats",
-    "q12_ann_topk",
+    "q12_ann_topk", "q20_semi_join", "q21_sessions",
 ]
 
 
