@@ -331,3 +331,81 @@ def embedding_neardup_pairs(
         .groupby("bucket")
         .map_groups(verify, batch_format="pandas")
     )
+
+
+# --- connected components (near-dup clusters from verified pairs) ----------
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 10,
+) -> ray.data.Dataset:
+    """Cluster verified near-dup pairs into components by iterative
+    min-label propagation: each round joins every node's current label
+    with its neighbors' and keeps the minimum, until no label changes
+    (≤ log(diameter) rounds for near-dup clusters, which are shallow).
+
+    Distributed shape: labels live in a dataset (node, label); each round
+    is one groupby-min over the edge-expanded label stream — no driver-side
+    union-find, so the candidate set need not fit on one machine.
+    Returns (doc_id, component) with component = min doc id in the
+    component — a deterministic representative.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # undirected: emit both directions + self edges
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        return pa.table({
+            "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    # initial label = own id
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+
+    def own_min(batch: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(batch.column("node"), batch.column("label"))
+        return pa.table({"node": batch.column("node"), "label": lab})
+
+    labels = labels.map_batches(own_min, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        # propagate: node's label flows to each neighbor
+        lab_df = labels.to_pandas()
+        import ray as _ray
+
+        lab_ref = _ray.put(dict(zip(lab_df["node"], lab_df["label"])))
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import fetch
+
+            lm = fetch(lab_ref)
+            node = batch.column("node").to_pylist()
+            nbr = batch.column("nbr").to_pylist()
+            lab = [min(lm.get(n, n), lm.get(m, m), n) for n, m in zip(node, nbr)]
+            return pa.table({"node": pa.array(node), "label": pa.array(lab)})
+
+        new_labels = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_df = new_labels.to_pandas().sort_values("node")
+        old_df = labels.to_pandas().sort_values("node")
+        labels = new_labels
+        if old_df.reset_index(drop=True).equals(new_df.reset_index(drop=True)):
+            break
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("node"),
+            "component": batch.column("label"),
+        })
+
+    return labels.map_batches(fmt, batch_format="pyarrow")

@@ -1,0 +1,46 @@
+"""Near-dup clustering: connected components over verified pairs, and the
+full exact/minhash dedup chain on a corpus with planted duplicates."""
+
+import pyarrow as pa
+import pytest
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import connected_components
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 5, 7], pa.int64()),
+        "doc_b": pa.array([2, 3, 6, 8], pa.int64()),
+    }))
+    out = connected_components(pairs).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[7] == comp[8] == 7
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import (jaccard,
+                                                 ngram_jaccard_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a long tune about data pipelines and shuffles at scale "
+            "with deterministic hashing everywhere in the engine")
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about cooking pasta with basil "
+             "tomatoes olive oil and garlic in a small kitchen on sunday "
+             "afternoon with friends and family around the table eating")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [base, near, other, base],
+    }))
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    got = {(r.doc_a, r.doc_b) for r in pairs.itertuples()}
+    assert (1, 4) in got          # exact dup
+    assert (1, 2) in got or (2, 4) in got   # near dup
+    assert not any(3 in p for p in got)     # unrelated doc untouched
+    assert jaccard(base, near) > 0.5
