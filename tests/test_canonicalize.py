@@ -13,7 +13,10 @@ from stanford_re_ray.stages.canonicalize import (
 def test_same_entity_semantics():
     assert same_entity("John Smith", "Smith", "PERSON")        # token overlap 1.0
     assert same_entity("John Smith", "john smith", "PERSON")
+    assert same_entity("John Smith", "J. Smith", "PERSON")     # initial match
     assert not same_entity("John Smith", "Mary Jones", "PERSON")
+    # tightened global rule: different first names never merge
+    assert not same_entity("John Lee", "Karen Lee", "PERSON")
     assert same_entity("ACM", "Association for Computing Machinery",
                        "ORGANIZATION")  # acronym
     # ORG threshold is stricter than PER
@@ -30,16 +33,17 @@ def test_link_cluster_merges_variants():
         {"name": "John Smith", "type": "PERSON", "n_mentions": 10},
         {"name": "Smith", "type": "PERSON", "n_mentions": 2},
         {"name": "Mary Smith", "type": "PERSON", "n_mentions": 5},
+        {"name": "J. Smith", "type": "PERSON", "n_mentions": 1},
     ])
     out = link_cluster(df)
-    # "Smith" merges into the dominant "John Smith"; "Mary Smith" stays
-    # (overlap 1/2 > 0.49 would merge... it shares the surname token only:
-    # {"mary","smith"} & {"john","smith"} = 1, min=2 -> 0.5 > 0.49 merges
-    # under the reference's lenient PER threshold) — so expect <= 2 reps
-    assert 1 <= len(out) <= 2
+    # bare "Smith" + initialed "J. Smith" merge into the dominant
+    # "John Smith"; "Mary Smith" (different first name) stays separate
+    assert len(out) == 2
     rep = out[out["name"] == "John Smith"]
     assert len(rep) == 1
-    assert "Smith" in rep["alt_names"].iloc[0] or "Smith" in rep["members"].iloc[0]
+    members = rep["members"].iloc[0]
+    assert "Smith" in members and "J. Smith" in members
+    assert "Mary Smith" not in members
 
 
 def test_noisy_or_merge():
