@@ -16,10 +16,18 @@ in the library code) calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
+
+# the package lives next to this file; make the import robust to whatever
+# cwd/sys.path the driver uses
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 _MODEL_CACHE: dict[str, Any] = {}
 
