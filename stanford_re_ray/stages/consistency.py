@@ -169,6 +169,20 @@ def greedy_consistency(group: pd.DataFrame) -> pd.DataFrame:
         rel = RELATION_BY_NAME[pred]
         if rel.is_single and pred in single_taken:
             continue
+        # NoDuplicatesApproximate (HeuristicSlotfillPostProcessors.java:
+        # 518-573): an entity-valued fill whose value entity-links to an
+        # already-accepted value of the SAME relation is a near-duplicate;
+        # the earlier (higher-scoring) fill wins
+        if r["obj_type"] in ("PERSON", "ORGANIZATION"):
+            from .canonicalize import same_entity
+
+            dup = False
+            for p2, o2 in seen_pred_obj:
+                if p2 == pred and same_entity(obj, o2, r["obj_type"]):
+                    dup = True
+                    break
+            if dup:
+                continue
         ok = True
         prev = pair_rels.get(obj.lower(), [])
         for p2 in prev:

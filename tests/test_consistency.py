@@ -108,3 +108,19 @@ def test_greedy_implausible_cooccurrence():
     ])
     out = greedy_consistency(df)
     assert len(out) == 1 and out["pred"].iloc[0] == "per:spouse"
+
+
+def test_greedy_near_duplicate_values():
+    # NoDuplicatesApproximate: "J. Smith" entity-links to the accepted
+    # "John Smith" under per:spouse → dropped; a different person survives
+    df = pd.DataFrame([
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:spouse",
+         "obj": "John Smith", "obj_type": "PERSON", "score": 0.9},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:spouse",
+         "obj": "J. Smith", "obj_type": "PERSON", "score": 0.7},
+        {"subj": "A", "subj_type": "PERSON", "pred": "per:children",
+         "obj": "Mary Poe", "obj_type": "PERSON", "score": 0.6},
+    ])
+    out = greedy_consistency(df)
+    objs = set(out["obj"])
+    assert objs == {"John Smith", "Mary Poe"}
