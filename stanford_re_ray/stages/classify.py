@@ -492,3 +492,53 @@ def ensemble_scores(batches: list[pa.Table], mode: str = "agree_any") -> pa.Tabl
             "agree_all": n_models}[mode]
     keep = best[best["votes"] >= need].reset_index()
     return pd_to_arrow(keep.drop(columns=["__model", "votes"]))
+
+
+def train_atleast_once(
+    datum_features: list[np.ndarray],
+    labels: list[set[str]],
+    bag_ids: list[str],
+    em_iters: int = 3,
+    **lr_kwargs,
+) -> LRModel:
+    """At-least-once EM — the HoffmannExtractor / MIML-RE family analog
+    (kbp/sf/classify/HoffmannExtractor.java; JointBayesRelationExtractor's
+    E/M shape, JointBayesRelationExtractor.java:607-760), simplified to the
+    at-least-once assumption over the shared LR learner:
+
+    - init: naive distant supervision (every mention carries its bag's
+      labels) → fit;
+    - E-step: for each (bag, label), keep the label ONLY on the bag's
+      current argmax-scoring mention (at least one mention expresses the
+      relation; the rest become negatives) — deterministic argmax with
+      first-mention-in-canonical-order tie-break;
+    - M-step: refit.
+
+    Distributed shape at scale: the E-step is a scoring ``map_batches``
+    over bag-grouped datums and the M-step a gradient sum — the same
+    machinery as the main pipeline (SURVEY.md §7.5 MIML note).
+    """
+    model = train_lr(datum_features, labels, **lr_kwargs)
+    n = len(datum_features)
+    bags: dict[str, list[int]] = {}
+    for i, b in enumerate(bag_ids):
+        bags.setdefault(b, []).append(i)
+    for _ in range(em_iters):
+        W, b_vec = model.weights, model.bias
+        new_labels: list[set[str]] = [set() for _ in range(n)]
+        for bag in sorted(bags):
+            idxs = bags[bag]
+            bag_labels = set().union(*(labels[i] for i in idxs))
+            for rel in sorted(bag_labels):
+                r = _REL_INDEX.get(rel)
+                if r is None:
+                    continue
+                best_i, best_s = idxs[0], -np.inf
+                for i in idxs:
+                    ids = datum_features[i]
+                    s = float(W[r, ids].sum() + b_vec[r]) if len(ids) else -np.inf
+                    if s > best_s:
+                        best_i, best_s = i, s
+                new_labels[best_i].add(rel)
+        model = train_lr(datum_features, new_labels, **lr_kwargs)
+    return model

@@ -108,3 +108,27 @@ def test_salted_canonicalization_matches_unsalted(ray_session, trained):
     # exact-name entities (the fixture world has no cross-page variants
     # beyond coref, which is resolved pre-canonicalization)
     assert set(plain["entity_id"]) == set(salted["entity_id"])
+
+
+def test_atleast_once_em_denoises_bags():
+    from stanford_re_ray.relations import RELATION_NAMES
+    from stanford_re_ray.stages.classify import train_atleast_once, train_lr
+
+    # bags of 2 mentions: one true trigger (feat 10), one bag-noise mention
+    # (feat 20) that ALSO appears in pure-negative bags.  Naive DS labels
+    # both; at-least-once should concentrate the label on the trigger.
+    feats, labels, bag_ids = [], [], []
+    for k in range(12):
+        feats += [np.array([10]), np.array([20])]
+        labels += [{"per:spouse"}, {"per:spouse"}]
+        bag_ids += [f"pos{k}", f"pos{k}"]
+        feats.append(np.array([20]))
+        labels.append(set())
+        bag_ids.append(f"neg{k}")
+    naive = train_lr(feats, labels, epochs=80, feature_count_threshold=1)
+    alo = train_atleast_once(feats, labels, bag_ids, em_iters=2,
+                             epochs=80, feature_count_threshold=1)
+    r = RELATION_NAMES.index("per:spouse")
+    # EM strictly reduces the noise feature's weight relative to naive DS
+    assert alo.weights[r, 20] < naive.weights[r, 20]
+    assert alo.weights[r, 10] > 0
