@@ -144,21 +144,54 @@ def minhash_lsh_groups(
         concurrency=(1, 4),
     )
 
-    def bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame(columns=["band_id", "band_hash", "doc_ids", "rep"])
-        ids = sorted(group["doc_id"].tolist())
-        return pd.DataFrame(
-            [{
-                "band_id": group["band_id"].iloc[0],
-                "band_hash": group["band_hash"].iloc[0],
-                "doc_ids": ids,
-                "rep": ids[0],
-            }]
+    def add_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+        keys = [
+            f"{b}\x00{h}"
+            for b, h in zip(batch.column("band_id").to_pylist(),
+                            batch.column("band_hash").to_pylist())
+        ]
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                     pa.int32()),
         )
 
-    return bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket, batch_format="pandas"
+    def collapse(df: pd.DataFrame) -> pa.Table:
+        """One Ray group = one hash bucket of LSH cells; the per-cell
+        collapse runs vectorized inside (shuffling one int column beats a
+        Ray group per (band, hash) cell — same pattern as the bag stage)."""
+        from ..schema import pd_to_arrow
+
+        out_rows = []
+        if len(df):
+            df = df.sort_values(["band_id", "band_hash", "doc_id"],
+                                kind="mergesort")
+            for (band, h), g in df.groupby(["band_id", "band_hash"],
+                                           sort=False):
+                if len(g) < 2:
+                    continue
+                ids = g["doc_id"].tolist()
+                out_rows.append({"band_id": band, "band_hash": h,
+                                 "doc_ids": ids, "rep": ids[0]})
+        out = pd.DataFrame(
+            out_rows, columns=["band_id", "band_hash", "doc_ids", "rep"]
+        )
+        if not len(out):
+            out = pd.DataFrame({
+                "band_id": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="object"),
+                "doc_ids": pd.Series([], dtype="object"),
+                "rep": pd.Series([], dtype="int64"),
+            })
+        return pd_to_arrow(out)
+
+    return (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(
+            lambda g: collapse(g.drop(columns=["__bucket"])),
+            batch_format="pandas",
+        )
     )
 
 
