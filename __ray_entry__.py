@@ -271,6 +271,17 @@ def _fingerprints(sf_dir: str):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import simhash_neardup_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dataset_to_table(simhash_neardup_pairs(docs, max_hamming=3))
+
+
 def _ivf_topk(sf_dir: str):
     import ray.data as rd
 
@@ -311,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_langid": _langid,
         "q18_fingerprints": _fingerprints,
         "q19_ivf_topk": _ivf_topk,
+        "q22_simhash_pairs": _simhash_pairs,
         # KG pipeline (rows-only: model-driven extraction)
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,

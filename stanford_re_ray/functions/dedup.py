@@ -442,3 +442,82 @@ def connected_components(
         })
 
     return labels.map_batches(fmt, batch_format="pyarrow")
+
+
+def simhash_neardup_pairs(
+    ds: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs: 16-bit band blocking (any doc pair within
+    Hamming distance ≤ 16 shares at least one of the 4 bands by
+    pigeonhole), then exact Hamming verification within band buckets.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        doc, band_key = [], []
+        for did, h, b0, b1, b2, b3 in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("simhash").to_pylist(),
+            batch.column("band0").to_pylist(),
+            batch.column("band1").to_pylist(),
+            batch.column("band2").to_pylist(),
+            batch.column("band3").to_pylist(),
+        ):
+            for i, b in enumerate((b0, b1, b2, b3)):
+                doc.append(did)
+                band_key.append(f"{i}:{b}")
+        # carry the full signature for verification
+        sim = [h for h in batch.column("simhash").to_pylist() for _ in range(4)]
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "band_key": pa.array(band_key, pa.string()),
+            "simhash": pa.array(sim, pa.string()),
+        })
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        rows = []
+        if len(df) >= 2:
+            df = df.sort_values(["band_key", "doc_id"], kind="mergesort")
+            for _, g in df.groupby("band_key", sort=False):
+                recs = list(zip(g["doc_id"], g["simhash"]))
+                for i in range(len(recs)):
+                    for j in range(i + 1, len(recs)):
+                        (da, ha), (db, hb) = recs[i], recs[j]
+                        if da == db:
+                            continue
+                        d = hamming64(int(ha, 16), int(hb, 16))
+                        if d <= max_hamming:
+                            a, b = sorted((da, db))
+                            rows.append({"doc_a": a, "doc_b": b, "hamming": d})
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        if not len(out):
+            out = pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            })
+        return pd_to_arrow(out)
+
+    def add_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode()) % n_buckets
+                      for k in batch.column("band_key").to_pylist()],
+                     pa.int32()),
+        )
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: verify(g.drop(columns=["__bucket"])),
+                    batch_format="pandas")
+    )
+    # dedupe pairs found via multiple bands
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

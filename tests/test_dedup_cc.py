@@ -44,3 +44,24 @@ def test_minhash_finds_planted_near_dups(ray_session):
     assert (1, 2) in got or (2, 4) in got   # near dup
     assert not any(3 in p for p in got)     # unrelated doc untouched
     assert jaccard(base, near) > 0.5
+
+
+def test_simhash_neardup_pairs(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import simhash_neardup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a long tune about data pipelines and shuffles at scale")
+    near = base.replace("lazy", "sleepy")
+    other = ("unrelated recipe text with pasta tomatoes basil and olive oil "
+             "cooked slowly in a pan on sunday afternoon with friends")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [base, near, other, base],
+    }))
+    out = simhash_neardup_pairs(docs, max_hamming=4).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
+    assert got.get((1, 4)) == 0              # exact dup → hamming 0
+    assert (1, 2) in got                     # near dup within 4 bits
+    assert not any(3 in k for k in got)      # unrelated doc excluded

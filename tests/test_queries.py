@@ -84,6 +84,7 @@ def test_sql_checked_query(entrymod, duck, name):
 ROWS_ONLY = [
     "q13_minhash_lsh_groups", "q14_simhash", "q15_ngram_jaccard_pairs",
     "q16_embedding_neardup", "q17_langid", "q18_fingerprints", "q19_ivf_topk",
+    "q22_simhash_pairs",
 ]
 
 
