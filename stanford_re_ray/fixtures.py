@@ -331,6 +331,7 @@ def corpus_dictionaries() -> Dictionaries:
         charges=set(CHARGES),
         causes_of_death=set(CAUSES),
         first_names=set(FIRST),
+        city_to_country={c: country for c, _, country in CITIES},
     )
 
 

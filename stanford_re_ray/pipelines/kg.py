@@ -149,9 +149,12 @@ def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset
 
 
 def consistency_stage(triples: ray.data.Dataset,
-                      n_buckets: int = 64) -> ray.data.Dataset:
+                      n_buckets: int = 64,
+                      city_to_country: dict[str, str] | None = None
+                      ) -> ray.data.Dataset:
     """S7: unary filters/rewrites, then entity-local greedy consistency
-    (bucketed by subject hash; greedy remains per-entity inside)."""
+    (bucketed by subject hash; greedy remains per-entity inside; optional
+    gazetteer geo-consistency via ``city_to_country``)."""
     import zlib
 
     from ..stages.consistency import greedy_consistency_bucket
@@ -171,8 +174,10 @@ def consistency_stage(triples: ray.data.Dataset,
         )
 
     bucketed = t.map_batches(add_subj_bucket, batch_format="pyarrow")
+    geo = dict(city_to_country) if city_to_country else None
     return bucketed.groupby("__bucket").map_groups(
-        greedy_consistency_bucket, batch_format="pandas"
+        lambda g, _geo=geo: greedy_consistency_bucket(g, _geo),
+        batch_format="pandas",
     )
 
 

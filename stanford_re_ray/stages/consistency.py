@@ -133,7 +133,43 @@ def _fill_sort_key(row) -> tuple:
     )
 
 
-def greedy_consistency_bucket(df: pd.DataFrame) -> pd.DataFrame:
+GEO_CHECK_PAIRS = (
+    # (city relation, country relation) pairs that must geo-agree
+    ("per:city_of_birth", "per:country_of_birth"),
+    ("per:city_of_death", "per:country_of_death"),
+    ("org:city_of_headquarters", "org:country_of_headquarters"),
+)
+
+
+def geo_filter(rows: list[dict], city_to_country: dict[str, str]) -> list[dict]:
+    """WorldKnowledgePostProcessor geo-consistency
+    (kbp/sf/evaluate/WorldKnowledgePostProcessor.java:30-115): when an
+    entity carries both a city and a country fill of the same event and
+    the gazetteer maps the city to a DIFFERENT country, drop the
+    lower-scoring fill of the pair."""
+    if not city_to_country:
+        return rows
+    by_pred: dict[str, dict] = {}
+    for r in rows:
+        cur = by_pred.get(r["pred"])
+        if cur is None or r["score"] > cur["score"]:
+            by_pred[r["pred"]] = r
+    drop: set[int] = set()
+    for city_rel, country_rel in GEO_CHECK_PAIRS:
+        c = by_pred.get(city_rel)
+        k = by_pred.get(country_rel)
+        if c is None or k is None:
+            continue
+        mapped = city_to_country.get(c["obj"])
+        if mapped is not None and mapped != k["obj"]:
+            loser = c if c["score"] <= k["score"] else k
+            drop.add(id(loser))
+    return [r for r in rows if id(r) not in drop]
+
+
+def greedy_consistency_bucket(df: pd.DataFrame,
+                              city_to_country: dict[str, str] | None = None
+                              ) -> pd.DataFrame:
     """Bucketed wrapper: one Ray group = one hash bucket of subjects; the
     per-entity greedy runs in a plain loop inside (same semantics, ~B Ray
     groups instead of one per entity)."""
@@ -144,18 +180,22 @@ def greedy_consistency_bucket(df: pd.DataFrame) -> pd.DataFrame:
                                              errors="ignore"))
     df = df.drop(columns=["__bucket"], errors="ignore")
     outs = [
-        greedy_consistency(g)
+        greedy_consistency(g, city_to_country)
         for _, g in df.groupby(["subj", "subj_type"], sort=True)
     ]
     outs = [o for o in outs if len(o)]
     return pd_to_arrow(pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0])
 
 
-def greedy_consistency(group: pd.DataFrame) -> pd.DataFrame:
+def greedy_consistency(group: pd.DataFrame,
+                       city_to_country: dict[str, str] | None = None
+                       ) -> pd.DataFrame:
     """Entity-local greedy filter — ``groupby([subj, subj_type])
     .map_groups(greedy_consistency, batch_format="pandas")``."""
     rows = group.to_dict("records")
     rows.sort(key=_fill_sort_key)
+    if city_to_country:
+        rows = geo_filter(rows, city_to_country)
     active: list[dict] = []
     seen_pred_obj: set[tuple[str, str]] = set()
     single_taken: set[str] = set()

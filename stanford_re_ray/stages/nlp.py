@@ -98,6 +98,8 @@ class Dictionaries:
     causes_of_death: set[str] = field(default_factory=set) # lowercase
     first_names: set[str] = field(default_factory=set)
     org_names: set[str] = field(default_factory=set)       # full org surfaces
+    #: gazetteer geo map (WorldKnowledgePostProcessor analog): city -> country
+    city_to_country: dict[str, str] = field(default_factory=dict)
     org_suffixes: tuple[str, ...] = _DEFAULT_ORG_SUFFIXES
 
     def compiled(self) -> "_CompiledDicts":

@@ -124,3 +124,21 @@ def test_greedy_near_duplicate_values():
     out = greedy_consistency(df)
     objs = set(out["obj"])
     assert objs == {"John Smith", "Mary Poe"}
+
+
+def test_geo_consistency_filter():
+    # gazetteer says Paris → France; a conflicting country fill loses
+    df = pd.DataFrame([
+        {"subj": "Acme Corp", "subj_type": "ORGANIZATION",
+         "pred": "org:city_of_headquarters", "obj": "Paris",
+         "obj_type": "CITY", "score": 0.9},
+        {"subj": "Acme Corp", "subj_type": "ORGANIZATION",
+         "pred": "org:country_of_headquarters", "obj": "Germany",
+         "obj_type": "COUNTRY", "score": 0.6},
+    ])
+    out = greedy_consistency(df, city_to_country={"Paris": "France"})
+    assert set(out["pred"]) == {"org:city_of_headquarters"}
+    # agreeing pair survives intact
+    df.loc[1, "obj"] = "France"
+    out2 = greedy_consistency(df, city_to_country={"Paris": "France"})
+    assert len(out2) == 2
