@@ -155,3 +155,150 @@ def featurize(
             add(f"arg2_cluster={c2}")
 
     return feats
+
+
+# ---------------------------------------------------------------------------
+# String-free featurization (production path)
+# ---------------------------------------------------------------------------
+# Same template set as ``featurize`` above, but feature ids are computed by
+# running crc32 over (template tag, value parts) without ever materializing
+# the feature STRING: ~30 transient str allocations per pair (tens of
+# millions per 100k pages) were a measured memory-bandwidth drag at high
+# core counts.  Ids land in the same 2**18 space the scorer/trainer use.
+# Feature IDENTITY differs from the string form — models must be trained
+# and scored with the same featurizer (both paths are deterministic).
+
+import zlib as _zlib
+
+_D = 1 << 18
+
+
+def _tag(name: str) -> int:
+    return _zlib.crc32(name.encode())
+
+
+_T_ARG1_TYPE = _tag("arg1_type=")
+_T_ARG2_TYPE = _tag("arg2_type=")
+_T_ARG_TYPES = _tag("arg_types=")
+_T_ORDER = _tag("arg1_before_arg2=")
+_T_ARG2_WORD = _tag("arg2_word=")
+_T_ARG2_HEAD = _tag("arg2_head=")
+_T_ARG2_POS = _tag("arg2_pos=")
+_T_DIST_BIN = _tag("surface_distance_binary=")
+_T_DIST_BINS = _tag("surface_distance_bin=")
+_T_A1L = _tag("arg1_left=")
+_T_A1R = _tag("arg1_right=")
+_T_A2L = _tag("arg2_left=")
+_T_A2R = _tag("arg2_right=")
+_T_BETW = _tag("between_word=")
+_T_BETW2 = _tag("between_bigram=")
+_T_BETW_EMPTY = _tag("between_empty=true")
+_T_SPATH = _tag("surface_path=")
+_T_VPPATH = _tag("verb_prep_path=")
+_T_VERB = _tag("verb_between=")
+_T_ENT_BETW = _tag("entity_between_args=")
+_T_ENT_BINS = _tag("entity_counts_bin=")
+_T_NUM_DIGITS = _tag("arg2_number_digits=")
+_T_DATE_YEAR = _tag("arg2_date_is_year=")
+_T_BCLUST = _tag("between_cluster=")
+_T_A2CLUST = _tag("arg2_cluster=")
+
+
+def _fid(base: int, *parts: str) -> int:
+    c = base
+    for p in parts:
+        c = _zlib.crc32(p.encode("utf-8", "surrogatepass"), c)
+    return c % _D
+
+
+def featurize_ids(
+    tokens: list[str],
+    lemmas: list[str],
+    pos: list[str],
+    ner: list[str],
+    subj_span: tuple[int, int],
+    obj_span: tuple[int, int],
+    subj_type: str,
+    obj_type: str,
+    clusters: dict[str, str] | None = None,
+) -> list[int]:
+    """Hashed feature ids for one relation-mention candidate (same template
+    coverage as ``featurize``; see module docstring for the contract)."""
+    sb, se = subj_span
+    ob, oe = obj_span
+    out: list[int] = []
+    add = out.append
+
+    add(_fid(_T_ARG1_TYPE, subj_type))
+    add(_fid(_T_ARG2_TYPE, obj_type))
+    add(_fid(_T_ARG_TYPES, subj_type, "--", obj_type))
+    add(_fid(_T_ORDER, "T" if sb < ob else "F"))
+
+    obj_words = tokens[ob:oe]
+    add(_fid(_T_ARG2_WORD, *[w.lower() for w in obj_words]))
+    add(_fid(_T_ARG2_HEAD, obj_words[-1].lower() if obj_words else ""))
+    add(_fid(_T_ARG2_POS, *pos[ob:oe]))
+
+    if se <= ob:
+        lo, hi, dist = se, ob, ob - se
+    elif oe <= sb:
+        lo, hi, dist = oe, sb, sb - oe
+    else:
+        lo, hi, dist = 0, 0, 0
+    add(_fid(_T_DIST_BIN, "T" if dist <= 4 else "F"))
+    add(_fid(_T_DIST_BINS, _dist_bin(dist)))
+
+    n = len(tokens)
+    add(_fid(_T_A1L, tokens[sb - 1].lower() if sb > 0 else "<PAD>"))
+    add(_fid(_T_A1R, tokens[se].lower() if se < n else "<PAD>"))
+    add(_fid(_T_A2L, tokens[ob - 1].lower() if ob > 0 else "<PAD>"))
+    add(_fid(_T_A2R, tokens[oe].lower() if oe < n else "<PAD>"))
+
+    bw = lemmas[lo:hi]
+    for w in set(bw):
+        add(_fid(_T_BETW, w))
+    for a, b in zip(bw, bw[1:]):
+        add(_fid(_T_BETW2, a, "_", b))
+    if not bw:
+        add(_T_BETW_EMPTY % _D)
+
+    direction = ">" if sb < ob else "<"
+    add(_fid(_T_SPATH, direction, *pos[lo:hi]))
+    vp = [lemmas[i] for i in range(lo, hi) if pos[i] in ("VB", "IN")]
+    add(_fid(_T_VPPATH, direction, *vp))
+    verbs = {lemmas[i] for i in range(lo, hi) if pos[i] == "VB"}
+    for v in verbs:
+        add(_fid(_T_VERB, v))
+
+    ents_between = 0
+    i = min(se, oe)
+    end = max(sb, ob)
+    while i < end:
+        if ner[i] != "O" and not (sb <= i < se) and not (ob <= i < oe):
+            ents_between += 1
+            tag = ner[i]
+            while i < end and ner[i] == tag:
+                i += 1
+        else:
+            i += 1
+    add(_fid(_T_ENT_BETW, "T" if ents_between > 0 else "F"))
+    add(_fid(_T_ENT_BINS, _dist_bin(ents_between)))
+
+    if obj_type == "NUMBER":
+        nd = sum(c.isdigit() for w in obj_words for c in w)
+        add(_fid(_T_NUM_DIGITS, str(nd)))
+    if obj_type == "DATE":
+        is_year = bool(obj_words) and len(obj_words[0]) == 4 and \
+            obj_words[0].isdigit()
+        add(_fid(_T_DATE_YEAR, "T" if is_year else "F"))
+
+    if clusters:
+        for w in set(bw):
+            c = clusters.get(w)
+            if c is not None:
+                add(_fid(_T_BCLUST, c))
+        if obj_words:
+            c2 = clusters.get(obj_words[-1].lower())
+            if c2 is not None:
+                add(_fid(_T_A2CLUST, c2))
+    return out

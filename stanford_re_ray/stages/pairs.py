@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .classify import hash_features
-from .features import featurize
+from .features import featurize, featurize_ids
 from .mentions import find_mentions
 
 MAX_PAIR_DISTANCE = 25     # RelationMentionAnnotator.closeEnough
@@ -30,7 +30,10 @@ MAX_SENT_TOKENS = 150      # PreFeaturizerAnnotator.java:99
 
 
 def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
-                       clusters: dict[str, str] | None = None) -> list[dict]:
+                       clusters: dict[str, str] | None = None,
+                       hashed: bool = False) -> list[dict]:
+    """``hashed=True`` (the production path) emits crc-combined feature ids
+    directly (features.featurize_ids) — no feature strings are built."""
     if len(tokens) > MAX_SENT_TOKENS:
         return []
     mentions = find_mentions(tokens, pos, ner, antecedents)
@@ -54,9 +57,10 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
             if key in seen:
                 continue
             seen.add(key)
-            feats = featurize(tokens, lemmas, pos, ner,
-                              (s.begin, s.end), (o.begin, o.end),
-                              s.ner, o.ner, clusters)
+            fz = featurize_ids if hashed else featurize
+            feats = fz(tokens, lemmas, pos, ner,
+                       (s.begin, s.end), (o.begin, o.end),
+                       s.ner, o.ner, clusters)
             out.append(
                 {
                     "subj": s.canonical,
@@ -107,7 +111,8 @@ class PairFeaturizer:
         for did, sidx, tk, lm, ps, nr, an in zip(
             doc_ids, sent_idxs, toks, lems, poss, ners, antes
         ):
-            for p in pairs_for_sentence(tk, lm, ps, nr, an, clusters):
+            for p in pairs_for_sentence(tk, lm, ps, nr, an, clusters,
+                                        hashed=True):
                 cols["subj"].append(p["subj"])
                 cols["subj_type"].append(p["subj_type"])
                 cols["obj"].append(p["obj"])
@@ -118,7 +123,7 @@ class PairFeaturizer:
                 cols["subj_end"].append(p["subj_end"])
                 cols["obj_begin"].append(p["obj_begin"])
                 cols["obj_end"].append(p["obj_end"])
-                cols["features"].append(hash_features(p["features"]))
+                cols["features"].append(p["features"])
         return pa.table(
             {
                 "subj": pa.array(cols["subj"], pa.string()),
@@ -135,10 +140,7 @@ class PairFeaturizer:
                 # transient inside featurize(); materializing tens of
                 # millions of them through Arrow was a measured memory-
                 # bandwidth bottleneck at high core counts
-                "features": pa.array(
-                    [ids.tolist() for ids in cols["features"]],
-                    pa.list_(pa.int64()),
-                ),
+                "features": pa.array(cols["features"], pa.list_(pa.int64())),
             },
             schema=PAIRS,
         )
