@@ -60,3 +60,31 @@ def test_long_doc_sentence_cap():
     text = " ".join(f"Sentence number {i}." for i in range(600))
     recs = annotate_document(text, CD, max_sentences=512)
     assert len(recs) <= 512
+
+
+def test_actor_pool_mode_matches_task_mode(ray_session):
+    """nlp_stage(mode='actors') — the CoreNLP-style actor pool — must
+    produce exactly the rows of the default task-pool mode."""
+    import ray.data as rd
+
+    from stanford_re_ray.fixtures import corpus_dictionaries, gen_corpus
+    from stanford_re_ray.pipelines.kg import extract_stage, nlp_stage
+
+    corpus = gen_corpus(40, per_lo=0, per_hi=100, org_lo=0, org_hi=60)
+    pages = rd.from_arrow(corpus.pages).repartition(4)
+    d = corpus_dictionaries()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df["tokens"] = df["tokens"].map(tuple)
+        df["ner"] = df["ner"].map(tuple)
+        return (df[["doc_id", "sent_idx", "text", "tokens", "ner"]]
+                .sort_values(["doc_id", "sent_idx"])
+                .reset_index(drop=True))
+
+    tasks = canon(nlp_stage(extract_stage(pages), d, mode="tasks"))
+    actors = canon(nlp_stage(extract_stage(pages), d, mode="actors",
+                             concurrency=(1, 2)))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(tasks, actors)
