@@ -257,8 +257,9 @@ def _langid(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    return docs.map_batches(LangId, batch_format="pyarrow",
-                            concurrency=(1, 4))
+    # stateless op → elastic task pool (an INSTANCE, not the class): an
+    # actor pool capped at 4 workers would starve this stage
+    return docs.map_batches(LangId(), batch_format="pyarrow")
 
 
 def _fingerprints(sf_dir: str):
@@ -416,7 +417,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_session
               FROM events)
             SELECT user_id, count(*) AS n_events,
-                   sum(new_session) AS n_sessions
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions
             FROM flagged GROUP BY user_id ORDER BY user_id
         """,
         "q12_ann_topk": """

@@ -249,42 +249,88 @@ def hamming64(a: int, b: int) -> int:
 def ngram_jaccard_pairs(
     ds: ray.data.Dataset, threshold: float = 0.8, k: int = 5
 ) -> ray.data.Dataset:
-    """Exact n-gram-Jaccard near-dup pairs via LSH candidate generation +
-    within-bucket verification (texts re-read per bucket via a driver-side
-    broadcast at fixture scale; the scale path joins texts back to
-    candidates by doc_id)."""
-    import ray
+    """Exact n-gram-Jaccard near-dup pairs: LSH candidate generation, then
+    document texts are joined BACK to the candidate pairs with two
+    hash joins on doc_id — no driver-side corpus materialization, so the
+    path holds when the documents table exceeds any single machine.
 
-    # fixture-scale path: collect texts once (documents table is the small
-    # side here); at 100 TB this becomes a hash join candidates⋈documents
-    texts = {
-        r["doc_id"]: r["text"]
-        for b in ds.select_columns(["doc_id", "text"]).iter_batches(
-            batch_size=4096, batch_format="pyarrow"
-        )
-        for r in b.to_pylist()
-    }
-    texts_ref = ray.put(texts)
+    Shuffle budget: only (doc_a, doc_b) candidate rows (≪ corpus, bounded
+    by LSH bucket sizes) and the texts of candidate docs move; the verify
+    is per-pair and embarrassingly parallel.
+    """
+    from ray.data.aggregate import Count
+
+    from .relational import hash_join
+
     buckets = minhash_lsh_groups(ds, k_shingle=k)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        from ..state.broadcast import fetch
-
-        tx = fetch(texts_ref)
-        a_out, b_out, j_out = [], [], []
-        seen = set()
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
         for ids in batch.column("doc_ids").to_pylist():
             for i in range(len(ids)):
                 for jj in range(i + 1, len(ids)):
-                    key = (ids[i], ids[jj])
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    j = jaccard(tx.get(ids[i], ""), tx.get(ids[jj], ""), k)
-                    if j >= threshold:
-                        a_out.append(ids[i])
-                        b_out.append(ids[jj])
-                        j_out.append(round(j, 6))
+                    a_out.append(ids[i])
+                    b_out.append(ids[jj])
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    # distinct candidate pairs (a pair can surface in several bands)
+    cand = (
+        buckets.map_batches(explode_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="__n"))
+    )
+    docs = ds.select_columns(["doc_id", "text"])
+    docs_a = docs.map_batches(
+        lambda b: b.rename_columns(["doc_id", "text_a"]),
+        batch_format="pyarrow",
+    )
+    docs_b = docs.map_batches(
+        lambda b: b.rename_columns(["doc_id", "text_b"]),
+        batch_format="pyarrow",
+    )
+
+    def as_a_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_a"),
+                         "doc_b": batch.column("doc_b")})
+
+    with_a = hash_join(
+        cand.map_batches(as_a_key, batch_format="pyarrow"), docs_a,
+        on="doc_id",
+    )
+
+    def as_b_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the null-padded union inside hash_join promotes doc_b to float;
+        # restore int64 so the second join keys/buckets match
+        return pa.table({"doc_id": pc.cast(batch.column("doc_b"), pa.int64(),
+                                           safe=False),
+                         "doc_a": batch.column("doc_id"),
+                         "text_a": batch.column("text_a")})
+
+    with_both = hash_join(
+        with_a.map_batches(as_b_key, batch_format="pyarrow"), docs_b,
+        on="doc_id",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for da, db, ta, tb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            j = jaccard(ta or "", tb or "", k)
+            if j >= threshold:
+                a_out.append(da)
+                b_out.append(db)
+                j_out.append(round(j, 6))
         return pa.table(
             {
                 "doc_a": pa.array(a_out, pa.int64()),
@@ -293,13 +339,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = buckets.map_batches(verify, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard")
-    )
+    return with_both.map_batches(verify, batch_format="pyarrow")
 
 
 # --- embedding-cosine near-dup ---------------------------------------------
@@ -375,19 +415,24 @@ def connected_components(
     max_rounds: int = 10,
 ) -> ray.data.Dataset:
     """Cluster verified near-dup pairs into components by iterative
-    min-label propagation: each round joins every node's current label
-    with its neighbors' and keeps the minimum, until no label changes
+    min-label propagation: each round, every node's current label flows to
+    its neighbors via a hash join of the edge table against the label
+    table, and each node keeps the minimum — until no label changes
     (≤ log(diameter) rounds for near-dup clusters, which are shallow).
 
     Distributed shape: labels live in a dataset (node, label); each round
-    is one groupby-min over the edge-expanded label stream — no driver-side
-    union-find, so the candidate set need not fit on one machine.
+    is hash_join(edges, labels, on=node) → groupby-min, and convergence is
+    a distributed Sum of changed flags (only the scalar count reaches the
+    driver) — no driver-side union-find or label-dict broadcast, so neither
+    the edge set nor the label table need fit on one machine.
     Returns (doc_id, component) with component = min doc id in the
     component — a deterministic representative.
     """
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Min
+
+    from .relational import hash_join
 
     def explode(batch: pa.Table) -> pa.Table:
         # undirected: emit both directions + self edges
@@ -399,7 +444,7 @@ def connected_components(
         })
 
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
-    # initial label = own id
+    # initial label = min(own id, min neighbor id)
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
 
     def own_min(batch: pa.Table) -> pa.Table:
@@ -408,31 +453,38 @@ def connected_components(
 
     labels = labels.map_batches(own_min, batch_format="pyarrow").materialize()
     for _ in range(max_rounds):
-        # propagate: node's label flows to each neighbor
-        lab_df = labels.to_pandas()
-        import ray as _ray
+        # propagate: node's label flows to each neighbor (edges ⋈ labels)
+        msgs = hash_join(edges, labels, on="node")
 
-        lab_ref = _ray.put(dict(zip(lab_df["node"], lab_df["label"])))
+        def to_nbr(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("nbr"),
+                             "label": batch.column("label")})
 
-        def relabel(batch: pa.Table) -> pa.Table:
-            from ..state.broadcast import fetch
-
-            lm = fetch(lab_ref)
-            node = batch.column("node").to_pylist()
-            nbr = batch.column("nbr").to_pylist()
-            lab = [min(lm.get(n, n), lm.get(m, m), n) for n, m in zip(node, nbr)]
-            return pa.table({"node": pa.array(node), "label": pa.array(lab)})
-
+        prop = msgs.map_batches(to_nbr, batch_format="pyarrow")
         new_labels = (
-            edges.map_batches(relabel, batch_format="pyarrow")
+            labels.union(prop)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        new_df = new_labels.to_pandas().sort_values("node")
-        old_df = labels.to_pandas().sort_values("node")
+        # distributed convergence check: count changed labels
+        old = labels.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "old_label": b.column("label")}),
+            batch_format="pyarrow",
+        )
+        delta = hash_join(new_labels, old, on="node")
+
+        def flag(batch: pa.Table) -> pa.Table:
+            ch = pc.cast(
+                pc.not_equal(batch.column("label"), batch.column("old_label")),
+                pa.int64(),
+            )
+            return pa.table({"changed": ch})
+
+        n_changed = delta.map_batches(flag, batch_format="pyarrow").sum("changed")
         labels = new_labels
-        if old_df.reset_index(drop=True).equals(new_df.reset_index(drop=True)):
+        if not n_changed:
             break
 
     def fmt(batch: pa.Table) -> pa.Table:
@@ -447,10 +499,19 @@ def connected_components(
 def simhash_neardup_pairs(
     ds: ray.data.Dataset, max_hamming: int = 3
 ) -> ray.data.Dataset:
-    """SimHash near-dup pairs: 16-bit band blocking (any doc pair within
-    Hamming distance ≤ 16 shares at least one of the 4 bands by
-    pigeonhole), then exact Hamming verification within band buckets.
-    Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    """SimHash near-dup pairs: 16-bit band blocking, then exact Hamming
+    verification within band buckets.  By pigeonhole over the 4 disjoint
+    16-bit bands, any pair within Hamming distance ≤ 3 is GUARANTEED to
+    share at least one band; for ``max_hamming`` in 4..63 the blocking is
+    approximate (pairs whose differing bits spread across all 4 bands are
+    missed).  Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"simhash_neardup_pairs: max_hamming={max_hamming} > 3 — "
+            "4-band blocking only guarantees recall for distance <= 3; "
+            "results are approximate", stacklevel=2)
     sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
 
     def explode_bands(batch: pa.Table) -> pa.Table:

@@ -89,6 +89,17 @@ def hash_join(
     l_only = [c for c in l_cols if c not in on]
     r_only = [c for c in r_cols if c not in on]
 
+    def _restore_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        """The null-padded union makes pandas represent integer columns as
+        float64; restore the declared Arrow integer dtype wherever the
+        output has no nulls (inner/semi/anti always; left when matched)."""
+        for c in df.columns:
+            t = types.get(c)
+            if (t is not None and pa.types.is_integer(t)
+                    and df[c].dtype.kind == "f" and not df[c].isna().any()):
+                df = df.assign(**{c: df[c].astype(str(t))})
+        return df
+
     def join_bucket(g: pd.DataFrame):
         from ..schema import pd_to_arrow
 
@@ -96,16 +107,18 @@ def hash_join(
         rg = g[g["__side"] == "r"]
         if how == "semi":
             keys = rg[on].drop_duplicates()
-            return pd_to_arrow(lg[on + l_only].merge(keys, on=on, how="inner"))
-        if how == "anti":
+            out = lg[on + l_only].merge(keys, on=on, how="inner")
+        elif how == "anti":
             keys = set(map(tuple, rg[on].itertuples(index=False)))
             mask = [tuple(t) not in keys
                     for t in lg[on].itertuples(index=False)]
-            return pd_to_arrow(lg[on + l_only][mask])
-        merged = lg[on + l_only].merge(
-            rg[on + r_only], on=on, how="inner" if how == "inner" else "left"
-        )
-        return pd_to_arrow(merged)
+            out = lg[on + l_only][mask]
+        else:
+            out = lg[on + l_only].merge(
+                rg[on + r_only], on=on,
+                how="inner" if how == "inner" else "left"
+            )
+        return pd_to_arrow(_restore_int_dtypes(out))
 
     return bucketed.groupby("__bucket").map_groups(
         join_bucket, batch_format="pandas"

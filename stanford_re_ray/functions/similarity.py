@@ -49,23 +49,28 @@ def brute_force_topk(
         norms[norms == 0] = 1.0
         sims = (vecs @ qv) / norms
         idx = np.argsort(-sims, kind="stable")[:k]
+        # full-precision cosine through the sort/limit merge: rounding
+        # before ranking can flip top-k membership at the rank-k boundary
+        # vs an oracle that ranks unrounded (round only for display below)
         return pa.table(
             {
                 id_col: batch.column(id_col).take(pa.array(idx)),
-                "cosine": pa.array(np.round(sims[idx], 6), pa.float64()),
+                "cosine": pa.array(sims[idx], pa.float64()),
             }
         )
 
     partials = embeddings.map_batches(partial_topk, batch_format="pyarrow")
     merged = partials.sort(["cosine", id_col], descending=[True, False]).limit(k)
     import pyarrow as _pa
+    import pyarrow.compute as _pc
 
     tables = ray.get(merged.to_arrow_refs())
     tables = [t for t in tables if t.num_rows]
-    return (
-        _pa.concat_tables(tables) if tables
-        else _pa.table({id_col: [], "cosine": []})
-    )
+    if not tables:
+        return _pa.table({id_col: [], "cosine": []})
+    out = _pa.concat_tables(tables)
+    return out.set_column(out.schema.get_field_index("cosine"), "cosine",
+                          _pc.round(out.column("cosine"), ndigits=6))
 
 
 def _det_centroids(dim: int, n: int) -> np.ndarray:

@@ -182,15 +182,16 @@ def q07_join_revenue_by_priority(sf_dir: str) -> pa.Table:
 
 
 def q08_customers_without_orders(sf_dir: str) -> pa.Table:
-    """Anti join against a broadcast key set."""
-    from ..functions.relational import semi_anti_filter
+    """Distributed anti join (hash_join how='anti') — both sides stream;
+    no driver-side key-set materialization."""
+    from ..functions.relational import hash_join
 
-    keys = set(
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey"]), batch_format="pyarrow"
     )
-    cust = _read(sf_dir, "customer", ["c_custkey"])
-    out = semi_anti_filter(cust, keys, "c_custkey", keep_matching=False)
-    df = out.to_pandas()
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    out = hash_join(cust, orders, on="o_custkey", how="anti")
+    df = out.to_pandas().rename(columns={"o_custkey": "c_custkey"})
     if "c_custkey" not in df.columns:  # empty result: preserve the schema
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return pa.Table.from_pandas(

@@ -62,6 +62,7 @@ def nlp_stage(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     mode: str = "tasks",
+    max_sentences: int = 512,
 ) -> ray.data.Dataset:
     """S2: the NLP annotation stage.
 
@@ -80,7 +81,8 @@ def nlp_stage(
     """
     if mode == "tasks":
         return docs.map_batches(
-            NlpAnnotator(dicts if dicts is not None else None),
+            NlpAnnotator(dicts if dicts is not None else None,
+                         max_sentences=max_sentences),
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -89,7 +91,8 @@ def nlp_stage(
     dicts_ref = ray.put(dicts) if dicts is not None else None
     return docs.map_batches(
         NlpAnnotator,
-        fn_constructor_kwargs={"dicts_ref": dicts_ref},
+        fn_constructor_kwargs={"dicts_ref": dicts_ref,
+                               "max_sentences": max_sentences},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -100,6 +103,8 @@ def pairs_stage(
     sentences: ray.data.Dataset,
     clusters: dict[str, str] | None = None,
     batch_size: int = 512,
+    max_pair_distance: int | None = None,
+    max_sent_tokens: int | None = None,
 ) -> ray.data.Dataset:
     """S3+S4 fused: mentions + pair generation + features (sentence-local).
 
@@ -108,21 +113,31 @@ def pairs_stage(
     actor pools pin min-actors and can starve the all-to-all operators on
     small clusters (observed deadlock at num_cpus=4 with 3 chained pools).
     """
+    from ..stages import pairs as pairs_mod
+
     clusters_ref = ray.put(clusters) if clusters is not None else None
     return sentences.map_batches(
-        PairFeaturizer(clusters_ref),
+        PairFeaturizer(
+            clusters_ref,
+            max_pair_distance=(max_pair_distance
+                               if max_pair_distance is not None
+                               else pairs_mod.MAX_PAIR_DISTANCE),
+            max_sent_tokens=(max_sent_tokens if max_sent_tokens is not None
+                             else pairs_mod.MAX_SENT_TOKENS),
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
 
 
-def score_stage(pairs: ray.data.Dataset, model: LRModel) -> ray.data.Dataset:
+def score_stage(pairs: ray.data.Dataset, model: LRModel,
+                keep_threshold: float = 0.5) -> ray.data.Dataset:
     """S5: per-mention classification with zero-copy broadcast weights
     (task pool; weights fetched once per worker process).  Drops
     non-relation mentions before the bag shuffle."""
     model_ref = ray.put(model)
     return pairs.map_batches(
-        MentionScorer(model_ref),
+        MentionScorer(model_ref, keep_threshold=keep_threshold),
         batch_format="pyarrow",
         batch_size=1024,
     )
@@ -150,16 +165,24 @@ def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset
 
 def consistency_stage(triples: ray.data.Dataset,
                       n_buckets: int = 64,
-                      city_to_country: dict[str, str] | None = None
+                      city_to_country: dict[str, str] | None = None,
+                      max_slot_len: int | None = None,
+                      enforce_cardinality: bool = True,
+                      enforce_incompatibilities: bool = True,
                       ) -> ray.data.Dataset:
     """S7: unary filters/rewrites, then entity-local greedy consistency
     (bucketed by subject hash; greedy remains per-entity inside; optional
     gazetteer geo-consistency via ``city_to_country``)."""
     import zlib
 
-    from ..stages.consistency import greedy_consistency_bucket
+    from ..stages.consistency import (MAX_SLOT_LEN,
+                                      greedy_consistency_bucket)
 
-    t = triples.map_batches(unary_filter_batch, batch_format="pyarrow")
+    msl = max_slot_len if max_slot_len is not None else MAX_SLOT_LEN
+    t = triples.map_batches(
+        lambda b, _m=msl: unary_filter_batch(b, max_slot_len=_m),
+        batch_format="pyarrow",
+    )
 
     def add_subj_bucket(batch: pa.Table) -> pa.Table:
         keys = [
@@ -176,7 +199,11 @@ def consistency_stage(triples: ray.data.Dataset,
     bucketed = t.map_batches(add_subj_bucket, batch_format="pyarrow")
     geo = dict(city_to_country) if city_to_country else None
     return bucketed.groupby("__bucket").map_groups(
-        lambda g, _geo=geo: greedy_consistency_bucket(g, _geo),
+        lambda g, _geo=geo: greedy_consistency_bucket(
+            g, _geo,
+            enforce_cardinality=enforce_cardinality,
+            enforce_incompatibilities=enforce_incompatibilities,
+        ),
         batch_format="pandas",
     )
 
@@ -297,6 +324,139 @@ def edges_stage(
     )
 
 
+def explode_node_members(nodes: ray.data.Dataset) -> ray.data.Dataset:
+    """nodes (entity_id, type, members) → one (name, type, entity_id) row
+    per member surface — the join side of the scale-path name resolution."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        names, types, eids = [], [], []
+        for eid, etype, members in zip(
+            batch.column("entity_id").to_pylist(),
+            batch.column("type").to_pylist(),
+            batch.column("members").to_pylist(),
+        ):
+            for name in members:
+                names.append(name)
+                types.append(etype)
+                eids.append(eid)
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "type": pa.array(types, pa.string()),
+                "entity_id": pa.array(eids, pa.string()),
+            }
+        )
+
+    return nodes.map_batches(explode, batch_format="pyarrow")
+
+
+def edges_stage_join(
+    triples: ray.data.Dataset, nodes: ray.data.Dataset
+) -> ray.data.Dataset:
+    """S8b scale path: name→id resolution as TWO hash joins of the triples
+    against the exploded nodes.members table on (name, type) — no broadcast
+    of the node map, so it holds when the node table outgrows a worker.
+    Same output as ``edges_stage`` (the noisy-OR merge is shared)."""
+    from ..functions.relational import hash_join
+
+    members = explode_node_members(nodes)
+    members_src = members.map_batches(
+        lambda b: b.rename_columns(["name", "type", "src_id"]),
+        batch_format="pyarrow",
+    )
+    members_dst = members.map_batches(
+        lambda b: b.rename_columns(["name", "type", "dst_id"]),
+        batch_format="pyarrow",
+    )
+
+    def subj_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "name": batch.column("subj"),
+                "type": batch.column("subj_type"),
+                "obj": batch.column("obj"),
+                "obj_type": batch.column("obj_type"),
+                "pred": batch.column("pred"),
+                "score": batch.column("score"),
+                "doc_id": batch.column("doc_id"),
+                "sent_idx": batch.column("sent_idx"),
+            }
+        )
+
+    with_src = hash_join(
+        triples.map_batches(subj_key, batch_format="pyarrow"),
+        members_src, on=["name", "type"], how="left",
+    )
+
+    def resolve_src(batch: pa.Table) -> pa.Table:
+        src = [
+            s if s is not None else canon.entity_id(n, t)
+            for s, n, t in zip(batch.column("src_id").to_pylist(),
+                               batch.column("name").to_pylist(),
+                               batch.column("type").to_pylist())
+        ]
+        return pa.table(
+            {
+                "name": batch.column("obj"),
+                "type": batch.column("obj_type"),
+                "pred": batch.column("pred"),
+                "score": batch.column("score"),
+                "doc_id": batch.column("doc_id"),
+                "sent_idx": batch.column("sent_idx"),
+                "src_id": pa.array(src, pa.string()),
+            }
+        )
+
+    keyed_obj = with_src.map_batches(resolve_src, batch_format="pyarrow")
+    with_dst = hash_join(keyed_obj, members_dst, on=["name", "type"],
+                         how="left")
+
+    def resolve_dst(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dst = [
+            s if s is not None else canon.entity_id(n, t)
+            for s, n, t in zip(batch.column("dst_id").to_pylist(),
+                               batch.column("name").to_pylist(),
+                               batch.column("type").to_pylist())
+        ]
+        return pa.table(
+            {
+                "src_id": batch.column("src_id"),
+                "pred": batch.column("pred"),
+                "dst_id": pa.array(dst, pa.string()),
+                "score": batch.column("score"),
+                "doc_id": batch.column("doc_id"),
+                # the null-padded union inside hash_join promotes sent_idx
+                # to float; restore the triples dtype
+                "sent_idx": pc.cast(batch.column("sent_idx"), pa.int32(),
+                                    safe=False),
+            }
+        )
+
+    resolved = with_dst.map_batches(resolve_dst, batch_format="pyarrow")
+
+    def add_edge_bucket(batch: pa.Table, n_buckets: int = 64) -> pa.Table:
+        import zlib
+
+        keys = [
+            f"{a}\x00{p}\x00{b}"
+            for a, p, b in zip(batch.column("src_id").to_pylist(),
+                               batch.column("pred").to_pylist(),
+                               batch.column("dst_id").to_pylist())
+        ]
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(k.encode()) % n_buckets for k in keys],
+                     pa.int32()),
+        )
+
+    bucketed = resolved.map_batches(add_edge_bucket, batch_format="pyarrow")
+    return bucketed.groupby("__bucket").map_groups(
+        canon.noisy_or_merge_bucket, batch_format="pandas"
+    )
+
+
 def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
     """Collect a SMALL dataset into one Arrow table (driver-side).  Only for
     results that are provably small (nodes, aggregates, test outputs)."""
@@ -343,6 +503,26 @@ def _graph_small_path(triples_tbl: pa.Table, max_cluster: int = 150):
     triple set is tiny relative to the corpus."""
     import pandas as pd
 
+    if "subj" not in triples_tbl.column_names:  # zero triples extracted
+        empty_nodes = pa.table({
+            "entity_id": pa.array([], pa.string()),
+            "name": pa.array([], pa.string()),
+            "type": pa.array([], pa.string()),
+            "alt_names": pa.array([], pa.list_(pa.string())),
+            "n_mentions": pa.array([], pa.int64()),
+            "members": pa.array([], pa.list_(pa.string())),
+        })
+        empty_edges = pa.table({
+            "src_id": pa.array([], pa.string()),
+            "pred": pa.array([], pa.string()),
+            "dst_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "n_support": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.string()),
+            "sent_idx": pa.array([], pa.int32()),
+        })
+        return empty_nodes, empty_edges
+
     names = pd.DataFrame(
         {
             "name": triples_tbl.column("subj").to_pylist()
@@ -384,8 +564,15 @@ def _graph_small_path(triples_tbl: pa.Table, max_cluster: int = 150):
 
 #: below this many triples, S8 runs driver-side (one process beats ~7
 #: streaming operators of fixed latency); above it, the distributed
-#: blocked/salted path runs.  Analogous to a broadcast-join threshold.
-SMALL_GRAPH_THRESHOLD = 2_000_000
+#: blocked/salted path runs.  Analogous to a broadcast-join threshold —
+#: kept conservative (200k triples × wide columns ≈ tens of MB on the
+#: driver; 2M was already ~GBs).
+SMALL_GRAPH_THRESHOLD = 200_000
+
+#: above this many NODE rows, edge name-resolution switches from the
+#: ray.put broadcast map to the hash-join path (edges_stage_join) — the
+#: node map must not be assumed to fit one worker at scale.
+BROADCAST_NODE_LIMIT = 1_000_000
 
 
 def run_kg_pipeline(
@@ -419,9 +606,11 @@ def run_kg_pipeline(
             "edges": rd.from_arrow(edges_tbl),
         }
     nodes = nodes_stage(triples, n_salt=n_salt).materialize()
-    nodes_tbl = dataset_to_table(nodes)
-    name_map = name_map_from_nodes(nodes_tbl)
-    edges = edges_stage(triples, name_map)
+    if nodes.count() > BROADCAST_NODE_LIMIT:
+        edges = edges_stage_join(triples, nodes)
+    else:
+        name_map = name_map_from_nodes(dataset_to_table(nodes))
+        edges = edges_stage(triples, name_map)
     return {"triples": triples, "nodes": nodes, "edges": edges}
 
 
@@ -442,10 +631,13 @@ def run_kg_pipeline_cfg(
     cfg = cfg or PipelineConfig()
     docs = extract_stage(pages, lang=cfg.lang)
     sentences = nlp_stage(docs, dicts, concurrency=cfg.nlp_concurrency,
-                          mode=cfg.nlp_mode)
+                          mode=cfg.nlp_mode,
+                          max_sentences=cfg.max_sentences_per_doc)
     pairs = pairs_stage(sentences,
-                        clusters if cfg.use_cluster_features else None)
-    scored = score_stage(pairs, model)
+                        clusters if cfg.use_cluster_features else None,
+                        max_pair_distance=cfg.max_pair_distance,
+                        max_sent_tokens=cfg.max_sent_tokens)
+    scored = score_stage(pairs, model, keep_threshold=cfg.keep_threshold)
     if cfg.use_rules:
         from ..stages.rules import DEFAULT_RULES, RuleExtractor
 
@@ -459,8 +651,13 @@ def run_kg_pipeline_cfg(
         scored = scored.map_batches(sentence_competition,
                                     batch_format="pyarrow")
     candidates = bag_stage(scored, n_buckets=cfg.n_buckets)
-    triples = consistency_stage(candidates,
-                                n_buckets=cfg.n_buckets).materialize()
+    triples = consistency_stage(
+        candidates,
+        n_buckets=cfg.n_buckets,
+        max_slot_len=cfg.max_slot_len,
+        enforce_cardinality=cfg.enforce_cardinality,
+        enforce_incompatibilities=cfg.enforce_incompatibilities,
+    ).materialize()
     if triples.count() <= SMALL_GRAPH_THRESHOLD:
         import ray.data as rd
 
@@ -471,8 +668,11 @@ def run_kg_pipeline_cfg(
     else:
         nodes = nodes_stage(triples, n_salt=cfg.n_salt,
                             max_cluster=cfg.max_cluster).materialize()
-        name_map = name_map_from_nodes(dataset_to_table(nodes))
-        edges = edges_stage(triples, name_map)
+        if nodes.count() > BROADCAST_NODE_LIMIT:
+            edges = edges_stage_join(triples, nodes)
+        else:
+            name_map = name_map_from_nodes(dataset_to_table(nodes))
+            edges = edges_stage(triples, name_map)
     if cfg.symmetrize or cfg.add_inverses:
         from .graph_ops import add_inverses as _inv
         from .graph_ops import symmetrize as _sym

@@ -252,8 +252,9 @@ class MentionScorer:
     before the bag shuffle.
     """
 
-    def __init__(self, model_ref):
+    def __init__(self, model_ref, keep_threshold: float = 0.5):
         self._ref = model_ref
+        self._keep_threshold = keep_threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..state.broadcast import fetch
@@ -297,6 +298,14 @@ class MentionScorer:
             hit = (pos < len(dims)) & (dims[pos_c] == flat)
             gathered = Wc[pos_c]
             gathered[~hit] = 0.0
+            if bounds.size and bounds[-1] == gathered.shape[0]:
+                # trailing empty-feature rows make the last reduceat index
+                # out of range; pad one zero row (its segment sums to 0 and
+                # is re-zeroed by the lens==0 mask below)
+                gathered = np.vstack(
+                    [gathered,
+                     np.zeros((1, gathered.shape[1]), dtype=gathered.dtype)]
+                )
             S = np.add.reduceat(gathered, bounds, axis=0)
         else:
             S = np.zeros((n, len(b)), dtype=np.float32)
@@ -307,7 +316,7 @@ class MentionScorer:
         P = np.where(masks, P, 0.0)
         best = P.argmax(axis=1)
         best_p = P[np.arange(n), best]
-        keep = best_p > 0.5
+        keep = best_p > self._keep_threshold
         # softmax-normalize over compatible relations (gamma=1.0)
         Z = np.where(masks, S, -np.inf)
         zmax = Z.max(axis=1, keepdims=True)

@@ -94,7 +94,8 @@ def rewrite_value(pred: str, obj: str, obj_type: str) -> str:
     return obj
 
 
-def unary_filter_batch(batch: pa.Table) -> pa.Table:
+def unary_filter_batch(batch: pa.Table,
+                       max_slot_len: int = MAX_SLOT_LEN) -> pa.Table:
     """Stateless unary pass over TRIPLES: type check + sanity + rewrites."""
     preds = batch.column("pred").to_pylist()
     subjs = batch.column("subj").to_pylist()
@@ -109,7 +110,7 @@ def unary_filter_batch(batch: pa.Table) -> pa.Table:
             continue
         if rel.subject_type != subj_ts[i] or obj_ts[i] not in rel.object_types:
             continue
-        if not objs[i] or len(objs[i]) > MAX_SLOT_LEN:
+        if not objs[i] or len(objs[i]) > max_slot_len:
             continue
         if objs[i].lower() == subjs[i].lower():
             continue
@@ -123,13 +124,21 @@ def unary_filter_batch(batch: pa.Table) -> pa.Table:
 def _fill_sort_key(row) -> tuple:
     """KBPSlotFill.compareTo total order (KBPSlotFill.java:58-80), expressed
     for ascending sort: score desc, obj token count desc, subj length desc,
-    then lexicographic."""
+    then lexicographic.  Extended with obj_type + provenance columns so the
+    order is TOTAL over post-bag rows — two fills whose objs rewrite to the
+    same value (e.g. '1983' and '1983-XX-XX' both → '1983-XX-XX') must not
+    fall back to nondeterministic post-shuffle arrival order."""
     return (
         -row["score"],
         -len(str(row["obj"]).split()),
         -len(str(row["subj"])),
         row["pred"],
         row["obj"],
+        str(row.get("obj_type", "")),
+        str(row.get("doc_id", "")),
+        int(row.get("sent_idx", 0) or 0),
+        int(row.get("subj_begin", 0) or 0),
+        int(row.get("obj_begin", 0) or 0),
     )
 
 
@@ -168,7 +177,9 @@ def geo_filter(rows: list[dict], city_to_country: dict[str, str]) -> list[dict]:
 
 
 def greedy_consistency_bucket(df: pd.DataFrame,
-                              city_to_country: dict[str, str] | None = None
+                              city_to_country: dict[str, str] | None = None,
+                              enforce_cardinality: bool = True,
+                              enforce_incompatibilities: bool = True,
                               ) -> pd.DataFrame:
     """Bucketed wrapper: one Ray group = one hash bucket of subjects; the
     per-entity greedy runs in a plain loop inside (same semantics, ~B Ray
@@ -180,7 +191,9 @@ def greedy_consistency_bucket(df: pd.DataFrame,
                                              errors="ignore"))
     df = df.drop(columns=["__bucket"], errors="ignore")
     outs = [
-        greedy_consistency(g, city_to_country)
+        greedy_consistency(g, city_to_country,
+                           enforce_cardinality=enforce_cardinality,
+                           enforce_incompatibilities=enforce_incompatibilities)
         for _, g in df.groupby(["subj", "subj_type"], sort=True)
     ]
     outs = [o for o in outs if len(o)]
@@ -188,7 +201,9 @@ def greedy_consistency_bucket(df: pd.DataFrame,
 
 
 def greedy_consistency(group: pd.DataFrame,
-                       city_to_country: dict[str, str] | None = None
+                       city_to_country: dict[str, str] | None = None,
+                       enforce_cardinality: bool = True,
+                       enforce_incompatibilities: bool = True,
                        ) -> pd.DataFrame:
     """Entity-local greedy filter — ``groupby([subj, subj_type])
     .map_groups(greedy_consistency, batch_format="pandas")``."""
@@ -207,7 +222,7 @@ def greedy_consistency(group: pd.DataFrame,
         if key in seen_pred_obj:
             continue
         rel = RELATION_BY_NAME[pred]
-        if rel.is_single and pred in single_taken:
+        if enforce_cardinality and rel.is_single and pred in single_taken:
             continue
         # NoDuplicatesApproximate (HeuristicSlotfillPostProcessors.java:
         # 518-573): an entity-valued fill whose value entity-links to an
@@ -224,11 +239,12 @@ def greedy_consistency(group: pd.DataFrame,
             if dup:
                 continue
         ok = True
-        prev = pair_rels.get(obj.lower(), [])
-        for p2 in prev:
-            if not plausibly_cooccurs(pred, p2):
-                ok = False
-                break
+        if enforce_incompatibilities:
+            prev = pair_rels.get(obj.lower(), [])
+            for p2 in prev:
+                if not plausibly_cooccurs(pred, p2):
+                    ok = False
+                    break
         if not ok:
             continue
         seen_pred_obj.add(key)

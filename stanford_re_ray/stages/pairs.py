@@ -31,10 +31,12 @@ MAX_SENT_TOKENS = 150      # PreFeaturizerAnnotator.java:99
 
 def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
                        clusters: dict[str, str] | None = None,
-                       hashed: bool = False) -> list[dict]:
+                       hashed: bool = False,
+                       max_pair_distance: int = MAX_PAIR_DISTANCE,
+                       max_sent_tokens: int = MAX_SENT_TOKENS) -> list[dict]:
     """``hashed=True`` (the production path) emits crc-combined feature ids
     directly (features.featurize_ids) — no feature strings are built."""
-    if len(tokens) > MAX_SENT_TOKENS:
+    if len(tokens) > max_sent_tokens:
         return []
     mentions = find_mentions(tokens, pos, ner, antecedents)
     subjects = [m for m in mentions if m.is_entity]
@@ -49,7 +51,7 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
                 continue
             # distance cap
             dist = (o.begin - s.end) if s.end <= o.begin else (s.begin - o.end)
-            if dist > MAX_PAIR_DISTANCE:
+            if dist > max_pair_distance:
                 continue
             if s.canonical == o.canonical:
                 continue
@@ -90,8 +92,12 @@ class PairFeaturizer:
     cluster; observed at num_cpus=4).
     """
 
-    def __init__(self, clusters_ref=None):
+    def __init__(self, clusters_ref=None,
+                 max_pair_distance: int = MAX_PAIR_DISTANCE,
+                 max_sent_tokens: int = MAX_SENT_TOKENS):
         self._ref = clusters_ref
+        self._max_pair_distance = max_pair_distance
+        self._max_sent_tokens = max_sent_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..schema import PAIRS
@@ -111,8 +117,11 @@ class PairFeaturizer:
         for did, sidx, tk, lm, ps, nr, an in zip(
             doc_ids, sent_idxs, toks, lems, poss, ners, antes
         ):
-            for p in pairs_for_sentence(tk, lm, ps, nr, an, clusters,
-                                        hashed=True):
+            for p in pairs_for_sentence(
+                tk, lm, ps, nr, an, clusters, hashed=True,
+                max_pair_distance=self._max_pair_distance,
+                max_sent_tokens=self._max_sent_tokens,
+            ):
                 cols["subj"].append(p["subj"])
                 cols["subj_type"].append(p["subj_type"])
                 cols["obj"].append(p["obj"])

@@ -1,0 +1,140 @@
+"""Scale-path parity tests: the distributed (join-based) variants must
+produce exactly the rows of the broadcast/driver-side variants, and the
+PipelineConfig knobs must actually reach the stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _triples_table() -> pa.Table:
+    subj = ["Ann Smith", "Ann Smith", "Bob Jones", "Acme Corp", "Acme Corp"]
+    subj_t = ["PERSON", "PERSON", "PERSON", "ORGANIZATION", "ORGANIZATION"]
+    pred = ["per:employee_of", "per:spouse", "per:employee_of",
+            "org:top_members/employees", "org:top_members/employees"]
+    obj = ["Acme Corp", "Bob Jones", "Acme Corp", "Ann Smith", "Bob Jones"]
+    obj_t = ["ORGANIZATION", "PERSON", "ORGANIZATION", "PERSON", "PERSON"]
+    n = len(subj)
+    return pa.table({
+        "subj": pa.array(subj, pa.string()),
+        "subj_type": pa.array(subj_t, pa.string()),
+        "pred": pa.array(pred, pa.string()),
+        "obj": pa.array(obj, pa.string()),
+        "obj_type": pa.array(obj_t, pa.string()),
+        "score": pa.array([0.9, 0.8, 0.7, 0.95, 0.6], pa.float64()),
+        "doc_id": pa.array([f"d{i}" for i in range(n)], pa.string()),
+        "sent_idx": pa.array(list(range(n)), pa.int32()),
+    })
+
+
+def test_edges_join_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.kg import (dataset_to_table, edges_stage,
+                                              edges_stage_join,
+                                              name_map_from_nodes,
+                                              nodes_stage)
+
+    triples = rd.from_arrow(_triples_table())
+    nodes = nodes_stage(triples).materialize()
+    name_map = name_map_from_nodes(dataset_to_table(nodes))
+
+    key = ["src_id", "pred", "dst_id"]
+    e_bcast = (dataset_to_table(edges_stage(triples, name_map)).to_pandas()
+               .sort_values(key).reset_index(drop=True))
+    e_join = (dataset_to_table(edges_stage_join(triples, nodes)).to_pandas()
+              .sort_values(key).reset_index(drop=True))
+    assert list(e_bcast.columns) == list(e_join.columns)
+    assert e_bcast.equals(e_join[e_bcast.columns])
+    assert len(e_join) > 0
+
+
+def test_config_knobs_reach_stages(ray_session):
+    """max_pair_distance=0 must kill every candidate pair → zero triples;
+    defaults must keep producing them (proves the knob is wired through
+    run_kg_pipeline_cfg, not silently ignored)."""
+    import ray.data as rd
+
+    from stanford_re_ray.config import PipelineConfig
+    from stanford_re_ray.fixtures import gen_corpus
+    from stanford_re_ray.pipelines.kg import run_kg_pipeline_cfg
+    from stanford_re_ray.pipelines.train import train_model
+
+    train = gen_corpus(60, per_lo=0, per_hi=60, org_lo=0, org_hi=30)
+    pages = rd.from_arrow(train.pages).repartition(2)
+    model = train_model(pages, train.kb, dicts=train.dicts,
+                        clusters=train.clusters, negative_subsample=1.0,
+                        epochs=40)
+
+    base = run_kg_pipeline_cfg(
+        rd.from_arrow(train.pages), model, PipelineConfig(),
+        dicts=train.dicts, clusters=train.clusters)
+    assert base["triples"].count() > 0
+
+    strangled = run_kg_pipeline_cfg(
+        rd.from_arrow(train.pages), model,
+        PipelineConfig(max_pair_distance=0),
+        dicts=train.dicts, clusters=train.clusters)
+    assert strangled["triples"].count() == 0
+
+    short_sent = run_kg_pipeline_cfg(
+        rd.from_arrow(train.pages), model,
+        PipelineConfig(max_sent_tokens=2),
+        dicts=train.dicts, clusters=train.clusters)
+    assert short_sent["triples"].count() == 0
+
+    high_bar = run_kg_pipeline_cfg(
+        rd.from_arrow(train.pages), model,
+        PipelineConfig(keep_threshold=1.0),
+        dicts=train.dicts, clusters=train.clusters)
+    assert high_bar["triples"].count() == 0
+
+
+def test_mention_scorer_trailing_empty_features(ray_session):
+    """A batch whose LAST row has an empty feature list must not crash the
+    vectorized reduceat path (latent bug flagged in round-1 advice)."""
+    import ray
+
+    from stanford_re_ray.relations import RELATION_NAMES
+    from stanford_re_ray.stages.classify import (D_FEATURES, LRModel,
+                                                 MentionScorer)
+
+    R = len(RELATION_NAMES)
+    w = np.zeros((R, D_FEATURES), dtype=np.float32)
+    w[:, 5] = 4.0
+    model = LRModel(w, np.zeros(R, dtype=np.float32))
+    batch = pa.table({
+        "subj": pa.array(["Ann Smith", "Bo Kim"], pa.string()),
+        "subj_type": pa.array(["PERSON", "PERSON"], pa.string()),
+        "obj": pa.array(["Acme Corp", "Big Org"], pa.string()),
+        "obj_type": pa.array(["ORGANIZATION", "ORGANIZATION"], pa.string()),
+        "doc_id": pa.array(["d1", "d2"], pa.string()),
+        "sent_idx": pa.array([0, 0], pa.int32()),
+        "subj_begin": pa.array([0, 0], pa.int32()),
+        "subj_end": pa.array([2, 2], pa.int32()),
+        "obj_begin": pa.array([3, 3], pa.int32()),
+        "obj_end": pa.array([5, 5], pa.int32()),
+        "features": pa.array([[5, 6], []], pa.list_(pa.int64())),
+    })
+    out = MentionScorer(ray.put(model))(batch)
+    # row 1 (empty features) scores 0 → dropped; row 0 survives
+    assert out.num_rows == 1
+    assert out.column("subj").to_pylist() == ["Ann Smith"]
+
+
+def test_connected_components_no_driver_collect(ray_session):
+    """Join-based label propagation converges on a chain (needs >1 round)
+    and on disjoint components."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import connected_components
+
+    # chain 1-2-3-4-5 forces multi-round propagation; 10-11 is disjoint
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([4, 3, 2, 1, 10], pa.int64()),
+        "doc_b": pa.array([5, 4, 3, 2, 11], pa.int64()),
+    }))
+    out = connected_components(pairs).to_pandas()
+    comp = dict(zip(out["doc_id"], out["component"]))
+    assert comp[1] == comp[2] == comp[3] == comp[4] == comp[5] == 1
+    assert comp[10] == comp[11] == 10
