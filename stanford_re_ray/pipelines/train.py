@@ -97,11 +97,155 @@ def label_pairs_stage(
     return pairs.map_batches(Labeler(), batch_format="pyarrow")
 
 
-def fit_from_labeled(labeled: ray.data.Dataset, **fit_kwargs) -> LRModel:
-    """Collect labeled datums (sorted for determinism) and fit.
+@ray.remote
+class _GradShard:
+    """Stateful gradient shard: holds one partition of the labeled datums
+    (pulled straight from the object store — the driver never sees them)
+    and answers per-epoch quantized-integer gradient calls.
 
-    Scale path: replace the collect with per-partition gradient partials
-    summed in partition-id order (see train_lr docstring)."""
+    Raw Ray actor by design: an iterative optimizer with persistent
+    per-shard state across epochs is the one shape the Dataset API cannot
+    express (the map_batches callable would re-deserialize the CSR arrays
+    every epoch)."""
+
+    def __init__(self, block_refs: list):
+        import pyarrow as _pa
+
+        from ..stages.classify import hash_features  # noqa: F401 (worker import warm-up)
+
+        tables = ray.get(list(block_refs))
+        feats: list[np.ndarray] = []
+        labels: list[set[str]] = []
+        for t in tables:
+            if isinstance(t, pd.DataFrame):
+                if not len(t.columns):
+                    continue
+                t = _pa.Table.from_pandas(t, preserve_index=False)
+            for f in t.column("features").to_pylist():
+                feats.append(np.asarray(f, dtype=np.int64))
+            for l in t.column("labels").to_pylist():
+                labels.append(set(l))
+        self.feats = feats
+        self.labels = labels
+
+    def feature_counts(self):
+        from ..relations import RELATION_NAMES
+        from ..stages.classify import D_FEATURES, _REL_INDEX
+
+        counts = np.zeros(D_FEATURES, dtype=np.int64)
+        for ids in self.feats:
+            counts[ids] += 1
+        y_pos = np.zeros(len(RELATION_NAMES), dtype=np.int64)
+        for labs in self.labels:
+            for rel in labs:
+                j = _REL_INDEX.get(rel)
+                if j is not None:
+                    y_pos[j] += 1
+        return counts, y_pos, len(self.feats)
+
+    def local_dims(self, valid: np.ndarray) -> np.ndarray:
+        filtered = [ids[valid[ids]] for ids in self.feats]
+        flat = (np.concatenate(filtered) if filtered
+                else np.empty(0, dtype=np.int64))
+        return np.unique(flat) if flat.size else np.empty(0, dtype=np.int64)
+
+    def prepare(self, valid, dims, active, ex_pos, ex_neg) -> None:
+        from ..stages.classify import datum_block_arrays
+
+        (self.flat_c, self.seg, self.n_local,
+         self.y_blk, self.ex_w) = datum_block_arrays(
+            self.feats, self.labels, valid, dims, active, ex_pos, ex_neg)
+        self.d_c = max(len(dims), 1)
+
+    def grad(self, wb):
+        from ..stages.classify import grad_block
+
+        Wc, bias = wb
+        return grad_block(self.flat_c, self.seg, self.n_local, self.y_blk,
+                          self.ex_w, Wc, bias, self.d_c)
+
+
+def fit_sharded(
+    labeled: ray.data.Dataset,
+    n_shards: int = 8,
+    epochs: int = 200,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+    feature_count_threshold: int = 5,
+    pos_weight_cap: float = 30.0,
+) -> LRModel:
+    """Distributed LR fit: labeled-datum blocks stay in the object store,
+    each ``_GradShard`` actor builds its CSR block once, and every epoch
+    sums quantized-INTEGER per-shard gradient partials — associative, so
+    the result is bit-identical to ``train_lr`` on the same datums under
+    ANY partitioning (tests/test_train_distributed.py), with no
+    driver-side datum materialization."""
+    from ..stages.classify import assemble_model, class_weights, lr_optimize
+
+    refs = [r for r in labeled.to_arrow_refs()]
+    groups = [refs[i::n_shards] for i in range(n_shards)]
+    groups = [g for g in groups if g]
+    if not groups:
+        return train_lr([], [], epochs=epochs, lr=lr, l2=l2,
+                        feature_count_threshold=feature_count_threshold,
+                        pos_weight_cap=pos_weight_cap)
+    actors = [_GradShard.remote(g) for g in groups]
+    try:
+        parts = ray.get([a.feature_counts.remote() for a in actors])
+        counts = parts[0][0].copy()
+        y_pos = parts[0][1].copy()
+        n = parts[0][2]
+        for c2, y2, n2 in parts[1:]:
+            counts += c2
+            y_pos += y2
+            n += n2
+        valid = counts >= feature_count_threshold
+        active = np.nonzero(y_pos > 0)[0]
+        dims_parts = ray.get([a.local_dims.remote(valid) for a in actors])
+        nonempty = [d for d in dims_parts if len(d)]
+        dims = (np.unique(np.concatenate(nonempty)) if nonempty
+                else np.empty(0, dtype=np.int64))
+        d_c = max(len(dims), 1)
+        ex_pos, ex_neg = class_weights(n, y_pos[active], pos_weight_cap)
+        ray.get([a.prepare.remote(valid, dims, active, ex_pos, ex_neg)
+                 for a in actors])
+
+        def grad_fn(Wc, bias):
+            wref = ray.put((Wc, bias))
+            gparts = ray.get([a.grad.remote(wref) for a in actors])
+            gq = gparts[0][0].copy()
+            bq = gparts[0][1].copy()
+            for g2, b2 in gparts[1:]:
+                gq += g2
+                bq += b2
+            return gq, bq
+
+        Wc, bias = lr_optimize(grad_fn, len(active), d_c, n, epochs, lr, l2)
+    finally:
+        for a in actors:
+            ray.kill(a)
+    return assemble_model(active, dims, Wc, bias)
+
+
+#: above this many labeled datums, fit_from_labeled switches from the
+#: in-memory collect to the sharded actor fit (identical result — the
+#: gradient is an integer sum either way)
+SHARDED_FIT_THRESHOLD = 200_000
+
+
+def fit_from_labeled(labeled: ray.data.Dataset, mode: str = "auto",
+                     n_shards: int = 8, **fit_kwargs) -> LRModel:
+    """Fit the one-vs-all LR from the labeled-datum dataset.
+
+    ``mode``: "auto" (sharded when the datum count exceeds
+    SHARDED_FIT_THRESHOLD), "memory" (driver-side collect — small data),
+    "sharded" (force the distributed path).  Both paths produce
+    bit-identical models (quantized-integer gradients are associative)."""
+    labeled = labeled.materialize()
+    if mode == "sharded" or (
+        mode == "auto" and labeled.count() > SHARDED_FIT_THRESHOLD
+    ):
+        return fit_sharded(labeled, n_shards=n_shards, **fit_kwargs)
     dfs = [b for b in labeled.iter_batches(batch_size=8192, batch_format="pandas")]
     if not dfs:
         return train_lr([], [], **fit_kwargs)

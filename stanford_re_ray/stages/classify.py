@@ -118,6 +118,110 @@ class LRModel:
 # Training
 # ---------------------------------------------------------------------------
 
+#: residuals are quantized to this grid before the gradient sum, making
+#: the per-epoch gradient an INTEGER sum — associative + commutative, so
+#: the distributed sharded fit (pipelines.train.fit_from_labeled with the
+#: actor path) is bit-identical to this in-memory fit under any datum
+#: partitioning (same trick as the bag-score SCORE_SCALE).
+GRAD_SCALE = 1 << 20
+
+
+def datum_block_arrays(
+    datum_features: list[np.ndarray],
+    labels: list[set[str]],
+    valid: np.ndarray,
+    dims: np.ndarray,
+    active: np.ndarray,
+    ex_pos: np.ndarray,
+    ex_neg: np.ndarray,
+):
+    """Build the CSR-ish arrays for one datum block: compact feature ids,
+    segment ids, per-active-relation label row and example weights.
+    Shared by the in-memory fit (one block = everything) and the sharded
+    actors (one block per shard)."""
+    n = len(datum_features)
+    filtered = [ids[valid[ids]] for ids in datum_features]
+    lens = np.fromiter((len(x) for x in filtered), dtype=np.int64, count=n)
+    flat = (
+        np.concatenate(filtered) if n and lens.sum() > 0
+        else np.empty(0, dtype=np.int64)
+    )
+    remap = np.zeros(D_FEATURES, dtype=np.int64)
+    if len(dims):
+        remap[dims] = np.arange(len(dims))
+    flat_c = remap[flat]
+    seg = np.repeat(np.arange(n), lens)
+    y_blk = np.zeros((len(active), n), dtype=np.float64)
+    act_pos = {int(r): j for j, r in enumerate(active)}
+    for i, labs in enumerate(labels):
+        for rel in labs:
+            r = _REL_INDEX.get(rel)
+            if r is not None and r in act_pos:
+                y_blk[act_pos[r], i] = 1.0
+    ex_w = np.where(y_blk > 0, ex_pos[:, None], ex_neg[:, None])
+    return flat_c, seg, n, y_blk, ex_w
+
+
+def grad_block(flat_c, seg, n_local, y_blk, ex_w, Wc, bias, d_c):
+    """Quantized-integer gradient partial over one datum block for every
+    active relation: per-datum residuals are rounded to the GRAD_SCALE grid
+    and summed as ints, so partials from different blocks add associatively
+    (bit-identical final gradient under any partitioning)."""
+    n_active = Wc.shape[0]
+    gq = np.zeros((n_active, d_c), dtype=np.int64)
+    bq = np.zeros(n_active, dtype=np.int64)
+    for j in range(n_active):
+        s = np.bincount(seg, weights=Wc[j][flat_c], minlength=n_local)
+        s = s + bias[j]
+        p = 1.0 / (1.0 + np.exp(-s))
+        resid = (y_blk[j] - p) * ex_w[j]
+        rq = np.rint(resid * GRAD_SCALE)
+        if len(flat_c):
+            gq[j] = np.bincount(
+                flat_c, weights=rq[seg], minlength=d_c
+            ).astype(np.int64)
+        bq[j] = np.int64(rq.sum())
+    return gq, bq
+
+
+def lr_optimize(grad_fn, n_active, d_c, n, epochs, lr, l2):
+    """Shared deterministic momentum-GD driver: ``grad_fn(Wc, bias)`` must
+    return the GLOBAL quantized gradient (int64) for the current weights —
+    either computed locally (train_lr) or as a sum of actor partials
+    (pipelines.train.fit_from_labeled)."""
+    Wc = np.zeros((n_active, d_c), dtype=np.float64)
+    bias = np.zeros(n_active, dtype=np.float64)
+    vel_w = np.zeros_like(Wc)
+    vel_b = np.zeros(n_active, dtype=np.float64)
+    for _ in range(epochs):
+        gq, bq = grad_fn(Wc, bias)
+        grad = gq.astype(np.float64) / GRAD_SCALE - l2 * Wc
+        vel_w = 0.9 * vel_w + grad / max(n, 1)
+        vel_b = 0.9 * vel_b + (bq.astype(np.float64) / GRAD_SCALE) / max(n, 1)
+        Wc += lr * vel_w
+        bias += lr * vel_b
+    return Wc, bias
+
+
+def class_weights(n: int, pos_counts: np.ndarray, pos_weight_cap: float):
+    """Per-active-relation example weights in closed form (n_pos·pos_w +
+    n_neg, NOT a float sum over datums — the closed form is what keeps the
+    sharded fit bit-identical to the in-memory one).
+
+    Class-balanced: rare relations (per:charges at prior 4e-4 vs
+    org:top_members at 0.09 — RelationType.java priors) would otherwise
+    sit under the p>0.5 keep-threshold forever."""
+    ex_pos = np.empty(len(pos_counts), dtype=np.float64)
+    ex_neg = np.empty(len(pos_counts), dtype=np.float64)
+    for j, n_pos in enumerate(pos_counts):
+        n_pos = float(n_pos)
+        pos_w = min(pos_weight_cap, max(1.0, (n - n_pos) / max(n_pos, 1.0)))
+        scale = n / (n_pos * pos_w + (n - n_pos)) if n else 1.0
+        ex_pos[j] = pos_w * scale
+        ex_neg[j] = scale
+    return ex_pos, ex_neg
+
+
 def train_lr(
     datum_features: list[np.ndarray],
     labels: list[set[str]],
@@ -132,15 +236,14 @@ def train_lr(
     ``datum_features[i]`` = hashed feature ids of mention i; ``labels[i]`` =
     its (distant-supervision) relation labels, empty set = pure negative.
 
-    Determinism: full-batch gradients are order-independent sums over a
-    fixed datum list; no RNG.  Feature-count threshold (drop features seen
-    < 5 times — Props.FEATURE_COUNT_THRESHOLD, Props.java:146-147,
-    KBPTrainer.java:414-416) is applied on hashed ids.
+    Determinism: full-batch gradients are order-independent QUANTIZED
+    integer sums over a fixed datum list; no RNG.  Feature-count threshold
+    (drop features seen < 5 times — Props.FEATURE_COUNT_THRESHOLD,
+    Props.java:146-147, KBPTrainer.java:414-416) is applied on hashed ids.
 
-    Scale path: at 100 TB the labeled-datum table is built distributed
-    (broadcast-KB join inside map_batches) and the same gradient is a sum of
-    per-partition partials (map_batches → tree-sum ordered by partition id);
-    this in-memory fit is the small-data path used for fixtures/bench.
+    Scale path: ``pipelines.train.fit_from_labeled`` computes the SAME
+    gradient as a sum of per-shard integer partials held in Ray actors —
+    bit-identical to this in-memory fit (tests/test_train_distributed.py).
     """
     n = len(datum_features)
     R = len(RELATION_NAMES)
@@ -148,57 +251,43 @@ def train_lr(
     for ids in datum_features:
         counts[ids] += 1
     valid = counts >= feature_count_threshold
-    # CSR-ish flattened representation (binary values)
-    filtered = [ids[valid[ids]] for ids in datum_features]
-    lens = np.fromiter((len(x) for x in filtered), dtype=np.int64, count=n)
-    indptr = np.concatenate(([0], np.cumsum(lens)))
-    flat = (
-        np.concatenate(filtered) if n and indptr[-1] > 0
-        else np.empty(0, dtype=np.int64)
-    )
-    y = np.zeros((R, n), dtype=np.float32)
-    for i, labs in enumerate(labels):
+    y_pos = np.zeros(R, dtype=np.int64)
+    for labs in labels:
         for rel in labs:
             j = _REL_INDEX.get(rel)
             if j is not None:
-                y[j, i] = 1.0
+                y_pos[j] += 1
+    # only fit relations with at least one positive
+    active = np.nonzero(y_pos > 0)[0]
+    filtered_flat = [ids[valid[ids]] for ids in datum_features]
+    flat_all = (
+        np.concatenate(filtered_flat) if filtered_flat
+        else np.empty(0, dtype=np.int64)
+    )
+    dims = np.unique(flat_all) if flat_all.size else np.empty(0, dtype=np.int64)
+    d_c = max(len(dims), 1)
+    ex_pos, ex_neg = class_weights(n, y_pos[active], pos_weight_cap)
+    flat_c, seg, n_local, y_blk, ex_w = datum_block_arrays(
+        datum_features, labels, valid, dims, active, ex_pos, ex_neg
+    )
+    Wc, bias = lr_optimize(
+        lambda W_, b_: grad_block(flat_c, seg, n_local, y_blk, ex_w,
+                                  W_, b_, d_c),
+        len(active), d_c, n, epochs, lr, l2,
+    )
+    return assemble_model(active, dims, Wc, bias)
 
+
+def assemble_model(active: np.ndarray, dims: np.ndarray,
+                   Wc: np.ndarray, bias: np.ndarray) -> LRModel:
+    """Expand compact (n_active, d_c) fitted weights into the dense
+    (R, D) LRModel container."""
+    R = len(RELATION_NAMES)
     W = np.zeros((R, D_FEATURES), dtype=np.float32)
     b = np.zeros(R, dtype=np.float32)
-    # only fit relations with at least one positive
-    active = np.nonzero(y.sum(axis=1) > 0)[0]
-    seg = np.repeat(np.arange(n), lens)
-    # restrict weight/grad vectors to features that actually occur
-    dims = np.unique(flat) if flat.size else np.empty(0, dtype=np.int64)
-    remap = np.zeros(D_FEATURES, dtype=np.int64)
-    remap[dims] = np.arange(len(dims))
-    flat_c = remap[flat]
-    d_c = max(len(dims), 1)
-    for r in active:
-        w = np.zeros(d_c, dtype=np.float64)
-        bias = 0.0
-        vel_w = np.zeros(d_c, dtype=np.float64)
-        vel_b = 0.0
-        yr = y[r].astype(np.float64)
-        n_pos = yr.sum()
-        # class-balanced example weights: rare relations (per:charges at
-        # prior 4e-4 vs org:top_members at 0.09 — RelationType.java priors)
-        # would otherwise sit under the p>0.5 keep-threshold forever
-        pos_w = min(pos_weight_cap, max(1.0, (n - n_pos) / max(n_pos, 1.0)))
-        ex_w = np.where(yr > 0, pos_w, 1.0)
-        ex_w *= n / ex_w.sum()
-        for _ in range(epochs):
-            s = np.bincount(seg, weights=w[flat_c], minlength=n) + bias
-            p = 1.0 / (1.0 + np.exp(-s))
-            resid = (yr - p) * ex_w
-            grad = np.bincount(flat_c, weights=resid[seg], minlength=d_c)
-            grad -= l2 * w
-            vel_w = 0.9 * vel_w + grad / max(n, 1)
-            vel_b = 0.9 * vel_b + resid.sum() / max(n, 1)
-            w += lr * vel_w
-            bias += lr * vel_b
-        W[r, dims] = w.astype(np.float32)
-        b[r] = bias
+    for j, r in enumerate(active):
+        W[r, dims] = Wc[j].astype(np.float32)
+        b[r] = bias[j]
     return LRModel(W, b)
 
 
