@@ -159,6 +159,27 @@ def kg_edges(sf_dir: str):
     return _kg_run(sf_dir)["edges"]
 
 
+def kg_triples_mimlre(sf_dir: str):
+    """Triples from the MIML-RE (JOINT_BAYES) model — the reference's
+    headline extractor (JointBayesRelationExtractor, EMNLP 2012)."""
+    import ray.data as rd
+
+    if "miml" not in _MODEL_CACHE:
+        from stanford_re_ray.fixtures import gen_corpus
+        from stanford_re_ray.pipelines.train import train_model_mimlre
+
+        train = gen_corpus(200, per_lo=0, per_hi=120, org_lo=0, org_hi=60)
+        _MODEL_CACHE["miml"] = train_model_mimlre(
+            rd.from_arrow(train.pages).repartition(8), train.kb,
+            dicts=train.dicts, clusters=train.clusters,
+            negative_subsample=1.0, em_epochs=4)
+    from stanford_re_ray.pipelines.kg import run_kg_pipeline_miml
+
+    pages, test = _kg_pages(sf_dir)
+    return run_kg_pipeline_miml(pages, _MODEL_CACHE["miml"],
+                                dicts=test.dicts, clusters=test.clusters)
+
+
 def kg_extract_text(sf_dir: str):
     """Byte-identity surface: url + sha256 of frozen-extractor output over
     the fixture pages (matches the stored golden text column)."""
@@ -328,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_triples_mimlre": kg_triples_mimlre,
         "kg_extract_text": kg_extract_text,
     }
 

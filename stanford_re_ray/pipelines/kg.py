@@ -614,6 +614,26 @@ def run_kg_pipeline(
     return {"triples": triples, "nodes": nodes, "edges": edges}
 
 
+def run_kg_pipeline_miml(
+    pages: ray.data.Dataset,
+    miml_model,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """pages → TRIPLES with the MIML-RE (JOINT_BAYES) model in place of
+    the default LR scorer+bag stages (same S1–S4 and S7; the z/y layers
+    replace S5/S6 — InferentialSlotFiller with ModelType.JOINT_BAYES).
+    Returns the consistency-filtered triples Dataset."""
+    from ..stages.miml import miml_bag_stage, miml_score_stage
+
+    docs = extract_stage(pages)
+    sentences = nlp_stage(docs, dicts)
+    pairs = pairs_stage(sentences, clusters)
+    scored = miml_score_stage(pairs, miml_model)
+    candidates = miml_bag_stage(scored, miml_model)
+    return consistency_stage(candidates)
+
+
 def run_kg_pipeline_cfg(
     pages: ray.data.Dataset,
     model: LRModel,

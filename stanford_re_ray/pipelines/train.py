@@ -43,10 +43,12 @@ def label_pairs_stage(
     pairs: ray.data.Dataset,
     kb: dict[tuple[str, str], set[str]],
     negative_subsample: float = 0.10,
+    emit_bag_id: bool = False,
 ) -> ray.data.Dataset:
     """Distant-supervision labeling as a map_batches with broadcast KB.
     Emits only labeled positives + hash-sampled negatives (the training
-    set is ≪ the pair stream)."""
+    set is ≪ the pair stream).  ``emit_bag_id=True`` adds the KBPair bag
+    key (needed by the MIML-RE trainer)."""
     kb_ref = ray.put(kb)
 
     class Labeler:
@@ -69,7 +71,7 @@ def label_pairs_stage(
             sidx = batch.column("sent_idx").to_pylist()
             sb = batch.column("subj_begin").to_pylist()
             ob = batch.column("obj_begin").to_pylist()
-            rows_f, rows_l, rows_k = [], [], []
+            rows_f, rows_l, rows_k, rows_b = [], [], [], []
             for i in range(len(subj)):
                 rels = self.kb.get((subj[i].lower(), obj[i].lower()))
                 if rels:
@@ -86,13 +88,16 @@ def label_pairs_stage(
                 rows_k.append(
                     f"{docs[i]}\x00{sidx[i]:06d}\x00{sb[i]:04d}\x00{ob[i]:04d}"
                 )
-            return pa.table(
-                {
-                    "sort_key": pa.array(rows_k, pa.string()),
-                    "features": pa.array(rows_f, pa.list_(pa.int64())),
-                    "labels": pa.array(rows_l, pa.list_(pa.string())),
-                }
-            )
+                if emit_bag_id:
+                    rows_b.append(subj[i].lower() + "\x00" + obj[i].lower())
+            cols = {
+                "sort_key": pa.array(rows_k, pa.string()),
+                "features": pa.array(rows_f, pa.list_(pa.int64())),
+                "labels": pa.array(rows_l, pa.list_(pa.string())),
+            }
+            if emit_bag_id:
+                cols["bag_id"] = pa.array(rows_b, pa.string())
+            return pa.table(cols)
 
     return pairs.map_batches(Labeler(), batch_format="pyarrow")
 
@@ -270,6 +275,38 @@ def train_model(
     pairs = pairs_stage(sentences, clusters)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl), negative_subsample)
     return fit_from_labeled(labeled, **fit_kwargs)
+
+
+def train_model_mimlre(
+    pages: ray.data.Dataset,
+    kb_tbl: pa.Table,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+    negative_subsample: float = 0.10,
+    **miml_kwargs,
+):
+    """End-to-end MIML-RE training: pages + KB → MimlModel
+    (KBPTrainer with ModelType.JOINT_BAYES).  The S1–S4 labeling runs
+    distributed; the EM trainer itself is in-memory over the labeled bags
+    (the training set, ≪ corpus — same size class the reference holds in
+    one JVM)."""
+    from ..stages.miml import train_mimlre
+
+    docs = extract_stage(pages)
+    sentences = nlp_stage(docs, dicts)
+    pairs = pairs_stage(sentences, clusters)
+    labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl),
+                                negative_subsample, emit_bag_id=True)
+    dfs = [b for b in labeled.iter_batches(batch_size=8192,
+                                           batch_format="pandas")]
+    if not dfs:
+        return train_mimlre([], [], [], **miml_kwargs)
+    df = pd.concat(dfs, ignore_index=True)
+    df = df.sort_values("sort_key", kind="mergesort").reset_index(drop=True)
+    feats = [np.asarray(f, dtype=np.int64) for f in df["features"]]
+    labels = [set(l) for l in df["labels"]]
+    bags = list(df["bag_id"])
+    return train_mimlre(feats, labels, bags, **miml_kwargs)
 
 
 def feature_vocab(pairs: ray.data.Dataset,

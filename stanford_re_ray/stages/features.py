@@ -103,7 +103,9 @@ def featurize(
 
     # span words between args: unigrams + bigrams (493-522)
     bw = [lemmas[i] for i in between]
-    for w in set(bw):
+    # dict.fromkeys = order-preserving dedup: set() iteration order is
+    # per-process hash-randomized (violates the determinism policy)
+    for w in dict.fromkeys(bw):
         add(_clean(f"between_word={w}"))
     for a, b in zip(bw, bw[1:]):
         add(_clean(f"between_bigram={a}_{b}"))
@@ -118,7 +120,7 @@ def featurize(
     vp = [lemmas[i] for i in between if pos[i] in ("VB", "IN")]
     add(_clean(f"verb_prep_path={direction}:{'_'.join(vp)}"))
     verbs = [lemmas[i] for i in between if pos[i] == "VB"]
-    for v in set(verbs):
+    for v in dict.fromkeys(verbs):
         add(_clean(f"verb_between={v}"))
 
     # entities_between_args / entity_counts (404-449)
@@ -146,7 +148,7 @@ def featurize(
     # cluster features (354-360, 380-399, 505-522) when a word→cluster map
     # (the egw4-reut.512.clusters analog) is provided
     if clusters:
-        for w in set(bw):
+        for w in dict.fromkeys(bw):
             c = clusters.get(w)
             if c is not None:
                 add(f"between_cluster={c}")
@@ -255,7 +257,8 @@ def featurize_ids(
     add(_fid(_T_A2R, tokens[oe].lower() if oe < n else "<PAD>"))
 
     bw = lemmas[lo:hi]
-    for w in set(bw):
+    # order-preserving dedup (set iteration is hash-randomized per process)
+    for w in dict.fromkeys(bw):
         add(_fid(_T_BETW, w))
     for a, b in zip(bw, bw[1:]):
         add(_fid(_T_BETW2, a, "_", b))
@@ -266,8 +269,8 @@ def featurize_ids(
     add(_fid(_T_SPATH, direction, *pos[lo:hi]))
     vp = [lemmas[i] for i in range(lo, hi) if pos[i] in ("VB", "IN")]
     add(_fid(_T_VPPATH, direction, *vp))
-    verbs = {lemmas[i] for i in range(lo, hi) if pos[i] == "VB"}
-    for v in verbs:
+    verbs = [lemmas[i] for i in range(lo, hi) if pos[i] == "VB"]
+    for v in dict.fromkeys(verbs):
         add(_fid(_T_VERB, v))
 
     ents_between = 0
@@ -293,7 +296,7 @@ def featurize_ids(
         add(_fid(_T_DATE_YEAR, "T" if is_year else "F"))
 
     if clusters:
-        for w in set(bw):
+        for w in dict.fromkeys(bw):
             c = clusters.get(w)
             if c is not None:
                 add(_fid(_T_BCLUST, c))
