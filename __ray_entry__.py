@@ -316,6 +316,30 @@ def _ivf_topk(sf_dir: str):
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def _ngram_exact_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import ngram_jaccard_exact_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = dataset_to_table(ngram_jaccard_exact_pairs(docs, threshold=0.3))
+    return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _embedding_exact_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import embedding_exact_neardup_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = dataset_to_table(embedding_exact_neardup_pairs(emb, threshold=0.4))
+    return out.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_re_ray.pipelines import analytics as A
 
@@ -345,6 +369,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_fingerprints": _fingerprints,
         "q19_ivf_topk": _ivf_topk,
         "q22_simhash_pairs": _simhash_pairs,
+        # exact all-pairs verification twins (SQL-checked)
+        "q23_ngram_jaccard_exact": _ngram_exact_pairs,
+        "q24_embedding_cosine_exact": _embedding_exact_pairs,
         # KG pipeline (rows-only: model-driven extraction)
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
@@ -450,5 +477,46 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(q.embedding AS DOUBLE[])) DESC,
                      e.vec_id
             LIMIT 10
+        """,
+        "q23_ngram_jaccard_exact": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                     END AS s
+              FROM d)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CASE
+                     WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                     WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                     ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                          / len(list_distinct(a.s || b.s))
+                   END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CASE
+                    WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                    WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s))
+                  END >= 0.3
+            ORDER BY doc_a, doc_b
+        """,
+        "q24_embedding_cosine_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY vec_a, vec_b
         """,
     }

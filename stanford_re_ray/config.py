@@ -43,6 +43,11 @@ class PipelineConfig:
     enforce_cardinality: bool = True
     enforce_incompatibilities: bool = True
     max_slot_len: int = 80                 # SanityCheckFilter
+    entailment: bool = False               # pass-2 chain (entailment closure
+                                           # + global filters) — OFF by
+                                           # default: the fork short-circuits
+                                           # pass 2 (SimpleSlotFiller);
+                                           # InferentialSlotFiller turns it on
     # S8 graph
     n_salt: int = 1                        # canonicalization skew salting
     max_cluster: int = 150                 # TEST_GRAPH_MAXSIZE analog

@@ -342,6 +342,163 @@ def ngram_jaccard_pairs(
     return with_both.map_batches(verify, batch_format="pyarrow")
 
 
+# --- exact all-pairs verification twins ------------------------------------
+# The LSH paths above are the SCALE operators; these exact all-pairs
+# variants exist so the dedup math is value-checkable against a pure-SQL
+# oracle (no hashing in the comparison path).  Distributed shape: block
+# the inputs into B buckets, replicate each row to every (block_i,
+# block_j) pair-bucket, compare all pairs inside a bucket — the standard
+# exact all-pairs decomposition (quadratic by nature; B caps the bucket
+# working set, not the total work).
+
+def _shingle_strings(text: str, k: int = 5) -> set[str]:
+    words = (text or "").lower().split()
+    if not words:
+        return set()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+
+
+def _pair_bucket_explode(batch: pa.Table, id_col: str, payload_col: str,
+                         n_blocks: int) -> pa.Table:
+    ids, blocks, payloads = [], [], []
+    for did, payload in zip(batch.column(id_col).to_pylist(),
+                            batch.column(payload_col).to_pylist()):
+        my_block = did % n_blocks
+        for other in range(n_blocks):
+            i, j = min(my_block, other), max(my_block, other)
+            ids.append(did)
+            blocks.append(i * n_blocks + j)
+            payloads.append(payload)
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "__pair_bucket": pa.array(blocks, pa.int32()),
+        payload_col: pa.array(payloads, batch.column(payload_col).type),
+    })
+
+
+def ngram_jaccard_exact_pairs(
+    ds: ray.data.Dataset, threshold: float = 0.3, k: int = 5,
+    n_blocks: int = 4,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard — the verification twin of
+    ``ngram_jaccard_pairs``: no LSH, no shingle hashing (string shingles,
+    so a SQL oracle computes the identical value).  Returns
+    (doc_a, doc_b, jaccard) for every pair with jaccard ≥ threshold."""
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        sets = [sorted(_shingle_strings(t, k))
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "shingles": pa.array(sets, pa.list_(pa.string())),
+        })
+
+    exploded = (
+        ds.map_batches(shingle, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _pair_bucket_explode(b, "doc_id", "shingles", n_blocks),
+            batch_format="pyarrow")
+    )
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        bucket = int(df["__pair_bucket"].iloc[0])
+        bi, bj = divmod(bucket, n_blocks)
+        recs = sorted(
+            {did: s for did, s in zip(df["doc_id"], df["shingles"])}.items())
+        rows = []
+        for x in range(len(recs)):
+            da, sa = recs[x]
+            for y in range(x + 1, len(recs)):
+                db, sb = recs[y]
+                # only pairs whose blocks are exactly (bi, bj): every
+                # other combination is handled by its own bucket
+                ba, bb = da % n_blocks, db % n_blocks
+                if {ba, bb} != ({bi} if bi == bj else {bi, bj}):
+                    continue
+                A, B = set(sa), set(sb)
+                if not A and not B:
+                    j = 1.0
+                elif not A or not B:
+                    j = 0.0
+                else:
+                    j = len(A & B) / len(A | B)
+                if j >= threshold:
+                    rows.append({"doc_a": da, "doc_b": db,
+                                 "jaccard": round(j, 6)})
+        out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        if not len(out):
+            out = pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            })
+        return pd_to_arrow(out)
+
+    return (
+        exploded.groupby("__pair_bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+def embedding_exact_neardup_pairs(
+    embeddings: ray.data.Dataset, threshold: float = 0.7,
+    n_blocks: int = 4,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine near-dup — the verification twin of
+    ``embedding_neardup_pairs`` (which prunes by sign-LSH buckets).
+    Returns (vec_a, vec_b, cosine) for every pair ≥ threshold."""
+
+    exploded = embeddings.map_batches(
+        lambda b: _pair_bucket_explode(
+            b.select(["vec_id", "embedding"]), "vec_id", "embedding",
+            n_blocks),
+        batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        bucket = int(df["__pair_bucket"].iloc[0])
+        bi, bj = divmod(bucket, n_blocks)
+        recs = sorted(
+            {vid: e for vid, e in zip(df["vec_id"], df["embedding"])}.items())
+        ids = np.array([r[0] for r in recs], dtype=np.int64)
+        vecs = np.array([r[1] for r in recs], dtype=np.float64)
+        rows = []
+        if len(ids) >= 2:
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            nv = vecs / norms
+            sim = nv @ nv.T
+            blocks = ids % n_blocks
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    want = {bi} if bi == bj else {bi, bj}
+                    if {int(blocks[x]), int(blocks[y])} != want:
+                        continue
+                    c = float(sim[x, y])
+                    if c >= threshold:
+                        rows.append({"vec_a": int(ids[x]),
+                                     "vec_b": int(ids[y]),
+                                     "cosine": round(c, 6)})
+        out = pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+        if not len(out):
+            out = pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            })
+        return pd_to_arrow(out)
+
+    return (
+        exploded.groupby("__pair_bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
 # --- embedding-cosine near-dup ---------------------------------------------
 
 def embedding_neardup_pairs(

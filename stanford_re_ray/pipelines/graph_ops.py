@@ -96,6 +96,81 @@ def add_inverses(edges: ray.data.Dataset) -> ray.data.Dataset:
     return _merge_edges(edges.union(rev))
 
 
+TRANSITIVE_PREDS = ("org:alternate_names", "per:alternate_names")
+
+
+def transitive_completion(
+    edges: ray.data.Dataset,
+    preds: tuple = TRANSITIVE_PREDS,
+) -> ray.data.Dataset:
+    """Transitive-relation completion — TransitiveRelationPostProcessor
+    (GraphConsistencyPostProcessors.java:314-343): for each pair of edges
+    a→b, b→c carrying the SAME transitive relation (alternate-name chains
+    by default), add a→c with score = min of the two hop scores and the
+    second hop's provenance.  One pass, like the reference.
+
+    Ray-Data shape: a self hash-join of the filtered edge set on the
+    middle node (no driver-side graph walk), then the shared noisy-OR
+    merge folds derived edges into the table."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import hash_join
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("pred"),
+                        value_set=pa.array(list(preds), pa.string()))
+        return batch.filter(mask)
+
+    t_edges = edges.map_batches(filt, batch_format="pyarrow")
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": batch.column("dst_id"),
+            "src_id": batch.column("src_id"),
+            "pred": batch.column("pred"),
+            "score_l": batch.column("score"),
+        })
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "mid": batch.column("src_id"),
+            "dst2": batch.column("dst_id"),
+            "pred2": batch.column("pred"),
+            "score_r": batch.column("score"),
+            "doc_id2": batch.column("doc_id"),
+            "sent_idx2": batch.column("sent_idx"),
+        })
+
+    joined = hash_join(t_edges.map_batches(as_left, batch_format="pyarrow"),
+                       t_edges.map_batches(as_right, batch_format="pyarrow"),
+                       on="mid")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch.column("pred"), batch.column("pred2"))
+        not_loop = pc.invert(pc.equal(batch.column("src_id"),
+                                      batch.column("dst2")))
+        b = batch.filter(pc.and_(same, not_loop))
+        return pa.table({
+            "src_id": b.column("src_id"),
+            "pred": b.column("pred"),
+            "dst_id": b.column("dst2"),
+            "score": pc.min_element_wise(b.column("score_l"),
+                                         b.column("score_r")),
+            "doc_id": b.column("doc_id2"),
+            "sent_idx": pc.cast(b.column("sent_idx2"), pa.int32(),
+                                safe=False),
+        })
+
+    derived = joined.map_batches(derive, batch_format="pyarrow")
+
+    def base_cols(batch: pa.Table) -> pa.Table:
+        keep = ["src_id", "pred", "dst_id", "score", "doc_id", "sent_idx"]
+        return pa.table({c: batch.column(c) for c in keep})
+
+    base = edges.map_batches(base_cols, batch_format="pyarrow")
+    return _merge_edges(base.union(derived))
+
+
 def apply_horn_rules(
     edges: ray.data.Dataset,
     rules: list[tuple[float, str, str, str]],

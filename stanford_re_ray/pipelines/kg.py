@@ -169,10 +169,12 @@ def consistency_stage(triples: ray.data.Dataset,
                       max_slot_len: int | None = None,
                       enforce_cardinality: bool = True,
                       enforce_incompatibilities: bool = True,
+                      extra_pass=None,
                       ) -> ray.data.Dataset:
     """S7: unary filters/rewrites, then entity-local greedy consistency
     (bucketed by subject hash; greedy remains per-entity inside; optional
-    gazetteer geo-consistency via ``city_to_country``)."""
+    gazetteer geo-consistency via ``city_to_country``; optional
+    ``extra_pass`` = pass-2 chain, e.g. ``consistency.pass2_chain()``)."""
     import zlib
 
     from ..stages.consistency import (MAX_SLOT_LEN,
@@ -203,6 +205,7 @@ def consistency_stage(triples: ray.data.Dataset,
             g, _geo,
             enforce_cardinality=enforce_cardinality,
             enforce_incompatibilities=enforce_incompatibilities,
+            extra_pass=extra_pass,
         ),
         batch_format="pandas",
     )
@@ -671,12 +674,18 @@ def run_kg_pipeline_cfg(
         scored = scored.map_batches(sentence_competition,
                                     batch_format="pyarrow")
     candidates = bag_stage(scored, n_buckets=cfg.n_buckets)
+    extra = None
+    if cfg.entailment:
+        from ..stages.consistency import GeoMaps, pass2_chain
+
+        extra = pass2_chain(GeoMaps())
     triples = consistency_stage(
         candidates,
         n_buckets=cfg.n_buckets,
         max_slot_len=cfg.max_slot_len,
         enforce_cardinality=cfg.enforce_cardinality,
         enforce_incompatibilities=cfg.enforce_incompatibilities,
+        extra_pass=extra,
     ).materialize()
     if triples.count() <= SMALL_GRAPH_THRESHOLD:
         import ray.data as rd

@@ -144,3 +144,138 @@ def infer_kb_subject_types(kb_tbl: pa.Table) -> pa.Table:
     types = [subject_type_for_relation(r)
              for r in kb_tbl.column("rel").to_pylist()]
     return kb_tbl.append_column("subj_type", pa.array(types, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# KB XML (DOM) reader — KBPDomReader.java:88-449
+# ---------------------------------------------------------------------------
+
+_BAND_BACKGROUNDS = {"group_or_band", "classical_ensemble"}  # BANDS, :137
+_PARENS = __import__("re").compile(r"\s*\([^)]*\)\s*")
+_YEARISH = __import__("re").compile(
+    r"^(1[6-9]\d\d|20\d\d)$|^[A-Z][a-z]+ \d{1,2},? (1[6-9]\d\d|20\d\d)$")
+_NUMERICISH = __import__("re").compile(r"^[\d,\.]+$")
+
+
+def _remove_parentheses(name: str) -> str:
+    """removeParentheses (KBPDomReader.java:484-497)."""
+    return _PARENS.sub(" ", name).strip()
+
+
+def _value_type_guess(value: str) -> str:
+    """Cheap filler-type heuristic standing in for the reference's NER-type
+    tables (readNERTypes, :554-596): DATE / NUMBER / other."""
+    if _YEARISH.match(value.strip()):
+        return "DATE"
+    if _NUMERICISH.match(value.strip()):
+        return "NUMBER"
+    return "OTHER"
+
+
+def read_kb_xml(
+    path: str,
+    infobox_map: dict[tuple[str, str], set[str]],
+    per_classes: set[str],
+    org_classes: set[str],
+) -> pa.Table:
+    """KB specification XML (Wikipedia-infobox dump) → KB table —
+    KBPDomReader.parse/parseEntity/extractAllRelations semantics
+    (KBPDomReader.java:88-243):
+
+    - ``<entity name id><facts class=C><fact name=F>…`` per entity;
+    - entity type: C in ``per_classes`` → PERSON unless the ``background``
+      fact names a band (:137-139, 158-166); C in ``org_classes`` →
+      ORGANIZATION; anything else is skipped (counted as missed);
+    - "List of …" entities are skipped (:151-154);
+    - fact name F maps through ``infobox_map[(C, F)]`` → candidate KBP
+      relations; facts with no mapping are skipped (:181-186);
+    - fillers: each ``<link>`` child is one filler; a fact without links
+      contributes its whole text (getTextWithLinks, :455-468);
+    - unambiguous (single-relation) facts emit directly; ambiguous sets
+      are resolved by matching a cheap filler-type heuristic against each
+      relation's declared object types (extractAmbiguousRelations,
+      :330-385, with the NER table replaced by ``_value_type_guess``).
+
+    Output schema matches ``read_kb_tsv`` so everything downstream
+    (kb_to_lookup, the DS join) is shared.
+    """
+    tree = ET.parse(path)
+    root = tree.getroot()
+    ids, names, rels, vals = [], [], [], []
+
+    def emit(eid, ename, rel, val):
+        val = val.strip()
+        if not val or rel not in RELATION_BY_NAME:
+            return
+        ids.append(eid)
+        names.append(ename)
+        rels.append(rel)
+        vals.append(val)
+
+    for entity in root.iter("entity"):
+        ename = _remove_parentheses(entity.get("name", "")).strip()
+        eid = entity.get("id")
+        if not eid or not ename or ename.startswith("List of"):
+            continue
+        facts = entity.find("facts")
+        if facts is None:
+            continue
+        eclass = (facts.get("class") or "").lower()
+        background = None
+        for fact in facts.findall("fact"):
+            if (fact.get("name") or "").lower() == "background":
+                background = "".join(fact.itertext()).strip().lower()
+        if eclass in per_classes:
+            if background in _BAND_BACKGROUNDS:
+                continue
+        elif eclass not in org_classes:
+            continue
+        for fact in facts.findall("fact"):
+            fname = fact.get("name") or ""
+            candidates = infobox_map.get((eclass, fname))
+            if not candidates:
+                continue
+            links = [("".join(l.itertext())).strip()
+                     for l in fact.findall("link")]
+            fillers = [l for l in links if l] or \
+                [("".join(fact.itertext())).strip()]
+            for filler in fillers:
+                filler = _remove_parentheses(filler)
+                if not filler:
+                    continue
+                if len(candidates) == 1:
+                    emit(eid, ename, next(iter(candidates)), filler)
+                else:
+                    vt = _value_type_guess(filler)
+                    for rel in sorted(candidates):
+                        r = RELATION_BY_NAME.get(rel)
+                        if r is None:
+                            continue
+                        if vt in ("DATE", "NUMBER"):
+                            if vt in r.object_types:
+                                emit(eid, ename, rel, filler)
+                        elif not ({"DATE", "NUMBER"} >= set(r.object_types)):
+                            emit(eid, ename, rel, filler)
+    from ..schema import KB
+
+    return pa.table(
+        {"entity_id": pa.array(ids, pa.string()),
+         "entity_name": pa.array(names, pa.string()),
+         "rel": pa.array(rels, pa.string()),
+         "slot_value": pa.array(vals, pa.string())},
+        schema=KB,
+    )
+
+
+def kb_xml_dataset(paths: list[str], infobox_map, per_classes, org_classes):
+    """Directory-of-XML form of the KB reader as a Ray dataset: one task
+    per file (the reference loops files sequentially, :101-107)."""
+    import ray.data as rd
+
+    files = rd.from_items([{"path": p} for p in paths])
+
+    def parse(row):
+        t = read_kb_xml(row["path"], infobox_map, per_classes, org_classes)
+        return t.to_pylist()
+
+    return files.flat_map(parse)

@@ -180,23 +180,31 @@ def greedy_consistency_bucket(df: pd.DataFrame,
                               city_to_country: dict[str, str] | None = None,
                               enforce_cardinality: bool = True,
                               enforce_incompatibilities: bool = True,
+                              extra_pass=None,
                               ) -> pd.DataFrame:
     """Bucketed wrapper: one Ray group = one hash bucket of subjects; the
     per-entity greedy runs in a plain loop inside (same semantics, ~B Ray
-    groups instead of one per entity)."""
+    groups instead of one per entity).  ``extra_pass`` (a
+    ``list[dict] -> list[dict]`` like ``pass2_chain()``) runs per entity
+    AFTER the greedy pass — the finalConsistencyAndProvenancePass slot."""
     from ..schema import pd_to_arrow
 
     if not len(df):
         return pd_to_arrow(df.iloc[0:0].drop(columns=["__bucket"],
                                              errors="ignore"))
     df = df.drop(columns=["__bucket"], errors="ignore")
-    outs = [
-        greedy_consistency(g, city_to_country,
-                           enforce_cardinality=enforce_cardinality,
-                           enforce_incompatibilities=enforce_incompatibilities)
-        for _, g in df.groupby(["subj", "subj_type"], sort=True)
-    ]
-    outs = [o for o in outs if len(o)]
+    outs = []
+    for _, g in df.groupby(["subj", "subj_type"], sort=True):
+        o = greedy_consistency(
+            g, city_to_country,
+            enforce_cardinality=enforce_cardinality,
+            enforce_incompatibilities=enforce_incompatibilities)
+        if extra_pass is not None and len(o):
+            rows = extra_pass(o.to_dict("records"))
+            o = (pd.DataFrame(rows, columns=list(g.columns))
+                 if rows else o.iloc[0:0])
+        if len(o):
+            outs.append(o)
     return pd_to_arrow(pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0])
 
 
@@ -254,3 +262,147 @@ def greedy_consistency(group: pd.DataFrame,
         active.append(r)
         out.append(r)
     return pd.DataFrame(out, columns=group.columns) if out else group.iloc[0:0]
+
+
+# ---------------------------------------------------------------------------
+# Pass-2 consistency: entailment closure + composable post-processor chain
+# (HeuristicSlotfillPostProcessor.generateStep, :341-368;
+#  WorldKnowledgePostProcessor.entailsDirectly/geoEntailments, :512-620;
+#  SlotfillPostProcessor.all/and chaining, SlotfillPostProcessor.java:100-166)
+#
+# The fork's SimpleSlotFiller short-circuits this pass; InferentialSlotFiller
+# runs it via finalConsistencyAndProvenancePass.  Config-gated OFF by default
+# (PipelineConfig.entailment) to keep fork parity.
+# ---------------------------------------------------------------------------
+
+#: relation families (city, state/province, country) for geo entailment
+GEO_ENTAIL_FAMILIES = (
+    ("per:city_of_birth", "per:stateorprovince_of_birth",
+     "per:country_of_birth"),
+    ("per:city_of_death", "per:stateorprovince_of_death",
+     "per:country_of_death"),
+    ("per:cities_of_residence", "per:stateorprovinces_of_residence",
+     "per:countries_of_residence"),
+    ("org:city_of_headquarters", "org:stateorprovince_of_headquarters",
+     "org:country_of_headquarters"),
+)
+
+#: FilterVeryLowProbabilitySlots.threshold + 1e-5
+#: (WorldKnowledgePostProcessor.java:512; threshold = 0.01 at
+#:  HeuristicSlotfillPostProcessors.java:138)
+ENTAILMENT_WEIGHT = 0.01 + 1e-5
+
+
+class GeoMaps:
+    """Gazetteer lookup bundle for the geo entailments (the
+    WorldKnowledgePostProcessor map files)."""
+
+    def __init__(self, city_to_state=None, city_to_country=None,
+                 state_to_country=None, country_to_nationality=None):
+        self.city_to_state = city_to_state or {}
+        self.city_to_country = city_to_country or {}
+        self.state_to_country = state_to_country or {}
+        self.country_to_nationality = country_to_nationality or {}
+
+
+def entails_directly(fill: dict, geo: GeoMaps) -> list[dict]:
+    """WorldKnowledgePostProcessor.entailsDirectly geo rules (:561-620):
+    city fills entail their state/country of the same family; state fills
+    entail their country; country-of-birth entails per:origin nationality.
+    Consequents carry ENTAILMENT_WEIGHT and the antecedent's provenance."""
+    out: list[dict] = []
+
+    def mk(pred: str, obj: str, obj_type: str) -> dict:
+        c = dict(fill)
+        c["pred"] = pred
+        c["obj"] = obj
+        c["obj_type"] = obj_type
+        c["score"] = ENTAILMENT_WEIGHT
+        return c
+
+    pred, obj = fill["pred"], fill["obj"]
+    for city_rel, state_rel, country_rel in GEO_ENTAIL_FAMILIES:
+        if pred == city_rel:
+            st = geo.city_to_state.get(obj)
+            if st:
+                out.append(mk(state_rel, st, "STATE_OR_PROVINCE"))
+            co = geo.city_to_country.get(obj)
+            if co:
+                out.append(mk(country_rel, co, "COUNTRY"))
+        elif pred == state_rel:
+            co = geo.state_to_country.get(obj)
+            if co:
+                out.append(mk(country_rel, co, "COUNTRY"))
+    if pred == "per:country_of_birth":
+        nat = geo.country_to_nationality.get(obj)
+        if nat:
+            out.append(mk("per:origin", nat, "NATIONALITY"))
+    return out
+
+
+def entailment_closure(rows: list[dict], geo: GeoMaps) -> list[dict]:
+    """generateStep's BFS queue to fixpoint
+    (HeuristicSlotfillPostProcessor.java:341-368): every fill is an
+    antecedent once; consequents join the queue unless already seen.
+    Deterministic: queue order is input order, consequents append in
+    rule order; dedup key is (pred, obj)."""
+    queue = list(rows)
+    seen: set[tuple[str, str]] = {(r["pred"], r["obj"]) for r in rows}
+    out: list[dict] = []
+    while queue:
+        fill = queue.pop(0)
+        out.append(fill)
+        for consequent in entails_directly(fill, geo):
+            key = (consequent["pred"], consequent["obj"])
+            if key not in seen:
+                seen.add(key)
+                queue.append(consequent)
+    return out
+
+
+def mitigate_loc_of_death(rows: list[dict]) -> list[dict]:
+    """MitigateLocOfDeath (HeuristicSlotfillPostProcessors.java:636-658):
+    location-of-death fills survive only if a per:date_of_death fill also
+    exists for the entity."""
+    has_dod = any(r["pred"] == "per:date_of_death" for r in rows)
+    if has_dod:
+        return rows
+    lod = {"per:city_of_death", "per:country_of_death",
+           "per:stateorprovince_of_death"}
+    return [r for r in rows if r["pred"] not in lod]
+
+
+def filter_low_probability(rows: list[dict],
+                           threshold: float = 0.01) -> list[dict]:
+    """FilterVeryLowProbabilitySlots (HeuristicSlotfillPostProcessors
+    .java:137-143)."""
+    return [r for r in rows if r.get("score", 1.0) >= threshold]
+
+
+def chain(*passes):
+    """SlotfillPostProcessor.all / .and composition
+    (SlotfillPostProcessor.java:141-166; HeuristicSlotfillPostProcessor
+    .and, :372-421): each pass is ``list[dict] -> list[dict]`` over one
+    entity's fills; the chain applies left to right."""
+    def run(rows: list[dict]) -> list[dict]:
+        for p in passes:
+            rows = p(rows)
+            if not rows:
+                return rows
+        return rows
+    return run
+
+
+def pass2_chain(geo: GeoMaps | None = None,
+                low_prob_threshold: float = 0.01):
+    """The finalConsistencyAndProvenancePass analog
+    (InferentialSlotFiller.java:160; SlotfillPostProcessor.global pass 2):
+    entailment closure → loc-of-death mitigation → low-probability filter.
+    Returns a ``list[dict] -> list[dict]`` suitable for
+    ``consistency_stage(..., extra_pass=...)``."""
+    g = geo or GeoMaps()
+    return chain(
+        lambda rows: entailment_closure(rows, g),
+        mitigate_loc_of_death,
+        lambda rows: filter_low_probability(rows, low_prob_threshold),
+    )

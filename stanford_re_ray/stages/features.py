@@ -123,6 +123,39 @@ def featurize(
     for v in dict.fromkeys(verbs):
         add(_clean(f"verb_between={v}"))
 
+    # pseudo-dependency path over shallow chunks (string twin of
+    # _dep_surrogate_ids — FeatureFactory.java:654-973 template family)
+    lo_, hi_ = (between[0], between[-1] + 1) if between else (0, 0)
+    chunks = chunk_path(tokens, lemmas, pos, lo_, hi_)
+    if chunks:
+        roles = [c[0] for c in chunks]
+        units = [r + ":" + h for r, h, _ in chunks]
+        add(_clean(f"dep_path={direction}:{'_'.join(roles)}"))
+        add(_clean(f"dep_path_lowlevel={direction}:{'_'.join(units)}"))
+        for r, h, p2 in chunks:
+            add(_clean(f"word_in_dep_path={h}"))
+            add(f"pos_in_dep_path={p2}")
+        for a, b2 in zip(units, units[1:]):
+            add(_clean(f"dep_path_2gram={a}_{b2}"))
+        for k, (r, h, _p) in enumerate(chunks):
+            if r != "V":
+                continue
+            left, right = roles[:k], roles[k + 1:]
+            add(_clean(f"dep_path_to_verb_left={direction}:{'_'.join(left)}:{h}"))
+            add(_clean(f"dep_path_to_verb_right={direction}:{h}:{'_'.join(right)}"))
+            add(_clean(
+                f"dep_path_to_verb_both={direction}:{'_'.join(left)}:{h}:{'_'.join(right)}"))
+            first = roles[0] if k > 0 else "-"
+            last = roles[-1] if k < len(chunks) - 1 else "-"
+            add(_clean(f"dep_stub_left={first}:{h}"))
+            add(_clean(f"dep_stub_right={h}:{last}"))
+            add(_clean(f"dep_stub_both={first}:{h}:{last}"))
+        if clusters:
+            for _r, h, _p in chunks:
+                c = clusters.get(h)
+                if c is not None:
+                    add(f"cluster_in_dep_path={c}")
+
     # entities_between_args / entity_counts (404-449)
     ents_between = 0
     k = min(se, oe)
@@ -205,6 +238,106 @@ _T_DATE_YEAR = _tag("arg2_date_is_year=")
 _T_BCLUST = _tag("between_cluster=")
 _T_A2CLUST = _tag("arg2_cluster=")
 
+# shallow-chunk pseudo-dependency templates (FeatureFactory.java:654-973:
+# dependency_path, dependency_path_lowlevel, dependency_paths_to_verb,
+# dependency_path_stubs_to_verb, verb_in_dependency_path,
+# dependency_path_words, dependency_path_POS_unigrams,
+# dependency_path_clusters, dependency_path n-grams — re-expressed over a
+# deterministic shallow chunker instead of a statistical parser)
+_T_DPATH = _tag("dep_path=")
+_T_DPATH_LOW = _tag("dep_path_lowlevel=")
+_T_DVERB_L = _tag("dep_path_to_verb_left=")
+_T_DVERB_R = _tag("dep_path_to_verb_right=")
+_T_DVERB_B = _tag("dep_path_to_verb_both=")
+_T_DSTUB_L = _tag("dep_stub_left=")
+_T_DSTUB_R = _tag("dep_stub_right=")
+_T_DSTUB_B = _tag("dep_stub_both=")
+_T_DWORD = _tag("word_in_dep_path=")
+_T_DPOS = _tag("pos_in_dep_path=")
+_T_DCLUST = _tag("cluster_in_dep_path=")
+_T_DNGRAM = _tag("dep_path_2gram=")
+
+_NOMINAL_POS = ("NN", "NNP", "PRP", "CD")
+
+
+def chunk_path(tokens: list, lemmas: list, pos: list,
+               lo: int, hi: int) -> list[tuple[str, str, str]]:
+    """Deterministic shallow-chunk pseudo-dependency path over
+    ``tokens[lo:hi]`` (the span between the two argument heads): maximal
+    verb groups (VB runs, head = last verb's lemma), noun chunks
+    (DT/JJ/nominal runs, head = last nominal's lemma), prepositions and
+    conjunctions as single-link chunks.  Returns ``[(role, head_lemma,
+    head_pos)]`` with roles V/N/P/C — the surrogate for the reference's
+    shortest-dependency-path node sequence (FeatureFactory.java:654-700;
+    no statistical parser in this engine, so chunk heads stand in for
+    syntactic heads — the SURVEY §7.2 rule-based-surrogate posture)."""
+    out: list[tuple[str, str, str]] = []
+    i = lo
+    while i < hi:
+        p = pos[i]
+        if p == "VB":
+            j, head = i, i
+            while j < hi and pos[j] == "VB":
+                head = j
+                j += 1
+            out.append(("V", lemmas[head], pos[head]))
+            i = j
+        elif p in ("DT", "JJ") or p in _NOMINAL_POS:
+            j, head = i, -1
+            while j < hi and (pos[j] in ("DT", "JJ") or pos[j] in _NOMINAL_POS):
+                if pos[j] in _NOMINAL_POS:
+                    head = j
+                j += 1
+            if head >= 0:
+                out.append(("N", lemmas[head], pos[head]))
+            i = j
+        elif p == "IN":
+            out.append(("P", lemmas[i], "IN"))
+            i += 1
+        elif p == "CC":
+            out.append(("C", lemmas[i], "CC"))
+            i += 1
+        else:
+            i += 1
+    return out
+
+
+def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
+                       clusters) -> None:
+    """Emit the pseudo-dependency feature ids for one candidate pair
+    (shared tail of ``featurize_ids``)."""
+    chunks = chunk_path(tokens, lemmas, pos, lo, hi)
+    if not chunks:
+        return
+    roles = [c[0] for c in chunks]
+    units = [r + ":" + h for r, h, _ in chunks]
+    add(_fid(_T_DPATH, direction, *roles))
+    add(_fid(_T_DPATH_LOW, direction, *units))
+    for r, h, p2 in chunks:
+        add(_fid(_T_DWORD, h))
+        add(_fid(_T_DPOS, p2))
+    for a, b2 in zip(units, units[1:]):
+        add(_fid(_T_DNGRAM, a, "_", b2))
+    n = len(chunks)
+    for k, (r, h, _p) in enumerate(chunks):
+        if r != "V":
+            continue
+        left = roles[:k]
+        right = roles[k + 1:]
+        add(_fid(_T_DVERB_L, direction, *left, h))
+        add(_fid(_T_DVERB_R, direction, h, *right))
+        add(_fid(_T_DVERB_B, direction, *left, h, *right))
+        first = roles[0] if k > 0 else "-"
+        last = roles[-1] if k < n - 1 else "-"
+        add(_fid(_T_DSTUB_L, first, h))
+        add(_fid(_T_DSTUB_R, h, last))
+        add(_fid(_T_DSTUB_B, first, h, last))
+    if clusters:
+        for _r, h, _p in chunks:
+            c = clusters.get(h)
+            if c is not None:
+                add(_fid(_T_DCLUST, c))
+
 
 def _fid(base: int, *parts: str) -> int:
     c = base
@@ -272,6 +405,10 @@ def featurize_ids(
     verbs = [lemmas[i] for i in range(lo, hi) if pos[i] == "VB"]
     for v in dict.fromkeys(verbs):
         add(_fid(_T_VERB, v))
+
+    # pseudo-dependency path over shallow chunks (FeatureFactory.java
+    # :654-973 template family)
+    _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction, clusters)
 
     ents_between = 0
     i = min(se, oe)
