@@ -130,23 +130,25 @@ class _GradShard:
                 feats.append(np.asarray(f, dtype=np.int64))
             for l in t.column("labels").to_pylist():
                 labels.append(set(l))
-        self.feats = feats
-        self.labels = labels
+        from ..stages.classify import dedup_datums
+
+        self.n_total = len(feats)
+        self.feats, self.labels, self.cnt = dedup_datums(feats, labels)
 
     def feature_counts(self):
         from ..relations import RELATION_NAMES
         from ..stages.classify import D_FEATURES, _REL_INDEX
 
         counts = np.zeros(D_FEATURES, dtype=np.int64)
-        for ids in self.feats:
-            counts[ids] += 1
+        for ids, c in zip(self.feats, self.cnt):
+            counts[ids] += c
         y_pos = np.zeros(len(RELATION_NAMES), dtype=np.int64)
-        for labs in self.labels:
+        for labs, c in zip(self.labels, self.cnt):
             for rel in labs:
                 j = _REL_INDEX.get(rel)
                 if j is not None:
-                    y_pos[j] += 1
-        return counts, y_pos, len(self.feats)
+                    y_pos[j] += c
+        return counts, y_pos, self.n_total
 
     def local_dims(self, valid: np.ndarray) -> np.ndarray:
         filtered = [ids[valid[ids]] for ids in self.feats]
@@ -167,7 +169,7 @@ class _GradShard:
 
         Wc, bias = wb
         return grad_block(self.flat_c, self.seg, self.n_local, self.y_blk,
-                          self.ex_w, Wc, bias, self.d_c)
+                          self.ex_w, Wc, bias, self.d_c, cnt=self.cnt)
 
 
 def fit_sharded(

@@ -126,6 +126,32 @@ class LRModel:
 GRAD_SCALE = 1 << 20
 
 
+def dedup_datums(
+    datum_features: list[np.ndarray],
+    labels: list[set[str]],
+) -> tuple[list[np.ndarray], list[set[str]], np.ndarray]:
+    """Collapse EXACT-duplicate datums (same ordered feature-id list, same
+    label set) into one weighted instance.  Bit-parity: every copy of a
+    datum contributes the identical quantized residual, so count × rq
+    equals the per-copy sum regardless of where the dedup happens (global
+    in-memory, or per shard)."""
+    seen: dict[tuple, int] = {}
+    feats_u: list[np.ndarray] = []
+    labels_u: list[set[str]] = []
+    cnt: list[int] = []
+    for f, l in zip(datum_features, labels):
+        key = (f.tobytes(), tuple(sorted(l)))
+        idx = seen.get(key)
+        if idx is None:
+            seen[key] = len(feats_u)
+            feats_u.append(f)
+            labels_u.append(l)
+            cnt.append(1)
+        else:
+            cnt[idx] += 1
+    return feats_u, labels_u, np.asarray(cnt, dtype=np.int64)
+
+
 def datum_block_arrays(
     datum_features: list[np.ndarray],
     labels: list[set[str]],
@@ -162,11 +188,16 @@ def datum_block_arrays(
     return flat_c, seg, n, y_blk, ex_w
 
 
-def grad_block(flat_c, seg, n_local, y_blk, ex_w, Wc, bias, d_c):
+def grad_block(flat_c, seg, n_local, y_blk, ex_w, Wc, bias, d_c,
+               cnt: np.ndarray | None = None):
     """Quantized-integer gradient partial over one datum block for every
     active relation: per-datum residuals are rounded to the GRAD_SCALE grid
     and summed as ints, so partials from different blocks add associatively
-    (bit-identical final gradient under any partitioning)."""
+    (bit-identical final gradient under any partitioning).
+
+    ``cnt`` (optional int64 per datum) carries exact-duplicate multiplicity
+    (see ``dedup_datums``): count × quantized-residual equals the per-copy
+    sum exactly."""
     n_active = Wc.shape[0]
     gq = np.zeros((n_active, d_c), dtype=np.int64)
     bq = np.zeros(n_active, dtype=np.int64)
@@ -176,6 +207,8 @@ def grad_block(flat_c, seg, n_local, y_blk, ex_w, Wc, bias, d_c):
         p = 1.0 / (1.0 + np.exp(-s))
         resid = (y_blk[j] - p) * ex_w[j]
         rq = np.rint(resid * GRAD_SCALE)
+        if cnt is not None:
+            rq = rq * cnt
         if len(flat_c):
             gq[j] = np.bincount(
                 flat_c, weights=rq[seg], minlength=d_c
@@ -245,21 +278,22 @@ def train_lr(
     gradient as a sum of per-shard integer partials held in Ray actors —
     bit-identical to this in-memory fit (tests/test_train_distributed.py).
     """
-    n = len(datum_features)
+    n = len(datum_features)  # TOTAL datum count (with multiplicity)
     R = len(RELATION_NAMES)
+    feats_u, labels_u, cnt = dedup_datums(datum_features, labels)
     counts = np.zeros(D_FEATURES, dtype=np.int64)
-    for ids in datum_features:
-        counts[ids] += 1
+    for ids, c in zip(feats_u, cnt):
+        counts[ids] += c
     valid = counts >= feature_count_threshold
     y_pos = np.zeros(R, dtype=np.int64)
-    for labs in labels:
+    for labs, c in zip(labels_u, cnt):
         for rel in labs:
             j = _REL_INDEX.get(rel)
             if j is not None:
-                y_pos[j] += 1
+                y_pos[j] += c
     # only fit relations with at least one positive
     active = np.nonzero(y_pos > 0)[0]
-    filtered_flat = [ids[valid[ids]] for ids in datum_features]
+    filtered_flat = [ids[valid[ids]] for ids in feats_u]
     flat_all = (
         np.concatenate(filtered_flat) if filtered_flat
         else np.empty(0, dtype=np.int64)
@@ -268,11 +302,11 @@ def train_lr(
     d_c = max(len(dims), 1)
     ex_pos, ex_neg = class_weights(n, y_pos[active], pos_weight_cap)
     flat_c, seg, n_local, y_blk, ex_w = datum_block_arrays(
-        datum_features, labels, valid, dims, active, ex_pos, ex_neg
+        feats_u, labels_u, valid, dims, active, ex_pos, ex_neg
     )
     Wc, bias = lr_optimize(
         lambda W_, b_: grad_block(flat_c, seg, n_local, y_blk, ex_w,
-                                  W_, b_, d_c),
+                                  W_, b_, d_c, cnt=cnt),
         len(active), d_c, n, epochs, lr, l2,
     )
     return assemble_model(active, dims, Wc, bias)

@@ -339,11 +339,26 @@ def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
                 add(_fid(_T_DCLUST, c))
 
 
+#: memo for _fid: feature values are Zipfian (lemma/POS/role vocabularies),
+#: so the same (template, parts) tuples recur constantly; Python interns
+#: str hashes after first use, making the tuple lookup far cheaper than
+#: re-running the crc chain + utf-8 encodes.  Bounded per worker process.
+_FID_CACHE: dict = {}
+_FID_CACHE_MAX = 1 << 17
+
+
 def _fid(base: int, *parts: str) -> int:
-    c = base
-    for p in parts:
-        c = _zlib.crc32(p.encode("utf-8", "surrogatepass"), c)
-    return c % _D
+    key = (base, parts)
+    v = _FID_CACHE.get(key)
+    if v is None:
+        c = base
+        for p in parts:
+            c = _zlib.crc32(p.encode("utf-8", "surrogatepass"), c)
+        v = c % _D
+        if len(_FID_CACHE) >= _FID_CACHE_MAX:
+            _FID_CACHE.clear()
+        _FID_CACHE[key] = v
+    return v
 
 
 def featurize_ids(

@@ -135,6 +135,10 @@ class _CompiledDicts:
         self.max_phrase = max(
             [len(k) for k in self.phrases] + [len(k) for k in self.lower_phrases] + [1]
         )
+        # first-token prefilters: most positions can't start ANY phrase, so
+        # one membership test replaces max_phrase tuple constructions
+        self.phrase_firsts = {k[0] for k in self.phrases}
+        self.lower_firsts = {k[0] for k in self.lower_phrases}
         self.first_names = set(d.first_names)
         self.org_suffixes = set(d.org_suffixes)
 
@@ -188,6 +192,34 @@ def _is_cap(tok: str) -> bool:
     return bool(tok) and tok[0].isupper() and any(c.isalpha() for c in tok)
 
 
+#: token-level POS/lemma memos: the token vocabulary is Zipfian, so the
+#: same strings recur constantly; bounded per worker process
+_POS_CACHE: dict[str, str] = {}
+_LEMMA_CACHE: dict[tuple[str, str], str] = {}
+_TOK_CACHE_MAX = 1 << 17
+
+
+def _pos_of_cached(tok: str, lower: str) -> str:
+    v = _POS_CACHE.get(tok)
+    if v is None:
+        v = _pos_of(tok, lower)
+        if len(_POS_CACHE) >= _TOK_CACHE_MAX:
+            _POS_CACHE.clear()
+        _POS_CACHE[tok] = v
+    return v
+
+
+def _lemma_of_cached(tok: str, pos: str) -> str:
+    key = (tok, pos)
+    v = _LEMMA_CACHE.get(key)
+    if v is None:
+        v = _lemma_of(tok, pos)
+        if len(_LEMMA_CACHE) >= _TOK_CACHE_MAX:
+            _LEMMA_CACHE.clear()
+        _LEMMA_CACHE[key] = v
+    return v
+
+
 def _pos_of(tok: str, lower: str) -> str:
     if _NUM_RE.match(tok) or _YEAR_RE.match(tok):
         return "CD"
@@ -232,6 +264,11 @@ def _tag_ner(tokens: list[str], lowers: list[str], pos: list[str],
     ner = ["O"] * n
     i = 0
     while i < n:
+        # prefilter: no phrase starts with this token → skip the window scan
+        if tokens[i] not in cd.phrase_firsts and \
+                lowers[i] not in cd.lower_firsts:
+            i += 1
+            continue
         matched = 0
         for ln in range(min(cd.max_phrase, n - i), 0, -1):
             key = tuple(tokens[i:i + ln])
@@ -317,9 +354,9 @@ def annotate_document(text: str, cd: _CompiledDicts,
         if not tokens:
             continue
         lowers = [t.lower() for t in tokens]
-        pos = [_pos_of(t, l) for t, l in zip(tokens, lowers)]
+        pos = [_pos_of_cached(t, l) for t, l in zip(tokens, lowers)]
         ner = _tag_ner(tokens, lowers, pos, cd)
-        lemmas = [_lemma_of(t, p) for t, p in zip(tokens, pos)]
+        lemmas = [_lemma_of_cached(t, p) for t, p in zip(tokens, pos)]
         ante = [""] * len(tokens)
         i = 0
         n = len(tokens)
