@@ -48,6 +48,10 @@ class PipelineConfig:
                                            # default: the fork short-circuits
                                            # pass 2 (SimpleSlotFiller);
                                            # InferentialSlotFiller turns it on
+    gibbs_objective: str = "top"           # "top" (default — skips Gibbs,
+                                           # Props.java GibbsObjective) |
+                                           # "sum" (sampled Σ-score filter)
+    gibbs_mixing_time: int = 1000          # Props.java:249-250
     # S8 graph
     n_salt: int = 1                        # canonicalization skew salting
     max_cluster: int = 150                 # TEST_GRAPH_MAXSIZE analog

@@ -40,6 +40,7 @@ def hash_join(
     on: list[str] | str,
     how: str = "inner",
     n_buckets: int = 64,
+    salt_keys: dict | None = None,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
 
@@ -47,10 +48,25 @@ def hash_join(
     nulls), union, add ``__bucket = hash(key) % n_buckets``, group by the
     BUCKET (not the key — per-key groups pay pandas-per-group overhead for
     every distinct key), and pandas-merge the two sides inside each bucket.
-    One shuffle; bucket size ≈ |rows| / n_buckets; salt upstream if one key
-    is pathologically hot.  ``how``: inner | left | semi | anti (left-anti).
+    One shuffle; bucket size ≈ |rows| / n_buckets.
+    ``how``: inner | left | semi | anti (left-anti).
+
+    Skew guardrail: every row of one key must land in one bucket, so a
+    pathologically hot key's bucket must fit a worker.  ``salt_keys``
+    maps key tuples → split factor k: LEFT rows of a hot key spread over
+    k sub-buckets by a content hash of the whole row (deterministic under
+    any partitioning); RIGHT rows of that key replicate to all k
+    sub-buckets — the standard skew join.  Only inner/left support
+    salting (semi/anti would double-count replicated right rows).
     """
     on = [on] if isinstance(on, str) else list(on)
+    salt_keys = {
+        (k if isinstance(k, tuple) else (k,)): int(v)
+        for k, v in (salt_keys or {}).items()
+    }
+    if salt_keys and how in ("semi", "anti"):
+        raise ValueError("salt_keys unsupported for semi/anti joins")
+    max_salt = max(salt_keys.values(), default=1)
     ls = left.schema()
     rs = right.schema()
     l_cols = list(ls.names)
@@ -69,21 +85,53 @@ def hash_join(
     def add_bucket(batch: pa.Table) -> pa.Table:
         import zlib
 
-        if len(on) == 1 and pa.types.is_integer(batch.column(on[0]).type):
+        if not salt_keys and len(on) == 1 and \
+                pa.types.is_integer(batch.column(on[0]).type):
             b = (batch.column(on[0]).to_numpy(zero_copy_only=False)
                  % n_buckets).astype(np.int32)
             buckets = pa.array(b, pa.int32())
-        else:
-            key_strs = [
-                "\x00".join(str(v) for v in row)
-                for row in zip(*(batch.column(c).to_pylist() for c in on))
-            ]
-            buckets = pa.array(
-                [zlib.crc32(s.encode("utf-8", "surrogatepass")) % n_buckets
-                 for s in key_strs],
-                pa.int32(),
-            )
-        return batch.append_column("__bucket", buckets)
+            return batch.append_column("__bucket", buckets)
+        key_rows = list(zip(*(batch.column(c).to_pylist() for c in on)))
+        base = [
+            zlib.crc32("\x00".join(str(v) for v in row)
+                       .encode("utf-8", "surrogatepass")) % n_buckets
+            for row in key_rows
+        ]
+        if not salt_keys:
+            return batch.append_column(
+                "__bucket", pa.array(base, pa.int32()))
+        # skew salting: left rows spread; right rows replicate
+        sides = batch.column("__side").to_pylist()
+        all_cols = {c: batch.column(c).to_pylist()
+                    for c in batch.column_names}
+        out_cols: dict[str, list] = {c: [] for c in batch.column_names}
+        out_bucket: list[int] = []
+
+        def emit(i, bucket):
+            for c in batch.column_names:
+                out_cols[c].append(all_cols[c][i])
+            out_bucket.append(bucket)
+
+        for i, (row, b0) in enumerate(zip(key_rows, base)):
+            k = salt_keys.get(row)
+            if not k or k <= 1:
+                emit(i, b0 * max_salt)
+            elif sides[i] == "l":
+                content = "\x01".join(
+                    str(all_cols[c][i]) for c in batch.column_names
+                    if c != "__side")
+                salt = zlib.crc32(content.encode("utf-8",
+                                                 "surrogatepass")) % k
+                emit(i, b0 * max_salt + salt)
+            else:
+                for salt in range(k):
+                    emit(i, b0 * max_salt + salt)
+        tbl = pa.table({
+            c: pa.array(out_cols[c], batch.column(c).type)
+            for c in batch.column_names
+        })
+        return tbl.append_column("__bucket",
+                                 pa.array(out_bucket, pa.int32()))
 
     bucketed = tagged.map_batches(add_bucket, batch_format="pyarrow")
     l_only = [c for c in l_cols if c not in on]

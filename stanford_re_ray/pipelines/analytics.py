@@ -52,19 +52,43 @@ def q01_pricing_summary(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+#: above this many dimension rows, q02 switches from the broadcast join to
+#: the key-partitioned hash join (a dimension table stops being
+#: broadcastable somewhere before it stops fitting one worker's heap)
+BROADCAST_DIM_LIMIT = 5_000_000
+
+
 def q02_revenue_by_nation(sf_dir: str) -> pa.Table:
     """Broadcast join: orders ⋈ customer ⋈ nation (dimension tables shipped
-    once via ray.put, merged inside map_batches — no shuffle)."""
+    once via ray.put, merged inside map_batches — no shuffle).  Falls back
+    to the distributed hash join when the customer dimension outgrows the
+    broadcast limit."""
     from ray.data.aggregate import Count, Sum
 
-    from ..functions.relational import broadcast_join
+    from ..functions.relational import broadcast_join, hash_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    dim = dim[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, dim, on="o_custkey")
+    if cust_ds.count() > BROADCAST_DIM_LIMIT:
+        # customer is no longer broadcastable: nation (tiny) still
+        # broadcasts onto customer, then orders ⋈ customer hash-joins
+        dim_ds = broadcast_join(
+            cust_ds, nation.rename(columns={"n_nationkey": "c_nationkey"}),
+            on="c_nationkey",
+        ).map_batches(
+            lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                                "n_name": b.column("n_name")}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(orders, dim_ds, on="o_custkey")
+    else:
+        cust = cust_ds.to_pandas()
+        dim = cust.merge(nation, left_on="c_nationkey",
+                         right_on="n_nationkey")
+        dim = dim[["c_custkey", "n_name"]].rename(
+            columns={"c_custkey": "o_custkey"})
+        joined = broadcast_join(orders, dim, on="o_custkey")
     out = (
         joined.groupby("n_name")
         .aggregate(Sum("o_totalprice", alias_name="revenue"),

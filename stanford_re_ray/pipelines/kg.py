@@ -170,6 +170,7 @@ def consistency_stage(triples: ray.data.Dataset,
                       enforce_cardinality: bool = True,
                       enforce_incompatibilities: bool = True,
                       extra_pass=None,
+                      gibbs_mixing_time: int | None = None,
                       ) -> ray.data.Dataset:
     """S7: unary filters/rewrites, then entity-local greedy consistency
     (bucketed by subject hash; greedy remains per-entity inside; optional
@@ -206,6 +207,7 @@ def consistency_stage(triples: ray.data.Dataset,
             enforce_cardinality=enforce_cardinality,
             enforce_incompatibilities=enforce_incompatibilities,
             extra_pass=extra_pass,
+            gibbs_mixing_time=gibbs_mixing_time,
         ),
         batch_format="pandas",
     )
@@ -686,6 +688,8 @@ def run_kg_pipeline_cfg(
         enforce_cardinality=cfg.enforce_cardinality,
         enforce_incompatibilities=cfg.enforce_incompatibilities,
         extra_pass=extra,
+        gibbs_mixing_time=(cfg.gibbs_mixing_time
+                           if cfg.gibbs_objective == "sum" else None),
     ).materialize()
     if triples.count() <= SMALL_GRAPH_THRESHOLD:
         import ray.data as rd

@@ -181,12 +181,15 @@ def greedy_consistency_bucket(df: pd.DataFrame,
                               enforce_cardinality: bool = True,
                               enforce_incompatibilities: bool = True,
                               extra_pass=None,
+                              gibbs_mixing_time: int | None = None,
                               ) -> pd.DataFrame:
     """Bucketed wrapper: one Ray group = one hash bucket of subjects; the
     per-entity greedy runs in a plain loop inside (same semantics, ~B Ray
     groups instead of one per entity).  ``extra_pass`` (a
     ``list[dict] -> list[dict]`` like ``pass2_chain()``) runs per entity
-    AFTER the greedy pass — the finalConsistencyAndProvenancePass slot."""
+    AFTER the greedy pass — the finalConsistencyAndProvenancePass slot.
+    ``gibbs_mixing_time`` switches the per-entity filter to the
+    GibbsObjective.SUM sampler."""
     from ..schema import pd_to_arrow
 
     if not len(df):
@@ -195,10 +198,17 @@ def greedy_consistency_bucket(df: pd.DataFrame,
     df = df.drop(columns=["__bucket"], errors="ignore")
     outs = []
     for _, g in df.groupby(["subj", "subj_type"], sort=True):
-        o = greedy_consistency(
-            g, city_to_country,
-            enforce_cardinality=enforce_cardinality,
-            enforce_incompatibilities=enforce_incompatibilities)
+        if gibbs_mixing_time:
+            o = gibbs_consistency(
+                g, mixing_time=gibbs_mixing_time,
+                city_to_country=city_to_country,
+                enforce_cardinality=enforce_cardinality,
+                enforce_incompatibilities=enforce_incompatibilities)
+        else:
+            o = greedy_consistency(
+                g, city_to_country,
+                enforce_cardinality=enforce_cardinality,
+                enforce_incompatibilities=enforce_incompatibilities)
         if extra_pass is not None and len(o):
             rows = extra_pass(o.to_dict("records"))
             o = (pd.DataFrame(rows, columns=list(g.columns))
@@ -208,23 +218,22 @@ def greedy_consistency_bucket(df: pd.DataFrame,
     return pd_to_arrow(pd.concat(outs, ignore_index=True) if outs else df.iloc[0:0])
 
 
-def greedy_consistency(group: pd.DataFrame,
-                       city_to_country: dict[str, str] | None = None,
-                       enforce_cardinality: bool = True,
-                       enforce_incompatibilities: bool = True,
-                       ) -> pd.DataFrame:
-    """Entity-local greedy filter — ``groupby([subj, subj_type])
-    .map_groups(greedy_consistency, batch_format="pandas")``."""
-    rows = group.to_dict("records")
-    rows.sort(key=_fill_sort_key)
-    if city_to_country:
-        rows = geo_filter(rows, city_to_country)
-    active: list[dict] = []
+def _enable_in_order(rows: list[dict], order,
+                     enforce_cardinality: bool = True,
+                     enforce_incompatibilities: bool = True) -> list[int]:
+    """greedyEnableSlotsInPlace (HeuristicSlotfillPostProcessor.java:
+    187-310): enable each slot in ``order`` iff consistent with the slots
+    enabled so far.  Checks: NoDuplicates on (pred, normalized obj);
+    NoDuplicatesApproximate (entity-linked values of the same relation —
+    HeuristicSlotfillPostProcessors.java:518-573); SINGLE cardinality;
+    RespectDeclaredIncompatibilities.  Returns enabled indices in
+    enable order."""
     seen_pred_obj: set[tuple[str, str]] = set()
     single_taken: set[str] = set()
     pair_rels: dict[str, list[str]] = {}
-    out = []
-    for r in rows:
+    enabled: list[int] = []
+    for idx in order:
+        r = rows[idx]
         pred, obj = r["pred"], r["obj"]
         key = (pred, obj.lower())
         if key in seen_pred_obj:
@@ -232,10 +241,6 @@ def greedy_consistency(group: pd.DataFrame,
         rel = RELATION_BY_NAME[pred]
         if enforce_cardinality and rel.is_single and pred in single_taken:
             continue
-        # NoDuplicatesApproximate (HeuristicSlotfillPostProcessors.java:
-        # 518-573): an entity-valued fill whose value entity-links to an
-        # already-accepted value of the SAME relation is a near-duplicate;
-        # the earlier (higher-scoring) fill wins
         if r["obj_type"] in ("PERSON", "ORGANIZATION"):
             from .canonicalize import same_entity
 
@@ -259,8 +264,71 @@ def greedy_consistency(group: pd.DataFrame,
         if rel.is_single:
             single_taken.add(pred)
         pair_rels.setdefault(obj.lower(), []).append(pred)
-        active.append(r)
-        out.append(r)
+        enabled.append(idx)
+    return enabled
+
+
+def greedy_consistency(group: pd.DataFrame,
+                       city_to_country: dict[str, str] | None = None,
+                       enforce_cardinality: bool = True,
+                       enforce_incompatibilities: bool = True,
+                       ) -> pd.DataFrame:
+    """Entity-local greedy filter — ``groupby([subj, subj_type])
+    .map_groups(greedy_consistency, batch_format="pandas")``."""
+    rows = group.to_dict("records")
+    rows.sort(key=_fill_sort_key)
+    if city_to_country:
+        rows = geo_filter(rows, city_to_country)
+    enabled = _enable_in_order(rows, range(len(rows)),
+                               enforce_cardinality,
+                               enforce_incompatibilities)
+    out = [rows[i] for i in enabled]
+    return pd.DataFrame(out, columns=group.columns) if out else group.iloc[0:0]
+
+
+def gibbs_consistency(group: pd.DataFrame,
+                      mixing_time: int = 1000,
+                      city_to_country: dict[str, str] | None = None,
+                      enforce_cardinality: bool = True,
+                      enforce_incompatibilities: bool = True,
+                      ) -> pd.DataFrame:
+    """GibbsObjective.SUM global filter — the pass the default TOP
+    objective skips (HeuristicSlotfillPostProcessor.filterStep:223-296;
+    Props.TEST_CONSISTENCY_MIXINGTIME=1000, Props.java:249-250):
+    greedy init in canonical order, then ``mixing_time`` random-restart
+    sweeps, each greedily enabling slots in a shuffled order; the active
+    set maximizing Σ score wins.
+
+    Determinism (repo policy): the reference's ``Random(42)`` shuffle is
+    replaced by per-sweep orders from content hashes (crc32 of sweep
+    index + slot identity) — no RNG state, reproducible anywhere; ties on
+    the objective keep the earlier sweep's set."""
+    import zlib as _z
+
+    rows = group.to_dict("records")
+    rows.sort(key=_fill_sort_key)
+    if city_to_country:
+        rows = geo_filter(rows, city_to_country)
+    n = len(rows)
+    base = _enable_in_order(rows, range(n), enforce_cardinality,
+                            enforce_incompatibilities)
+    best_set = base
+    best_obj = sum(rows[i]["score"] for i in base)
+    slot_keys = [
+        f"{r['pred']}\x00{r['obj']}\x00{r.get('doc_id', '')}\x00{i}"
+        for i, r in enumerate(rows)
+    ]
+    for sweep in range(mixing_time):
+        order = sorted(
+            range(n),
+            key=lambda i: _z.crc32(f"{sweep}:{slot_keys[i]}".encode()),
+        )
+        en = _enable_in_order(rows, order, enforce_cardinality,
+                              enforce_incompatibilities)
+        obj = sum(rows[i]["score"] for i in en)
+        if obj > best_obj + 1e-12:
+            best_obj, best_set = obj, en
+    out = [rows[i] for i in sorted(best_set)]
     return pd.DataFrame(out, columns=group.columns) if out else group.iloc[0:0]
 
 

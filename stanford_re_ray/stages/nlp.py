@@ -349,6 +349,10 @@ def annotate_document(text: str, cd: _CompiledDicts,
     topic_person = ""
     topic_org = ""
     surname_to_full: dict[str, str] = {}
+    # acronym → full org name within the doc (PostIRAnnotator.java:65-206
+    # CorpusStats acronym/approximate-name matching analog): "IBM" after
+    # "International Business Machines" canonicalizes to the full name
+    acronym_to_full: dict[str, str] = {}
     for s_idx, sent in enumerate(sents):
         tokens = tokenize(sent)
         if not tokens:
@@ -404,7 +408,22 @@ def annotate_document(text: str, cd: _CompiledDicts,
                 j = i
                 while j < n and ner[j] == "ORGANIZATION":
                     j += 1
-                last_org = " ".join(tokens[i:j])
+                org = " ".join(tokens[i:j])
+                if j - i >= 2:
+                    acr = "".join(w[0] for w in tokens[i:j]
+                                  if w[:1].isupper()).upper()
+                    if len(acr) >= 2:
+                        acronym_to_full.setdefault(acr, org)
+                    last_org = org
+                elif tokens[i] in acronym_to_full:
+                    # bare acronym of an org already seen in this doc:
+                    # antecedent-link it to the full name
+                    full = acronym_to_full[tokens[i]]
+                    for k in range(i, j):
+                        ante[k] = full
+                    last_org = full
+                else:
+                    last_org = org
                 if i == 0:
                     topic_org = last_org
                 i = j

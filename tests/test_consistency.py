@@ -142,3 +142,36 @@ def test_geo_consistency_filter():
     df.loc[1, "obj"] = "France"
     out2 = greedy_consistency(df, city_to_country={"Paris": "France"})
     assert len(out2) == 2
+
+
+def test_gibbs_sum_objective_beats_greedy_trap():
+    """GibbsObjective.SUM: greedy (canonical order) takes the 0.9 fill
+    that blocks two compatible 0.5 fills; the sampled Σ-score filter must
+    find the {0.5, 0.5} set instead."""
+    import pandas as pd
+
+    from stanford_re_ray.stages.consistency import (gibbs_consistency,
+                                                    greedy_consistency)
+
+    rows = pd.DataFrame([
+        {"subj": "Ann Smith", "subj_type": "PERSON",
+         "pred": "per:other_family", "obj": "Bob Jones",
+         "obj_type": "PERSON", "score": 0.9, "doc_id": "d1", "sent_idx": 0,
+         "subj_begin": 0, "subj_end": 2, "obj_begin": 3, "obj_end": 5},
+        {"subj": "Ann Smith", "subj_type": "PERSON",
+         "pred": "per:alternate_names", "obj": "Bob Jones",
+         "obj_type": "PERSON", "score": 0.5, "doc_id": "d2", "sent_idx": 0,
+         "subj_begin": 0, "subj_end": 2, "obj_begin": 3, "obj_end": 5},
+        {"subj": "Ann Smith", "subj_type": "PERSON",
+         "pred": "per:children", "obj": "Bob Jones",
+         "obj_type": "PERSON", "score": 0.5, "doc_id": "d3", "sent_idx": 0,
+         "subj_begin": 0, "subj_end": 2, "obj_begin": 3, "obj_end": 5},
+    ])
+    greedy = greedy_consistency(rows)
+    assert set(greedy["pred"]) == {"per:other_family"}
+    gibbs = gibbs_consistency(rows, mixing_time=50)
+    assert set(gibbs["pred"]) == {"per:alternate_names", "per:children"}
+    assert gibbs["score"].sum() > greedy["score"].sum()
+    # deterministic across calls
+    again = gibbs_consistency(rows, mixing_time=50)
+    assert gibbs.reset_index(drop=True).equals(again.reset_index(drop=True))

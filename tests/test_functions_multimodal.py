@@ -58,3 +58,72 @@ def test_media_exact_dedup_signature():
     out = media_content_hash(_media_table())
     h = out.column("payload_sha1").to_pylist()
     assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_decode_ppm_real():
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import decode_image
+
+    # 2x2 P6 with a comment in the header
+    raster = bytes([255, 0, 0,  0, 255, 0,
+                    0, 0, 255,  9, 9, 9])
+    payload = b"P6\n# test comment\n2 2\n255\n" + raster
+    img = decode_image(payload)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[1, 1]) == (9, 9, 9)
+
+
+def test_decode_bmp_real():
+    import struct
+
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import decode_image
+
+    # hand-built 2x2 uncompressed 24-bit BMP (bottom-up, BGR, 4-byte rows)
+    w = h = 2
+    row = lambda px: b"".join(bytes(p[::-1]) for p in px) + b"\x00\x00"
+    raster = row([(10, 20, 30), (40, 50, 60)])      # bottom row
+    raster += row([(70, 80, 90), (1, 2, 3)])        # top row
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    img = decode_image(header + info + raster)
+    assert img.shape == (2, 2, 3)
+    assert tuple(img[0, 0]) == (70, 80, 90)   # top-left after flip
+    assert tuple(img[1, 1]) == (40, 50, 60)
+
+
+def test_decode_wav_and_audio_features():
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import (audio_features_batch,
+                                                      decode_wav)
+
+    # 100ms 440-ish square wave at 8kHz mono
+    rate, n = 8000, 800
+    t = np.arange(n)
+    samples = (np.where((t // 9) % 2 == 0, 12000, -12000)).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    x, r = decode_wav(payload)
+    assert r == rate and x.shape == (n, 1)
+    out = audio_features_batch(pa.table({
+        "media_id": ["a1", "bad"],
+        "payload": [payload, b"nope"],
+    }))
+    rec = out.to_pylist()
+    assert rec[0]["decoded"] and rec[0]["duration_ms"] == 100
+    assert rec[0]["rms"] > 0.3 and rec[0]["zero_crossing_rate"] > 0.05
+    assert not rec[1]["decoded"]

@@ -88,3 +88,23 @@ def test_actor_pool_mode_matches_task_mode(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(tasks, actors)
+
+
+def test_acronym_coref_links_to_full_org():
+    """PostIRAnnotator acronym matching analog: a bare acronym of an org
+    seen earlier in the doc antecedent-links to the full name."""
+    from stanford_re_ray.stages.nlp import (DEFAULT_DICTIONARIES,
+                                            annotate_document)
+
+    cd = DEFAULT_DICTIONARIES.compiled()
+    recs = annotate_document(
+        "Giant Buying Corp announced a new plan. GBC said the plan works.",
+        cd)
+    second = recs[1]
+    k = second["tokens"].index("GBC")
+    assert second["ner"][k] == "ORGANIZATION"
+    assert second["antecedents"][k] == "Giant Buying Corp"
+    # an acronym with no in-doc expansion stays unlinked
+    recs2 = annotate_document("GBC said the plan works.", cd)
+    k2 = recs2[0]["tokens"].index("GBC")
+    assert recs2[0]["antecedents"][k2] == ""

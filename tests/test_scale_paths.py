@@ -138,3 +138,60 @@ def test_connected_components_no_driver_collect(ray_session):
     comp = dict(zip(out["doc_id"], out["component"]))
     assert comp[1] == comp[2] == comp[3] == comp[4] == comp[5] == 1
     assert comp[10] == comp[11] == 10
+
+
+def test_q02_hashjoin_path_matches_broadcast(ray_session):
+    """Above BROADCAST_DIM_LIMIT q02 switches to the distributed hash join;
+    both paths must produce identical rows."""
+    from stanford_re_ray.pipelines import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(t):
+        df = t.to_pandas()
+        return (df[sorted(df.columns)].round(6)
+                .sort_values(sorted(df.columns)).reset_index(drop=True))
+
+    bcast = norm(A.q02_revenue_by_nation(sf))
+    old = A.BROADCAST_DIM_LIMIT
+    try:
+        A.BROADCAST_DIM_LIMIT = 0
+        dist = norm(A.q02_revenue_by_nation(sf))
+    finally:
+        A.BROADCAST_DIM_LIMIT = old
+    assert bcast.equals(dist)
+
+
+def test_hash_join_skew_salting(ray_session):
+    """salt_keys spreads a hot key's left rows over k sub-buckets and
+    replicates the right side — result must equal the unsalted join."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([7] * 50 + [1, 2, 3], pa.int64()),
+        "lv": pa.array(list(range(53)), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 1, 4], pa.int64()),
+        "rv": pa.array([100, 200, 300, 400], pa.int64()),
+    }))
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values(sorted(df.columns)).reset_index(drop=True))
+
+    plain = norm(hash_join(left, right, on="k"))
+    salted = norm(hash_join(left, right, on="k", salt_keys={7: 4}))
+    assert plain.equals(salted)
+    assert len(salted) == 100 + 1  # 50 hot-left x 2 right + key 1
+
+    plain_l = norm(hash_join(left, right, on="k", how="left"))
+    salted_l = norm(hash_join(left, right, on="k", how="left",
+                              salt_keys={7: 4}))
+    assert plain_l.equals(salted_l)
+
+    with pytest.raises(ValueError):
+        hash_join(left, right, on="k", how="semi", salt_keys={7: 2})
