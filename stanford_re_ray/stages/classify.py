@@ -543,6 +543,48 @@ def bag_reduce_bucket(df: pd.DataFrame) -> pa.Table:
 # kbp/sf/classify/ModelType.java:12-92)
 # ---------------------------------------------------------------------------
 
+def gold_lookup_from_triples(gold_tbl: pa.Table) -> dict:
+    """Gold (subj, pred, obj) table → (subj_lower, obj_lower) → {rels}."""
+    out: dict[tuple[str, str], set[str]] = {}
+    for s, p, o in zip(gold_tbl.column("subj").to_pylist(),
+                       gold_tbl.column("pred").to_pylist(),
+                       gold_tbl.column("obj").to_pylist()):
+        out.setdefault((s.lower(), o.lower()), set()).add(p)
+    return out
+
+
+class GoldScorer:
+    """GOLD debug model (ModelType.GOLD, kbp/sf/classify/ModelType.java:
+    12-92 — a memorizer of gold slot fills): a mention scores 1.0 for
+    relation r iff its (subj, r, obj) is in the gold set.  Drop-in for
+    ``MentionScorer`` (emits the scored-mention schema), so bag and
+    consistency stages are shared; used to debug the rest of the pipeline
+    with a perfect classifier."""
+
+    def __init__(self, gold_ref):
+        self._ref = gold_ref  # ray.put of gold_lookup_from_triples(...)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        gold = fetch(self._ref)
+        keep_idx: list[int] = []
+        rels: list[str] = []
+        subj = batch.column("subj").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        for i in range(batch.num_rows):
+            for rel in sorted(gold.get((subj[i].lower(), obj[i].lower()),
+                                       ())):
+                keep_idx.append(i)
+                rels.append(rel)
+        kept = batch.take(pa.array(keep_idx, pa.int64())).drop_columns(
+            ["features"])
+        q = pa.array([SCORE_SCALE] * len(keep_idx), pa.int64())
+        return (kept.append_column("rel", pa.array(rels, pa.string()))
+                .append_column("sum_q", q)
+                .append_column("best_q", q))
+
+
 def train_perceptron(
     datum_features: list[np.ndarray],
     labels: list[set[str]],

@@ -29,6 +29,8 @@ ENTITY_NER = ("PERSON", "ORGANIZATION")
 _BAD_EDGE_POS = {"IN", "DT", "CC", "."}
 _PRONOUN_PER = {"he", "she", "him", "her", "his", "hers"}
 _PRONOUN_ANY = {"it", "its", "they", "them", "their", "theirs"}
+_NOMINAL_ORG = {"company", "firm", "organization", "corporation", "group",
+                "agency"}
 
 
 @dataclass(frozen=True)
@@ -56,6 +58,10 @@ def find_mentions(tokens: list[str], pos: list[str], ner: list[str],
             if ante and (low in _PRONOUN_PER or low in _PRONOUN_ANY):
                 ptype = "PERSON" if low in _PRONOUN_PER else "ORGANIZATION"
                 out.append(Mention(i, i + 1, tokens[i], ante, ptype, True))
+            elif ante and low in _NOMINAL_ORG:
+                # "the company" resolved to the last org by the NLP pass
+                out.append(Mention(i, i + 1, tokens[i], ante,
+                                   "ORGANIZATION", True))
             i += 1
             continue
         j = i

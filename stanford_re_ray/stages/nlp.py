@@ -42,6 +42,9 @@ _DEFAULT_ORG_SUFFIXES = (
 
 _PRONOUN_PER = {"he", "she", "him", "her", "his", "hers"}
 _PRONOUN_ANY = {"it", "its", "they", "them", "their", "theirs"}
+#: nominal org references resolvable to the last org ("the company ...")
+_NOMINAL_ORG = {"company", "firm", "organization", "corporation", "group",
+                "agency"}
 
 _MONTHS = {
     "january": 1, "february": 2, "march": 3, "april": 4, "may": 5, "june": 6,
@@ -433,6 +436,12 @@ def annotate_document(text: str, cd: _CompiledDicts,
                     ante[i] = topic_person or last_person
                 elif low in _PRONOUN_ANY and (topic_org or last_org):
                     ante[i] = topic_org or last_org
+                elif (low in _NOMINAL_ORG and i > 0
+                      and lowers[i - 1] == "the"
+                      and (topic_org or last_org)):
+                    # nominal antecedent: "the company" → last org
+                    # (PostIRAnnotator approximate-reference analog)
+                    ante[i] = topic_org or last_org
                 i += 1
         out.append(
             {
@@ -507,3 +516,32 @@ class NlpAnnotator:
             },
             schema=SENTENCES,
         )
+
+
+def doc_ner_stats(sentences):
+    """Per-doc NER tag histogram — the CorpusStats analog
+    (PostIRAnnotator.java:65-120 computes per-document entity statistics
+    before slot filling).  Map-side partial counts (one row per distinct
+    (doc, tag) per batch) shuffle into a small groupby-sum: only
+    histogram rows move, never token lists."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for did, ner in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("ner").to_pylist()):
+            for t in ner:
+                if t != "O":
+                    cnt[(did, t)] += 1
+        keys = sorted(cnt)
+        return pa.table({
+            "doc_id": pa.array([k[0] for k in keys], pa.string()),
+            "ner": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([cnt[k] for k in keys], pa.int64()),
+        })
+
+    return (sentences.map_batches(partial, batch_format="pyarrow")
+            .groupby(["doc_id", "ner"])
+            .aggregate(Sum("n", alias_name="n")))

@@ -76,3 +76,68 @@ def test_feature_cluster_templates():
                       clusters={"born": "7", "paris": "9"})
     assert "between_cluster=7" in feats
     assert "arg2_cluster=9" in feats
+
+
+def test_nominal_org_coref_mention():
+    """'the company' after an org mention resolves to the org and yields
+    an ORGANIZATION coref mention."""
+    from stanford_re_ray.stages.mentions import find_mentions
+    from stanford_re_ray.stages.nlp import (DEFAULT_DICTIONARIES,
+                                            annotate_document)
+
+    cd = DEFAULT_DICTIONARIES.compiled()
+    recs = annotate_document(
+        "Giant Buying Corp hired Anna Smith. The company is large.", cd)
+    second = recs[1]
+    k = second["tokens"].index("company")
+    assert second["antecedents"][k] == "Giant Buying Corp"
+    ms = find_mentions(second["tokens"], second["pos"], second["ner"],
+                       second["antecedents"])
+    orgs = [m for m in ms if m.ner == "ORGANIZATION"]
+    assert any(m.canonical == "Giant Buying Corp" for m in orgs)
+
+
+def test_gold_scorer_memorizes(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from stanford_re_ray.stages.classify import (SCORE_SCALE, GoldScorer,
+                                                 gold_lookup_from_triples)
+
+    gold = pa.table({
+        "subj": ["Ann Smith"], "pred": ["per:employee_of"],
+        "obj": ["Acme Corp"],
+    })
+    ref = ray.put(gold_lookup_from_triples(gold))
+    pairs = pa.table({
+        "subj": ["Ann Smith", "Bo Kim"],
+        "subj_type": ["PERSON", "PERSON"],
+        "obj": ["Acme Corp", "Acme Corp"],
+        "obj_type": ["ORGANIZATION", "ORGANIZATION"],
+        "doc_id": ["d1", "d2"],
+        "sent_idx": pa.array([0, 0], pa.int32()),
+        "subj_begin": pa.array([0, 0], pa.int32()),
+        "subj_end": pa.array([2, 2], pa.int32()),
+        "obj_begin": pa.array([3, 3], pa.int32()),
+        "obj_end": pa.array([5, 5], pa.int32()),
+        "features": pa.array([[1], [2]], pa.list_(pa.int64())),
+    })
+    out = GoldScorer(ref)(pairs)
+    assert out.num_rows == 1
+    assert out.column("rel").to_pylist() == ["per:employee_of"]
+    assert out.column("sum_q").to_pylist() == [SCORE_SCALE]
+
+
+def test_doc_ner_stats(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.fixtures import gen_corpus
+    from stanford_re_ray.pipelines.kg import extract_stage, nlp_stage
+    from stanford_re_ray.stages.nlp import doc_ner_stats
+
+    fx = gen_corpus(10, per_lo=0, per_hi=20, org_lo=0, org_hi=10)
+    sents = nlp_stage(extract_stage(rd.from_arrow(fx.pages)), fx.dicts)
+    stats = doc_ner_stats(sents).to_pandas()
+    assert set(stats.columns) == {"doc_id", "ner", "n"}
+    assert (stats["n"] > 0).all()
+    assert "PERSON" in set(stats["ner"])
