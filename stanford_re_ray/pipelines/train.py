@@ -285,20 +285,29 @@ def train_model_mimlre(
     dicts: Dictionaries | None = None,
     clusters: dict[str, str] | None = None,
     negative_subsample: float = 0.10,
+    mode: str = "auto",
+    n_shards: int = 4,
     **miml_kwargs,
 ):
     """End-to-end MIML-RE training: pages + KB → MimlModel
     (KBPTrainer with ModelType.JOINT_BAYES).  The S1–S4 labeling runs
-    distributed; the EM trainer itself is in-memory over the labeled bags
-    (the training set, ≪ corpus — same size class the reference holds in
-    one JVM)."""
-    from ..stages.miml import train_mimlre
+    distributed; the EM trainer runs in-memory for small labeled sets and
+    switches to the bag-sharded actor trainer above
+    ``SHARDED_FIT_THRESHOLD`` datums (``mode``: auto | memory | sharded —
+    both paths are bit-identical, tests/test_miml_sharded.py)."""
+    from ..stages.miml import train_mimlre, train_mimlre_sharded
 
     docs = extract_stage(pages)
     sentences = nlp_stage(docs, dicts)
     pairs = pairs_stage(sentences, clusters)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl),
-                                negative_subsample, emit_bag_id=True)
+                                negative_subsample,
+                                emit_bag_id=True).materialize()
+    if mode == "sharded" or (
+        mode == "auto" and labeled.count() > SHARDED_FIT_THRESHOLD
+    ):
+        return train_mimlre_sharded(labeled, n_shards=n_shards,
+                                    **miml_kwargs)
     dfs = [b for b in labeled.iter_batches(batch_size=8192,
                                            batch_format="pandas")]
     if not dfs:

@@ -175,34 +175,69 @@ def y_joint_logprob(yW, yB, counts, active_idx, pos_mask,
     return float(np.where(pos_mask, lp1, lp0).sum())
 
 
-def _fit_softmax(flat_c, seg, n, z_labels, n_classes, d_c,
-                 epochs=80, lr=0.5, l2=1e-4):
-    """Deterministic full-batch softmax (multinomial) LR over the compact
-    feature space — the LinearClassifierFactory analog for the z layer."""
+def softmax_grad_block(flat_c, seg, n_local, z_labels, Wc, bias, d_c):
+    """Quantized-integer gradient of the multiclass softmax LR over one
+    datum block (same GRAD_SCALE trick as classify.grad_block — partials
+    from different blocks add associatively, so the bag-sharded MIML fit
+    is bit-identical to the in-memory one)."""
+    from .classify import GRAD_SCALE
+
+    n_classes = Wc.shape[0]
+    S = np.empty((n_classes, n_local), dtype=np.float64)
+    for k in range(n_classes):
+        S[k] = np.bincount(seg, weights=Wc[k][flat_c], minlength=n_local)
+    S += bias[:, None]
+    if n_local:
+        S -= S.max(axis=0, keepdims=True)
+    E = np.exp(S)
+    denom = E.sum(axis=0, keepdims=True)
+    denom[denom == 0] = 1.0
+    P = E / denom
+    onehot = np.zeros((n_classes, n_local), dtype=np.float64)
+    if n_local:
+        onehot[z_labels, np.arange(n_local)] = 1.0
+    resid = onehot - P
+    rq = np.rint(resid * GRAD_SCALE)
+    gq = np.zeros((n_classes, d_c), dtype=np.int64)
+    bq = np.zeros(n_classes, dtype=np.int64)
+    for k in range(n_classes):
+        if len(flat_c):
+            gq[k] = np.bincount(flat_c, weights=rq[k][seg],
+                                minlength=d_c).astype(np.int64)
+        bq[k] = np.int64(rq[k].sum())
+    return gq, bq
+
+
+def softmax_optimize(grad_fn, n_classes, d_c, n, epochs=80, lr=0.5,
+                     l2=1e-4):
+    """Shared momentum-GD driver for the z layer; ``grad_fn(Wc, bias)``
+    returns the GLOBAL quantized gradient (locally computed or summed
+    actor partials)."""
+    from .classify import GRAD_SCALE
+
     Wc = np.zeros((n_classes, d_c), dtype=np.float64)
     bias = np.zeros(n_classes, dtype=np.float64)
     vel_w = np.zeros_like(Wc)
     vel_b = np.zeros(n_classes)
-    onehot = np.zeros((n_classes, n), dtype=np.float64)
-    if n:
-        onehot[z_labels, np.arange(n)] = 1.0
     for _ in range(epochs):
-        S = np.empty((n_classes, n), dtype=np.float64)
-        for k in range(n_classes):
-            S[k] = np.bincount(seg, weights=Wc[k][flat_c], minlength=n)
-        S += bias[:, None]
-        S -= S.max(axis=0, keepdims=True)
-        E = np.exp(S)
-        P = E / E.sum(axis=0, keepdims=True)
-        resid = onehot - P               # (n_classes, n)
-        for k in range(n_classes):
-            grad = np.bincount(flat_c, weights=resid[k][seg], minlength=d_c)
-            grad -= l2 * Wc[k]
-            vel_w[k] = 0.9 * vel_w[k] + grad / max(n, 1)
-            vel_b[k] = 0.9 * vel_b[k] + resid[k].sum() / max(n, 1)
+        gq, bq = grad_fn(Wc, bias)
+        grad = gq.astype(np.float64) / GRAD_SCALE - l2 * Wc
+        vel_w = 0.9 * vel_w + grad / max(n, 1)
+        vel_b = 0.9 * vel_b + (bq.astype(np.float64) / GRAD_SCALE) / max(n, 1)
         Wc += lr * vel_w
         bias += lr * vel_b
     return Wc, bias
+
+
+def _fit_softmax(flat_c, seg, n, z_labels, n_classes, d_c,
+                 epochs=80, lr=0.5, l2=1e-4):
+    """Deterministic full-batch softmax (multinomial) LR over the compact
+    feature space — the LinearClassifierFactory analog for the z layer."""
+    return softmax_optimize(
+        lambda W_, b_: softmax_grad_block(flat_c, seg, n, z_labels,
+                                          W_, b_, d_c),
+        n_classes, d_c, n, epochs=epochs, lr=lr, l2=l2,
+    )
 
 
 def _fit_binary(X: np.ndarray, y: np.ndarray, epochs=150, lr=0.5, l2=1e-4):
@@ -225,15 +260,21 @@ def _fit_binary(X: np.ndarray, y: np.ndarray, epochs=150, lr=0.5, l2=1e-4):
 
 
 class _ZData:
-    """Compact CSR view of the datums with per-bag grouping + fold ids."""
+    """Compact CSR view of the datums with per-bag grouping + fold ids.
+    ``dims`` may be supplied (the GLOBAL feature-dim array) so bag shards
+    share one compact space with the in-memory fit."""
 
-    def __init__(self, datum_features, labels, bag_ids, n_folds):
+    def __init__(self, datum_features, labels, bag_ids, n_folds,
+                 dims: np.ndarray | None = None):
         self.n = len(datum_features)
         self.feats = [np.asarray(f, dtype=np.int64) for f in datum_features]
         flat_all = (np.concatenate(self.feats) if self.feats
                     else np.empty(0, dtype=np.int64))
-        self.dims = (np.unique(flat_all) if flat_all.size
-                     else np.empty(0, dtype=np.int64))
+        if dims is None:
+            self.dims = (np.unique(flat_all) if flat_all.size
+                         else np.empty(0, dtype=np.int64))
+        else:
+            self.dims = dims
         self.d_c = max(len(self.dims), 1)
         remap = np.zeros(D_FEATURES, dtype=np.int64)
         if len(self.dims):
@@ -261,6 +302,20 @@ class _ZData:
                          if (j := _REL_INDEX.get(rel)) is not None}
             self.pos[b] = sorted(labs)
 
+    def fold_selection(self, fold: int, z_lab: np.ndarray):
+        """Re-segmented CSR restricted to OUT-of-fold bags (the training
+        set of fold ``fold``'s z classifier — jackknifing)."""
+        keep = np.zeros(self.n, dtype=bool)
+        for b in self.bag_order:
+            if self.fold_of[b] != fold:
+                keep[self.bags[b]] = True
+        sel = np.nonzero(keep)[0]
+        mask = keep[self.seg]
+        old_to_new = -np.ones(self.n, dtype=np.int64)
+        old_to_new[sel] = np.arange(len(sel))
+        return (self.flat_c[mask], old_to_new[self.seg[mask]], len(sel),
+                z_lab[sel])
+
     def z_scores(self, Wc, bias, idxs):
         """Softmax log-probs of the fold classifier for the given datums:
         returns (len(idxs), n_classes) log P(z|x)."""
@@ -272,6 +327,36 @@ class _ZData:
             lse = np.log(np.exp(s).sum())
             out[j] = s - lse
         return out
+
+
+def icm_bag(lp: np.ndarray, labels: np.ndarray, pos_mask: np.ndarray,
+            active_idx: np.ndarray, yW, yB, y_features):
+    """Stable ICM sweep over ONE bag (inferZLabelsStable, :1528-1633):
+    for each mention in order, pick the z label maximizing
+    logP(z|x) + Σ y-layer log-probs; returns (new_labels, counts, flips).
+    Bag-local by construction — the unit the sharded trainer distributes."""
+    m, n_classes = lp.shape
+    lab = np.asarray(labels, dtype=np.int64).copy()
+    counts = np.bincount(lab, minlength=n_classes)
+    flips = 0
+    for s in range(m):
+        orig = lab[s]
+        best_c, best_lp = orig, -np.inf
+        for c in range(n_classes):
+            counts[orig] -= 1
+            counts[c] += 1
+            logp = lp[s, c] + y_joint_logprob(
+                yW, yB, counts, active_idx, pos_mask, y_features)
+            counts[c] -= 1
+            counts[orig] += 1
+            if logp > best_lp:
+                best_lp, best_c = logp, c
+        if best_c != orig:
+            counts[orig] -= 1
+            counts[best_c] += 1
+            lab[s] = best_c
+            flips += 1
+    return lab, counts, flips
 
 
 def train_mimlre(
@@ -309,18 +394,10 @@ def train_mimlre(
     def fit_fold_classifiers(z_lab_now):
         folds = []
         for f in range(n_folds):
-            keep = np.zeros(zd.n, dtype=bool)
-            for b in zd.bag_order:
-                if zd.fold_of[b] != f:     # train on OUT-of-fold bags
-                    keep[zd.bags[b]] = True
-            sel = np.nonzero(keep)[0]
-            mask = keep[zd.seg]
-            # re-segment the kept datums
-            old_to_new = -np.ones(zd.n, dtype=np.int64)
-            old_to_new[sel] = np.arange(len(sel))
+            flat_f, seg_f, n_f, lab_f = zd.fold_selection(f, z_lab_now)
             folds.append(_fit_softmax(
-                zd.flat_c[mask], old_to_new[zd.seg[mask]], len(sel),
-                z_lab_now[sel], n_classes, zd.d_c, epochs=z_epochs))
+                flat_f, seg_f, n_f, lab_f, n_classes, zd.d_c,
+                epochs=z_epochs))
         return folds
 
     fold_clf = fit_fold_classifiers(z_lab)
@@ -351,25 +428,11 @@ def train_mimlre(
                 lp = zd.z_scores(Wc, bias, idxs)
                 pos = zd.pos[b]
                 pos_mask = np.isin(active_idx, pos)
-                counts = np.bincount(z_lab[idxs], minlength=n_classes)
-                # stable ICM sweep (inferZLabelsStable, :1528-1633)
-                for s, i in enumerate(idxs):
-                    orig = z_lab[i]
-                    best_c, best_lp = orig, -np.inf
-                    for c in range(n_classes):
-                        counts[orig] -= 1
-                        counts[c] += 1
-                        logp = lp[s, c] + y_joint_logprob(
-                            yW, yB, counts, active_idx, pos_mask, y_features)
-                        counts[c] -= 1
-                        counts[orig] += 1
-                        if logp > best_lp:
-                            best_lp, best_c = logp, c
-                    if best_c != orig:
-                        counts[orig] -= 1
-                        counts[best_c] += 1
-                        z_lab[i] = best_c
-                        flips += 1
+                new_lab, counts, f = icm_bag(
+                    lp, z_lab[idxs], pos_mask, active_idx, yW, yB,
+                    y_features)
+                z_lab[idxs] = new_lab
+                flips += f
                 # y datums from the inferred z multiset (addYDatum)
                 for ylab in active:
                     y_X[ylab].append(y_feature_vector(ylab, counts,
@@ -629,3 +692,236 @@ def classify_bags(model: MimlModel,
                 preds[RELATION_NAMES[j]] = 1.0 - noisy.get(j, 1.0)
         out[bag] = preds
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bag-sharded distributed training
+# ---------------------------------------------------------------------------
+# The labeled-bag table is the training set (≪ corpus), but it can still
+# outgrow one machine.  Every part of the EM decomposes over bags or
+# datums: z-layer gradients are quantized-integer sums (associative), the
+# ICM E-step is bag-local, and y-layer datums are one tiny row per
+# (bag, relation).  Shard bags across actors (a bag lives whole in one
+# shard via a content hash of its bag id), keep weights on the driver,
+# and the result is BIT-identical to train_mimlre on the same rows
+# (tests/test_miml_sharded.py).
+#
+# Shard ingest note: each actor reads all blocks and keeps only its
+# bags' rows — fine while the labeled table is object-store resident; at
+# 100 TB the labeled set would be written as parquet partitioned by bag
+# hash so each shard reads only its partition.
+
+class _MimlShardImpl:
+    def __init__(self, block_refs: list, shard_id: int, n_shards: int,
+                 n_folds: int):
+        import pandas as _pd
+        import ray as _ray
+
+        tables = _ray.get(list(block_refs))
+        feats: list[np.ndarray] = []
+        labels: list[set] = []
+        bags: list[str] = []
+        for t in tables:
+            if isinstance(t, _pd.DataFrame):
+                if not len(t.columns):
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            for f, l, b in zip(t.column("features").to_pylist(),
+                               t.column("labels").to_pylist(),
+                               t.column("bag_id").to_pylist()):
+                if zlib.crc32(f"shard:{b}".encode()) % n_shards != shard_id:
+                    continue
+                feats.append(np.asarray(f, dtype=np.int64))
+                labels.append(set(l))
+                bags.append(b)
+        self.feats, self.labels, self.bag_ids = feats, labels, bags
+        self.n_folds = n_folds
+
+    def stats(self):
+        flat = (np.concatenate(self.feats) if self.feats
+                else np.empty(0, dtype=np.int64))
+        dims = np.unique(flat) if flat.size else np.empty(0, dtype=np.int64)
+        pos: set[int] = set()
+        for labs in self.labels:
+            for rel in labs:
+                j = _REL_INDEX.get(rel)
+                if j is not None:
+                    pos.add(j)
+        # per-fold training-set sizes (datums in OUT-of-fold bags)
+        fold_counts = np.zeros(self.n_folds, dtype=np.int64)
+        if self.bag_ids:
+            uniq, cnts = np.unique(self.bag_ids, return_counts=True)
+            for b, n_in_bag in zip(uniq, cnts):
+                f = zlib.crc32(f"fold:{b}".encode()) % self.n_folds
+                for g in range(self.n_folds):
+                    if g != f:
+                        fold_counts[g] += n_in_bag
+        return dims, sorted(pos), len(self.feats), fold_counts
+
+    def prepare(self, dims: np.ndarray) -> bool:
+        self.zd = _ZData(self.feats, self.labels, self.bag_ids,
+                         self.n_folds, dims=dims)
+        self.z_lab = np.full(self.zd.n, NIL_IDX, dtype=np.int64)
+        for b in self.zd.bag_order:
+            if self.zd.pos[b]:
+                self.z_lab[self.zd.bags[b]] = self.zd.pos[b][0]
+        self.naive_lab = self.z_lab.copy()
+        return True
+
+    def fold_grads(self, wbs):
+        """Per-fold quantized gradient partials for the CURRENT labels."""
+        out = []
+        for f, (Wc, bias) in enumerate(wbs):
+            flat_f, seg_f, n_f, lab_f = self.zd.fold_selection(f, self.z_lab)
+            out.append(softmax_grad_block(flat_f, seg_f, n_f, lab_f,
+                                          Wc, bias, self.zd.d_c))
+        return out
+
+    def all_grad(self, wb, use_naive: bool = False):
+        Wc, bias = wb
+        lab = self.naive_lab if use_naive else self.z_lab
+        return softmax_grad_block(self.zd.flat_c, self.zd.seg, self.zd.n,
+                                  lab, Wc, bias, self.zd.d_c)
+
+    def relabel_own_fold(self, wbs) -> bool:
+        """initializeZLabels: replace naive init with own-fold predictions."""
+        for b in self.zd.bag_order:
+            Wc, bias = wbs[self.zd.fold_of[b]]
+            lp = self.zd.z_scores(Wc, bias, self.zd.bags[b])
+            self.z_lab[self.zd.bags[b]] = lp.argmax(axis=1)
+        return True
+
+    def e_step(self, state, y_features, active):
+        wbs, yW, yB = state
+        active_idx = np.asarray(active, dtype=np.int64)
+        flips = 0
+        rows = []
+        for b in self.zd.bag_order:
+            idxs = self.zd.bags[b]
+            Wc, bias = wbs[self.zd.fold_of[b]]
+            lp = self.zd.z_scores(Wc, bias, idxs)
+            pos = self.zd.pos[b]
+            pos_mask = np.isin(active_idx, pos)
+            new_lab, counts, f = icm_bag(lp, self.z_lab[idxs], pos_mask,
+                                         active_idx, yW, yB, y_features)
+            self.z_lab[idxs] = new_lab
+            flips += f
+            rows.append((b, counts, tuple(pos)))
+        return flips, rows
+
+
+def train_mimlre_sharded(
+    labeled,
+    n_shards: int = 4,
+    n_folds: int = 3,
+    em_epochs: int = 8,
+    y_features: tuple = ("atleast_once", "cooc"),
+    z_epochs: int = 80,
+    only_local: bool = False,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> MimlModel:
+    """Distributed MIML-RE over a labeled Dataset (columns features /
+    labels / bag_id — ``label_pairs_stage(..., emit_bag_id=True)``):
+    bags shard across actors, the driver holds only weights and per-epoch
+    integer gradient sums / tiny y rows.  Bit-identical to
+    ``train_mimlre`` on the same rows."""
+    import ray as _ray
+
+    from .classify import GRAD_SCALE
+
+    refs = list(labeled.materialize().to_arrow_refs())
+    Shard = _ray.remote(_MimlShardImpl)
+    actors = [Shard.remote(refs, i, n_shards, n_folds)
+              for i in range(n_shards)]
+    n_classes = R + 1
+    try:
+        stats = _ray.get([a.stats.remote() for a in actors])
+        nonempty = [s[0] for s in stats if len(s[0])]
+        dims = (np.unique(np.concatenate(nonempty)) if nonempty
+                else np.empty(0, dtype=np.int64))
+        d_c = max(len(dims), 1)
+        active = sorted(set().union(*[set(s[1]) for s in stats]))
+        n = sum(s[2] for s in stats)
+        fold_counts = np.zeros(n_folds, dtype=np.int64)
+        for s in stats:
+            fold_counts += s[3]
+        _ray.get([a.prepare.remote(dims) for a in actors])
+
+        def fit_folds():
+            """Lockstep momentum optimizers for every fold: one actor
+            round per epoch returns all folds' partials."""
+            Wcs = [np.zeros((n_classes, d_c)) for _ in range(n_folds)]
+            bs = [np.zeros(n_classes) for _ in range(n_folds)]
+            vws = [np.zeros((n_classes, d_c)) for _ in range(n_folds)]
+            vbs = [np.zeros(n_classes) for _ in range(n_folds)]
+            for _ in range(z_epochs):
+                ref = _ray.put([(Wcs[f], bs[f]) for f in range(n_folds)])
+                parts = _ray.get([a.fold_grads.remote(ref) for a in actors])
+                for f in range(n_folds):
+                    gq = parts[0][f][0].copy()
+                    bq = parts[0][f][1].copy()
+                    for p in parts[1:]:
+                        gq += p[f][0]
+                        bq += p[f][1]
+                    nf = max(int(fold_counts[f]), 1)
+                    grad = gq.astype(np.float64) / GRAD_SCALE - l2 * Wcs[f]
+                    vws[f] = 0.9 * vws[f] + grad / nf
+                    vbs[f] = 0.9 * vbs[f] + (
+                        bq.astype(np.float64) / GRAD_SCALE) / nf
+                    Wcs[f] += lr * vws[f]
+                    bs[f] += lr * vbs[f]
+            return list(zip(Wcs, bs))
+
+        fold_clf = fit_folds()
+        _ray.get([a.relabel_own_fold.remote(_ray.put(fold_clf))
+                  for a in actors])
+
+        yW = np.zeros((R, Y_DIM), dtype=np.float64)
+        yB = np.zeros(R, dtype=np.float64)
+        yW[:, _F_ATLEAST] = BIG_WEIGHT
+        yW[:, _F_NONE] = -BIG_WEIGHT
+
+        if not only_local and n:
+            for _epoch in range(em_epochs):
+                ref = _ray.put((fold_clf, yW, yB))
+                parts = _ray.get([
+                    a.e_step.remote(ref, y_features, active)
+                    for a in actors
+                ])
+                flips = sum(p[0] for p in parts)
+                rows = sorted((r for p in parts for r in p[1]),
+                              key=lambda r: r[0])
+                if flips == 0:
+                    break
+                fold_clf = fit_folds()
+                for j in active:
+                    X = np.stack([y_feature_vector(j, counts, y_features)
+                                  for _b, counts, _pos in rows])
+                    y = np.asarray([1.0 if j in pos else 0.0
+                                    for _b, _c, pos in rows])
+                    w, b_ = _fit_binary(X, y)
+                    yW[j], yB[j] = w, b_
+
+        def all_grad_fn(Wc, bias):
+            ref = _ray.put((Wc, bias))
+            parts = _ray.get([
+                a.all_grad.remote(ref, only_local) for a in actors
+            ])
+            gq = parts[0][0].copy()
+            bq = parts[0][1].copy()
+            for g2, b2 in parts[1:]:
+                gq += g2
+                bq += b2
+            return gq, bq
+
+        Wc_all, bias_all = softmax_optimize(
+            all_grad_fn, n_classes, d_c, n, epochs=z_epochs, lr=lr, l2=l2)
+    finally:
+        for a in actors:
+            _ray.kill(a)
+    zw = np.zeros((n_classes, D_FEATURES), dtype=np.float32)
+    zw[:, dims] = Wc_all.astype(np.float32)
+    return MimlModel(zw, bias_all.astype(np.float32),
+                     yW.astype(np.float32), yB.astype(np.float32),
+                     y_features=y_features)
