@@ -86,6 +86,72 @@ def _det_centroids(dim: int, n: int) -> np.ndarray:
     return c / norms
 
 
+def ivf_build(
+    embeddings: ray.data.Dataset,
+    out_dir: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index build — the scale path made concrete: assign each vector
+    to its nearest deterministic centroid and WRITE the table as Parquet
+    partitioned by list id (one directory per inverted list).  Probing
+    then reads only ``n_probe / n_lists`` of the data from storage."""
+    def assign(batch: pa.Table, dim_cache={}) -> pa.Table:
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            return batch.append_column("ivf_list",
+                                       pa.array([], pa.int32()))
+        dim = vecs.shape[1]
+        cc = dim_cache.get(dim)
+        if cc is None:
+            cc = _det_centroids(dim, n_lists)
+            dim_cache[dim] = cc
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((vecs / norms) @ cc.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    embeddings.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ivf_list"]
+    )
+
+
+def ivf_topk_pruned(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Partition-pruned IVF search over an ``ivf_build`` index: ONLY the
+    ``n_probe`` nearest lists' Parquet partitions are read from storage
+    (directory-level pruning — the other lists never leave disk), then
+    exact cosine rank within them."""
+    import ray.data as rd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    cents = _det_centroids(len(qn), n_lists)
+    probe_lists = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    import os
+
+    shards = [f"{index_dir}/ivf_list={int(p)}" for p in probe_lists]
+    files: list[str] = []
+    for s in shards:
+        if os.path.isdir(s):
+            files.extend(sorted(
+                os.path.join(s, f) for f in os.listdir(s)
+                if f.endswith(".parquet")
+            ))
+    if not files:
+        return pa.table({id_col: [], "cosine": []})
+    probed = rd.read_parquet(files, columns=[id_col, vec_col])
+    return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
 def ivf_topk(
     embeddings: ray.data.Dataset,
     query_vec: np.ndarray,
@@ -97,8 +163,8 @@ def ivf_topk(
 ) -> pa.Table:
     """IVF-style ANN: assign each vector to its nearest deterministic
     centroid (map_batches), filter to the query's ``n_probe`` nearest lists,
-    exact-rank only those.  At scale the assignment is written partitioned
-    by list id so probing reads only n_probe/n_lists of the data."""
+    exact-rank only those.  ``ivf_build`` + ``ivf_topk_pruned`` are the
+    persisted variant where probing prunes at the STORAGE level."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     cents = _det_centroids(len(qn), n_lists)

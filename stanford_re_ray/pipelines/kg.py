@@ -143,21 +143,34 @@ def score_stage(pairs: ray.data.Dataset, model: LRModel,
     )
 
 
-def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64) -> ray.data.Dataset:
+def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64,
+              tree_combine_blocks: int = 32) -> ray.data.Dataset:
     """S6: bag formation + label aggregation — shuffle #1, key = KBPair
     (Featurizer.java:38-70 / OneVsAllRelationExtractor.classifyRelations).
 
     Physically: a map-side COMBINER (fused into the scorer's task chain)
     collapses each batch to one row per (pair, rel) before the exchange,
-    the shuffle moves only those partials keyed by an int hash bucket, and
-    the reduce merges them vectorized.  Quantized int64 scores keep the
-    merge associative → bit-identical results at any parallelism."""
+    a TREE-COMBINE round coalesces the partials into
+    ``tree_combine_blocks`` larger blocks and combines again (each level
+    caps partial rows at blocks × distinct-pairs — the first level alone
+    leaves ~0.7 rows per input mention when pairs repeat across the
+    corpus, and the all-to-all sort is the measured S6 bottleneck at that
+    size), then the shuffle moves only the collapsed partials keyed by an
+    int hash bucket and the reduce merges them vectorized.  Quantized
+    int64 scores keep every merge associative → bit-identical results at
+    any parallelism."""
     from ..stages.classify import bag_reduce_bucket, partial_bag_combine
 
     partials = scored.map_batches(
         lambda df, _n=n_buckets: partial_bag_combine(df, _n),
         batch_format="pandas",
     )
+    if tree_combine_blocks:
+        partials = partials.repartition(tree_combine_blocks).map_batches(
+            lambda df, _n=n_buckets: partial_bag_combine(
+                df.drop(columns=["__bucket"], errors="ignore"), _n),
+            batch_format="pandas",
+        )
     return partials.groupby("__bucket").map_groups(
         bag_reduce_bucket, batch_format="pandas"
     )

@@ -642,10 +642,11 @@ def miml_score_stage(pairs, model: MimlModel):
 
 
 def miml_bag_stage(scored, model: MimlModel, n_buckets: int = 64,
-                   threshold: float = 0.5):
-    """S6 (MIML variant): map-side combiner → bucket shuffle → y-layer bag
-    reduce.  The y weights are tiny ((R, 3+R) floats) and ride in the
-    reduce closure."""
+                   threshold: float = 0.5, tree_combine_blocks: int = 32):
+    """S6 (MIML variant): map-side combiner → tree-combine round →
+    bucket shuffle → y-layer bag reduce (same shuffle-shrinking shape as
+    ``pipelines.kg.bag_stage``).  The y weights are tiny ((R, 3+R)
+    floats) and ride in the reduce closure."""
     yw = model.y_weights.astype(np.float64)
     yb = model.y_bias.astype(np.float64)
     yf = model.y_features
@@ -653,6 +654,12 @@ def miml_bag_stage(scored, model: MimlModel, n_buckets: int = 64,
         lambda df, _n=n_buckets: _miml_combine(df, _n),
         batch_format="pandas",
     )
+    if tree_combine_blocks:
+        partials = partials.repartition(tree_combine_blocks).map_batches(
+            lambda df, _n=n_buckets: _miml_combine(
+                df.drop(columns=["__bucket"], errors="ignore"), _n),
+            batch_format="pandas",
+        )
     return partials.groupby("__bucket").map_groups(
         lambda g: miml_bag_reduce(g, yw, yb, yf, threshold),
         batch_format="pandas",

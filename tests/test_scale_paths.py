@@ -195,3 +195,29 @@ def test_hash_join_skew_salting(ray_session):
 
     with pytest.raises(ValueError):
         hash_join(left, right, on="k", how="semi", salt_keys={7: 2})
+
+
+def test_ivf_pruned_matches_inline(ray_session, tmp_path):
+    """ivf_build + ivf_topk_pruned (storage-level partition pruning) must
+    return the same ids as the inline ivf_topk on the same data."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.similarity import (ivf_build, ivf_topk,
+                                                      ivf_topk_pruned)
+    from stanford_re_ray.pipelines.analytics import _query_vector
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = _query_vector(sf)
+    inline = ivf_topk(emb, q, k=10)
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(emb, idx_dir)
+    pruned = ivf_topk_pruned(idx_dir, q, k=10)
+    assert pruned.column("vec_id").to_pylist() == \
+        inline.column("vec_id").to_pylist()
+    # pruning is real: fewer partition dirs read than exist
+    import os
+
+    parts = [d for d in os.listdir(idx_dir) if d.startswith("ivf_list=")]
+    assert len(parts) > 4  # more lists on disk than the 4 probed
