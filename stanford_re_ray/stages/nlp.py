@@ -195,6 +195,23 @@ def _is_cap(tok: str) -> bool:
     return bool(tok) and tok[0].isupper() and any(c.isalpha() for c in tok)
 
 
+def _approx_org_match(run: tuple, org_seen: list) -> str | None:
+    """Approximate org-name matching (the RuleBasedNameMatcher /
+    PostIRAnnotator approximate-reference analog): a STRICTLY-shorter org
+    mention whose tokens are an ordered subsequence of a previously seen
+    org name — sharing its FIRST token — refers to it
+    ("Giant Corp" → "Giant Buying Corp"; "Stanford" → "Stanford
+    University").  Most-recent match wins; first-token equality keeps
+    precision ("Buying Corp" does NOT link)."""
+    for full_tokens, full in org_seen:
+        if len(run) >= len(full_tokens) or run[0] != full_tokens[0]:
+            continue
+        it = iter(full_tokens)
+        if all(t in it for t in run):
+            return full
+    return None
+
+
 #: token-level POS/lemma memos: the token vocabulary is Zipfian, so the
 #: same strings recur constantly; bounded per worker process
 _POS_CACHE: dict[str, str] = {}
@@ -356,6 +373,9 @@ def annotate_document(text: str, cd: _CompiledDicts,
     # CorpusStats acronym/approximate-name matching analog): "IBM" after
     # "International Business Machines" canonicalizes to the full name
     acronym_to_full: dict[str, str] = {}
+    # (full_tokens, full_surface) of multi-token orgs, most recent first —
+    # the approximate-name table ("Giant Corp" → "Giant Buying Corp")
+    org_seen: list[tuple[tuple[str, ...], str]] = []
     for s_idx, sent in enumerate(sents):
         tokens = tokenize(sent)
         if not tokens:
@@ -412,11 +432,21 @@ def annotate_document(text: str, cd: _CompiledDicts,
                 while j < n and ner[j] == "ORGANIZATION":
                     j += 1
                 org = " ".join(tokens[i:j])
-                if j - i >= 2:
+                run = tuple(tokens[i:j])
+                approx = _approx_org_match(run, org_seen)
+                if approx is not None:
+                    # shorter reference to an org already seen in-doc
+                    # (approximate-name matching, PostIRAnnotator analog)
+                    for k in range(i, j):
+                        ante[k] = approx
+                    last_org = approx
+                elif j - i >= 2:
                     acr = "".join(w[0] for w in tokens[i:j]
                                   if w[:1].isupper()).upper()
                     if len(acr) >= 2:
                         acronym_to_full.setdefault(acr, org)
+                    org_seen.insert(0, (run, org))
+                    del org_seen[50:]  # bounded per doc
                     last_org = org
                 elif tokens[i] in acronym_to_full:
                     # bare acronym of an org already seen in this doc:

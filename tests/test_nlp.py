@@ -108,3 +108,24 @@ def test_acronym_coref_links_to_full_org():
     recs2 = annotate_document("GBC said the plan works.", cd)
     k2 = recs2[0]["tokens"].index("GBC")
     assert recs2[0]["antecedents"][k2] == ""
+
+
+def test_approximate_org_name_matching():
+    """A strictly-shorter org mention sharing the first token of a seen
+    org links to the full name; non-prefix fragments do not."""
+    from stanford_re_ray.stages.nlp import (DEFAULT_DICTIONARIES,
+                                            annotate_document)
+
+    cd = DEFAULT_DICTIONARIES.compiled()
+    recs = annotate_document(
+        "Giant Buying Corp opened a store. Giant Corp hired Anna Smith.",
+        cd)
+    second = recs[1]
+    k = second["tokens"].index("Giant")
+    assert second["antecedents"][k] == "Giant Buying Corp"
+    # distinct org with a different first token must NOT link
+    recs2 = annotate_document(
+        "Giant Buying Corp opened a store. Micro Buying Corp did not.", cd)
+    r2 = recs2[1]
+    k2 = r2["tokens"].index("Micro")
+    assert r2["antecedents"][k2] == ""
