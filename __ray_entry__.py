@@ -180,6 +180,16 @@ def kg_triples_mimlre(sf_dir: str):
                                 dicts=test.dicts, clusters=test.clusters)
 
 
+def kg_doc_ner_stats(sf_dir: str):
+    """Per-doc NER histograms over the fixture pages (CorpusStats analog;
+    rows-only — NER is not SQL-expressible)."""
+    from stanford_re_ray.pipelines.kg import extract_stage, nlp_stage
+    from stanford_re_ray.stages.nlp import doc_ner_stats
+
+    pages, test = _kg_pages(sf_dir)
+    return doc_ner_stats(nlp_stage(extract_stage(pages), test.dicts))
+
+
 def kg_extract_text(sf_dir: str):
     """Byte-identity surface: url + sha256 of frozen-extractor output over
     the fixture pages (matches the stored golden text column)."""
@@ -360,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_ann_topk": A.q12_ann_topk,
         "q20_semi_join": A.q20_semi_join,
         "q21_sessions": A.q21_sessions,
+        "q25_bpe_tokens": A.q25_bpe_tokens,
+        "q26_sliding_windows": A.q26_sliding_windows,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -377,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_triples_mimlre": kg_triples_mimlre,
+        "kg_doc_ner_stats": kg_doc_ner_stats,
         "kg_extract_text": kg_extract_text,
     }
 
@@ -477,6 +490,30 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(q.embedding AS DOUBLE[])) DESC,
                      e.vec_id
             LIMIT 10
+        """,
+        "q25_bpe_tokens": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                     AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q26_sliding_windows": """
+            WITH ev AS (
+              -- epoch_us + integer floor: CAST(epoch(ts) AS BIGINT) would
+              -- ROUND fractional seconds and can cross a hop boundary
+              SELECT user_id, epoch_us(ts) AS us, value FROM events),
+            exp AS (
+              SELECT user_id, (us // 1800000000) * 1800 AS window_start,
+                     value
+              FROM ev
+              UNION ALL
+              SELECT user_id,
+                     (us // 1800000000) * 1800 - 1800 AS window_start,
+                     value
+              FROM ev)
+            SELECT user_id, window_start, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM exp GROUP BY user_id, window_start
         """,
         "q23_ngram_jaccard_exact": """
             WITH d AS (

@@ -325,3 +325,57 @@ def q21_sessions(sf_dir: str) -> pa.Table:
     out["n_events"] = out["n_events"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q25_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Regex (BPE-ish) token counts — the second tokenizer of
+    token_count_batch, value-checked against DuckDB regexp_extract_all."""
+    from ..functions.textstats import token_count_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(token_count_batch, batch_format="pyarrow")
+    df = out.to_pandas()[["doc_id", "n_bpe_tokens"]]
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+_SLIDE_WIDTH_S = 3600
+_SLIDE_HOP_S = 1800
+
+
+def q26_sliding_windows(sf_dir: str) -> pa.Table:
+    """SLIDING 1-hour windows hopping every 30 min per user: each event
+    lands in exactly width/hop = 2 windows, emitted vectorized in
+    map_batches (the flat-emit shape of a hopping-window aggregate), then
+    one groupby — no per-window passes over the data."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    hop_us = _SLIDE_HOP_S * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        base = pc.multiply(pc.divide(us, hop_us), _SLIDE_HOP_S)
+        prev = pc.subtract(base, pa.scalar(_SLIDE_HOP_S, pa.int64()))
+        uid = batch.column("user_id")
+        val = batch.column("value")
+        return pa.table({
+            "user_id": pa.concat_arrays(
+                [uid.combine_chunks(), uid.combine_chunks()]),
+            "window_start": pa.concat_arrays(
+                [base.combine_chunks(), prev.combine_chunks()]),
+            "value": pa.concat_arrays(
+                [val.combine_chunks(), val.combine_chunks()]),
+        })
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = np.round(out["sum_value"], 6)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
