@@ -69,6 +69,15 @@ def hash_join(
     max_salt = max(salt_keys.values(), default=1)
     ls = left.schema()
     rs = right.schema()
+    # an empty dataset downstream of a transform has no inferable schema;
+    # resolve the join degenerately rather than crash
+    if ls is None:
+        return left            # no left rows → no output rows
+    if rs is None:
+        if how in ("left", "anti"):
+            return left        # every left row survives (right is empty);
+                               # the unknowable right columns are omitted
+        return left.limit(0)   # inner/semi with empty right → empty
     l_cols = list(ls.names)
     r_cols = list(rs.names)
     types = {n: t for n, t in zip(ls.names, ls.types)}

@@ -221,3 +221,52 @@ def test_ivf_pruned_matches_inline(ray_session, tmp_path):
 
     parts = [d for d in os.listdir(idx_dir) if d.startswith("ivf_list=")]
     assert len(parts) > 4  # more lists on disk than the 4 probed
+
+
+def test_empty_corpus_pipeline(ray_session):
+    """Zero extracted triples must flow through S6-S8 without crashing
+    (regression: the driver-side small-graph path used to KeyError on the
+    column-less empty table)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.fixtures import gen_corpus
+    from stanford_re_ray.pipelines.kg import run_kg_pipeline
+    from stanford_re_ray.pipelines.train import train_model
+
+    train = gen_corpus(30, per_lo=0, per_hi=30, org_lo=0, org_hi=15)
+    model = train_model(rd.from_arrow(train.pages).repartition(2), train.kb,
+                        dicts=train.dicts, clusters=train.clusters,
+                        negative_subsample=1.0, epochs=20)
+    empty_pages = rd.from_arrow(pa.table({
+        "url": pa.array([], pa.string()),
+        "warc_ts": pa.array([], pa.timestamp("us")),
+        "html": pa.array([], pa.binary()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    }))
+    res = run_kg_pipeline(empty_pages, model, dicts=train.dicts,
+                          clusters=train.clusters)
+    assert res["triples"].count() == 0
+    assert res["nodes"].count() == 0
+    assert res["edges"].count() == 0
+
+
+def test_hash_join_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "lv": pa.array([10, 20], pa.int64())}))
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                    "rv": pa.array([], pa.int64())}))
+    assert hash_join(left, empty, on="k").count() == 0
+    assert hash_join(left, empty, on="k", how="left").count() == 2
+    assert hash_join(left, empty, on="k", how="anti").count() == 2
+    assert hash_join(empty.map_batches(
+        lambda b: b.rename_columns(["k", "lv"]), batch_format="pyarrow"),
+        left.map_batches(lambda b: b.rename_columns(["k", "rv"]),
+                         batch_format="pyarrow"),
+        on="k").count() == 0
