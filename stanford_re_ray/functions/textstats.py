@@ -16,7 +16,12 @@ import pyarrow.compute as pc
 
 # --- token counting --------------------------------------------------------
 
-_BPE_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# explicit ASCII classes (not \w/\s): Python's re is Unicode-aware while
+# the DuckDB oracle's RE2 is ASCII-only, so 'café' would tokenize
+# differently under \w; the explicit classes agree byte-for-byte in both
+# engines regardless of corpus (ADVICE r02).  \v is listed explicitly
+# because RE2's \s excludes it while Python's ASCII \s includes it.
+_BPE_RE = re.compile(r"[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\r\f\v]")
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:

@@ -27,6 +27,15 @@ def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _row_count(sf_dir: str, table: str) -> int:
+    """Row count straight from the Parquet footer metadata — no data pass,
+    no Ray tasks.  Used for broadcast-vs-shuffle plan guards (a ds.count()
+    there would cost a full extra read of the table)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def q01_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H-Q1-style grouped aggregation (map-side partials inside Ray's
     groupby.aggregate; only partials shuffle)."""
@@ -70,7 +79,7 @@ def q02_revenue_by_nation(sf_dir: str) -> pa.Table:
     cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    if cust_ds.count() > BROADCAST_DIM_LIMIT:
+    if _row_count(sf_dir, "customer") > BROADCAST_DIM_LIMIT:
         # customer is no longer broadcastable: nation (tiny) still
         # broadcasts onto customer, then orders ⋈ customer hash-joins
         dim_ds = broadcast_join(

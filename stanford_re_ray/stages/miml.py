@@ -534,6 +534,10 @@ class MimlScorer:
         E = np.exp(S)
         P = E / E.sum(axis=1, keepdims=True)
         zstar = P.argmax(axis=1)
+        # a featureless mention has uniform P so argmax lands on relation
+        # index 0; treat it as NIL (mirrors MentionScorer's p>threshold
+        # drop) so it is neither kept nor counted in COOC/UNIQUE features
+        zstar[lens == 0] = NIL_IDX
         pstar = P[np.arange(n), zstar]
         keep_idx = np.nonzero(zstar != NIL_IDX)[0]
         rels = [Z_LABELS[z] for z in zstar[keep_idx]]
@@ -680,6 +684,11 @@ def classify_bags(model: MimlModel,
         noisy: dict[int, float] = {}
         for ids in datums:
             ids = np.asarray(ids, dtype=np.int64)
+            if ids.size == 0:
+                # featureless mention: uniform softmax would argmax to
+                # relation 0; count it as NIL like the distributed scorer
+                counts[NIL_IDX] += 1
+                continue
             s = model.z_weights[:, ids].sum(axis=1) + model.z_bias
             s = s - s.max()
             p = np.exp(s)
