@@ -232,7 +232,7 @@ def _minhash_groups(sf_dir: str):
     def fmt(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "band_id": batch.column("band_id").cast(pa.int32()),
+                "band_id": batch.column("band_id").cast(pa.int64()),
                 "band_hash": batch.column("band_hash"),
                 "rep": batch.column("rep").cast(pa.int64()),
                 "n_docs": pa.array(
@@ -278,7 +278,9 @@ def _embedding_neardup(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    return dataset_to_table(embedding_neardup_pairs(emb, threshold=0.95))
+    # 0.4 (not the production 0.95) so the oracle comparison has non-empty
+    # rows to value-check on the synthetic embeddings
+    return dataset_to_table(embedding_neardup_pairs(emb, threshold=0.4))
 
 
 def _langid(sf_dir: str):
@@ -556,5 +558,175 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8],'little')
+        # and md5_number_lower(s) == int.from_bytes(md5(s)[8:],'little'),
+        # which lets SQL reproduce the engine's md5-derived MinHash params,
+        # shingle ids, band hashes and per-word SimHash bits exactly.
+        "q13_minhash_lsh_groups": """
+            WITH params AS (
+              SELECT i,
+                     (md5_number_upper('minhash:7:' || i) % 2147483646) + 1
+                       AS a,
+                     md5_number_lower('minhash:7:' || i) % 2147483647 AS b
+              FROM range(64) t(i)),
+            docs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(
+                       ws[CAST(j AS BIGINT)+1 : CAST(j AS BIGINT)+5], ' ')
+                       AS gram
+              FROM docs,
+                   LATERAL (SELECT unnest(range(greatest(1, len(ws) - 4)))
+                            AS j) u
+              WHERE len(ws) > 0),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_upper(gram) % 2147483647 AS x
+              FROM grams),
+            sig AS (
+              SELECT doc_id, p.i, min((p.a * x + p.b) % 2147483647) AS mh
+              FROM sh, params p GROUP BY doc_id, p.i),
+            bands AS (
+              SELECT doc_id, CAST(i // 4 AS BIGINT) AS band_id,
+                     substr(md5(string_agg(CAST(mh AS VARCHAR), ':'
+                                           ORDER BY i)), 1, 16) AS band_hash
+              FROM sig GROUP BY doc_id, i // 4
+              UNION ALL
+              -- shingle-less docs: signature = [p, p, p, p] per band
+              SELECT doc_id, CAST(b AS BIGINT) AS band_id,
+                     substr(md5('2147483647:2147483647:2147483647:2147483647'),
+                            1, 16) AS band_hash
+              FROM docs, LATERAL (SELECT unnest(range(16)) AS b) v
+              WHERE len(ws) = 0)
+            SELECT band_id, band_hash, min(doc_id) AS rep,
+                   count(*) AS n_docs
+            FROM bands GROUP BY band_id, band_hash HAVING count(*) >= 2
+            ORDER BY band_id, band_hash
+        """,
+        "q14_simhash": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents),
+            wh AS (SELECT doc_id, md5_number_upper(word) AS h FROM w),
+            bitsum AS (
+              -- bit position i maps to digest byte i//8, bit 7-(i%8)
+              -- (numpy unpackbits order)
+              SELECT doc_id, b.i,
+                     SUM(CASE WHEN (h >> (8*(b.i // 8) + 7 - (b.i % 8)))
+                              & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM wh, (SELECT unnest(range(64)) AS i) b
+              GROUP BY doc_id, b.i),
+            sim0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN acc > 0 THEN
+                          (CAST(1 AS UBIGINT) << CAST(i AS INTEGER))
+                          ELSE 0 END) AS UBIGINT) AS v
+              FROM bitsum GROUP BY doc_id)
+            SELECT d.doc_id,
+                   lpad(lower(hex(COALESCE(s.v, CAST(0 AS UBIGINT)))),
+                        16, '0') AS simhash
+            FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        "q16_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            dims AS (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))
+                     AS dim),
+            bits AS (SELECT unnest(range(3)) AS bit),
+            proj AS (
+              -- md5_number_upper/2^63 - 1 reproduces the engine's
+              -- deterministic sign-LSH projection matrix bitwise
+              SELECT dim, bit,
+                     CAST(md5_number_upper('proj:' || dim || ':' || bit)
+                          AS DOUBLE) / 9223372036854775808.0 - 1.0 AS w
+              FROM dims, bits),
+            dots AS (
+              SELECT e.vec_id, p.bit,
+                     SUM(e.v[CAST(p.dim AS BIGINT)+1] * p.w) AS dot
+              FROM e, proj p GROUP BY e.vec_id, p.bit),
+            buckets AS (
+              SELECT vec_id,
+                     SUM(CASE WHEN dot > 0
+                         THEN (1 << CAST(bit AS INTEGER)) ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY vec_id)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
+              AND NOT isnan(list_cosine_similarity(ea.v, eb.v))
+            ORDER BY vec_a, vec_b
+        """,
+        "q17_langid": """
+            WITH m(lang, mw) AS (VALUES
+              ('de', ['der','die','das','und','ist','nicht','ein','mit',
+                      'für','auf']),
+              ('en', ['the','and','of','to','is','in','that','it','was',
+                      'for']),
+              ('es', ['el','los','las','es','una','para','que','con','por',
+                      'del']),
+              ('fr', ['le','la','les','et','est','une','pour','dans','que',
+                      'pas'])),
+            d AS (
+              SELECT doc_id,
+                     list_distinct(
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')[1:200]) AS ws
+              FROM documents),
+            scores AS (
+              SELECT doc_id, lang, len(list_intersect(ws, mw)) AS n
+              FROM d, m),
+            pick AS (
+              SELECT doc_id, lang, n,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, lang ASC) AS rn
+              FROM scores)
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN lang ELSE 'unknown' END AS pred_lang
+            FROM pick WHERE rn = 1 ORDER BY doc_id
+        """,
+        "q22_simhash_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                                                           '\\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents),
+            wh AS (SELECT doc_id, md5_number_upper(word) AS h FROM w),
+            bitsum AS (
+              SELECT doc_id, b.i,
+                     SUM(CASE WHEN (h >> (8*(b.i // 8) + 7 - (b.i % 8)))
+                              & 1 = 1 THEN 1 ELSE -1 END) AS acc
+              FROM wh, (SELECT unnest(range(64)) AS i) b
+              GROUP BY doc_id, b.i),
+            sim0 AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN acc > 0 THEN
+                          (CAST(1 AS UBIGINT) << CAST(i AS INTEGER))
+                          ELSE 0 END) AS UBIGINT) AS v
+              FROM bitsum GROUP BY doc_id),
+            sim AS (
+              SELECT d.doc_id, COALESCE(s.v, CAST(0 AS UBIGINT)) AS v
+              FROM documents d LEFT JOIN sim0 s ON d.doc_id = s.doc_id)
+            -- 4x16-bit band blocking is pigeonhole-complete for hamming
+            -- <= 3, so the engine's blocked+verified pairs equal this
+            -- exact all-pairs filter
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+            ORDER BY doc_a, doc_b
         """,
     }

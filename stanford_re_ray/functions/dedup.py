@@ -66,6 +66,28 @@ def _shingles(text: str, k: int = 5) -> set[int]:
 _MERSENNE = (1 << 31) - 1  # 31-bit prime: a*x fits in uint64 → vectorizable
 
 
+def _shingles_md5(text: str, k: int = 5) -> set[int]:
+    """Word k-shingles as md5-derived uint64 ids: first 8 digest bytes,
+    little-endian — exactly DuckDB's ``md5_number_upper``, which is what
+    makes the whole MinHash+LSH pipeline value-checkable against a
+    pure-SQL oracle (q13).  Same shingling rules as ``_shingles``:
+    lowercase words, k-grams, whole text as one shingle when shorter
+    than k words."""
+    words = text.lower().split()
+    if not words:
+        return set()
+    if len(words) < k:
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return {
+        int.from_bytes(
+            hashlib.md5(g.encode("utf-8", "surrogatepass")).digest()[:8],
+            "little")
+        for g in grams
+    }
+
+
 def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) parameter vectors derived from a seed via md5 —
     no RNG state, reproducible everywhere."""
@@ -108,10 +130,16 @@ class MinHasher:
         for did, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            sig = minhash_signature(_shingles(text or "", self.k), self.a, self.b)
+            sig = minhash_signature(_shingles_md5(text or "", self.k),
+                                    self.a, self.b)
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
+                # band hash over the DECIMAL rendering (not tobytes): the
+                # SQL oracle reproduces it as
+                # md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i))
+                h = hashlib.md5(
+                    ":".join(str(int(v)) for v in chunk).encode()
+                ).hexdigest()[:16]
                 doc_ids.append(did)
                 band_ids.append(band)
                 band_hashes.append(h)

@@ -65,7 +65,10 @@ SQL_CHECKED = [
     "q04_distinct_brands", "q05_events_hourly", "q06_filtered_revenue",
     "q07_join_revenue_by_priority", "q08_customers_without_orders",
     "q09_exact_dedup", "q10_token_counts", "q11_quality_stats",
-    "q12_ann_topk", "q20_semi_join", "q21_sessions",
+    "q12_ann_topk", "q13_minhash_lsh_groups", "q14_simhash",
+    "q16_embedding_neardup", "q17_langid", "q20_semi_join", "q21_sessions",
+    "q22_simhash_pairs", "q23_ngram_jaccard_exact",
+    "q24_embedding_cosine_exact", "q25_bpe_tokens", "q26_sliding_windows",
 ]
 
 
@@ -82,9 +85,7 @@ def test_sql_checked_query(entrymod, duck, name):
 
 
 ROWS_ONLY = [
-    "q13_minhash_lsh_groups", "q14_simhash", "q15_ngram_jaccard_pairs",
-    "q16_embedding_neardup", "q17_langid", "q18_fingerprints", "q19_ivf_topk",
-    "q22_simhash_pairs",
+    "q15_ngram_jaccard_pairs", "q18_fingerprints", "q19_ivf_topk",
 ]
 
 
