@@ -105,6 +105,7 @@ def pairs_stage(
     batch_size: int = 512,
     max_pair_distance: int | None = None,
     max_sent_tokens: int | None = None,
+    kb_fills: dict | None = None,
 ) -> ray.data.Dataset:
     """S3+S4 fused: mentions + pair generation + features (sentence-local).
 
@@ -112,10 +113,15 @@ def pairs_stage(
     scheduling.  Only the NLP stage holds real per-actor state; extra
     actor pools pin min-actors and can starve the all-to-all operators on
     small clusters (observed deadlock at num_cpus=4 with 3 chained pools).
+
+    ``kb_fills`` (train path): subj_lower → fills map from
+    ``stages.pairs.kb_fills_lookup``, broadcast once; enables KB-known
+    slot matching with alternate values inside pair generation.
     """
     from ..stages import pairs as pairs_mod
 
     clusters_ref = ray.put(clusters) if clusters is not None else None
+    kb_fills_ref = ray.put(kb_fills) if kb_fills else None
     return sentences.map_batches(
         PairFeaturizer(
             clusters_ref,
@@ -124,6 +130,7 @@ def pairs_stage(
                                else pairs_mod.MAX_PAIR_DISTANCE),
             max_sent_tokens=(max_sent_tokens if max_sent_tokens is not None
                              else pairs_mod.MAX_SENT_TOKENS),
+            kb_fills_ref=kb_fills_ref,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

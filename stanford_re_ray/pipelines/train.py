@@ -269,12 +269,23 @@ def train_model(
     dicts: Dictionaries | None = None,
     clusters: dict[str, str] | None = None,
     negative_subsample: float = 0.10,
+    kb_slot_matching: bool = True,
     **fit_kwargs,
 ) -> LRModel:
-    """End-to-end: pages + KB → trained LRModel."""
+    """End-to-end: pages + KB → trained LRModel.
+
+    ``kb_slot_matching`` (default on, as in the reference train path)
+    string-matches known KB fills — including alternate values: year-only
+    dates, first+last person names — directly into sentences during pair
+    generation, recovering distant-supervision positives NER missed
+    (RelationMentionAnnotator.java:104-205,407-466)."""
+    from ..stages.pairs import kb_fills_lookup
+
     docs = extract_stage(pages)
     sentences = nlp_stage(docs, dicts)
-    pairs = pairs_stage(sentences, clusters)
+    pairs = pairs_stage(
+        sentences, clusters,
+        kb_fills=kb_fills_lookup(kb_tbl) if kb_slot_matching else None)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl), negative_subsample)
     return fit_from_labeled(labeled, **fit_kwargs)
 
@@ -287,6 +298,7 @@ def train_model_mimlre(
     negative_subsample: float = 0.10,
     mode: str = "auto",
     n_shards: int = 4,
+    kb_slot_matching: bool = True,
     **miml_kwargs,
 ):
     """End-to-end MIML-RE training: pages + KB → MimlModel
@@ -296,10 +308,13 @@ def train_model_mimlre(
     ``SHARDED_FIT_THRESHOLD`` datums (``mode``: auto | memory | sharded —
     both paths are bit-identical, tests/test_miml_sharded.py)."""
     from ..stages.miml import train_mimlre, train_mimlre_sharded
+    from ..stages.pairs import kb_fills_lookup
 
     docs = extract_stage(pages)
     sentences = nlp_stage(docs, dicts)
-    pairs = pairs_stage(sentences, clusters)
+    pairs = pairs_stage(
+        sentences, clusters,
+        kb_fills=kb_fills_lookup(kb_tbl) if kb_slot_matching else None)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl),
                                 negative_subsample,
                                 emit_bag_id=True).materialize()

@@ -141,3 +141,118 @@ def test_doc_ner_stats(ray_session):
     assert set(stats.columns) == {"doc_id", "ner", "n"}
     assert (stats["n"] > 0).all()
     assert "PERSON" in set(stats["ner"])
+
+
+# --- KB-fill alternate-value matching (RelationMentionAnnotator.java:104-205,
+# 301-348, 407-466) ----------------------------------------------------------
+
+def test_alternate_slot_values():
+    from stanford_re_ray.stages.pairs import alternate_slot_values
+
+    # date slot: bare year extracted only when the value carries more
+    assert alternate_slot_values("August 4 1961", True, False) == ["1961"]
+    assert alternate_slot_values("1961", True, False) == []
+    assert alternate_slot_values("August 4 1961", False, False) == []
+    # person slot: titles/suffixes stripped, middle name dropped
+    assert alternate_slot_values("Dr. John Quincy Adams Jr.", False, True) \
+        == ["John Adams"]
+    assert alternate_slot_values("John Quincy Adams", False, True) \
+        == ["John Adams"]
+    # two tokens: nothing to drop
+    assert alternate_slot_values("John Adams", False, True) == []
+    # date AND person relation: both families
+    assert alternate_slot_values("John Quincy Adams 1961 Story", True, True) \
+        == ["1961", "John Story"]
+
+
+def test_match_fill_in_tokens():
+    from stanford_re_ray.stages.pairs import match_fill_in_tokens
+
+    toks = "He was born on August 4 1961 in Hawaii".split()
+    mask = [False] * len(toks)
+    # full value present -> exact match, absorbed; alternate can't rematch
+    out = match_fill_in_tokens(toks, mask, "August 4 1961", True, False)
+    assert out == [(4, 7, True)]
+    # only the year present -> alternate (non-exact) match
+    toks2 = "He was born in 1961 in Hawaii".split()
+    out2 = match_fill_in_tokens(toks2, [False] * len(toks2),
+                                "August 4 1961", True, False)
+    assert out2 == [(4, 5, False)]
+    # entity mask blocks matches inside entity spans
+    out3 = match_fill_in_tokens(toks2, [False] * 4 + [True] + [False] * 2,
+                                "August 4 1961", True, False)
+    assert out3 == []
+    # person alternate: first+last matches when middle name absent in text
+    toks4 = "The firm of John Smith closed".split()
+    out4 = match_fill_in_tokens(toks4, [False] * len(toks4),
+                                "John Quincy Smith", False, True)
+    assert out4 == [(3, 5, False)]
+
+
+def test_pairs_alternate_value_recovers_triple(ray_session):
+    """A distant-supervision positive only recoverable via the year-only
+    alternate: '1961' is NER-'O' so discovery finds no object mention at
+    all; KB-fill matching must create the pair with the KB's canonical
+    value so the labeler's exact lookup hits."""
+    import pyarrow as pa
+
+    from stanford_re_ray.stages.pairs import kb_fills_lookup, pairs_for_sentence
+
+    tokens = "Barack Obama was born on 1961 in Honolulu".split()
+    ner = ["PERSON", "PERSON", "O", "O", "O", "O", "O", "O"]
+    pos = ["NNP", "NNP", "VBD", "VBN", "IN", "CD", "IN", "NNP"]
+    lemmas = [t.lower() for t in tokens]
+    antes = [""] * len(tokens)
+    kb = pa.table({
+        "entity_id": ["e1"],
+        "entity_name": ["Barack Obama"],
+        "rel": ["per:date_of_birth"],
+        "slot_value": ["August 4 1961"],
+    })
+    fills = kb_fills_lookup(kb)
+    assert fills == {"barack obama": [("August 4 1961", True, False)]}
+
+    without = pairs_for_sentence(tokens, lemmas, pos, ner, antes, hashed=True)
+    assert without == []    # no non-subject mention -> nothing to pair
+
+    with_kb = pairs_for_sentence(tokens, lemmas, pos, ner, antes,
+                                 hashed=True, kb_fills=fills)
+    assert len(with_kb) == 1
+    p = with_kb[0]
+    assert p["subj"] == "Barack Obama"
+    assert p["obj"] == "August 4 1961"   # normalized to the KB value
+    assert (p["obj_begin"], p["obj_end"]) == (5, 6)
+    assert p["obj_type"] == "MISC"       # no NER votes on the span
+    assert p["features"]
+
+
+def test_pairs_person_alternate_absorbs_discovery(ray_session):
+    """First+last alternate: the matched span replaces the NER-discovered
+    'John Smith' object for the same subject (absorption), and the pair
+    carries the KB's full canonical value."""
+    import pyarrow as pa
+
+    from stanford_re_ray.stages.pairs import kb_fills_lookup, pairs_for_sentence
+
+    tokens = "Acme Corp was founded by John Smith".split()
+    ner = ["ORGANIZATION", "ORGANIZATION", "O", "O", "O", "PERSON", "PERSON"]
+    pos = ["NNP", "NNP", "VBD", "VBN", "IN", "NNP", "NNP"]
+    lemmas = [t.lower() for t in tokens]
+    antes = [""] * len(tokens)
+    kb = pa.table({
+        "entity_id": ["e1"],
+        "entity_name": ["Acme Corp"],
+        "rel": ["org:founded_by"],
+        "slot_value": ["John Quincy Smith"],
+    })
+    with_kb = pairs_for_sentence(tokens, lemmas, pos, ner, antes,
+                                 hashed=True, kb_fills=kb_fills_lookup(kb))
+    by_subj = {(p["subj"], p["obj"]): p for p in with_kb}
+    # KB pair with the canonical value; voted NE type from the span
+    kb_pair = by_subj[("Acme Corp", "John Quincy Smith")]
+    assert (kb_pair["obj_begin"], kb_pair["obj_end"]) == (5, 7)
+    assert kb_pair["obj_type"] == "PERSON"
+    # the raw discovery pair for the same subject+span is absorbed
+    assert ("Acme Corp", "John Smith") not in by_subj
+    # the reverse-direction discovery pair (other subject) is unaffected
+    assert ("John Smith", "Acme Corp") in by_subj
