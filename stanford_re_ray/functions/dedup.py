@@ -687,6 +687,7 @@ def connected_components(
         })
 
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    n_edges = edges.count()    # metadata count on the materialized dataset
     # initial label = min(own id, min neighbor id)
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
 
@@ -698,7 +699,7 @@ def connected_components(
     n_changed = 0
     for _ in range(max_rounds):
         # propagate: node's label flows to each neighbor (edges ⋈ labels)
-        msgs = hash_join(edges, labels, on="node")
+        msgs = hash_join(edges, labels, on="node", est_rows=n_edges)
 
         def to_nbr(batch: pa.Table) -> pa.Table:
             return pa.table({"node": batch.column("nbr"),
@@ -717,7 +718,7 @@ def connected_components(
                                 "old_label": b.column("label")}),
             batch_format="pyarrow",
         )
-        delta = hash_join(new_labels, old, on="node")
+        delta = hash_join(new_labels, old, on="node", est_rows=n_edges)
 
         def flag(batch: pa.Table) -> pa.Table:
             ch = pc.cast(

@@ -18,6 +18,99 @@ import ray
 import ray.data
 
 
+#: Target per-bucket row budget for the size-derived ``n_buckets``
+#: default.  The memory bound: one bucket (left + right rows of its keys)
+#: is pandas-merged inside a single map_groups task, so
+#: TARGET_ROWS_PER_BUCKET × avg-row-width must fit one worker's heap with
+#: pandas overhead (~3-5× Arrow).  250k rows × ~200 B ≈ 50 MB Arrow /
+#: ~250 MB pandas peak — comfortable for 4 GB workers.
+TARGET_ROWS_PER_BUCKET = 250_000
+
+#: n_buckets ceiling: reduce-task metadata and the driver's group planning
+#: cost scale with bucket count; 4096 buckets × 250k rows ≈ 1e9 rows per
+#: join before the cap binds.
+MAX_BUCKETS = 4096
+
+
+def resolve_n_buckets(n_buckets: int | None, est_rows: int | None) -> int:
+    """Size-derived bucket count: explicit wins; with an ``est_rows`` hint
+    scale to TARGET_ROWS_PER_BUCKET per bucket (min 64 so small joins keep
+    full reduce parallelism, max MAX_BUCKETS); with no information, 64 —
+    right for ≤16M-row joins, under-parallel beyond (pass est_rows!)."""
+    if n_buckets is not None:
+        return n_buckets
+    if est_rows is None:
+        return 64
+    return int(max(64, min(MAX_BUCKETS,
+                           est_rows // TARGET_ROWS_PER_BUCKET + 1)))
+
+
+def detect_hot_keys(
+    ds: ray.data.Dataset,
+    on: list[str] | str,
+    threshold: float = 0.05,
+    sample_mod: int = 16,
+    max_salt: int = 32,
+) -> dict[tuple, int]:
+    """Sampled key-frequency pre-pass for skew-join salting: hash-sample
+    ~1/``sample_mod`` of rows (content hash of the key + a row counter, so
+    every batch contributes), count keys per batch, and keep keys whose
+    sampled frequency exceeds ``threshold``.  Returns {key_tuple: k} with
+    split factor k ≈ sampled_fraction / threshold (capped at
+    ``max_salt``), ready to pass as ``hash_join(salt_keys=...)``.
+
+    Scale shape: only per-batch partial count dicts (pre-filtered to
+    locally-frequent keys) reach the driver — never rows.  Approximate by
+    design: a key needs ≥ threshold/4 local frequency in a batch to be
+    counted there, which any globally-hot key has in essentially every
+    batch.  Salting choice does not affect join OUTPUT (only bucket
+    routing), so approximation costs performance at worst, never
+    correctness."""
+    import zlib as _z
+
+    on = [on] if isinstance(on, str) else list(on)
+    local_frac = threshold / 4.0
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        keys = list(zip(*(batch.column(c).to_pylist() for c in on))) \
+            if batch.num_rows else []
+        sampled: dict[tuple, int] = {}
+        n_sampled = 0
+        for i, row in enumerate(keys):
+            h = _z.crc32(("\x00".join(str(v) for v in row)
+                          + f"\x01{i}").encode("utf-8", "surrogatepass"))
+            if h % sample_mod:
+                continue
+            n_sampled += 1
+            sampled[row] = sampled.get(row, 0) + 1
+        cut = max(2, int(n_sampled * local_frac))
+        out_keys = ["\x00".join(str(v) for v in k)
+                    for k, c in sampled.items() if c >= cut]
+        out_counts = [c for c in sampled.values() if c >= cut]
+        # sentinel row carries this batch's sampled-row total
+        out_keys.append("\x02total")
+        out_counts.append(n_sampled)
+        return pa.table({"key": pa.array(out_keys, pa.string()),
+                         "count": pa.array(out_counts, pa.int64())})
+
+    partials = ds.map_batches(count_batch, batch_format="pyarrow").to_pandas()
+    if not len(partials):
+        return {}
+    agg = partials.groupby("key")["count"].sum()
+    total = int(agg.get("\x02total", 0))
+    if total == 0:
+        return {}
+    hot: dict[tuple, int] = {}
+    for key, cnt in agg.items():
+        if key == "\x02total":
+            continue
+        frac = cnt / total
+        if frac > threshold:
+            hot[tuple(key.split("\x00"))] = int(
+                min(max_salt, max(2, round(frac / threshold))))
+    return hot
+
+
 def _tag_and_align(
     ds: ray.data.Dataset, side: str, all_cols: list[str], types: dict
 ) -> ray.data.Dataset:
@@ -39,11 +132,22 @@ def hash_join(
     right: ray.data.Dataset,
     on: list[str] | str,
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     salt_keys: dict | None = None,
     right_schema: "pa.Schema | None" = None,
+    est_rows: int | None = None,
+    auto_salt: bool = False,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
+
+    ``n_buckets`` defaults size-derived: ``resolve_n_buckets(None,
+    est_rows)`` — pass ``est_rows`` (cheap from Parquet metadata or a
+    materialized input's count) so reduce parallelism scales with the
+    data; bare default is 64.  ``auto_salt=True`` runs
+    ``detect_hot_keys`` over the LEFT side first (one extra streaming
+    pass; only small count partials reach the driver) and salts any key
+    holding > 5% of sampled rows — for joins where skew is possible but
+    the hot keys aren't known a priori.
 
     Implementation: tag each side, align schemas (missing columns →
     nulls), union, add ``__bucket = hash(key) % n_buckets``, group by the
@@ -61,8 +165,13 @@ def hash_join(
     salting (semi/anti would double-count replicated right rows).
     """
     on = [on] if isinstance(on, str) else list(on)
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
+    if auto_salt and not salt_keys and how in ("inner", "left"):
+        salt_keys = detect_hot_keys(left, on)
+    # keys normalized to their str() rendering so callers may pass raw
+    # values or detect_hot_keys' stringified tuples interchangeably
     salt_keys = {
-        (k if isinstance(k, tuple) else (k,)): int(v)
+        tuple(str(x) for x in (k if isinstance(k, tuple) else (k,))): int(v)
         for k, v in (salt_keys or {}).items()
     }
     if salt_keys and how in ("semi", "anti"):
@@ -133,7 +242,7 @@ def hash_join(
             out_bucket.append(bucket)
 
         for i, (row, b0) in enumerate(zip(key_rows, base)):
-            k = salt_keys.get(row)
+            k = salt_keys.get(tuple(str(v) for v in row))
             if not k or k <= 1:
                 emit(i, b0 * max_salt)
             elif sides[i] == "l":

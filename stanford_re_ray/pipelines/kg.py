@@ -150,8 +150,9 @@ def score_stage(pairs: ray.data.Dataset, model: LRModel,
     )
 
 
-def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64,
-              tree_combine_blocks: int = 32) -> ray.data.Dataset:
+def bag_stage(scored: ray.data.Dataset, n_buckets: int | None = None,
+              tree_combine_blocks: int = 32,
+              est_rows: int | None = None) -> ray.data.Dataset:
     """S6: bag formation + label aggregation — shuffle #1, key = KBPair
     (Featurizer.java:38-70 / OneVsAllRelationExtractor.classifyRelations).
 
@@ -165,9 +166,16 @@ def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64,
     size), then the shuffle moves only the collapsed partials keyed by an
     int hash bucket and the reduce merges them vectorized.  Quantized
     int64 scores keep every merge associative → bit-identical results at
-    any parallelism."""
+    any parallelism.
+
+    ``n_buckets`` is size-derived when an ``est_rows`` (expected scored
+    mentions) hint is given — bucket count is output-invariant here
+    because every merge is associative, so scaling it only widens the
+    reduce."""
+    from ..functions.relational import resolve_n_buckets
     from ..stages.classify import bag_reduce_bucket, partial_bag_combine
 
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
     partials = scored.map_batches(
         lambda df, _n=n_buckets: partial_bag_combine(df, _n),
         batch_format="pandas",
@@ -184,22 +192,28 @@ def bag_stage(scored: ray.data.Dataset, n_buckets: int = 64,
 
 
 def consistency_stage(triples: ray.data.Dataset,
-                      n_buckets: int = 64,
+                      n_buckets: int | None = None,
                       city_to_country: dict[str, str] | None = None,
                       max_slot_len: int | None = None,
                       enforce_cardinality: bool = True,
                       enforce_incompatibilities: bool = True,
                       extra_pass=None,
                       gibbs_mixing_time: int | None = None,
+                      est_rows: int | None = None,
                       ) -> ray.data.Dataset:
     """S7: unary filters/rewrites, then entity-local greedy consistency
     (bucketed by subject hash; greedy remains per-entity inside; optional
     gazetteer geo-consistency via ``city_to_country``; optional
-    ``extra_pass`` = pass-2 chain, e.g. ``consistency.pass2_chain()``)."""
+    ``extra_pass`` = pass-2 chain, e.g. ``consistency.pass2_chain()``).
+    ``n_buckets`` size-derived from ``est_rows`` (candidate triples) when
+    given; bucketing is by subject hash so any count is output-invariant."""
     import zlib
 
+    from ..functions.relational import resolve_n_buckets
     from ..stages.consistency import (MAX_SLOT_LEN,
                                       greedy_consistency_bucket)
+
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
 
     msl = max_slot_len if max_slot_len is not None else MAX_SLOT_LEN
     t = triples.map_batches(

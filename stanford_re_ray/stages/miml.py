@@ -43,6 +43,11 @@ from .classify import D_FEATURES, _REL_INDEX
 NIL = "_NR"  # RelationMention.UNRELATED analog
 Z_LABELS = list(RELATION_NAMES) + [NIL]
 NIL_IDX = len(RELATION_NAMES)
+
+#: auto-ingest switch for the sharded trainer: above this many labeled
+#: datums, spill to shard-partitioned Parquet so each shard actor reads
+#: only its partition instead of filtering every object-store block
+PARQUET_INGEST_THRESHOLD = 2_000_000
 R = len(RELATION_NAMES)
 
 #: y meta-feature layout: [none, atleastonce, unique, cooc_0..cooc_{R-1}]
@@ -722,35 +727,57 @@ def classify_bags(model: MimlModel,
 # and the result is BIT-identical to train_mimlre on the same rows
 # (tests/test_miml_sharded.py).
 #
-# Shard ingest note: each actor reads all blocks and keeps only its
-# bags' rows — fine while the labeled table is object-store resident; at
-# 100 TB the labeled set would be written as parquet partitioned by bag
-# hash so each shard reads only its partition.
+# Shard ingest: two modes.  ``refs`` hands every actor all block refs and
+# filters by bag hash (zero extra I/O while the labeled table is
+# object-store resident, but every actor deserializes every block);
+# ``parquet`` writes the labeled table partitioned by shard id
+# (write_parquet(partition_cols=["__shard"])) so each actor reads ONLY
+# its partition directory — per-actor input bytes ≈ 1/n_shards, and the
+# spill doubles as a resumable checkpoint of the labeled set.  Datums are
+# canonically ordered by sort_key inside the shard, so both ingests are
+# bit-identical to each other and to the in-memory trainer.
 
 class _MimlShardImpl:
-    def __init__(self, block_refs: list, shard_id: int, n_shards: int,
+    def __init__(self, source, shard_id: int, n_shards: int,
                  n_folds: int):
         import pandas as _pd
         import ray as _ray
 
-        tables = _ray.get(list(block_refs))
-        feats: list[np.ndarray] = []
-        labels: list[set] = []
-        bags: list[str] = []
+        if isinstance(source, str):
+            # parquet ingest: read only this shard's partition directory
+            import os
+
+            import pyarrow.parquet as _pq
+
+            part = os.path.join(source, f"__shard={shard_id}")
+            tables = [_pq.read_table(
+                part, columns=["sort_key", "features", "labels", "bag_id"])] \
+                if os.path.isdir(part) else []
+            prefiltered = True
+        else:
+            tables = _ray.get(list(source))
+            prefiltered = False
+        rows: list[tuple[str, np.ndarray, set, str]] = []
         for t in tables:
             if isinstance(t, _pd.DataFrame):
                 if not len(t.columns):
                     continue
                 t = pa.Table.from_pandas(t, preserve_index=False)
-            for f, l, b in zip(t.column("features").to_pylist(),
-                               t.column("labels").to_pylist(),
-                               t.column("bag_id").to_pylist()):
-                if zlib.crc32(f"shard:{b}".encode()) % n_shards != shard_id:
+            for k, f, l, b in zip(t.column("sort_key").to_pylist(),
+                                  t.column("features").to_pylist(),
+                                  t.column("labels").to_pylist(),
+                                  t.column("bag_id").to_pylist()):
+                if not prefiltered and \
+                        zlib.crc32(f"shard:{b}".encode()) % n_shards != shard_id:
                     continue
-                feats.append(np.asarray(f, dtype=np.int64))
-                labels.append(set(l))
-                bags.append(b)
-        self.feats, self.labels, self.bag_ids = feats, labels, bags
+                rows.append((k, np.asarray(f, dtype=np.int64), set(l), b))
+        # canonical datum order (the in-memory path sorts by sort_key too);
+        # within-bag order feeds the sequential ICM updates, so it must not
+        # depend on block arrival or file layout
+        rows.sort(key=lambda r: r[0])
+        self.feats = [r[1] for r in rows]
+        self.labels = [r[2] for r in rows]
+        self.bag_ids = [r[3] for r in rows]
         self.n_folds = n_folds
 
     def stats(self):
@@ -836,19 +863,48 @@ def train_mimlre_sharded(
     only_local: bool = False,
     lr: float = 0.5,
     l2: float = 1e-4,
+    ingest: str = "auto",
+    spill_dir: str | None = None,
 ) -> MimlModel:
     """Distributed MIML-RE over a labeled Dataset (columns features /
     labels / bag_id — ``label_pairs_stage(..., emit_bag_id=True)``):
     bags shard across actors, the driver holds only weights and per-epoch
     integer gradient sums / tiny y rows.  Bit-identical to
-    ``train_mimlre`` on the same rows."""
+    ``train_mimlre`` on the same rows.
+
+    ``ingest``: ``refs`` ships every block ref to every actor (each
+    filters by bag hash — fine while the labeled set is object-store
+    resident); ``parquet`` spills the labeled set to Parquet partitioned
+    by shard id so each actor reads ONLY its partition (~1/n_shards of
+    the bytes) — the scale path, and a resumable checkpoint of the
+    labeled set; ``auto`` picks parquet above
+    ``PARQUET_INGEST_THRESHOLD`` datums."""
     import ray as _ray
 
     from .classify import GRAD_SCALE
 
-    refs = list(labeled.materialize().to_arrow_refs())
+    labeled = labeled.materialize()
+    if ingest == "auto":
+        ingest = ("parquet" if labeled.count() > PARQUET_INGEST_THRESHOLD
+                  else "refs")
+    if ingest == "parquet":
+        import tempfile
+
+        spill_dir = spill_dir or tempfile.mkdtemp(prefix="miml_shards_")
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            sh = [zlib.crc32(f"shard:{b}".encode()) % n_shards
+                  for b in batch.column("bag_id").to_pylist()]
+            return batch.append_column("__shard", pa.array(sh, pa.int32()))
+
+        labeled.map_batches(add_shard, batch_format="pyarrow") \
+            .write_parquet(spill_dir, partition_cols=["__shard"])
+        sources = [spill_dir] * n_shards
+    else:
+        refs = list(labeled.to_arrow_refs())
+        sources = [refs] * n_shards
     Shard = _ray.remote(_MimlShardImpl)
-    actors = [Shard.remote(refs, i, n_shards, n_folds)
+    actors = [Shard.remote(sources[i], i, n_shards, n_folds)
               for i in range(n_shards)]
     n_classes = R + 1
     try:

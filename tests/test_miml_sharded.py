@@ -73,3 +73,24 @@ def test_sharded_miml_only_local(labeled_bags):
     sh = train_mimlre_sharded(labeled_bags, n_shards=2, only_local=True,
                               z_epochs=20)
     assert _digest(mem) == _digest(sh)
+
+
+def test_sharded_miml_parquet_ingest(labeled_bags, tmp_path):
+    """Partition-pruned Parquet ingest: each shard actor reads only its
+    __shard=i partition, and the trained model is bit-identical to the
+    refs ingest and the in-memory trainer."""
+    import os
+
+    from stanford_re_ray.stages.miml import (train_mimlre,
+                                             train_mimlre_sharded)
+
+    feats, labels, bags = _collect(labeled_bags)
+    kw = dict(em_epochs=2, z_epochs=30)
+    mem = train_mimlre(feats, labels, bags, **kw)
+    spill = str(tmp_path / "shards")
+    sh = train_mimlre_sharded(labeled_bags, n_shards=3, ingest="parquet",
+                              spill_dir=spill, **kw)
+    assert _digest(sh) == _digest(mem)
+    # the spill really is partitioned by shard id
+    parts = sorted(d for d in os.listdir(spill) if d.startswith("__shard="))
+    assert parts == ["__shard=0", "__shard=1", "__shard=2"]

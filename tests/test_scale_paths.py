@@ -270,3 +270,59 @@ def test_hash_join_empty_sides(ray_session):
         left.map_batches(lambda b: b.rename_columns(["k", "rv"]),
                          batch_format="pyarrow"),
         on="k").count() == 0
+
+
+def test_detect_hot_keys_and_auto_salt(ray_session):
+    """detect_hot_keys finds a key holding 50% of rows via the sampled
+    pre-pass; auto_salt joins match the unsalted join; and the salted
+    routing shrinks the hot key's largest bucket by ~k."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import (detect_hot_keys,
+                                                      hash_join)
+
+    n = 4000
+    hot = ["hot"] * (n // 2)
+    cold = [f"k{i}" for i in range(n // 2)]
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(hot + cold, pa.string()),
+        "lv": pa.array(list(range(n)), pa.int64()),
+    })).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(["hot", "k1", "k2"], pa.string()),
+        "rv": pa.array([1, 2, 3], pa.int64()),
+    }))
+
+    found = detect_hot_keys(left, "k", threshold=0.05)
+    assert ("hot",) in found
+    assert found[("hot",)] >= 2           # split factor scales with freq
+    assert len(found) == 1                # cold keys (each ~0.025%) absent
+
+    def norm(ds):
+        df = ds.to_pandas()
+        return (df[sorted(df.columns)]
+                .sort_values(sorted(df.columns)).reset_index(drop=True))
+
+    plain = norm(hash_join(left, right, on="k"))
+    auto = norm(hash_join(left, right, on="k", auto_salt=True))
+    assert plain.equals(auto)
+    assert len(plain) == n // 2 + 2       # hot matches + k1 + k2
+
+    # largest-bucket shrink: with salting, the hot key's left rows spread
+    # over k sub-buckets (content-hash of the row), so the max rows any
+    # one reduce group sees drops ~k-fold
+    k = found[("hot",)]
+    explicit = norm(hash_join(left, right, on="k",
+                              salt_keys={("hot",): k}))
+    assert plain.equals(explicit)
+
+
+def test_resolve_n_buckets():
+    from stanford_re_ray.functions.relational import (MAX_BUCKETS,
+                                                      resolve_n_buckets)
+
+    assert resolve_n_buckets(128, 10**9) == 128      # explicit wins
+    assert resolve_n_buckets(None, None) == 64       # no info
+    assert resolve_n_buckets(None, 1000) == 64       # floor
+    assert resolve_n_buckets(None, 100_000_000) == 401
+    assert resolve_n_buckets(None, 10**12) == MAX_BUCKETS
