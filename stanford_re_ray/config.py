@@ -35,6 +35,11 @@ class PipelineConfig:
     use_rules: bool = False                # TokenRegex-style additions
     sentence_competition: bool = False     # RelationFilter (off by default,
                                            # Props.java:289-295)
+    #: RelationFilter component chain applied per (doc, subject) scope
+    #: between scoring and bag formation, in order; any of "coref",
+    #: "per_reltype", "cross_reltype" (RelationFilter.java:297-480).
+    #: Empty = filter disabled (the reference default).
+    relation_filter_components: tuple = ()
     # training (KBPTrainer knobs)
     negative_subsample: float = 0.10       # Props.java:148-149
     feature_count_threshold: int = 5       # Props.java:146-147

@@ -709,6 +709,12 @@ def run_kg_pipeline_cfg(
 
         scored = scored.map_batches(sentence_competition,
                                     batch_format="pyarrow")
+    if cfg.relation_filter_components:
+        from ..stages.rules import relation_filter_stage
+
+        scored = relation_filter_stage(scored,
+                                       cfg.relation_filter_components,
+                                       n_buckets=cfg.n_buckets)
     candidates = bag_stage(scored, n_buckets=cfg.n_buckets)
     extra = None
     if cfg.entailment:

@@ -668,6 +668,174 @@ def ensemble_scores(batches: list[pa.Table], mode: str = "agree_any") -> pa.Tabl
     return pd_to_arrow(keep.drop(columns=["__model", "votes"]))
 
 
+@dataclass
+class HoffmannModel:
+    """Averaged latent-perceptron weights (HoffmannExtractor.LabelWeights,
+    HoffmannExtractor.java:26-114) over the compact observed-feature space:
+    ``avg_weights`` (R+1, d_c) with row R = NIL, ``dims`` the sorted global
+    feature ids mapping the compact columns."""
+
+    avg_weights: np.ndarray
+    dims: np.ndarray
+
+    def _compact(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        if not len(ids) or not len(self.dims):
+            return np.empty(0, dtype=np.int64)
+        pos = np.searchsorted(self.dims, ids)
+        pos_c = np.clip(pos, 0, len(self.dims) - 1)
+        hit = (pos < len(self.dims)) & (self.dims[pos_c] == ids)
+        return pos_c[hit]
+
+    def mention_scores(self, ids: np.ndarray) -> np.ndarray:
+        """avgDotProduct for every label incl. NIL (:88-96); unseen
+        features are dropped like featureIndex.indexOf < 0."""
+        c = self._compact(ids)
+        if not len(c):
+            return np.zeros(self.avg_weights.shape[0])
+        return self.avg_weights[:, c].sum(axis=1)
+
+    def classify_bag(self, datums: list[np.ndarray]) -> dict[str, float]:
+        """classifyMentions (:489-514): per mention take the top label
+        (ties → higher label index, sortPredictions :446-462); NIL is not
+        propagated; per relation keep the best mention score
+        (deterministic OR in the Y layer)."""
+        nil = len(RELATION_NAMES)
+        best: dict[int, float] = {}
+        for ids in datums:
+            s = self.mention_scores(ids)
+            top = int(np.flatnonzero(s == s.max()).max())
+            if top != nil and (top not in best or best[top] < s[top]):
+                best[top] = float(s[top])
+        return {RELATION_NAMES[j]: v for j, v in best.items()}
+
+
+def _hoffmann_z_update(S: np.ndarray, gold: set[int], nil: int) -> list[set]:
+    """Conditional inference = the weighted-edge-cover approximation of
+    (Hoffmann et al., 2011) (generateZUpdate,
+    HoffmannExtractor.java:328-401): more golds than mentions → greedy
+    cover of Ys by best edges; else assign each gold its best unassigned
+    mention, then leftover mentions take their own best non-NIL label.
+    Tie-breaks are deterministic (edges enumerated mention-major, labels
+    ascending, NIL last; stable sorts) where the Java HashMap iteration
+    was not."""
+    n_m = S.shape[0]
+    gold_sorted = sorted(gold)
+    cand = gold_sorted + [nil]
+    z_update: list[set] = [set() for _ in range(n_m)]
+    edges = [(m, y, S[m, y]) for m in range(n_m) for y in cand]
+    if len(gold) > n_m:
+        covered: set[int] = set()
+        for m, y, s in sorted(edges, key=lambda e: -e[2]):
+            if y == nil:
+                continue
+            if y not in covered and not z_update[m]:
+                z_update[m].add(y)
+                covered.add(y)
+        return z_update
+    for y in gold_sorted:
+        for m, s in sorted(((m, s) for m, yy, s in edges if yy == y),
+                           key=lambda e: -e[1]):
+            if not z_update[m]:
+                z_update[m].add(y)
+                break
+    for m in range(n_m):
+        if not z_update[m]:
+            es = sorted(((y, s) for mm, y, s in edges if mm == m),
+                        key=lambda e: -e[1])
+            if es and es[0][0] != nil:
+                z_update[m].add(es[0][0])
+    return z_update
+
+
+def train_hoffmann(
+    datum_features: list[np.ndarray],
+    labels: list[set[str]],
+    bag_ids: list[str],
+    epochs: int = 10,
+) -> HoffmannModel:
+    """The real MultiR latent averaged perceptron (Hoffmann et al., 2011),
+    ported from kbp/sf/classify/HoffmannExtractor.java:133-311:
+
+    per bag: local Z scores → argmax predictions → deterministic-OR Y;
+    when the predicted Y set differs from the bag's gold set, conditional
+    inference (edge cover) picks latent mention labels and the perceptron
+    takes ±1 sparse updates; weight vectors are survival-weighted into the
+    average (LabelWeights.addToAverage) — implemented lazily with
+    per-label timestamps, mathematically identical to the reference's
+    O(D)-per-update accounting.
+
+    Determinism: bags shuffle per epoch by a content hash of
+    (epoch, bag_id) — the analog of ``dataset.randomize(t)``'s fixed seed
+    (:151-153) without RNG state; all tie-breaks are ordered.
+    """
+    nil = len(RELATION_NAMES)
+    n_classes = nil + 1
+    flat_all = (np.concatenate([np.asarray(f, dtype=np.int64)
+                                for f in datum_features])
+                if datum_features else np.empty(0, dtype=np.int64))
+    dims = np.unique(flat_all) if flat_all.size else np.empty(0, np.int64)
+    d_c = max(len(dims), 1)
+    remap = np.zeros(D_FEATURES, dtype=np.int64)
+    if len(dims):
+        remap[dims] = np.arange(len(dims))
+    feats_c = [remap[np.asarray(f, dtype=np.int64)] for f in datum_features]
+
+    bags: dict[str, list[int]] = {}
+    for i, b in enumerate(bag_ids):
+        bags.setdefault(b, []).append(i)
+    gold_pos = {
+        b: {j for i in idxs for rel in labels[i]
+            if (j := _REL_INDEX.get(rel)) is not None}
+        for b, idxs in bags.items()
+    }
+
+    W = np.zeros((n_classes, d_c))
+    AVG = np.zeros((n_classes, d_c))
+    last_t = np.zeros(n_classes, dtype=np.int64)
+    t = 0
+
+    def upd(label: int, ids: np.ndarray, w: float):
+        # lazy addToAverage: the vector survived (t - last_t) groups
+        AVG[label] += W[label] * (t - last_t[label])
+        last_t[label] = t
+        np.add.at(W[label], ids, w)
+
+    bag_names = sorted(bags)
+    for epoch in range(epochs):
+        order = sorted(bag_names, key=lambda b: (
+            zlib.crc32(f"hoffmann:{epoch}:{b}".encode("utf-8",
+                                                      "surrogatepass")), b))
+        for b in order:
+            idxs = bags[b]
+            group = [feats_c[i] for i in idxs]
+            gold = gold_pos[b]
+            S = np.stack([
+                W[:, ids].sum(axis=1) if len(ids) else np.zeros(n_classes)
+                for ids in group
+            ])
+            z_pred = [int(np.flatnonzero(row == row.max()).max())
+                      for row in S]
+            y_pred = {z for z in z_pred if z != nil}
+            if y_pred != gold:
+                z_upd = _hoffmann_z_update(S, gold, nil)
+                for m, ids in enumerate(group):
+                    g, p = z_upd[m], z_pred[m]
+                    if p != nil and p not in g:
+                        upd(p, ids, -1.0)
+                    if p == nil and g:
+                        upd(nil, ids, -1.0)
+                    for l in sorted(g):
+                        if l != nil and l != p:
+                            upd(l, ids, +1.0)
+                    if not g and p != nil:
+                        upd(nil, ids, +1.0)
+            t += 1
+    for label in range(n_classes):      # final addToAverage (:177-178)
+        AVG[label] += W[label] * (t - last_t[label])
+    return HoffmannModel(avg_weights=AVG, dims=dims)
+
+
 def train_atleast_once(
     datum_features: list[np.ndarray],
     labels: list[set[str]],
@@ -675,10 +843,13 @@ def train_atleast_once(
     em_iters: int = 3,
     **lr_kwargs,
 ) -> LRModel:
-    """At-least-once EM — the HoffmannExtractor / MIML-RE family analog
-    (kbp/sf/classify/HoffmannExtractor.java; JointBayesRelationExtractor's
-    E/M shape, JointBayesRelationExtractor.java:607-760), simplified to the
-    at-least-once assumption over the shared LR learner:
+    """At-least-once EM — a simplified cousin of the MultiR family over
+    the shared LR learner (JointBayesRelationExtractor's E/M shape,
+    JointBayesRelationExtractor.java:607-760).  For the EXACT Hoffmann
+    latent averaged perceptron (HoffmannExtractor.java:133-311) use
+    ``train_hoffmann`` — its edge-cover inference assigns distinct
+    mentions to distinct labels, which this EM's independent per-label
+    argmax cannot (see test_hoffmann_beats_em_on_ambiguous_bags):
 
     - init: naive distant supervision (every mention carries its bag's
       labels) → fit;

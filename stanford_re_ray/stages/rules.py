@@ -122,6 +122,90 @@ class RuleExtractor:
         )
 
 
+# --- RelationFilter component chain (RelationFilter.java:73-144,297-480) ----
+# The reference runs an ordered chain of FilterComponents over the scored
+# sentence groups of one query entity's retrieved documents.  In
+# discovery mode the equivalent scope is the DOCUMENT: all scored
+# mentions of one doc (every subject is its own "query entity"; its coref
+# chain resolves to one canonical subj string).  Each component keeps
+# every row tied at the maximum (the reference keeps exact-score ties),
+# so output is a deterministic SET regardless of row order.
+
+def coref_filter_component(df):
+    """Per (subject chain, slot value), keep only the top-scoring relation
+    mention; relations of other subjects pass through untouched
+    (CorefFilterComponent, RelationFilter.java:297-360 — implemented as
+    the documented intent: the global max per slot value; the Java loop's
+    keep-every-running-max artifact is not reproduced).  Exact-score ties
+    all survive."""
+    mx = df.groupby(["subj", "obj"])["best_q"].transform("max")
+    return df[df["best_q"] == mx]
+
+
+def per_reltype_competition_component(df):
+    """Per (slot value, predicted relation) ACROSS subjects, keep only the
+    top-scoring mention (PerRelTypeCompetitionFilterComponent,
+    RelationFilter.java:362-430).  Ties survive."""
+    mx = df.groupby(["obj", "rel"])["best_q"].transform("max")
+    return df[df["best_q"] == mx]
+
+
+def cross_reltype_competition_component(df):
+    """Per slot value regardless of relation type or subject, keep only
+    the top-scoring mention (CrossRelTypeCompetitionFilterComponent,
+    RelationFilter.java:432-480).  Ties survive."""
+    mx = df.groupby("obj")["best_q"].transform("max")
+    return df[df["best_q"] == mx]
+
+
+FILTER_COMPONENTS = {
+    "coref": coref_filter_component,
+    "per_reltype": per_reltype_competition_component,
+    "cross_reltype": cross_reltype_competition_component,
+}
+
+
+def relation_filter_stage(scored, components, n_buckets: int = 64):
+    """Apply an ordered RelationFilter component chain over the scored
+    candidate stream, grouped per document — one shuffle of the (already
+    combiner-thin) scored rows keyed by an int bucket of doc_id; the
+    per-doc filtering runs vectorized inside each bucket.  Off unless
+    ``PipelineConfig.relation_filter_components`` selects components."""
+    import zlib
+
+    import pandas as pd
+
+    from ..schema import pd_to_arrow
+
+    fns = [FILTER_COMPONENTS[c] for c in components]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(d.encode("utf-8", "surrogatepass"))
+                      % n_buckets
+                      for d in batch.column("doc_id").to_pylist()],
+                     pa.int32()),
+        )
+
+    def filter_bucket(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"])
+        if not len(g):
+            return pd_to_arrow(g)
+        parts = []
+        for _, scope in g.groupby("doc_id", sort=True):
+            for fn in fns:
+                scope = fn(scope)
+            parts.append(scope)
+        return pd_to_arrow(pd.concat(parts, ignore_index=True))
+
+    return (
+        scored.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(filter_bucket, batch_format="pandas")
+    )
+
+
 def sentence_competition(batch: pa.Table) -> pa.Table:
     """Within-sentence competition (RelationFilter analog,
     kbp/sf/process/RelationFilter.java:73-144, components 297-480): for

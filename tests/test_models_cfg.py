@@ -132,3 +132,93 @@ def test_atleast_once_em_denoises_bags():
     # EM strictly reduces the noise feature's weight relative to naive DS
     assert alo.weights[r, 20] < naive.weights[r, 20]
     assert alo.weights[r, 10] > 0
+
+
+def test_hoffmann_conditional_inference():
+    """generateZUpdate edge cover (HoffmannExtractor.java:328-401): each
+    gold label claims its best unassigned mention; leftover mentions take
+    their own best non-NIL label; more-golds-than-mentions covers
+    greedily."""
+    import numpy as np
+
+    from stanford_re_ray.stages.classify import _hoffmann_z_update
+
+    nil = 41
+    # 2 mentions, 2 golds: mention 0 prefers label 1, mention 1 prefers 2
+    S = np.zeros((2, 42))
+    S[0, 1], S[0, 2] = 5.0, 1.0
+    S[1, 1], S[1, 2] = 2.0, 4.0
+    assert _hoffmann_z_update(S, {1, 2}, nil) == [{1}, {2}]
+    # both mentions prefer label 1 -> best one gets it, other takes 2
+    S2 = np.zeros((2, 42))
+    S2[0, 1], S2[1, 1], S2[1, 2] = 5.0, 6.0, 1.0
+    assert _hoffmann_z_update(S2, {1, 2}, nil) == [{1}, {2}] or \
+        _hoffmann_z_update(S2, {1, 2}, nil) == [{2}, {1}]
+    out2 = _hoffmann_z_update(S2, {1, 2}, nil)
+    assert out2[1] == {1}          # mention 1 scored higher for label 1
+    # more golds than mentions: greedy cover, one label per mention
+    S3 = np.zeros((1, 42))
+    S3[0, 3] = 2.0
+    out3 = _hoffmann_z_update(S3, {1, 2, 3}, nil)
+    assert out3 == [{3}]
+    # leftover mention whose best candidate is NIL stays empty
+    S4 = np.zeros((2, 42))
+    S4[0, 1] = 3.0
+    S4[1, nil] = 9.0
+    assert _hoffmann_z_update(S4, {1}, nil) == [{1}, set()]
+
+
+def test_hoffmann_beats_em_on_ambiguous_bags():
+    """The fixture the EM approximation cannot solve: every positive bag
+    holds two mentions carrying BOTH labels (naive DS); EM's per-label
+    independent argmax piles both labels onto the first mention, so the
+    second relation never learns its trigger feature.  Hoffmann's edge
+    cover assigns distinct mentions to distinct labels and recovers
+    both."""
+    import numpy as np
+
+    from stanford_re_ray.relations import RELATION_NAMES
+    from stanford_re_ray.stages.classify import (train_atleast_once,
+                                                 train_hoffmann)
+
+    r1, r2 = "per:children", "per:parents"
+    feats, labels, bag_ids = [], [], []
+    for k in range(15):
+        feats += [np.array([10, 30]), np.array([20, 30])]
+        labels += [{r1, r2}, {r1, r2}]
+        bag_ids += [f"pos{k}", f"pos{k}"]
+        feats.append(np.array([30]))
+        labels.append(set())
+        bag_ids.append(f"neg{k}")
+
+    em = train_atleast_once(feats, labels, bag_ids, em_iters=2, epochs=80,
+                            feature_count_threshold=1)
+    hoff = train_hoffmann(feats, labels, bag_ids, epochs=10)
+
+    def em_predict(ids):
+        s = em.weights[:, ids].sum(axis=1) + em.bias
+        p = 1 / (1 + np.exp(-s))
+        return {RELATION_NAMES[j] for j in np.nonzero(p > 0.5)[0]}
+
+    test_bags = {"t10": [np.array([10, 30])], "t20": [np.array([20, 30])]}
+    gold = {"t10": r1, "t20": r2}
+    em_recall = sum(gold[b] in em_predict(test_bags[b][0])
+                    for b in gold) / len(gold)
+    hoff_recall = sum(gold[b] in hoff.classify_bag(test_bags[b])
+                      for b in gold) / len(gold)
+    assert hoff_recall == 1.0
+    assert hoff_recall > em_recall
+
+
+def test_hoffmann_deterministic():
+    import numpy as np
+
+    from stanford_re_ray.stages.classify import train_hoffmann
+
+    feats = [np.array([1, 2]), np.array([3]), np.array([2, 3])]
+    labels = [{"per:spouse"}, set(), {"per:title"}]
+    bags = ["a", "b", "c"]
+    m1 = train_hoffmann(feats, labels, bags, epochs=7)
+    m2 = train_hoffmann(feats, labels, bags, epochs=7)
+    assert np.array_equal(m1.avg_weights, m2.avg_weights)
+    assert np.array_equal(m1.dims, m2.dims)

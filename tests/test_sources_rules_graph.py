@@ -152,3 +152,113 @@ def test_subgraph_bfs(ray_session):
     out = subgraph_bfs(edges, {"a"}, depth=2).to_pandas()
     got = {(r.src_id, r.dst_id) for r in out.itertuples()}
     assert got == {("a", "b"), ("b", "c")}  # depth 2, no x→y island
+
+
+# --- RelationFilter components (RelationFilter.java:297-480) ----------------
+
+def _scored_table():
+    """One doc, two subjects, shared slot values, assorted scores."""
+    rows = [
+        # subj        obj       rel                  best_q
+        ("Ann Lee",   "Acme",   "per:employee_of",   90),
+        ("Ann Lee",   "Acme",   "per:employee_of",   70),   # weaker chain dup
+        ("Ann Lee",   "Acme",   "per:member_of",     80),
+        ("Bob Ray",   "Acme",   "per:employee_of",   95),
+        ("Bob Ray",   "Paris",  "per:cities_of_residence", 60),
+    ]
+    import pyarrow as pa
+
+    n = len(rows)
+    return pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "subj_type": pa.array(["PERSON"] * n),
+        "obj": pa.array([r[1] for r in rows]),
+        "obj_type": pa.array(["ORGANIZATION"] * 4 + ["CITY"]),
+        "doc_id": pa.array(["d1"] * n),
+        "sent_idx": pa.array(list(range(n)), pa.int32()),
+        "subj_begin": pa.array([0] * n, pa.int32()),
+        "subj_end": pa.array([2] * n, pa.int32()),
+        "obj_begin": pa.array([5] * n, pa.int32()),
+        "obj_end": pa.array([6] * n, pa.int32()),
+        "rel": pa.array([r[2] for r in rows]),
+        "sum_q": pa.array([r[3] for r in rows], pa.int64()),
+        "best_q": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def _keyset(df):
+    return {(s, o, r, q) for s, o, r, q in
+            zip(df["subj"], df["obj"], df["rel"], df["best_q"])}
+
+
+def test_coref_filter_component():
+    from stanford_re_ray.stages.rules import coref_filter_component
+
+    df = _scored_table().to_pandas()
+    out = coref_filter_component(df)
+    # per (subj, obj) only the max survives; other subjects untouched
+    assert _keyset(out) == {
+        ("Ann Lee", "Acme", "per:employee_of", 90),
+        ("Bob Ray", "Acme", "per:employee_of", 95),
+        ("Bob Ray", "Paris", "per:cities_of_residence", 60),
+    }
+
+
+def test_per_reltype_competition_component():
+    from stanford_re_ray.stages.rules import per_reltype_competition_component
+
+    df = _scored_table().to_pandas()
+    out = per_reltype_competition_component(df)
+    # per (obj, rel) across subjects: Bob's 95 beats Ann's employee_of rows;
+    # Ann's member_of survives as its own rel type
+    assert _keyset(out) == {
+        ("Bob Ray", "Acme", "per:employee_of", 95),
+        ("Ann Lee", "Acme", "per:member_of", 80),
+        ("Bob Ray", "Paris", "per:cities_of_residence", 60),
+    }
+
+
+def test_cross_reltype_competition_component():
+    from stanford_re_ray.stages.rules import cross_reltype_competition_component
+
+    df = _scored_table().to_pandas()
+    out = cross_reltype_competition_component(df)
+    # per obj regardless of rel or subject: only the single best for Acme
+    assert _keyset(out) == {
+        ("Bob Ray", "Acme", "per:employee_of", 95),
+        ("Bob Ray", "Paris", "per:cities_of_residence", 60),
+    }
+
+
+def test_relation_filter_stage_chain(ray_session):
+    """Distributed stage: per-doc scope, chained components, selectable via
+    PipelineConfig; ties at the max all survive."""
+    import ray.data as rd
+
+    from stanford_re_ray.stages.rules import relation_filter_stage
+
+    scored = rd.from_arrow(_scored_table())
+    # coref drops Ann's weaker rows per (subj, obj) — incl. member_of 80 <
+    # employee_of 90; per_reltype then lets Bob's 95 beat Ann's 90
+    out = relation_filter_stage(
+        scored, ("coref", "per_reltype")).to_pandas()
+    assert _keyset(out) == {
+        ("Bob Ray", "Acme", "per:employee_of", 95),
+        ("Bob Ray", "Paris", "per:cities_of_residence", 60),
+    }
+    # per_reltype alone preserves Ann's member_of as its own rel type
+    out2 = relation_filter_stage(scored, ("per_reltype",)).to_pandas()
+    assert _keyset(out2) == {
+        ("Bob Ray", "Acme", "per:employee_of", 95),
+        ("Ann Lee", "Acme", "per:member_of", 80),
+        ("Bob Ray", "Paris", "per:cities_of_residence", 60),
+    }
+
+
+def test_relation_filter_config_knob(ray_session):
+    import ray.data as rd
+
+    from stanford_re_ray.config import PipelineConfig
+
+    cfg = PipelineConfig()
+    assert cfg.relation_filter_components == ()   # off by default
