@@ -32,24 +32,54 @@ if _REPO_DIR not in sys.path:
 _MODEL_CACHE: dict[str, Any] = {}
 
 
+def _src_digest() -> str:
+    """Digest of the package source — the fixture-model disk cache key, so
+    ANY code change invalidates cached weights (a stale model would
+    silently skew driver correctness runs)."""
+    import hashlib
+    import pathlib
+
+    h = hashlib.sha256()
+    pkg = pathlib.Path(__file__).resolve().parent / "stanford_re_ray"
+    for p in sorted(pkg.rglob("*.py")):
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
 def _fixture_model():
-    """Train the relation classifier once per process on the deterministic
-    fixture corpus (the KB + pages world of FIXTURES.md)."""
+    """Train the relation classifier once on the deterministic fixture
+    corpus (the KB + pages world of FIXTURES.md).  Weights are cached in
+    memory per process AND on disk keyed by the package-source digest, so
+    fresh driver processes skip the 150-epoch retrain (r02 verdict: the
+    retrain inflated every first KG query's timing)."""
     if "model" not in _MODEL_CACHE:
+        import os
+
         import ray.data as rd
 
         from stanford_re_ray.fixtures import gen_corpus
         from stanford_re_ray.pipelines.train import train_model
+        from stanford_re_ray.stages.classify import LRModel
 
         train = gen_corpus(400, per_lo=0, per_hi=200, org_lo=0, org_hi=100)
-        _MODEL_CACHE["model"] = train_model(
-            rd.from_arrow(train.pages).repartition(8),
-            train.kb,
-            dicts=train.dicts,
-            clusters=train.clusters,
-            negative_subsample=1.0,
-            epochs=150,
-        )
+        cache = f"/tmp/stanford_re_ray_model_{_src_digest()}.parquet"
+        if os.path.exists(cache):
+            _MODEL_CACHE["model"] = LRModel.load(cache)
+        else:
+            m = train_model(
+                rd.from_arrow(train.pages).repartition(8),
+                train.kb,
+                dicts=train.dicts,
+                clusters=train.clusters,
+                negative_subsample=1.0,
+                epochs=150,
+            )
+            # canonicalize through the float32 weight table so the model
+            # used NOW is bit-identical to what later processes load
+            _MODEL_CACHE["model"] = LRModel.from_table(m.to_table())
+            tmp = cache + f".tmp{os.getpid()}"
+            _MODEL_CACHE["model"].save(tmp)
+            os.replace(tmp, cache)      # atomic vs concurrent drivers
         _MODEL_CACHE["dicts"] = train.dicts
         _MODEL_CACHE["clusters"] = train.clusters
     return _MODEL_CACHE["model"], _MODEL_CACHE["dicts"], _MODEL_CACHE["clusters"]
@@ -165,14 +195,27 @@ def kg_triples_mimlre(sf_dir: str):
     import ray.data as rd
 
     if "miml" not in _MODEL_CACHE:
+        import os
+
         from stanford_re_ray.fixtures import gen_corpus
         from stanford_re_ray.pipelines.train import train_model_mimlre
+        from stanford_re_ray.stages.miml import MimlModel
 
-        train = gen_corpus(200, per_lo=0, per_hi=120, org_lo=0, org_hi=60)
-        _MODEL_CACHE["miml"] = train_model_mimlre(
-            rd.from_arrow(train.pages).repartition(8), train.kb,
-            dicts=train.dicts, clusters=train.clusters,
-            negative_subsample=1.0, em_epochs=4)
+        cache = f"/tmp/stanford_re_ray_miml_{_src_digest()}.parquet"
+        if os.path.exists(cache):
+            _MODEL_CACHE["miml"] = MimlModel.load(cache)
+        else:
+            train = gen_corpus(200, per_lo=0, per_hi=120, org_lo=0,
+                               org_hi=60)
+            m = train_model_mimlre(
+                rd.from_arrow(train.pages).repartition(8), train.kb,
+                dicts=train.dicts, clusters=train.clusters,
+                negative_subsample=1.0, em_epochs=4)
+            # canonical float32 table form == what later processes load
+            _MODEL_CACHE["miml"] = MimlModel.from_table(m.to_table())
+            tmp = cache + f".tmp{os.getpid()}"
+            _MODEL_CACHE["miml"].save(tmp)
+            os.replace(tmp, cache)
     from stanford_re_ray.pipelines.kg import run_kg_pipeline_miml
 
     pages, test = _kg_pages(sf_dir)
@@ -374,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sessions": A.q21_sessions,
         "q25_bpe_tokens": A.q25_bpe_tokens,
         "q26_sliding_windows": A.q26_sliding_windows,
+        "q27_asof_join": A.q27_asof_join,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -558,6 +602,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        "q27_asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate)
+            SELECT e.event_id, e.user_id, e.ts AS event_ts,
+                   o.o_orderkey, o.o_orderdate,
+                   round(e.value, 6) AS value
+            FROM events e
+            ASOF JOIN o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ORDER BY e.event_id
         """,
         # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8],'little')
         # and md5_number_lower(s) == int.from_bytes(md5(s)[8:],'little'),

@@ -311,6 +311,93 @@ def hash_join(
     )
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed as-of join: for every left row, attach the right row
+    with the greatest ``on`` ≤ left's ``on`` (direction="backward";
+    "forward" = smallest ≥) within the same ``by`` key.  An operator the
+    Dataset API lacks; composition: tag sides → union → bucket by
+    hash(by) → per-bucket ``pandas.merge_asof(by=..., on=...)``.
+
+    Partitioning assumption: all rows of one ``by`` key land in one
+    bucket (same guarantee as ``hash_join``), so a key's full timeline is
+    visible to its merge; a pathologically hot key must fit one worker.
+    One shuffle total; within-bucket work is a vectorized sort + asof
+    merge.
+
+    Determinism note: when several right rows share (by, on), which one
+    wins is engine-dependent (pandas keeps the last in sort order) —
+    dedupe the right side to one row per (by, on) first for reproducible
+    output (as q27 does with max(event_id))."""
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
+    ls, rs = left.schema(), right.schema()
+    if ls is None:
+        return left
+    l_cols = list(ls.names)
+    r_cols = list(rs.names) if rs is not None else []
+    types = {n: t for n, t in zip(ls.names, ls.types)}
+    if rs is not None:
+        for n, t in zip(rs.names, rs.types):
+            types.setdefault(n, t)
+    shared = [c for c in r_cols if c in l_cols and c not in (by, on)]
+    if shared:
+        raise ValueError(f"overlapping non-key columns: {shared}; rename first")
+    all_cols = l_cols + [c for c in r_cols if c not in l_cols]
+    if rs is None:
+        # empty right: null-pad nothing (unknown schema) — left rows pass
+        return left
+    tagged = _tag_and_align(left, "l", all_cols, types).union(
+        _tag_and_align(right, "r", all_cols, types)
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(str(v).encode("utf-8", "surrogatepass"))
+                      % n_buckets
+                      for v in batch.column(by).to_pylist()], pa.int32()),
+        )
+
+    l_only = [c for c in l_cols if c not in (by, on)]
+    r_only = [c for c in r_cols if c not in (by, on)]
+
+    def merge_bucket(g: pd.DataFrame):
+        from ..schema import pd_to_arrow
+
+        lg = g[g["__side"] == "l"][[by, on] + l_only]
+        rg = g[g["__side"] == "r"][[by, on] + r_only]
+        # merge_asof requires both frames sorted by `on`; stable secondary
+        # order on the by key keeps ties deterministic given deduped input
+        lg = lg.sort_values([on, by], kind="mergesort").reset_index(drop=True)
+        rg = rg.sort_values([on, by], kind="mergesort").reset_index(drop=True)
+        if not len(lg):
+            out = lg.assign(**{c: pd.Series([], dtype=rg[c].dtype)
+                               for c in r_only})
+        elif not len(rg):
+            out = lg.assign(**{c: None for c in r_only})
+        else:
+            out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
+                                suffixes=("", "__r"))
+            # merge_asof names the right `on` away; rename back is not
+            # needed since on is shared
+        return pd_to_arrow(out)
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def broadcast_join(
     left: ray.data.Dataset,
     small_df: pd.DataFrame,

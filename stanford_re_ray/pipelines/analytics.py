@@ -388,3 +388,71 @@ def q26_sliding_windows(sf_dir: str) -> pa.Table:
     out["sum_value"] = np.round(out["sum_value"], 6)
     out["n_events"] = out["n_events"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q27_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join — for each event, the user's latest order at or before
+    the event time (``functions.relational.asof_join``: one key-bucketed
+    shuffle, per-bucket vectorized merge_asof; an operator the Dataset
+    API lacks).  Orders are first compacted to one row per
+    (custkey, orderdate) keeping max orderkey so ties are deterministic
+    in both engines (DuckDB ASOF JOIN's pick is otherwise unspecified).
+    Inner semantics: events whose user never ordered before are
+    dropped."""
+    import zlib
+
+    from ..functions.relational import asof_join
+    from ..schema import pd_to_arrow
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def events_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "k": batch.column("user_id").cast(pa.int64()),
+            "t": batch.column("ts"),
+            "value": batch.column("value"),
+        })
+
+    def orders_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch.column("o_custkey").cast(pa.int64()),
+            "t": batch.column("o_orderdate"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderdate": batch.column("o_orderdate"),
+        })
+
+    def add_k_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(str(v).encode()) % 64
+                      for v in batch.column("k").to_pylist()], pa.int32()),
+        )
+
+    def compact(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["k", "t", "o_orderkey"], kind="mergesort")
+        return pd_to_arrow(g.drop_duplicates(["k", "t"], keep="last"))
+
+    right = (
+        orders.map_batches(orders_shape, batch_format="pyarrow")
+        .map_batches(add_k_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(compact, batch_format="pandas")
+    )
+    joined = asof_join(
+        events.map_batches(events_shape, batch_format="pyarrow"),
+        right, by="k", on="t",
+    ).to_pandas()
+    joined = joined[joined["o_orderkey"].notna()]
+    out = pd.DataFrame({
+        "event_id": joined["event_id"].astype("int64"),
+        "user_id": joined["k"].astype("int64"),
+        "event_ts": joined["t"],
+        "o_orderkey": joined["o_orderkey"].astype("int64"),
+        "o_orderdate": joined["o_orderdate"],
+        "value": np.round(joined["value"].astype("float64"), 6),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -69,6 +69,7 @@ SQL_CHECKED = [
     "q16_embedding_neardup", "q17_langid", "q20_semi_join", "q21_sessions",
     "q22_simhash_pairs", "q23_ngram_jaccard_exact",
     "q24_embedding_cosine_exact", "q25_bpe_tokens", "q26_sliding_windows",
+    "q27_asof_join",
 ]
 
 

@@ -326,3 +326,36 @@ def test_resolve_n_buckets():
     assert resolve_n_buckets(None, 1000) == 64       # floor
     assert resolve_n_buckets(None, 100_000_000) == 401
     assert resolve_n_buckets(None, 10**12) == MAX_BUCKETS
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join: latest right row at or before each left row per key;
+    keys missing on the right null-pad; forward direction flips it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([10, 25, 5, 40, 7], pa.int64()),
+        "lv": pa.array(list(range(5)), pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([8, 20, 50], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = (asof_join(left, right, by="k", on="t")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # lv0 t=10 -> rv 100 (t=8); lv1 t=25 -> rv 200 (t=20); lv2 t=5 -> none
+    # lv3 k=2 t=40 -> none (right t=50 is after); lv4 k=3 -> no right key
+    assert list(pd.array(out["rv"], dtype="Int64")) == \
+        [100, 200, pd.NA, pd.NA, pd.NA]
+
+    fwd = (asof_join(left, right, by="k", on="t", direction="forward")
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    # forward: lv0 t=10 -> 200 (t=20); lv1 t=25 -> none; lv2 t=5 -> 100;
+    # lv3 t=40 -> 300 (t=50); lv4 -> none
+    assert list(pd.array(fwd["rv"], dtype="Int64")) == \
+        [200, pd.NA, 100, 300, pd.NA]
