@@ -127,6 +127,9 @@ def run_bench() -> dict:
                               clusters=test.clusters)
         return res["edges"].count()
 
+    # one untimed pass: first execution pays worker-side imports of the
+    # scorer/bag/consistency/graph stages (train only warmed S1-S4)
+    headline_run()
     headline, n_edges = timed(headline_run)
     timings["kg_pipeline"] = headline
 
