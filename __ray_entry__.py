@@ -418,6 +418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_bpe_tokens": A.q25_bpe_tokens,
         "q26_sliding_windows": A.q26_sliding_windows,
         "q27_asof_join": A.q27_asof_join,
+        "q28_gopher_quality": A.q28_gopher_quality,
+        "q29_topk_per_group": A.q29_topk_per_group,
+        "q30_median_by_flag": A.q30_median_by_flag,
+        "q31_distinct_suppliers": A.q31_distinct_suppliers,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -614,6 +618,66 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ORDER BY e.event_id
+        """,
+        "q29_topk_per_group": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders)
+            SELECT o_custkey, rnk, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM r WHERE rnk <= 2
+            ORDER BY o_custkey, rnk
+        """,
+        "q30_median_by_flag": """
+            SELECT l_returnflag,
+                   round(median(l_extendedprice), 6) AS median_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q31_distinct_suppliers": """
+            SELECT l_returnflag,
+                   count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q28_gopher_quality": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) > 0 THEN
+                       round(list_aggregate(list_transform(ws,
+                                w -> length(w)), 'sum')::DOUBLE / len(ws), 6)
+                     ELSE 0.0 END AS mean_word_len,
+                     CASE WHEN len(ws) >= 2 THEN
+                       round(1.0 - len(list_distinct(list_transform(
+                                range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i+1])))::DOUBLE
+                             / (len(ws) - 1), 6)
+                     ELSE 0.0 END AS dup_2gram_frac
+              FROM d),
+            tw AS (
+              SELECT doc_id, round(max(c)::DOUBLE / any_value(n), 6)
+                       AS top_word_frac
+              FROM (
+                SELECT g.doc_id, g.n, count(*) AS c
+                FROM g, unnest(g.ws) AS u(w)
+                GROUP BY g.doc_id, g.n, u.w)
+              GROUP BY doc_id)
+            SELECT g.doc_id, g.n AS n_words, g.mean_word_len,
+                   g.dup_2gram_frac,
+                   COALESCE(tw.top_word_frac, 0.0) AS top_word_frac,
+                   (g.n BETWEEN 50 AND 100000
+                    AND g.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND g.dup_2gram_frac <= 0.90
+                    AND tw.top_word_frac <= 0.20) AS keep
+            FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
+            ORDER BY g.doc_id
         """,
         # DuckDB md5_number_upper(s) == int.from_bytes(md5(s)[:8],'little')
         # and md5_number_lower(s) == int.from_bytes(md5(s)[8:],'little'),

@@ -311,6 +311,69 @@ def hash_join(
     )
 
 
+def grouped_topk(
+    ds: ray.data.Dataset,
+    key: list[str] | str,
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per group with a rank column — the distributed form of
+    ``row_number() OVER (PARTITION BY key ORDER BY order_by) <= k``
+    (a window Ray Data has no operator for).
+
+    Two stages: a map-side PARTIAL keeps each batch's own per-key top-k
+    (correct because a key's global top-k is a subset of the union of its
+    per-batch top-ks), so at most k rows per (batch, key) enter the
+    shuffle; then one hash(key) bucket shuffle and a vectorized per-key
+    head(k) + rank.  ``tiebreak`` columns (ascending) make the order
+    total — REQUIRED for deterministic output when ``order_by`` has
+    duplicates."""
+    key = [key] if isinstance(key, str) else list(key)
+    tiebreak = list(tiebreak or [])
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
+    sort_cols = key + [order_by] + tiebreak
+    ascending = [True] * len(key) + [not descending] + [True] * len(tiebreak)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(key, sort=False).head(k)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = list(zip(*(batch.column(c).to_pylist() for c in key)))
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32("\x00".join(str(v) for v in row)
+                                 .encode("utf-8", "surrogatepass"))
+                      % n_buckets for row in keys], pa.int32()),
+        )
+
+    def final(g: pd.DataFrame):
+        from ..schema import pd_to_arrow
+
+        g = g.drop(columns=["__bucket"])
+        if not len(g):
+            return pd_to_arrow(g.assign(rank=pd.Series([], dtype="int64")))
+        g = g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = g.groupby(key, sort=False).head(k)
+        g["rank"] = g.groupby(key, sort=False).cumcount() + 1
+        return pd_to_arrow(g)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -117,6 +117,60 @@ class LangId:
         )
 
 
+# --- Gopher/C4-style quality filtering -------------------------------------
+
+#: keep-rule thresholds (Gopher Table A1 / C4 heuristics, doc-level):
+#: word-count window, mean-word-length window, repetition caps
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_DUP_2GRAM_FRAC = 0.90
+GOPHER_MAX_TOP_WORD_FRAC = 0.20
+
+
+def gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Doc-level quality-filter signals in the Gopher/C4 family: word
+    count, mean word length, duplicate-2-gram fraction (repetition), and
+    top-word fraction — plus the combined boolean ``keep``.  Pure
+    vectorizable per-doc stats; every float is rounded so the DuckDB
+    oracle (q28) value-matches."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    n_words, mean_wlen, dup2, topw, keep = [], [], [], [], []
+    for t in texts:
+        ws = (t or "").split()
+        n = len(ws)
+        n_words.append(n)
+        mw = round(sum(len(w) for w in ws) / n, 6) if n else 0.0
+        mean_wlen.append(mw)
+        if n >= 2:
+            grams = [ws[i] + " " + ws[i + 1] for i in range(n - 1)]
+            d2 = round(1.0 - len(set(grams)) / len(grams), 6)
+        else:
+            d2 = 0.0
+        dup2.append(d2)
+        tw = round(max(Counter(ws).values()) / n, 6) if n else 0.0
+        topw.append(tw)
+        keep.append(
+            GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+            and GOPHER_MIN_MEAN_WLEN <= mw <= GOPHER_MAX_MEAN_WLEN
+            and d2 <= GOPHER_MAX_DUP_2GRAM_FRAC
+            and tw <= GOPHER_MAX_TOP_WORD_FRAC
+        )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_wlen, pa.float64()),
+            "dup_2gram_frac": pa.array(dup2, pa.float64()),
+            "top_word_frac": pa.array(topw, pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 _B = 1000003

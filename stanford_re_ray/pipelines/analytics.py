@@ -456,3 +456,78 @@ def q27_asof_join(sf_dir: str) -> pa.Table:
         "value": np.round(joined["value"].astype("float64"), 6),
     })
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q28_gopher_quality(sf_dir: str) -> pa.Table:
+    """Gopher/C4-style doc-level quality filtering: word-count and
+    mean-word-length windows plus repetition signals (duplicate-2-gram
+    fraction, top-word fraction) and the combined keep verdict — the
+    standard pre-training corpus filter, as one vectorized map_batches
+    (``functions.textstats.gopher_quality_batch``)."""
+    from ..functions.textstats import gopher_quality_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(gopher_quality_batch,
+                           batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q29_topk_per_group(sf_dir: str, k: int = 2) -> pa.Table:
+    """Top-k per group — row_number() OVER (PARTITION BY custkey ORDER BY
+    totalprice DESC) <= k, as the distributed two-stage
+    ``functions.relational.grouped_topk`` (map-side per-key partial top-k,
+    one bucket shuffle)."""
+    from ..functions.relational import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = grouped_topk(orders, key="o_custkey", order_by="o_totalprice",
+                       k=k, descending=True,
+                       tiebreak=["o_orderkey"]).to_pandas()
+    out = out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pd.DataFrame({
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "rnk": out["rank"].astype("int64"),
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "o_totalprice": np.round(out["o_totalprice"], 2),
+        }), preserve_index=False)
+
+
+def q30_median_by_flag(sf_dir: str) -> pa.Table:
+    """Exact per-group median (interpolated, matching SQL ``median``) via
+    groupby + per-group vectorized quantile.  Scale caveat (documented):
+    each group's values are gathered into one task — right for
+    low-cardinality group keys (here 3 return flags); high-cardinality or
+    giant groups want a t-digest sketch instead."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def med(g: pd.DataFrame):
+        from ..schema import pd_to_arrow
+
+        return pd_to_arrow(pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "median_price": [round(float(np.median(g["l_extendedprice"])), 6)],
+            "n_rows": [len(g)],
+        }))
+
+    out = (ds.groupby("l_returnflag").map_groups(med, batch_format="pandas")
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q31_distinct_suppliers(sf_dir: str) -> pa.Table:
+    """COUNT(DISTINCT) per group as two cascaded groupbys: distinct
+    (flag, suppkey) pairs first (map-side combinable), then count per
+    flag — the scalable shape (a per-group set union would not be)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    pairs = (ds.groupby(["l_returnflag", "l_suppkey"])
+             .aggregate(Count(alias_name="_c")))
+    out = (pairs.groupby("l_returnflag")
+           .aggregate(Count(alias_name="n_suppliers"))
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -359,3 +359,40 @@ def test_asof_join_semantics(ray_session):
     # lv3 t=40 -> 300 (t=50); lv4 -> none
     assert list(pd.array(fwd["rv"], dtype="Int64")) == \
         [200, pd.NA, 100, 300, pd.NA]
+
+
+def test_grouped_topk_cross_batch(ray_session):
+    """The map-side partial keeps per-batch top-k; rows of one key split
+    across many blocks must still yield the global per-key top-k with
+    deterministic ranks."""
+    import numpy as np
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import grouped_topk
+
+    rng_vals = [(k, v, 100 * k + v) for k in range(5) for v in range(20)]
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rng_vals], pa.int64()),
+        "v": pa.array([r[1] for r in rng_vals], pa.int64()),
+        "id": pa.array([r[2] for r in rng_vals], pa.int64()),
+    })
+    # many tiny blocks → every key spans many batches
+    ds = rd.from_arrow(tbl).repartition(20)
+    out = (grouped_topk(ds, key="k", order_by="v", k=3, descending=True,
+                        tiebreak=["id"])
+           .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True))
+    assert len(out) == 15
+    for k in range(5):
+        g = out[out["k"] == k]
+        assert list(g["v"]) == [19, 18, 17]
+        assert list(g["rank"]) == [1, 2, 3]
+    # ties broken by the tiebreak column, ascending
+    dup = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "v": pa.array([5, 5, 5], pa.int64()),
+        "id": pa.array([30, 10, 20], pa.int64()),
+    })).repartition(3)
+    out2 = (grouped_topk(dup, key="k", order_by="v", k=2,
+                         tiebreak=["id"]).to_pandas()
+            .sort_values("rank").reset_index(drop=True))
+    assert list(out2["id"]) == [10, 20]
