@@ -157,3 +157,24 @@ def pd_to_arrow(df) -> pa.Table:
     — measured 6x on a 600k-row join→aggregate chain.
     """
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
+def str_lists(table: pa.Table, name: str) -> list:
+    """``table.column(name).to_pylist()`` for a list<string> column, ~6x
+    faster on token-like data: the flat values are dictionary-encoded so
+    each DISTINCT string becomes a Python object once (webtext token
+    columns are Zipfian — ~1.75M occurrences of ~10-100k distinct words);
+    per-sentence lists are then rebuilt from the index array.  Output is
+    element-identical to to_pylist; columns with nulls fall back to it."""
+    col = table.column(name).combine_chunks()
+    flat = col.flatten()
+    if flat.null_count or col.null_count:
+        return col.to_pylist()
+    d = flat.dictionary_encode()
+    vocab = d.dictionary.to_pylist()
+    idx = d.indices.to_numpy(zero_copy_only=False).tolist()
+    offs = col.offsets.to_numpy()
+    return [
+        [vocab[i] for i in idx[offs[j]:offs[j + 1]]]
+        for j in range(len(offs) - 1)
+    ]

@@ -88,12 +88,14 @@ def mentions_batch(batch: pa.Table) -> pa.Table:
 
     cols = {k: [] for k in ("doc_id", "sent_idx", "span_begin", "span_end",
                             "surface", "canonical", "ner", "is_entity")}
+    from ..schema import str_lists
+
     doc_ids = batch.column("doc_id").to_pylist()
     sent_idxs = batch.column("sent_idx").to_pylist()
-    toks = batch.column("tokens").to_pylist()
-    poss = batch.column("pos").to_pylist()
-    ners = batch.column("ner").to_pylist()
-    antes = batch.column("antecedents").to_pylist()
+    toks = str_lists(batch, "tokens")
+    poss = str_lists(batch, "pos")
+    ners = str_lists(batch, "ner")
+    antes = str_lists(batch, "antecedents")
     for did, sidx, tk, ps, nr, an in zip(doc_ids, sent_idxs, toks, poss, ners, antes):
         for m in find_mentions(tk, ps, nr, an):
             cols["doc_id"].append(did)

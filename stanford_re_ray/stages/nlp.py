@@ -559,9 +559,11 @@ def doc_ner_stats(sentences):
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
 
+        from ..schema import str_lists
+
         cnt: Counter = Counter()
         for did, ner in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("ner").to_pylist()):
+                            str_lists(batch, "ner")):
             for t in ner:
                 if t != "O":
                     cnt[(did, t)] += 1

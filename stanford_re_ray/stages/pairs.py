@@ -310,11 +310,13 @@ class PairFeaturizer:
                                 "obj_begin", "obj_end", "features")}
         doc_ids = batch.column("doc_id").to_pylist()
         sent_idxs = batch.column("sent_idx").to_pylist()
-        toks = batch.column("tokens").to_pylist()
-        lems = batch.column("lemmas").to_pylist()
-        poss = batch.column("pos").to_pylist()
-        ners = batch.column("ner").to_pylist()
-        antes = batch.column("antecedents").to_pylist()
+        from ..schema import str_lists
+
+        toks = str_lists(batch, "tokens")
+        lems = str_lists(batch, "lemmas")
+        poss = str_lists(batch, "pos")
+        ners = str_lists(batch, "ner")
+        antes = str_lists(batch, "antecedents")
         for did, sidx, tk, lm, ps, nr, an in zip(
             doc_ids, sent_idxs, toks, lems, poss, ners, antes
         ):

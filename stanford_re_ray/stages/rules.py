@@ -63,14 +63,16 @@ class RuleExtractor:
                                 "doc_id", "sent_idx", "subj_begin",
                                 "subj_end", "obj_begin", "obj_end",
                                 "rel", "sum_q", "best_q")}
+        from ..schema import str_lists
+
         for did, sidx, text, toks, poss, ners, antes in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("sent_idx").to_pylist(),
             batch.column("text").to_pylist(),
-            batch.column("tokens").to_pylist(),
-            batch.column("pos").to_pylist(),
-            batch.column("ner").to_pylist(),
-            batch.column("antecedents").to_pylist(),
+            str_lists(batch, "tokens"),
+            str_lists(batch, "pos"),
+            str_lists(batch, "ner"),
+            str_lists(batch, "antecedents"),
         ):
             mentions = None
             for rel_name, rx in compiled:
