@@ -223,6 +223,41 @@ def kg_triples_mimlre(sf_dir: str):
                                 dicts=test.dicts, clusters=test.clusters)
 
 
+def kg_triples_hoffmann(sf_dir: str):
+    """Triples from the Hoffmann MultiR latent averaged perceptron
+    (ModelType.AT_LEAST_ONCE end-to-end: HoffmannScorer + max-reduce bag
+    stage)."""
+    import ray.data as rd
+
+    if "hoffmann" not in _MODEL_CACHE:
+        import os
+
+        from stanford_re_ray.fixtures import gen_corpus
+        from stanford_re_ray.pipelines.train import train_model_hoffmann
+        from stanford_re_ray.stages.classify import HoffmannModel
+
+        cache = f"/tmp/stanford_re_ray_hoffmann_{_src_digest()}.parquet"
+        if os.path.exists(cache):
+            _MODEL_CACHE["hoffmann"] = HoffmannModel.load(cache)
+        else:
+            train = gen_corpus(200, per_lo=0, per_hi=120, org_lo=0,
+                               org_hi=60)
+            m = train_model_hoffmann(
+                rd.from_arrow(train.pages).repartition(8), train.kb,
+                dicts=train.dicts, clusters=train.clusters,
+                negative_subsample=1.0, epochs=10)
+            _MODEL_CACHE["hoffmann"] = HoffmannModel.from_table(m.to_table())
+            tmp = cache + f".tmp{os.getpid()}"
+            _MODEL_CACHE["hoffmann"].save(tmp)
+            os.replace(tmp, cache)
+    from stanford_re_ray.pipelines.kg import run_kg_pipeline_hoffmann
+
+    pages, test = _kg_pages(sf_dir)
+    return run_kg_pipeline_hoffmann(pages, _MODEL_CACHE["hoffmann"],
+                                    dicts=test.dicts,
+                                    clusters=test.clusters)
+
+
 def kg_doc_ner_stats(sf_dir: str):
     """Per-doc NER histograms over the fixture pages (CorpusStats analog;
     rows-only — NER is not SQL-expressible)."""
@@ -439,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_triples_mimlre": kg_triples_mimlre,
+        "kg_triples_hoffmann": kg_triples_hoffmann,
         "kg_doc_ner_stats": kg_doc_ner_stats,
         "kg_extract_text": kg_extract_text,
     }

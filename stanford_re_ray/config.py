@@ -109,4 +109,5 @@ def register_stage(name: str, fn: Callable) -> None:
 SCORER_REGISTRY: dict[str, str] = {
     "lr": "stanford_re_ray.stages.classify:MentionScorer",
     "rules": "stanford_re_ray.stages.rules:RuleExtractor",
+    "hoffmann": "stanford_re_ray.stages.classify:HoffmannScorer",
 }

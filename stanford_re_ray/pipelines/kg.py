@@ -673,6 +673,47 @@ def run_kg_pipeline_miml(
     return consistency_stage(candidates)
 
 
+def run_kg_pipeline_hoffmann(
+    pages: ray.data.Dataset,
+    hoffmann_model,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+    n_buckets: int | None = None,
+    tree_combine_blocks: int = 32,
+) -> ray.data.Dataset:
+    """pages → TRIPLES with the Hoffmann MultiR latent perceptron in place
+    of the LR scorer+bag stages (ModelType.AT_LEAST_ONCE end-to-end).
+    S5 = ``HoffmannScorer`` (argmax over averaged weights, NIL dropped);
+    S6 = the same combiner/tree-combine/bucket-shuffle shape as
+    ``bag_stage`` but reduced with a per-(pair, rel) MAX — the reference's
+    deterministic-OR Y layer.  Scores are RAW averaged-perceptron scores
+    (unbounded), as in classifyMentions.  Same S7 consistency."""
+    from ..functions.relational import resolve_n_buckets
+    from ..stages.classify import (HoffmannScorer, hoffmann_bag_reduce,
+                                   partial_bag_combine)
+
+    docs = extract_stage(pages)
+    sentences = nlp_stage(docs, dicts)
+    pairs = pairs_stage(sentences, clusters)
+    scored = pairs.map_batches(HoffmannScorer(ray.put(hoffmann_model)),
+                               batch_format="pyarrow", batch_size=1024)
+    nb = resolve_n_buckets(n_buckets, None)
+    partials = scored.map_batches(
+        lambda df, _n=nb: partial_bag_combine(df, _n),
+        batch_format="pandas",
+    )
+    if tree_combine_blocks:
+        partials = partials.repartition(tree_combine_blocks).map_batches(
+            lambda df, _n=nb: partial_bag_combine(
+                df.drop(columns=["__bucket"], errors="ignore"), _n),
+            batch_format="pandas",
+        )
+    candidates = partials.groupby("__bucket").map_groups(
+        hoffmann_bag_reduce, batch_format="pandas"
+    )
+    return consistency_stage(candidates)
+
+
 def run_kg_pipeline_cfg(
     pages: ray.data.Dataset,
     model: LRModel,

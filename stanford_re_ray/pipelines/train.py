@@ -335,6 +335,42 @@ def train_model_mimlre(
     return train_mimlre(feats, labels, bags, **miml_kwargs)
 
 
+def train_model_hoffmann(
+    pages: ray.data.Dataset,
+    kb_tbl: pa.Table,
+    dicts: Dictionaries | None = None,
+    clusters: dict[str, str] | None = None,
+    negative_subsample: float = 0.10,
+    epochs: int = 10,
+    kb_slot_matching: bool = True,
+):
+    """End-to-end Hoffmann (MultiR) training: pages + KB → HoffmannModel
+    (KBPTrainer with ModelType.AT_LEAST_ONCE).  S1–S4 + distant
+    supervision run distributed; the latent averaged perceptron itself is
+    the in-memory fit of the (small) labeled set, like the reference's
+    single-JVM HoffmannExtractor.train."""
+    from ..stages.classify import train_hoffmann
+    from ..stages.pairs import kb_fills_lookup
+
+    docs = extract_stage(pages)
+    sentences = nlp_stage(docs, dicts)
+    pairs = pairs_stage(
+        sentences, clusters,
+        kb_fills=kb_fills_lookup(kb_tbl) if kb_slot_matching else None)
+    labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl),
+                                negative_subsample, emit_bag_id=True)
+    dfs = [b for b in labeled.iter_batches(batch_size=8192,
+                                           batch_format="pandas")]
+    if not dfs:
+        return train_hoffmann([], [], [], epochs=epochs)
+    df = pd.concat(dfs, ignore_index=True)
+    df = df.sort_values("sort_key", kind="mergesort").reset_index(drop=True)
+    feats = [np.asarray(f, dtype=np.int64) for f in df["features"]]
+    labels = [set(l) for l in df["labels"]]
+    bags = list(df["bag_id"])
+    return train_hoffmann(feats, labels, bags, epochs=epochs)
+
+
 def feature_vocab(pairs: ray.data.Dataset,
                   threshold: int = 5) -> np.ndarray:
     """Distributed feature-count threshold — shuffle #2 of SURVEY.md §7.4

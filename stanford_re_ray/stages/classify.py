@@ -678,6 +678,40 @@ class HoffmannModel:
     avg_weights: np.ndarray
     dims: np.ndarray
 
+    def to_table(self) -> pa.Table:
+        """Parquet-able weight table (label, global dim, weight) — the
+        same artifact shape as LRModel (RelationClassifier.java:94-107);
+        dims re-derive from the stored global ids on load."""
+        nz_l, nz_c = np.nonzero(self.avg_weights)
+        return pa.table({
+            "label": pa.array(nz_l.astype(np.int32)),
+            "dim": pa.array(self.dims[nz_c].astype(np.int64)),
+            "weight": pa.array(self.avg_weights[nz_l, nz_c].astype(np.float64)),
+        })
+
+    @staticmethod
+    def from_table(t: pa.Table) -> "HoffmannModel":
+        lab = t.column("label").to_numpy()
+        dim = t.column("dim").to_numpy()
+        w = t.column("weight").to_numpy()
+        dims = np.unique(dim)
+        remap = {d: i for i, d in enumerate(dims.tolist())}
+        avg = np.zeros((len(RELATION_NAMES) + 1, max(len(dims), 1)))
+        for l_, d_, v in zip(lab, dim, w):
+            avg[int(l_), remap[int(d_)]] = v
+        return HoffmannModel(avg_weights=avg, dims=dims)
+
+    def save(self, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(self.to_table(), path)
+
+    @staticmethod
+    def load(path: str) -> "HoffmannModel":
+        import pyarrow.parquet as pq
+
+        return HoffmannModel.from_table(pq.read_table(path))
+
     def _compact(self, ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids, dtype=np.int64)
         if not len(ids) or not len(self.dims):
@@ -834,6 +868,89 @@ def train_hoffmann(
     for label in range(n_classes):      # final addToAverage (:177-178)
         AVG[label] += W[label] * (t - last_t[label])
     return HoffmannModel(avg_weights=AVG, dims=dims)
+
+
+class HoffmannScorer:
+    """Distributed test-time scoring for ``HoffmannModel`` (the MultiR
+    classify path, HoffmannExtractor.java:489-523): per mention, avg-dot
+    scores for every label; the top label (ties → HIGHER index, matching
+    sortPredictions) is kept iff non-NIL, with its RAW averaged-perceptron
+    score quantized into ``best_q``.  Emits the scored-mention schema the
+    Hoffmann bag stage consumes (``sum_q`` mirrors best_q for schema
+    compatibility; the bag reduce uses MAX, the deterministic-OR of the
+    reference's Y layer)."""
+
+    def __init__(self, model_ref):
+        self._ref = model_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        model: HoffmannModel = fetch(self._ref)
+        n = batch.num_rows
+        n_classes = model.avg_weights.shape[0]
+        nil = n_classes - 1
+        if n == 0:
+            out = batch.drop_columns(["features"])
+            return (out.append_column("rel", pa.array([], pa.string()))
+                    .append_column("sum_q", pa.array([], pa.int64()))
+                    .append_column("best_q", pa.array([], pa.int64())))
+        feat_col = batch.column("features").combine_chunks()
+        offsets = feat_col.offsets.to_numpy().astype(np.int64)
+        flat = feat_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        bounds = offsets[:-1] - offsets[0]
+        dims = model.dims
+        if len(flat) and len(dims):
+            pos = np.searchsorted(dims, flat)
+            pos_c = np.clip(pos, 0, len(dims) - 1)
+            hit = (pos < len(dims)) & (dims[pos_c] == flat)
+            gathered = np.ascontiguousarray(model.avg_weights.T)[pos_c]
+            gathered[~hit] = 0.0
+            if bounds.size and bounds[-1] == gathered.shape[0]:
+                gathered = np.vstack(
+                    [gathered,
+                     np.zeros((1, n_classes), dtype=gathered.dtype)])
+            S = np.add.reduceat(gathered, bounds, axis=0)
+        else:
+            S = np.zeros((n, n_classes))
+        lens = np.diff(offsets)
+        S[lens == 0] = 0.0          # featureless → all-zero → NIL via ties
+        # argmax with ties to the HIGHER label index (sortPredictions)
+        top = n_classes - 1 - np.argmax(S[:, ::-1], axis=1)
+        keep = np.nonzero(top != nil)[0]
+        rels = [RELATION_NAMES[t] for t in top[keep]]
+        q = np.rint(S[keep, top[keep]] * SCORE_SCALE).astype(np.int64)
+        kept = batch.take(pa.array(keep)).drop_columns(["features"])
+        return (kept.append_column("rel", pa.array(rels, pa.string()))
+                .append_column("sum_q", pa.array(q))
+                .append_column("best_q", pa.array(q)))
+
+
+def hoffmann_bag_reduce(df: pd.DataFrame) -> pa.Table:
+    """Reduce side of the Hoffmann bag stage: per (pair, rel) keep the
+    MAX-score mention (deterministic OR over the bag — classifyMentions'
+    bestZScores) with its provenance; score = raw averaged-perceptron
+    score (unbounded, NOT a probability — documented Hoffmann
+    semantics)."""
+    from ..schema import pd_to_arrow
+
+    keys = PAIR_KEY + ["rel"]
+    if not len(df):
+        empty = df.iloc[0:0].drop(columns=["__bucket"], errors="ignore")
+        empty = empty.rename(columns={"rel": "pred"})
+        empty["score"] = pd.Series([], dtype="float64")
+        cols = [c for c in ["subj", "subj_type", "pred", "obj", "obj_type",
+                            "score"] + _PROV_COLS if c in empty.columns]
+        return pd_to_arrow(empty[cols])
+    df = df.drop(columns=["__bucket"], errors="ignore")
+    df = df.sort_values(keys + _TIE_COLS,
+                        ascending=[True] * len(keys) + [False] * len(_TIE_COLS),
+                        kind="mergesort")
+    out = df.drop_duplicates(keys, keep="first").copy()
+    out["score"] = out["best_q"] / SCORE_SCALE
+    out = out.rename(columns={"rel": "pred"})
+    cols = ["subj", "subj_type", "pred", "obj", "obj_type", "score"] + _PROV_COLS
+    return pd_to_arrow(out[cols])
 
 
 def train_atleast_once(

@@ -222,3 +222,51 @@ def test_hoffmann_deterministic():
     m2 = train_hoffmann(feats, labels, bags, epochs=7)
     assert np.array_equal(m1.avg_weights, m2.avg_weights)
     assert np.array_equal(m1.dims, m2.dims)
+
+
+def test_hoffmann_e2e_pipeline(ray_session):
+    """End-to-end AT_LEAST_ONCE: distant-supervision train via
+    train_model_hoffmann, inference via run_kg_pipeline_hoffmann
+    (HoffmannScorer + max-reduce bag stage + shared consistency), gated
+    on the same P/R >= 0.95 bar as the LR pipeline."""
+    import ray.data as rd
+
+    from stanford_re_ray.evaluate import score_triples
+    from stanford_re_ray.fixtures import gen_corpus
+    from stanford_re_ray.pipelines.kg import (dataset_to_table,
+                                              run_kg_pipeline_hoffmann)
+    from stanford_re_ray.pipelines.train import train_model_hoffmann
+
+    train = gen_corpus(200, per_lo=0, per_hi=120, org_lo=0, org_hi=60)
+    test = gen_corpus(120, per_lo=200, per_hi=320, org_lo=100, org_hi=160,
+                      base_url="https://t.example")
+    model = train_model_hoffmann(
+        rd.from_arrow(train.pages).repartition(4), train.kb,
+        dicts=train.dicts, clusters=train.clusters,
+        negative_subsample=1.0, epochs=10)
+    triples = run_kg_pipeline_hoffmann(
+        rd.from_arrow(test.pages).repartition(4), model,
+        dicts=test.dicts, clusters=test.clusters)
+    tbl = dataset_to_table(triples)
+    s = score_triples(tbl, test.gold)
+    assert s.precision >= 0.95
+    assert s.recall >= 0.95
+
+
+def test_hoffmann_model_roundtrip():
+    """Save/load through the Parquet weight table preserves scoring
+    (all-zero dims may be dropped; scores and argmax are unchanged)."""
+    import numpy as np
+
+    from stanford_re_ray.stages.classify import HoffmannModel, train_hoffmann
+
+    feats = [np.array([3, 7]), np.array([9]), np.array([7, 9])]
+    labels = [{"per:spouse"}, set(), {"per:title"}]
+    m = train_hoffmann(feats, labels, ["a", "b", "c"], epochs=5)
+    m2 = HoffmannModel.from_table(m.to_table())
+    for ids in (np.array([3, 7]), np.array([9]), np.array([]),
+                np.array([12345])):
+        np.testing.assert_allclose(m.mention_scores(ids),
+                                   m2.mention_scores(ids))
+    assert m.classify_bag([np.array([3, 7])]) == \
+        m2.classify_bag([np.array([3, 7])])
