@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the pure kernels and the
+distributed relational operators: the vectorized implementations must
+agree with straightforward reference implementations on arbitrary
+inputs, not just fixtures."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# --- simhash: vectorized batch kernel ≡ scalar definition ------------------
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefgé '\t", min_size=0, max_size=8), max_size=30)
+
+
+def _scalar_simhash(text):
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in words:
+        h = hashlib.md5(w.encode("utf-8", "surrogatepass")).digest()[:8]
+        bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8)).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(WORDS.map(lambda ws: " ".join(ws)), max_size=12))
+def test_simhash_batch_matches_scalar(texts):
+    from stanford_re_ray.functions.dedup import _simhash64_texts
+
+    got = _simhash64_texts(texts)
+    assert [int(h) for h in got] == [_scalar_simhash(t) for t in texts]
+
+
+# --- minhash signature: min over per-shingle hashes ------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**63 - 1), max_size=40))
+def test_minhash_signature_is_elementwise_min(shingles):
+    from stanford_re_ray.functions.dedup import (_MERSENNE, _minhash_params,
+                                                 minhash_signature)
+
+    a, b = _minhash_params(8)
+    sig = minhash_signature(shingles, a, b)
+    if not shingles:
+        assert (sig == _MERSENNE).all()
+        return
+    expect = np.full(8, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for s in shingles:
+        x = np.uint64(s % _MERSENNE)
+        vals = (a * x + b) % np.uint64(_MERSENNE)
+        expect = np.minimum(expect, vals)
+    assert (sig == expect).all()
+    # monotone: adding a shingle can only lower the signature
+    sig2 = minhash_signature(shingles | {12345}, a, b)
+    assert (sig2 <= sig).all()
+
+
+# --- alternate slot values: structural invariants ---------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdAB.19", min_size=1, max_size=6),
+                min_size=0, max_size=6),
+       st.booleans(), st.booleans())
+def test_alternate_slot_values_invariants(tokens, is_date, is_person):
+    from stanford_re_ray.stages.pairs import alternate_slot_values
+
+    value = " ".join(tokens)
+    alts = alternate_slot_values(value, is_date, is_person)
+    for a in alts:
+        assert a != value          # an alternate is never the value itself
+        assert len(a) < len(value)
+        # alternates are built from the value's own characters/tokens
+        if not is_date or not a.isdigit():
+            assert all(tok in tokens for tok in a.split())
+    if not is_date and not is_person:
+        assert alts == []
+
+
+# --- grouped_topk ≡ pandas groupby rank (one Ray session, few examples) ----
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+                min_size=1, max_size=40))
+def test_grouped_topk_matches_pandas(ray_session, rows):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import grouped_topk
+
+    df = pd.DataFrame(rows, columns=["k", "v"]).reset_index(names="id")
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (grouped_topk(ds, key="k", order_by="v", k=2, tiebreak=["id"])
+           .to_pandas().sort_values(["k", "rank"]).reset_index(drop=True))
+    ref = df.sort_values(["k", "v", "id"], ascending=[True, False, True],
+                         kind="mergesort").groupby("k").head(2)
+    ref = ref.sort_values(["k", "v", "id"], ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+    assert list(got["id"]) == list(ref["id"])
+
+
+# --- hash_join ≡ pandas merge ----------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)),
+                min_size=0, max_size=20),
+       st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)),
+                min_size=0, max_size=20),
+       st.sampled_from(["inner", "left", "semi", "anti"]))
+def test_hash_join_matches_pandas(ray_session, lrows, rrows, how):
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import hash_join
+
+    ldf = pd.DataFrame(lrows, columns=["k", "lv"])
+    rdf = pd.DataFrame(rrows, columns=["k", "rv"])
+    left = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False))
+    right = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False))
+    got = hash_join(left, right, on="k", how=how).to_pandas()
+    if how == "inner":
+        ref = ldf.merge(rdf, on="k", how="inner")
+    elif how == "left":
+        ref = ldf.merge(rdf, on="k", how="left")
+    elif how == "semi":
+        ref = ldf[ldf["k"].isin(set(rdf["k"]))]
+    else:
+        ref = ldf[~ldf["k"].isin(set(rdf["k"]))]
+
+    def canon(df):
+        df = df.copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64")
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    g, r = canon(got), canon(ref[got.columns] if len(got.columns) else ref)
+    assert len(g) == len(r)
+    if len(g):
+        pd.testing.assert_frame_equal(g, r)
