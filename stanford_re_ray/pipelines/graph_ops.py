@@ -258,7 +258,14 @@ def subgraph_bfs(
     """Edges reachable from the seeds within ``depth`` hops (frontier ids
     broadcast each round; the frontier is capped by ``entity_budget`` with
     deterministic lexicographic selection — TEST_GRAPH_* caps,
-    Props.java:256-285)."""
+    Props.java:256-285).
+
+    The budget is applied DISTRIBUTED before anything reaches the driver:
+    each layer's candidate dst ids go through per-batch dedup+truncate
+    partials (a batch never contributes more than ``entity_budget`` ids)
+    and a groupby-distinct + sort + limit, so the driver only ever
+    materializes ≤ entity_budget ids per round — an uncapped frontier
+    cannot OOM the driver."""
     from ..functions.relational import semi_anti_filter
 
     visited = set(seed_ids)
@@ -270,10 +277,34 @@ def subgraph_bfs(
         layer = semi_anti_filter(edges, frontier, "src_id",
                                  keep_matching=True).materialize()
         kept = layer if kept is None else kept.union(layer).materialize()
-        dsts = set()
-        for b in layer.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            dsts.update(b.column("dst_id").to_pylist())
-        frontier = set(sorted(dsts - visited)[:entity_budget])
+        visited_ref = ray.put(visited)
+
+        def new_dsts(batch: pa.Table, _budget=entity_budget,
+                     _vref=visited_ref) -> pa.Table:
+            from ..state.broadcast import fetch
+
+            seen = fetch(_vref)
+            # per-batch partial: dedupe, drop visited, keep the
+            # lexicographically smallest `budget` ids (the global
+            # selection is a subset of the union of these partials)
+            ids = sorted(
+                {d for d in batch.column("dst_id").to_pylist()
+                 if d not in seen}
+            )[:_budget]
+            return pa.table({"dst_id": pa.array(ids, pa.string())})
+
+        capped = (
+            layer.map_batches(new_dsts, batch_format="pyarrow")
+            .groupby("dst_id").count()
+            .sort("dst_id")
+            .limit(entity_budget)
+        )
+        frontier = {
+            d
+            for b in capped.iter_batches(batch_size=entity_budget,
+                                         batch_format="pyarrow")
+            for d in b.column("dst_id").to_pylist()
+        }
         visited |= frontier
     if kept is None:
         return edges.limit(0)

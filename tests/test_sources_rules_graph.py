@@ -154,6 +154,23 @@ def test_subgraph_bfs(ray_session):
     assert got == {("a", "b"), ("b", "c")}  # depth 2, no x→y island
 
 
+def test_subgraph_bfs_budget_lexicographic(ray_session):
+    """entity_budget caps each layer's frontier to the lexicographically
+    smallest ids — now selected distributed (per-batch partials + global
+    sort/limit), never by collecting the raw frontier to the driver."""
+    from stanford_re_ray.pipelines.graph_ops import subgraph_bfs
+
+    fan = [("s", "p", f"n{i:02d}", 0.9) for i in range(10)]
+    second = [(f"n{i:02d}", "p", f"m{i:02d}", 0.9) for i in range(10)]
+    edges = _edges_ds(fan + second)
+    out = subgraph_bfs(edges, {"s"}, depth=2, entity_budget=3).to_pandas()
+    got = {(r.src_id, r.dst_id) for r in out.itertuples()}
+    # layer 1 keeps all fan edges; layer 2 only expands the 3 smallest ids
+    assert {(a, b) for a, _, b, _ in fan} <= got
+    assert ("n00", "m00") in got and ("n02", "m02") in got
+    assert not any(a == f"n{i:02d}" for a, _ in got for i in range(3, 10))
+
+
 # --- RelationFilter components (RelationFilter.java:297-480) ----------------
 
 def _scored_table():
