@@ -1,0 +1,113 @@
+"""Command-line entrypoints — the ``ray job submit`` surface.
+
+On a cluster::
+
+    ray job submit --working-dir . -- \\
+        python -m stanford_re_ray train --pages 's3://.../pages/*.parquet' \\
+            --kb kb.tsv --out model.parquet
+    ray job submit --working-dir . -- \\
+        python -m stanford_re_ray kg --pages 'shards/*.parquet' \\
+            --model model.parquet --out /data/kg_out
+
+``kg`` runs the checkpointed per-shard pipeline
+(``state.checkpoint.run_kg_checkpointed``): triples/nodes/edges land as
+partitioned Parquet under ``--out``, one partition per input shard with a
+lineage manifest, so a resubmitted job skips completed shards and a
+poison shard fails alone.
+
+Ray session ownership: inside ``ray job submit`` (or any caller that
+already initialized Ray) the existing session is reused; standalone
+invocations init local Ray themselves.  The driver-contract module
+(``__ray_entry__``) never reaches this code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()          # honors RAY_ADDRESS (ray job submit) or local
+
+
+def _load_clusters(path: str | None):
+    if not path:
+        return None
+    from .sources.readers import read_clusters_tsv
+
+    return read_clusters_tsv(path)
+
+
+def cmd_train(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .pipelines.train import train_model
+    from .sources.readers import read_kb_tsv
+
+    pages = rd.read_parquet(sorted(glob.glob(args.pages)) or args.pages)
+    kb = read_kb_tsv(args.kb)
+    model = train_model(pages, kb,
+                        clusters=_load_clusters(args.clusters),
+                        negative_subsample=args.negative_subsample,
+                        epochs=args.epochs)
+    model.save(args.out)
+    print(json.dumps({"model": args.out,
+                      "nonzero_weights": int((model.weights != 0).sum())}))
+    return 0
+
+
+def cmd_kg(args) -> int:
+    _ensure_ray()
+    from .stages.classify import LRModel
+    from .state.checkpoint import run_kg_checkpointed
+
+    shards = sorted(glob.glob(args.pages))
+    if not shards:
+        print(f"no shards match {args.pages}", file=sys.stderr)
+        return 2
+    model = LRModel.load(args.model)
+    res = run_kg_checkpointed(shards, model, args.out,
+                              clusters=_load_clusters(args.clusters))
+    print(json.dumps({
+        "out": args.out,
+        "skipped": len(res["completed_previously"]),
+        "processed": len(res["processed"]),
+        "failed": res["failed"],
+    }))
+    return 1 if res["failed"] else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="stanford_re_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="distant-supervision LR training")
+    t.add_argument("--pages", required=True,
+                   help="pages Parquet path or glob")
+    t.add_argument("--kb", required=True, help="KB triples TSV")
+    t.add_argument("--out", required=True, help="model weight Parquet out")
+    t.add_argument("--clusters", default=None, help="word-cluster TSV")
+    t.add_argument("--epochs", type=int, default=150)
+    t.add_argument("--negative-subsample", type=float, default=0.10)
+    t.set_defaults(fn=cmd_train)
+
+    k = sub.add_parser("kg", help="checkpointed pages → triples/nodes/edges")
+    k.add_argument("--pages", required=True, help="pages shard glob")
+    k.add_argument("--model", required=True, help="model weight Parquet")
+    k.add_argument("--out", required=True, help="output root directory")
+    k.add_argument("--clusters", default=None, help="word-cluster TSV")
+    k.set_defaults(fn=cmd_kg)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

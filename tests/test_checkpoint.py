@@ -102,3 +102,58 @@ def test_poison_shard_isolated(ray_session, model, shards):
     ]
     man = json.load(open(os.path.join(OUT, "_manifest", "part-shard-99.json")))
     assert man["status"].startswith("failed")
+
+
+def test_cli_train_then_kg_resume(ray_session, tmp_path, capsys):
+    """The ray-job-submit surface: `train` fits and saves weights from
+    Parquet pages + a KB TSV; `kg` runs the checkpointed per-shard
+    pipeline; a second `kg` invocation skips every completed shard."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from stanford_re_ray.cli import main
+    from stanford_re_ray.fixtures import gen_corpus
+
+    train = gen_corpus(120, per_lo=0, per_hi=80, org_lo=0, org_hi=40)
+    test = gen_corpus(60, per_lo=200, per_hi=260, org_lo=100, org_hi=130,
+                      base_url="https://t.example")
+    pq.write_table(train.pages, str(tmp_path / "train_pages.parquet"))
+    n = test.pages.num_rows
+    pq.write_table(test.pages.slice(0, n // 2),
+                   str(tmp_path / "shard_a.parquet"))
+    pq.write_table(test.pages.slice(n // 2),
+                   str(tmp_path / "shard_b.parquet"))
+    kb_lines = [
+        f"{i}\t{name}\t{rel}\t{val}"
+        for i, (name, rel, val) in enumerate(zip(
+            train.kb.column("entity_name").to_pylist(),
+            train.kb.column("rel").to_pylist(),
+            train.kb.column("slot_value").to_pylist()))
+    ]
+    (tmp_path / "kb.tsv").write_text("\n".join(kb_lines) + "\n")
+
+    rc = main(["train", "--pages", str(tmp_path / "train_pages.parquet"),
+               "--kb", str(tmp_path / "kb.tsv"),
+               "--out", str(tmp_path / "model.parquet"),
+               "--epochs", "60", "--negative-subsample", "1.0"])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["nonzero_weights"] > 0
+
+    rc = main(["kg", "--pages", str(tmp_path / "shard_*.parquet"),
+               "--model", str(tmp_path / "model.parquet"),
+               "--out", str(tmp_path / "kg_out")])
+    assert rc == 0
+    run1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run1["processed"] == 2 and run1["skipped"] == 0
+    assert (tmp_path / "kg_out" / "triples" / "part=shard_a").is_dir()
+    assert (tmp_path / "kg_out" / "edges" / "part=shard_b").is_dir()
+
+    # resubmit: both shards skip via manifests
+    rc = main(["kg", "--pages", str(tmp_path / "shard_*.parquet"),
+               "--model", str(tmp_path / "model.parquet"),
+               "--out", str(tmp_path / "kg_out")])
+    assert rc == 0
+    run2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run2["skipped"] == 2 and run2["processed"] == 0
