@@ -275,6 +275,31 @@ def _lemma_of(tok: str, pos: str) -> str:
     return low
 
 
+#: token → regex-derived NER type (None when no regex matches).  The
+#: regex stack runs once per DISTINCT token per worker instead of per
+#: occurrence (Zipfian token stream — same memo pattern as POS/lemma).
+_NERTYPE_CACHE: dict = {}
+
+
+def _regex_ner_type(tok: str, lower: str):
+    v = _NERTYPE_CACHE.get(tok, "")
+    if v == "":
+        if _URL_RE.match(tok):
+            v = "URL"
+        elif _ISO_DATE_RE.match(tok) or _YEAR_RE.match(tok):
+            v = "DATE"
+        elif lower in _MONTHS:
+            v = "DATE"
+        elif _NUM_RE.match(tok):
+            v = "NUMBER"
+        else:
+            v = None
+        if len(_NERTYPE_CACHE) >= _TOK_CACHE_MAX:
+            _NERTYPE_CACHE.clear()
+        _NERTYPE_CACHE[tok] = v
+    return v
+
+
 def _tag_ner(tokens: list[str], lowers: list[str], pos: list[str],
              cd: _CompiledDicts) -> list[str]:
     """Dictionary + rule NER over one sentence. Longest-match-first phrase
@@ -301,20 +326,14 @@ def _tag_ner(tokens: list[str], lowers: list[str], pos: list[str],
                 matched = ln
                 break
         i += matched if matched else 1
-    # regex-typed tokens
+    # regex-typed tokens (memoized per distinct token; "May 3 , 2001"
+    # runs are absorbed by the NUMBER+DATE merge below)
     for i, tok in enumerate(tokens):
         if ner[i] != "O":
             continue
-        if _URL_RE.match(tok):
-            ner[i] = "URL"
-        elif _ISO_DATE_RE.match(tok) or _YEAR_RE.match(tok):
-            ner[i] = "DATE"
-        elif lowers[i] in _MONTHS:
-            ner[i] = "DATE"
-            # absorb "May 3 , 2001"-style runs handled below via NUMBER+DATE merge
-        elif _NUM_RE.match(tok):
-            # a number adjacent to a DATE month stays NUMBER here; merged next
-            ner[i] = "NUMBER"
+        t = _regex_ner_type(tok, lowers[i])
+        if t is not None:
+            ner[i] = t
     # merge Month + day/number + year into DATE runs
     for i in range(n):
         if ner[i] == "DATE" and lowers[i] in _MONTHS:
