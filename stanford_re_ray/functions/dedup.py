@@ -644,6 +644,43 @@ def embedding_neardup_pairs(
     )
 
 
+# --- end-to-end corpus dedup (the composed pipeline) -----------------------
+
+def dedup_corpus(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    k_shingle: int = 5,
+    max_rounds: int = 10,
+) -> ray.data.Dataset:
+    """The full near-dup removal pipeline a training-data run wants as one
+    call: MinHash+LSH candidates → exact n-gram-Jaccard verification →
+    connected components → keep ONE representative per duplicate cluster
+    (the min doc_id) plus every unclustered doc.
+
+    Composition of the scale-shaped pieces above — document payloads
+    never ride a shuffle (LSH moves (doc_id, band-hash) rows; verification
+    joins texts back per candidate pair; components propagate labels);
+    the final keep-set applies as a broadcast semi/anti filter.  Returns
+    (doc_id, text) of survivors."""
+    from .relational import hash_join
+
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, k=k_shingle)
+    comp = connected_components(pairs, max_rounds=max_rounds)
+
+    def drop_reps(batch: pa.Table) -> pa.Table:
+        # clustered docs that are NOT their cluster's representative
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch.column("doc_id"),
+                            batch.column("component"))
+        return batch.filter(keep).select(["doc_id"])
+
+    losers = comp.map_batches(drop_reps, batch_format="pyarrow")
+    # anti join: survivors = docs − losers (losers ≪ corpus: only
+    # clustered non-representatives)
+    return hash_join(docs, losers, on="doc_id", how="anti")
+
+
 # --- connected components (near-dup clusters from verified pairs) ----------
 
 def connected_components(

@@ -65,3 +65,31 @@ def test_simhash_neardup_pairs(ray_session):
     assert got.get((1, 4)) == 0              # exact dup → hamming 0
     assert (1, 2) in got                     # near dup within 4 bits
     assert not any(3 in k for k in got)      # unrelated doc excluded
+
+
+def test_dedup_corpus_end_to_end(ray_session):
+    """The composed pipeline: planted exact+near dups collapse to one
+    representative (min doc_id); unrelated docs all survive."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import dedup_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a long tune about data pipelines and shuffles at scale "
+            "with deterministic hashing everywhere in the engine")
+    near = base.replace("lazy", "sleepy")
+    others = [
+        "completely different content about cooking pasta with basil "
+        "tomatoes olive oil and garlic in a small kitchen on sunday",
+        "an unrelated essay on mountain hiking trails maps compasses "
+        "weather layers boots and the quiet joy of early starts",
+        "financial report third quarter revenue margins guidance capital "
+        "expenditure headcount and currency headwinds discussed at length",
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": [base, near, base] + others[:3],
+    }))
+    kept = sorted(dedup_corpus(docs, threshold=0.5).to_pandas()["doc_id"])
+    # cluster {1,2,3} -> representative 1; the three distinct docs survive
+    assert kept == [1, 4, 5, 6]
