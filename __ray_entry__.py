@@ -655,6 +655,45 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ORDER BY e.event_id
         """,
+        # q15's engine path generates candidates via MinHash-LSH before the
+        # exact Jaccard verify; at threshold 0.8 with 16 bands x 4 rows the
+        # candidate recall is 1-(1-0.8^4)^16 ≈ 0.9998, and on the driver's
+        # FIXED documents tables the LSH output equals this exact all-pairs
+        # SQL at both sf0.001 and sf0.01 (verified) — so the exact twin
+        # doubles as the oracle.  A corpus with an adversarial just-at-0.8
+        # pair could in principle diverge; q23 (threshold 0.3) remains the
+        # unconditional exact check of the Jaccard math.
+        "q15_ngram_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                     END AS s
+              FROM d)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CASE
+                     WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                     WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                     ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                          / len(list_distinct(a.s || b.s))
+                   END, 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CASE
+                    WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                    WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                    ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s))
+                  END >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         "q29_topk_per_group": """
             WITH r AS (
               SELECT o_custkey, o_orderkey, o_totalprice,

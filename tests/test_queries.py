@@ -66,7 +66,8 @@ SQL_CHECKED = [
     "q07_join_revenue_by_priority", "q08_customers_without_orders",
     "q09_exact_dedup", "q10_token_counts", "q11_quality_stats",
     "q12_ann_topk", "q13_minhash_lsh_groups", "q14_simhash",
-    "q16_embedding_neardup", "q17_langid", "q20_semi_join", "q21_sessions",
+    "q15_ngram_jaccard_pairs", "q16_embedding_neardup", "q17_langid",
+    "q20_semi_join", "q21_sessions",
     "q22_simhash_pairs", "q23_ngram_jaccard_exact",
     "q24_embedding_cosine_exact", "q25_bpe_tokens", "q26_sliding_windows",
     "q27_asof_join", "q28_gopher_quality", "q29_topk_per_group",
@@ -87,7 +88,7 @@ def test_sql_checked_query(entrymod, duck, name):
 
 
 ROWS_ONLY = [
-    "q15_ngram_jaccard_pairs", "q18_fingerprints", "q19_ivf_topk",
+    "q18_fingerprints", "q19_ivf_topk",
 ]
 
 
