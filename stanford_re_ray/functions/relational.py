@@ -84,11 +84,12 @@ def detect_hot_keys(
             n_sampled += 1
             sampled[row] = sampled.get(row, 0) + 1
         cut = max(2, int(n_sampled * local_frac))
-        out_keys = ["\x00".join(str(v) for v in k)
+        # "k\x01" / "t\x01" prefixes make the total row unambiguous even
+        # if a real key value starts with a control character
+        out_keys = ["k\x01" + "\x00".join(str(v) for v in k)
                     for k, c in sampled.items() if c >= cut]
         out_counts = [c for c in sampled.values() if c >= cut]
-        # sentinel row carries this batch's sampled-row total
-        out_keys.append("\x02total")
+        out_keys.append("t\x01total")
         out_counts.append(n_sampled)
         return pa.table({"key": pa.array(out_keys, pa.string()),
                          "count": pa.array(out_counts, pa.int64())})
@@ -97,13 +98,14 @@ def detect_hot_keys(
     if not len(partials):
         return {}
     agg = partials.groupby("key")["count"].sum()
-    total = int(agg.get("\x02total", 0))
+    total = int(agg.get("t\x01total", 0))
     if total == 0:
         return {}
     hot: dict[tuple, int] = {}
     for key, cnt in agg.items():
-        if key == "\x02total":
+        if not key.startswith("k\x01"):
             continue
+        key = key[2:]
         frac = cnt / total
         if frac > threshold:
             hot[tuple(key.split("\x00"))] = int(
@@ -445,13 +447,21 @@ def asof_join(
         if not len(lg):
             out = lg.assign(**{c: pd.Series([], dtype=rg[c].dtype)
                                for c in r_only})
-        elif not len(rg):
-            out = lg.assign(**{c: None for c in r_only})
         else:
+            # merge_asof handles an empty right (all-NaN right columns) —
+            # same shape as a non-empty bucket with unmatched rows
             out = pd.merge_asof(lg, rg, on=on, by=by, direction=direction,
                                 suffixes=("", "__r"))
-            # merge_asof names the right `on` away; rename back is not
-            # needed since on is shared
+        # declared-dtype restoration (same trap as hash_join's: unmatched
+        # rows turn integer right columns float64 in SOME buckets only —
+        # restore every bucket to one consistent dtype)
+        for c in r_only:
+            t = types.get(c)
+            if (t is not None and pa.types.is_integer(t)
+                    and out[c].dtype.kind == "f"):
+                nullable = str(t).replace("int", "Int").replace("uInt",
+                                                                "UInt")
+                out = out.assign(**{c: out[c].astype(nullable)})
         return pd_to_arrow(out)
 
     return (

@@ -396,3 +396,30 @@ def test_grouped_topk_cross_batch(ray_session):
                          tiebreak=["id"]).to_pandas()
             .sort_values("rank").reset_index(drop=True))
     assert list(out2["id"]) == [10, 20]
+
+
+def test_asof_join_consistent_int_dtype_across_buckets(ray_session):
+    """A fully-matched key and an unmatched key land in different buckets;
+    integer right columns must still come back as ONE Arrow integer type
+    (nullable), not int64 in one block and float64 in another."""
+    import pyarrow as par
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(40)), pa.int64()),
+        "t": pa.array([10] * 40, pa.int64()),
+    }))
+    # only even keys have right rows -> odd-key buckets produce nulls
+    right = rd.from_arrow(pa.table({
+        "k": pa.array(list(range(0, 40, 2)), pa.int64()),
+        "t": pa.array([5] * 20, pa.int64()),
+        "rv": pa.array(list(range(20)), pa.int64()),
+    }))
+    out = asof_join(left, right, by="k", on="t", n_buckets=8)
+    schema = out.schema()
+    rv_type = dict(zip(schema.names, schema.types))["rv"]
+    assert par.types.is_integer(rv_type), rv_type
+    df = out.to_pandas()
+    assert df["rv"].notna().sum() == 20 and df["rv"].isna().sum() == 20
