@@ -173,7 +173,10 @@ def str_lists(table: pa.Table, name: str) -> list:
     d = flat.dictionary_encode()
     vocab = d.dictionary.to_pylist()
     idx = d.indices.to_numpy(zero_copy_only=False).tolist()
-    offs = col.offsets.to_numpy()
+    # flatten() covers offsets[0]:offsets[-1]; normalize so a sliced array
+    # (non-zero first offset) indexes correctly — combine_chunks happens
+    # to rebase today, but that is an implementation detail
+    offs = col.offsets.to_numpy() - col.offsets[0].as_py()
     return [
         [vocab[i] for i in idx[offs[j]:offs[j + 1]]]
         for j in range(len(offs) - 1)

@@ -147,3 +147,18 @@ def test_hash_join_matches_pandas(ray_session, lrows, rrows, how):
     assert len(g) == len(r)
     if len(g):
         pd.testing.assert_frame_equal(g, r)
+
+
+# --- str_lists ≡ to_pylist on arbitrary (incl. sliced) list columns --------
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet="abcé ", max_size=4), max_size=5),
+                max_size=8),
+       st.integers(0, 4))
+def test_str_lists_matches_to_pylist(lists, off):
+    from stanford_re_ray.schema import str_lists
+
+    tbl = pa.table({"x": pa.array(lists, pa.list_(pa.string()))})
+    off = min(off, len(lists))
+    sliced = tbl.slice(off)
+    assert str_lists(sliced, "x") == sliced.column("x").to_pylist()
