@@ -646,6 +646,11 @@ def embedding_neardup_pairs(
 
 # --- end-to-end corpus dedup (the composed pipeline) -----------------------
 
+#: above this many duplicate ids the keep-set stops being broadcastable
+#: and corpus dedup falls back to the distributed hash anti join
+BROADCAST_LOSER_LIMIT = 5_000_000
+
+
 def dedup_corpus(
     docs: ray.data.Dataset,
     threshold: float = 0.8,
@@ -659,10 +664,14 @@ def dedup_corpus(
 
     Composition of the scale-shaped pieces above — document payloads
     never ride a shuffle (LSH moves (doc_id, band-hash) rows; verification
-    joins texts back per candidate pair; components propagate labels);
-    the final keep-set applies as a broadcast semi/anti filter.  Returns
-    (doc_id, text) of survivors."""
-    from .relational import hash_join
+    joins texts back per candidate pair; components propagate labels).
+    The loser set (clustered non-representatives, ≪ corpus at real dup
+    rates) applies as a BROADCAST anti filter up to
+    ``BROADCAST_LOSER_LIMIT`` ids, so the text column stays put; beyond
+    that the distributed hash anti join takes over (only then do payloads
+    move, once, key-partitioned).  Returns (doc_id, text) of
+    survivors."""
+    from .relational import hash_join, semi_anti_filter
 
     pairs = ngram_jaccard_pairs(docs, threshold=threshold, k=k_shingle)
     comp = connected_components(pairs, max_rounds=max_rounds)
@@ -675,10 +684,22 @@ def dedup_corpus(
                             batch.column("component"))
         return batch.filter(keep).select(["doc_id"])
 
-    losers = comp.map_batches(drop_reps, batch_format="pyarrow")
-    # anti join: survivors = docs − losers (losers ≪ corpus: only
-    # clustered non-representatives)
-    return hash_join(docs, losers, on="doc_id", how="anti")
+    losers = comp.map_batches(drop_reps,
+                              batch_format="pyarrow").materialize()
+    n_losers = losers.count()
+    if n_losers == 0:
+        return docs
+    if n_losers <= BROADCAST_LOSER_LIMIT:
+        loser_ids = {
+            d
+            for b in losers.iter_batches(batch_size=65536,
+                                         batch_format="pyarrow")
+            for d in b.column("doc_id").to_pylist()
+        }
+        return semi_anti_filter(docs, loser_ids, "doc_id",
+                                keep_matching=False)
+    return hash_join(docs, losers, on="doc_id", how="anti",
+                     est_rows=n_losers * 20)
 
 
 # --- connected components (near-dup clusters from verified pairs) ----------
