@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_asof_join": A.q27_asof_join,
         "q28_gopher_quality": A.q28_gopher_quality,
         "q29_topk_per_group": A.q29_topk_per_group,
+        "q32_pii_scrub": A.q32_pii_scrub,
         "q30_median_by_flag": A.q30_median_by_flag,
         "q31_distinct_suppliers": A.q31_distinct_suppliers,
         # sketch/approximate/model ops (rows-only)
@@ -654,6 +655,41 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ORDER BY e.event_id
+        """,
+        "q32_pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com at 10.0.'
+                          || (doc_id % 256) || '.7 or +1 555 000'
+                          || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z][A-Za-z]+'))
+                       AS n_email,
+                     regexp_replace(text,
+                         '[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\\.[A-Za-z][A-Za-z]+',
+                         '<EMAIL>', 'g') AS text
+              FROM aug),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(text,
+                         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                       AS n_ip,
+                     regexp_replace(text,
+                         '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                         '<IP>', 'g') AS text
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_email, n_ip,
+                     len(regexp_extract_all(text,
+                         '\\+?[0-9][0-9 ()-]{7,}[0-9]')) AS n_phone,
+                     regexp_replace(text, '\\+?[0-9][0-9 ()-]{7,}[0-9]',
+                                    '<PHONE>', 'g') AS text
+              FROM s2)
+            SELECT doc_id, text, n_email, n_ip, n_phone
+            FROM s3 ORDER BY doc_id
         """,
         # q15's engine path generates candidates via MinHash-LSH before the
         # exact Jaccard verify; at threshold 0.8 with 16 bands x 4 rows the

@@ -171,6 +171,44 @@ def gopher_quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- PII scrubbing ---------------------------------------------------------
+
+# Patterns pinned to RE2-compatible, explicit-ASCII classes so the DuckDB
+# oracle (q32) reproduces them byte-for-byte (same policy as the BPE
+# tokenizer regex).
+_EMAIL_RE = re.compile(
+    r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z][A-Za-z]+")
+_PHONE_RE = re.compile(
+    r"\+?[0-9][0-9 ()-]{7,}[0-9]")
+_IP_RE = re.compile(
+    r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}")
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """Redact emails / phone-number-like runs / IPv4 literals — the
+    standard pre-training PII pass — emitting the scrubbed text plus
+    per-doc match counts.  Order matters and is fixed (email → ip →
+    phone) so the oracle's nested regexp_replace chain matches exactly."""
+    texts = batch.column("text").to_pylist()
+    out_t, n_email, n_ip, n_phone = [], [], [], []
+    for t in texts:
+        t = t or ""
+        n_email.append(len(_EMAIL_RE.findall(t)))
+        t = _EMAIL_RE.sub("<EMAIL>", t)
+        n_ip.append(len(_IP_RE.findall(t)))
+        t = _IP_RE.sub("<IP>", t)
+        n_phone.append(len(_PHONE_RE.findall(t)))
+        t = _PHONE_RE.sub("<PHONE>", t)
+        out_t.append(t)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text": pa.array(out_t, pa.string()),
+        "n_email": pa.array(n_email, pa.int64()),
+        "n_ip": pa.array(n_ip, pa.int64()),
+        "n_phone": pa.array(n_phone, pa.int64()),
+    })
+
+
 # --- fingerprinting --------------------------------------------------------
 
 _B = 1000003

@@ -531,3 +531,33 @@ def q31_distinct_suppliers(sf_dir: str) -> pa.Table:
            .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q32_pii_scrub(sf_dir: str) -> pa.Table:
+    """PII scrubbing (emails → IPv4 → phone-like runs, fixed order) with
+    per-doc match counts.  The fixture texts carry no PII, so the query
+    APPENDS a deterministic contact line derived from doc_id before
+    scrubbing — both engines build the same augmented text, making the
+    redaction a real cross-engine regex-parity check rather than a no-op
+    (patterns pinned to explicit-ASCII RE2-compatible classes)."""
+    from ..functions.textstats import pii_scrub_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = [
+            f"{t} contact user{i}@example.com at 10.0.{i % 256}.7 "
+            f"or +1 555 000{i:04d}"
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(aug, pa.string())})
+
+    out = (docs.map_batches(augment, batch_format="pyarrow")
+           .map_batches(pii_scrub_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("n_email", "n_ip", "n_phone"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

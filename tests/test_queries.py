@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "q22_simhash_pairs", "q23_ngram_jaccard_exact",
     "q24_embedding_cosine_exact", "q25_bpe_tokens", "q26_sliding_windows",
     "q27_asof_join", "q28_gopher_quality", "q29_topk_per_group",
-    "q30_median_by_flag", "q31_distinct_suppliers",
+    "q30_median_by_flag", "q31_distinct_suppliers", "q32_pii_scrub",
 ]
 
 
