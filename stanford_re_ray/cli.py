@@ -72,9 +72,21 @@ def cmd_kg(args) -> int:
     if not shards:
         print(f"no shards match {args.pages}", file=sys.stderr)
         return 2
+    reader, lang = None, args.lang
+    if args.format == "warc":
+        from .sources.warc import read_warc
+
+        reader = lambda p: read_warc([p])  # noqa: E731
+        if lang == "en":
+            lang = ""       # WARC has no language metadata to filter on
+    elif args.format == "jsonl":
+        from .sources.warc import read_pages_jsonl
+
+        reader = read_pages_jsonl
     model = LRModel.load(args.model)
     res = run_kg_checkpointed(shards, model, args.out,
-                              clusters=_load_clusters(args.clusters))
+                              clusters=_load_clusters(args.clusters),
+                              reader=reader, lang=lang)
     print(json.dumps({
         "out": args.out,
         "skipped": len(res["completed_previously"]),
@@ -103,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--model", required=True, help="model weight Parquet")
     k.add_argument("--out", required=True, help="output root directory")
     k.add_argument("--clusters", default=None, help="word-cluster TSV")
+    k.add_argument("--format", choices=["parquet", "warc", "jsonl"],
+                   default="parquet",
+                   help="shard format (warc implies no language filter)")
+    k.add_argument("--lang", default="en",
+                   help='language filter; "" keeps all pages')
     k.set_defaults(fn=cmd_kg)
 
     args = p.parse_args(argv)

@@ -622,15 +622,17 @@ def run_kg_pipeline(
     nlp_concurrency: int | tuple[int, int] | None = None,
     nlp_mode: str = "tasks",
     n_salt: int = 1,
+    lang: str = "en",
 ) -> dict[str, Any]:
     """Full pages → {triples, nodes, edges} run.
 
     ``triples`` is returned materialized (it is the size anchor for the S8
     path choice); nodes/edges come back as Datasets either way.
-    """
+    ``lang=""`` keeps every page — the right setting for sources without
+    language metadata (WARC)."""
     import ray.data as rd
 
-    docs = extract_stage(pages)
+    docs = extract_stage(pages, lang=lang)
     sentences = nlp_stage(docs, dicts, concurrency=nlp_concurrency,
                           mode=nlp_mode)
     pairs = pairs_stage(sentences, clusters)

@@ -128,6 +128,8 @@ def run_kg_checkpointed(
     dicts=None,
     clusters=None,
     partition_of: Callable[[str], str] | None = None,
+    reader: Callable[[str], Any] | None = None,
+    lang: str = "en",
 ) -> dict[str, Any]:
     """Checkpointed KG run over a list of pages-Parquet shards.
 
@@ -139,6 +141,11 @@ def run_kg_checkpointed(
 
     Partition-level isolation also bounds failure blast radius: a poison
     shard fails alone and the run is re-submittable.
+
+    ``reader`` maps a shard path to a pages Dataset (default Parquet;
+    pass ``sources.warc.read_warc`` / ``read_pages_jsonl`` for crawl
+    formats); ``lang=""`` disables the language filter for sources
+    without language metadata.
     """
     import ray.data as rd
 
@@ -159,9 +166,11 @@ def run_kg_checkpointed(
             continue
         t0 = time.time()
         try:
-            pages = rd.read_parquet(shard)
+            pages = (reader(shard) if reader is not None
+                     else rd.read_parquet(shard))
             n_pages = pages.count()
-            res = run_kg_pipeline(pages, model, dicts=dicts, clusters=clusters)
+            res = run_kg_pipeline(pages, model, dicts=dicts,
+                                  clusters=clusters, lang=lang)
             triples_tbl = dataset_to_table(res["triples"])
             nodes_tbl = dataset_to_table(res["nodes"])
             edges_tbl = dataset_to_table(res["edges"])

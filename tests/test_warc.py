@@ -112,3 +112,30 @@ def test_read_pages_jsonl(ray_session, tmp_path):
     assert t["warc_ts"].iloc[0].year == 2024
     docs = extract_stage(pages).to_pandas()
     assert any("Jane Doe leads Beta Inc." in x for x in docs["text"])
+
+
+def test_cli_kg_warc_format(ray_session, tmp_path, capsys, warc_gz):
+    """`kg --format warc` runs the checkpointed pipeline straight off a
+    .warc.gz shard (language filter off)."""
+    import json
+
+    import numpy as np
+
+    from stanford_re_ray.cli import main
+    from stanford_re_ray.relations import RELATION_NAMES
+    from stanford_re_ray.stages.classify import D_FEATURES, LRModel
+
+    # tiny throwaway model: uniform negative weights -> zero triples is
+    # fine; the test pins ingestion + checkpoint mechanics, not recall
+    R = len(RELATION_NAMES)
+    LRModel(np.zeros((R, D_FEATURES), dtype=np.float32),
+            np.full(R, -5.0, dtype=np.float32)).save(
+        str(tmp_path / "model.parquet"))
+    path, _, _ = warc_gz
+    rc = main(["kg", "--pages", path, "--format", "warc",
+               "--model", str(tmp_path / "model.parquet"),
+               "--out", str(tmp_path / "warc_out")])
+    assert rc == 0
+    run = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert run["processed"] == 1 and not run["failed"]
+    assert (tmp_path / "warc_out" / "triples").is_dir()
