@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q28_gopher_quality": A.q28_gopher_quality,
         "q29_topk_per_group": A.q29_topk_per_group,
         "q32_pii_scrub": A.q32_pii_scrub,
+        "q34_running_totals": A.q34_running_totals,
+        "q35_hash_sample": A.q35_hash_sample,
         "q30_median_by_flag": A.q30_median_by_flag,
         "q31_distinct_suppliers": A.q31_distinct_suppliers,
         # sketch/approximate/model ops (rows-only)
@@ -655,6 +657,25 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN o
               ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ORDER BY e.event_id
+        """,
+        "q34_running_totals": """
+            WITH e AS (
+              SELECT user_id, ts, max(event_id) AS event_id,
+                     arg_max(value, event_id) AS value
+              FROM events GROUP BY user_id, ts)
+            SELECT event_id, user_id, ts,
+                   round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts) AS BIGINT)
+                     AS n_events_so_far
+            FROM e ORDER BY user_id, ts
+        """,
+        "q35_hash_sample": """
+            SELECT doc_id, length(text) AS n_chars
+            FROM documents
+            WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 10
+            ORDER BY doc_id
         """,
         "q32_pii_scrub": """
             WITH aug AS (

@@ -561,3 +561,71 @@ def q32_pii_scrub(sf_dir: str) -> pa.Table:
     for c in ("n_email", "n_ip", "n_phone"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q34_running_totals(sf_dir: str) -> pa.Table:
+    """Per-user running totals over the event stream — SUM() OVER
+    (PARTITION BY user ORDER BY ts) — as one hash(user) bucket shuffle
+    with a vectorized in-group sort + cumsum (each user's timeline lives
+    whole in its bucket; the same co-location contract as the joins).
+    Events are pre-compacted to one row per (user_id, ts) keeping max
+    event_id so ordering ties cannot differ across engines."""
+    import zlib
+
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(str(v).encode()) % 64
+                      for v in batch.column("user_id").to_pylist()],
+                     pa.int32()),
+        )
+
+    def running(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "ts"], keep="last")
+        g["running_value"] = g.groupby("user_id", sort=False)["value"].cumsum()
+        g["n_events_so_far"] = g.groupby("user_id", sort=False).cumcount() + 1
+        return pd_to_arrow(g)
+
+    out = (events.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(running, batch_format="pandas")
+           .to_pandas().sort_values(["user_id", "ts"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "user_id": out["user_id"].astype("int64"),
+        "ts": out["ts"],
+        "running_value": np.round(out["running_value"].astype("float64"), 6),
+        "n_events_so_far": out["n_events_so_far"].astype("int64"),
+    }), preserve_index=False)
+
+
+def q35_hash_sample(sf_dir: str, percent: int = 10) -> pa.Table:
+    """Deterministic content-hash sampling — the reproducible subsample
+    every pipeline needs (no RNG state; membership is a pure function of
+    the key, identical across engines via the md5_number_upper
+    convention): keep documents whose md5(doc_id) lands in the lowest
+    ``percent``% of the 64-bit space."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cut = percent
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                           "little") % 100 < cut
+            for i in ids
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    out = (docs.map_batches(keep, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["n_chars"] = out.pop("text").str.len().astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
