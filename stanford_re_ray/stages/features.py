@@ -259,6 +259,55 @@ _T_DNGRAM = _tag("dep_path_2gram=")
 
 _NOMINAL_POS = ("NN", "NNP", "PRP", "CD")
 
+# --- hot-path id machinery --------------------------------------------------
+# The pairs stage is the single most expensive map of the KG pipeline
+# (~480µs/doc/core of ~1000µs/doc total), and ~38 feature ids are emitted
+# per candidate pair.  Three identity-preserving shortcuts (crc32 is a
+# streaming checksum: crc(part, tag) == crc chained over (tag, part), so
+# every path below produces bit-identical ids to the generic _fid form —
+# pinned by tests/test_featurize_identity.py):
+#   1. constant-domain templates (arg order, distance bins, entity bins,
+#      date-is-year) get their ids precomputed at import — no hashing at
+#      batch time at all;
+#   2. single-part templates go through a per-template dict keyed by the
+#      part string (its hash is already cached on the str object) — one
+#      probe instead of a varargs pack + tuple alloc + tuple hash;
+#   3. multi-part templates keep the generic memoized _fid.
+
+_crc = _zlib.crc32
+_C_MAX = 1 << 16
+
+
+def _cid(cache: dict, tag: int, part: str) -> int:
+    """Single-part feature id via a per-template cache (see above)."""
+    v = cache.get(part)
+    if v is None:
+        if len(cache) >= _C_MAX:
+            cache.clear()
+        v = cache[part] = _crc(part.encode("utf-8", "surrogatepass"),
+                               tag) % _D
+    return v
+
+
+_C_ARG1_TYPE: dict = {}
+_C_ARG2_TYPE: dict = {}
+_C_ARG_TYPES: dict = {}          # keyed (subj_type, obj_type)
+_C_ARG2_WORD: dict = {}
+_C_ARG2_HEAD: dict = {}
+_C_ARG2_POS: dict = {}
+_C_A1L: dict = {}
+_C_A1R: dict = {}
+_C_A2L: dict = {}
+_C_A2R: dict = {}
+_C_BETW: dict = {}
+_C_VERB: dict = {}
+_C_NUMD: dict = {}
+_C_BCLUST: dict = {}
+_C_A2CLUST: dict = {}
+_C_DWORD: dict = {}
+_C_DPOS: dict = {}
+_C_DCLUST: dict = {}
+
 
 def chunk_path(tokens: list, lemmas: list, pos: list,
                lo: int, hi: int) -> list[tuple[str, str, str]]:
@@ -309,13 +358,16 @@ def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
     chunks = chunk_path(tokens, lemmas, pos, lo, hi)
     if not chunks:
         return
-    roles = [c[0] for c in chunks]
-    units = [r + ":" + h for r, h, _ in chunks]
+    roles = []
+    units = []
+    for r, h, _p in chunks:
+        roles.append(r)
+        units.append(r + ":" + h)
     add(_fid(_T_DPATH, direction, *roles))
     add(_fid(_T_DPATH_LOW, direction, *units))
-    for r, h, p2 in chunks:
-        add(_fid(_T_DWORD, h))
-        add(_fid(_T_DPOS, p2))
+    for _r, h, p2 in chunks:
+        add(_cid(_C_DWORD, _T_DWORD, h))
+        add(_cid(_C_DPOS, _T_DPOS, p2))
     for a, b2 in zip(units, units[1:]):
         add(_fid(_T_DNGRAM, a, "_", b2))
     n = len(chunks)
@@ -336,7 +388,7 @@ def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
         for _r, h, _p in chunks:
             c = clusters.get(h)
             if c is not None:
-                add(_fid(_T_DCLUST, c))
+                add(_cid(_C_DCLUST, _T_DCLUST, c))
 
 
 #: memo for _fid: feature values are Zipfian (lemma/POS/role vocabularies),
@@ -361,6 +413,22 @@ def _fid(base: int, *parts: str) -> int:
     return v
 
 
+# constant-domain id tables (never hash at batch time; identity pinned by
+# tests/test_featurize_identity.py)
+_ID_ORDER_T = _fid(_T_ORDER, "T")
+_ID_ORDER_F = _fid(_T_ORDER, "F")
+_ID_DISTB_T = _fid(_T_DIST_BIN, "T")
+_ID_DISTB_F = _fid(_T_DIST_BIN, "F")
+_BINS = ("0", "1", "2", "3-5", "6-10", "11+")
+_ID_DIST_BINS = {b: _fid(_T_DIST_BINS, b) for b in _BINS}
+_ID_ENT_BETW_T = _fid(_T_ENT_BETW, "T")
+_ID_ENT_BETW_F = _fid(_T_ENT_BETW, "F")
+_ID_ENT_BINS = {b: _fid(_T_ENT_BINS, b) for b in _BINS}
+_ID_DATE_T = _fid(_T_DATE_YEAR, "T")
+_ID_DATE_F = _fid(_T_DATE_YEAR, "F")
+_ID_BETW_EMPTY = _T_BETW_EMPTY % _D
+
+
 def featurize_ids(
     tokens: list[str],
     lemmas: list[str],
@@ -373,21 +441,36 @@ def featurize_ids(
     clusters: dict[str, str] | None = None,
 ) -> list[int]:
     """Hashed feature ids for one relation-mention candidate (same template
-    coverage as ``featurize``; see module docstring for the contract)."""
+    coverage as ``featurize``; see module docstring for the contract).
+    Bit-identical to the generic chained-crc form — the per-template
+    caches and constant tables above are pure-speed rewrites."""
     sb, se = subj_span
     ob, oe = obj_span
     out: list[int] = []
     add = out.append
 
-    add(_fid(_T_ARG1_TYPE, subj_type))
-    add(_fid(_T_ARG2_TYPE, obj_type))
-    add(_fid(_T_ARG_TYPES, subj_type, "--", obj_type))
-    add(_fid(_T_ORDER, "T" if sb < ob else "F"))
+    add(_cid(_C_ARG1_TYPE, _T_ARG1_TYPE, subj_type))
+    add(_cid(_C_ARG2_TYPE, _T_ARG2_TYPE, obj_type))
+    tkey = (subj_type, obj_type)
+    v = _C_ARG_TYPES.get(tkey)
+    if v is None:
+        v = _C_ARG_TYPES[tkey] = _fid(_T_ARG_TYPES, subj_type, "--",
+                                      obj_type)
+    add(v)
+    add(_ID_ORDER_T if sb < ob else _ID_ORDER_F)
 
     obj_words = tokens[ob:oe]
-    add(_fid(_T_ARG2_WORD, *[w.lower() for w in obj_words]))
-    add(_fid(_T_ARG2_HEAD, obj_words[-1].lower() if obj_words else ""))
-    add(_fid(_T_ARG2_POS, *pos[ob:oe]))
+    low_obj = [w.lower() for w in obj_words]
+    if len(low_obj) == 1:
+        add(_cid(_C_ARG2_WORD, _T_ARG2_WORD, low_obj[0]))
+    else:
+        add(_fid(_T_ARG2_WORD, *low_obj))
+    add(_cid(_C_ARG2_HEAD, _T_ARG2_HEAD, low_obj[-1] if low_obj else ""))
+    pos_obj = pos[ob:oe]
+    if len(pos_obj) == 1:
+        add(_cid(_C_ARG2_POS, _T_ARG2_POS, pos_obj[0]))
+    else:
+        add(_fid(_T_ARG2_POS, *pos_obj))
 
     if se <= ob:
         lo, hi, dist = se, ob, ob - se
@@ -395,31 +478,47 @@ def featurize_ids(
         lo, hi, dist = oe, sb, sb - oe
     else:
         lo, hi, dist = 0, 0, 0
-    add(_fid(_T_DIST_BIN, "T" if dist <= 4 else "F"))
-    add(_fid(_T_DIST_BINS, _dist_bin(dist)))
+    add(_ID_DISTB_T if dist <= 4 else _ID_DISTB_F)
+    add(_ID_DIST_BINS[_dist_bin(dist)])
 
     n = len(tokens)
-    add(_fid(_T_A1L, tokens[sb - 1].lower() if sb > 0 else "<PAD>"))
-    add(_fid(_T_A1R, tokens[se].lower() if se < n else "<PAD>"))
-    add(_fid(_T_A2L, tokens[ob - 1].lower() if ob > 0 else "<PAD>"))
-    add(_fid(_T_A2R, tokens[oe].lower() if oe < n else "<PAD>"))
+    add(_cid(_C_A1L, _T_A1L, tokens[sb - 1].lower() if sb > 0 else "<PAD>"))
+    add(_cid(_C_A1R, _T_A1R, tokens[se].lower() if se < n else "<PAD>"))
+    add(_cid(_C_A2L, _T_A2L, tokens[ob - 1].lower() if ob > 0 else "<PAD>"))
+    add(_cid(_C_A2R, _T_A2R, tokens[oe].lower() if oe < n else "<PAD>"))
 
     bw = lemmas[lo:hi]
     # order-preserving dedup (set iteration is hash-randomized per process)
-    for w in dict.fromkeys(bw):
-        add(_fid(_T_BETW, w))
-    for a, b in zip(bw, bw[1:]):
-        add(_fid(_T_BETW2, a, "_", b))
+    uw = list(dict.fromkeys(bw)) if bw else ()
+    for w in uw:
+        # inlined _cid: this is the hottest single-part loop
+        v = _C_BETW.get(w)
+        if v is None:
+            if len(_C_BETW) >= _C_MAX:
+                _C_BETW.clear()
+            v = _C_BETW[w] = _crc(w.encode("utf-8", "surrogatepass"),
+                                  _T_BETW) % _D
+        add(v)
+    if len(bw) > 1:
+        for a, b in zip(bw, bw[1:]):
+            add(_fid(_T_BETW2, a, "_", b))
     if not bw:
-        add(_T_BETW_EMPTY % _D)
+        add(_ID_BETW_EMPTY)
 
     direction = ">" if sb < ob else "<"
-    add(_fid(_T_SPATH, direction, *pos[lo:hi]))
-    vp = [lemmas[i] for i in range(lo, hi) if pos[i] in ("VB", "IN")]
+    pos_bw = pos[lo:hi]
+    add(_fid(_T_SPATH, direction, *pos_bw))
+    vp: list[str] = []
+    verbs: list[str] = []
+    for p_, l_ in zip(pos_bw, bw):
+        if p_ == "VB":
+            vp.append(l_)
+            verbs.append(l_)
+        elif p_ == "IN":
+            vp.append(l_)
     add(_fid(_T_VPPATH, direction, *vp))
-    verbs = [lemmas[i] for i in range(lo, hi) if pos[i] == "VB"]
-    for v in dict.fromkeys(verbs):
-        add(_fid(_T_VERB, v))
+    for v_ in dict.fromkeys(verbs):
+        add(_cid(_C_VERB, _T_VERB, v_))
 
     # pseudo-dependency path over shallow chunks (FeatureFactory.java
     # :654-973 template family)
@@ -436,24 +535,24 @@ def featurize_ids(
                 i += 1
         else:
             i += 1
-    add(_fid(_T_ENT_BETW, "T" if ents_between > 0 else "F"))
-    add(_fid(_T_ENT_BINS, _dist_bin(ents_between)))
+    add(_ID_ENT_BETW_T if ents_between > 0 else _ID_ENT_BETW_F)
+    add(_ID_ENT_BINS[_dist_bin(ents_between)])
 
     if obj_type == "NUMBER":
         nd = sum(c.isdigit() for w in obj_words for c in w)
-        add(_fid(_T_NUM_DIGITS, str(nd)))
+        add(_cid(_C_NUMD, _T_NUM_DIGITS, str(nd)))
     if obj_type == "DATE":
         is_year = bool(obj_words) and len(obj_words[0]) == 4 and \
             obj_words[0].isdigit()
-        add(_fid(_T_DATE_YEAR, "T" if is_year else "F"))
+        add(_ID_DATE_T if is_year else _ID_DATE_F)
 
     if clusters:
-        for w in dict.fromkeys(bw):
+        for w in uw:
             c = clusters.get(w)
             if c is not None:
-                add(_fid(_T_BCLUST, c))
-        if obj_words:
-            c2 = clusters.get(obj_words[-1].lower())
+                add(_cid(_C_BCLUST, _T_BCLUST, c))
+        if low_obj:
+            c2 = clusters.get(low_obj[-1])
             if c2 is not None:
-                add(_fid(_T_A2CLUST, c2))
+                add(_cid(_C_A2CLUST, _T_A2CLUST, c2))
     return out
