@@ -406,6 +406,31 @@ def _ivf_topk(sf_dir: str):
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def _ivf_full_topk(sf_dir: str):
+    """IVF persisted index with FULL probe (n_probe = n_lists): exercises
+    the entire index path — partitioned ``ivf_build`` write, directory-
+    level partition reads, per-list exact rank, merge — while the full
+    probe makes the result provably equal to exact brute-force cosine
+    top-k, so the IVF machinery gets a value oracle (the pruned q19
+    variant stays rows-only because which lists are probed depends on
+    the engine's centroids)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.similarity import (ivf_build,
+                                                      ivf_topk_pruned)
+    from stanford_re_ray.pipelines.analytics import _query_vector
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out_dir = tempfile.mkdtemp(prefix="ivf_full_", dir="/tmp")
+    ivf_build(emb, out_dir, n_lists=16)
+    out = ivf_topk_pruned(out_dir, _query_vector(sf_dir, vid=1), k=10,
+                          n_lists=16, n_probe=16)
+    return pa.table({"vec_id": out.column("vec_id")})
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -472,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact all-pairs verification twins (SQL-checked)
         "q23_ngram_jaccard_exact": _ngram_exact_pairs,
         "q24_embedding_cosine_exact": _embedding_exact_pairs,
+        "q33_ivf_full_topk": _ivf_full_topk,
         # KG pipeline (rows-only: model-driven extraction)
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
@@ -948,6 +974,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN n > 0 THEN lang ELSE 'unknown' END AS pred_lang
             FROM pick WHERE rn = 1 ORDER BY doc_id
+        """,
+        "q33_ivf_full_topk": """
+            -- full-probe IVF == exact cosine top-k (every inverted list
+            -- is read, so pruning cannot drop a true neighbor)
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 1)
+            SELECT e.vec_id
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+        "q18_fingerprints": """
+            -- exact twin of functions/textstats.rolling_fingerprint: a
+            -- Rabin-Karp rolling hash over Unicode code points (base
+            -- 1000003, mod 2^61-1), min over 64-cp windows, hex.  The
+            -- 64-row recursive CTE materializes the power table; window
+            -- hashes are a range-join sum in HUGEINT (term < 2^81).
+            WITH RECURSIVE pw(j, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT j + 1, (p * 1000003) % 2305843009213693951
+                FROM pw WHERE j < 63
+            ),
+            d AS (
+                SELECT doc_id, text, length(text) AS n,
+                       least(length(text), 64) AS w
+                FROM documents
+            ),
+            chars AS (
+                SELECT doc_id, unnest(generate_series(1, n)) AS i, text
+                FROM d WHERE n > 0
+            ),
+            cps AS (
+                SELECT doc_id, i,
+                       CAST(ord(substring(text, CAST(i AS INT), 1))
+                            AS HUGEINT) AS cp
+                FROM chars
+            ),
+            starts AS (
+                SELECT doc_id, w, unnest(generate_series(1, n - w + 1)) AS s
+                FROM d WHERE n > 0
+            ),
+            wh AS (
+                SELECT st.doc_id, st.s,
+                       SUM((c.cp * p.p) % 2305843009213693951)
+                         % 2305843009213693951 AS h
+                FROM starts st
+                JOIN cps c ON c.doc_id = st.doc_id
+                          AND c.i >= st.s AND c.i < st.s + st.w
+                JOIN pw p ON p.j = st.w - 1 - (c.i - st.s)
+                GROUP BY st.doc_id, st.s
+            ),
+            fp AS (SELECT doc_id, MIN(h) AS besth FROM wh GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(printf('%016x', CAST(fp.besth AS BIGINT)),
+                            '0') AS fingerprint
+            FROM d LEFT JOIN fp USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q22_simhash_pairs": """
             WITH w AS (

@@ -216,25 +216,29 @@ _MOD = (1 << 61) - 1
 
 
 def rolling_fingerprint(text: str, window: int = 64) -> str:
-    """Rolling (Rabin-Karp-style) document fingerprint: min of window hashes
-    (a 1-permutation winnowing sketch), hex-encoded."""
-    data = text.encode("utf-8", "surrogatepass")
-    if not data:
+    """Rolling (Rabin-Karp-style) document fingerprint: min of window
+    hashes (a 1-permutation winnowing sketch), hex-encoded.
+
+    Rolls over Unicode CODE POINTS, not utf-8 bytes: ``ord`` arithmetic
+    is expressible exactly in the DuckDB oracle (q18) via
+    ``ord(substring(text, i, 1))``, so cross-engine parity holds on any
+    corpus — never let oracle parity depend on the corpus staying ASCII
+    (the q25 lesson)."""
+    if not text:
         return "0"
-    if len(data) <= window:
-        h = 0
-        for byte in data:
-            h = (h * _B + byte) % _MOD
-        return f"{h:016x}"
-    pw = pow(_B, window - 1, _MOD)
+    cps = list(map(ord, text))
+    n = len(cps)
+    w = window if n > window else n
     h = 0
-    for byte in data[:window]:
-        h = (h * _B + byte) % _MOD
+    for cp in cps[:w]:
+        h = (h * _B + cp) % _MOD
     best = h
-    for i in range(window, len(data)):
-        h = ((h - data[i - window] * pw) * _B + data[i]) % _MOD
-        if h < best:
-            best = h
+    if n > w:
+        pw = pow(_B, w - 1, _MOD)
+        for i in range(w, n):
+            h = ((h - cps[i - w] * pw) * _B + cps[i]) % _MOD
+            if h < best:
+                best = h
     return f"{best:016x}"
 
 

@@ -271,13 +271,13 @@ def q11_quality_stats(sf_dir: str) -> pa.Table:
     )
 
 
-def _query_vector(sf_dir: str) -> np.ndarray:
+def _query_vector(sf_dir: str, vid: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    idx = tbl.column("vec_id").to_pylist().index(0)
+    idx = tbl.column("vec_id").to_pylist().index(vid)
     return np.array(tbl.column("embedding")[idx].as_py(), dtype=np.float64)
 
 

@@ -72,7 +72,8 @@ SQL_CHECKED = [
     "q24_embedding_cosine_exact", "q25_bpe_tokens", "q26_sliding_windows",
     "q27_asof_join", "q28_gopher_quality", "q29_topk_per_group",
     "q30_median_by_flag", "q31_distinct_suppliers", "q32_pii_scrub",
-    "q34_running_totals", "q35_hash_sample",
+    "q34_running_totals", "q35_hash_sample", "q18_fingerprints",
+    "q33_ivf_full_topk",
 ]
 
 
@@ -89,7 +90,7 @@ def test_sql_checked_query(entrymod, duck, name):
 
 
 ROWS_ONLY = [
-    "q18_fingerprints", "q19_ivf_topk",
+    "q19_ivf_topk",
 ]
 
 
