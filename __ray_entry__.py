@@ -485,6 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_hash_sample": A.q35_hash_sample,
         "q30_median_by_flag": A.q30_median_by_flag,
         "q31_distinct_suppliers": A.q31_distinct_suppliers,
+        "q36_vocab_heavy_hitters": A.q36_vocab_heavy_hitters,
+        "q37_tfidf_topk": A.q37_tfidf_topk,
+        "q38_line_dedup": A.q38_line_dedup,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -1065,5 +1068,63 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.v, b.v)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        "q36_vocab_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, COUNT(*) AS n_occurrences FROM toks GROUP BY 1)
+            SELECT token, n_occurrences FROM counts
+            ORDER BY n_occurrences DESC, token ASC LIMIT 40
+        """,
+        "q37_tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     CAST(ROUND(tf.tf * LN(
+                       (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                       / df.df) * 1000000) AS BIGINT) AS score_q
+              FROM tf JOIN df ON tf.token = df.token),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_q DESC, token ASC) AS rnk
+              FROM scored)
+            SELECT doc_id, rnk, token, tf, score_q
+            FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+        """,
+        "q38_line_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     'shared boilerplate footer line number ' ||
+                     (doc_id % 7) || ' for dedup' || chr(10) ||
+                     substr(text, 1, 40) AS text
+              FROM documents),
+            lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM aug),
+            lines AS (
+              SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no,
+                     unnest(ls) AS line
+              FROM lx),
+            keep AS (
+              SELECT doc_id, line_no, line,
+                     (length(line) < 30 OR ROW_NUMBER() OVER (
+                        PARTITION BY line
+                        ORDER BY doc_id, line_no) = 1) AS kept
+              FROM lines)
+            SELECT doc_id, COUNT(*) AS n_lines_kept,
+                   md5(string_agg(line, chr(10) ORDER BY line_no))
+                     AS clean_md5
+            FROM keep WHERE kept GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -1,0 +1,248 @@
+"""Corpus-level statistics and rewriting operators for web-scale
+training-data pipelines: vocabulary heavy-hitters, per-document TF-IDF
+top terms, and C4-style cross-document line deduplication.
+
+All three follow the engine's standard scale shapes:
+
+- tokenization is zero-copy-vectorized Arrow C++ (``split_pattern_regex``
+  + ``list_parent_indices`` — no Python per-token loop);
+- every global aggregation is preceded by an explicit map-side combiner
+  so only per-batch DISTINCT partials enter the shuffle, never
+  per-occurrence rows;
+- cross-document matching shuffles fixed-width digests, not line/document
+  payloads; payloads move at most once (the final reassembly).
+
+Word tokens are the explicit ASCII class ``[0-9A-Za-z_]+`` (see
+``textstats._BPE_RE`` rationale: Python ``re`` is Unicode-aware, DuckDB's
+RE2 is ASCII-only, so an explicit class keeps the cross-engine oracles
+corpus-independent).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+_WORD_SPLIT_RE = r"[^0-9A-Za-z_]+"
+
+
+def _tokenize_column(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """text column → list<string> of lowercased ASCII word tokens,
+    entirely in Arrow C++ kernels.  Splitting on the NEGATED word class
+    yields the same token stream as ``findall('[0-9A-Za-z_]+')`` once
+    empty strings are dropped."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(texts, "")), pattern=_WORD_SPLIT_RE
+    )
+    # drop the empty strings split() leaves at boundaries
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "")
+    parent = pc.list_parent_indices(toks)
+    return parent.filter(keep), flat.filter(keep)
+
+
+def term_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Map-side combiner for global term frequency: one (token, n) row per
+    DISTINCT token of the batch.  At web scale this is what makes the
+    vocabulary groupby feasible — a 10^12-doc corpus has ~10^15 token
+    occurrences but each batch emits at most its distinct-token count
+    (Zipf: tens of thousands), so the shuffle moves ~1e5× fewer rows."""
+    _, flat = _tokenize_column(batch.column(text_col))
+    if len(flat) == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    vc = flat.value_counts()
+    return pa.table({"token": vc.field("values"),
+                     "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def vocab_heavy_hitters(docs: ray.data.Dataset, top_n: int = 40,
+                        text_col: str = "text") -> ray.data.Dataset:
+    """Corpus vocabulary heavy-hitters: the ``top_n`` most frequent word
+    tokens with exact global counts.
+
+    Shape: vectorized per-batch ``value_counts`` combiner (above) → one
+    hash groupby over (token) partials → global sort on
+    (n_occurrences DESC, token ASC) → limit.  The sort input is one row
+    per distinct token (vocab-sized, not corpus-sized); ties are broken
+    by token text so output is a total order."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.map_batches(lambda b: term_count_partial(b, text_col),
+                         batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+    )
+    return counts.sort(["n_occurrences", "token"],
+                       descending=[True, False]).limit(top_n)
+
+
+def doc_term_freq(docs: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, token, tf) — per-document term frequencies.  The
+    (doc, token) grouping happens inside the batch with Arrow's native
+    group_by (C++, no shuffle); output rows are per-batch exact since a
+    document never spans batches (one input row = one document)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        pairs = pa.table({id_col: batch.column(id_col).take(parent),
+                          "token": flat})
+        g = pairs.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        cnt = g.column(g.schema.names[-1])  # count_all's name varies by version
+        return pa.table({id_col: g.column(id_col),
+                         "token": g.column("token"),
+                         "tf": pc.cast(cnt, pa.int64())})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def tfidf_topk(docs: ray.data.Dataset, n_docs: int, k: int = 3,
+               text_col: str = "text", id_col: str = "doc_id",
+               est_rows: int | None = None) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF terms.
+
+    Pipeline: ``doc_term_freq`` (in-batch, no shuffle) → document
+    frequency via a (token) groupby over DISTINCT (doc, token) rows
+    (already distinct by construction — no per-occurrence explosion) →
+    both-sides-large ``hash_join`` tf⋈df on token → quantized integer
+    score ``round(tf·ln(N/df)·1e6)`` → ``grouped_topk`` per document.
+
+    The score is quantized to int64 IN the operator (not just for
+    oracles): ranking on a float product of two engines'/libms' ``ln``
+    would be tie-unstable; the integer score plus the token tiebreak is a
+    total order at any parallelism.  Rounding is half-away-from-zero
+    (``floor(x+0.5)`` — scores are non-negative) to match SQL ROUND
+    rather than numpy's banker's rounding.
+
+    ``n_docs`` is the corpus document count — pass it from Parquet
+    footer metadata (free) rather than a ``count()`` pass."""
+    from ray.data.aggregate import Count
+
+    from .relational import grouped_topk, hash_join
+
+    tf = doc_term_freq(docs, text_col=text_col, id_col=id_col)
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(tf, df, on="token", how="inner", est_rows=est_rows)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy().astype(np.float64)
+        dfv = batch.column("df").to_numpy().astype(np.float64)
+        s = np.floor(tfv * np.log(float(n_docs) / dfv) * 1e6 + 0.5)
+        return batch.append_column("score_q", pa.array(s.astype(np.int64)))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, key=id_col, order_by="score_q", k=k,
+                        descending=True, tiebreak=["token"],
+                        est_rows=est_rows)
+
+
+# --- C4-style line-level dedup ---------------------------------------------
+
+
+def _split_lines(batch: pa.Table, text_col: str,
+                 id_col: str) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """text column → (doc_id, line_no, line) flattened, Arrow-vectorized."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.coalesce(texts, ""), pattern="\n")
+    parent = pc.list_parent_indices(lists)
+    flat = lists.flatten()
+    # line_no = position within the parent list
+    offsets = np.asarray(lists.offsets)
+    line_no = np.arange(len(flat), dtype=np.int64) - offsets[
+        np.asarray(parent, dtype=np.int64)]
+    return (batch.column(id_col).take(parent), pa.array(line_no), flat)
+
+
+def line_dedup(docs: ray.data.Dataset, min_line_chars: int = 30,
+               text_col: str = "text", id_col: str = "doc_id",
+               est_rows: int | None = None) -> ray.data.Dataset:
+    """C4-style cross-document line deduplication: every line of
+    ``min_line_chars`` or more that occurs verbatim anywhere else in the
+    corpus is kept only at its FIRST occurrence (smallest
+    (doc_id, line_no)); shorter lines always survive.  Returns one row
+    per surviving document: (doc_id, n_lines_kept, clean_md5) where
+    clean_md5 is the md5 hex of the kept lines rejoined with
+    newlines.  C4 (Raffel et al., JMLR 2020 §2.2) applies exactly this
+    filter with a three-sentence threshold; the character threshold
+    keeps the operator tokenizer-independent.
+
+    Scale shape — the document text crosses the wire at most once:
+
+    1. split to lines in-batch (Arrow kernels);
+    2. dedup decisions shuffle only (md5_digest, doc_id, line_no) — a
+       fixed 48-byte row regardless of line length — hash-bucketed by
+       digest, min-keeper per digest found per bucket (one shuffle);
+    3. removals (typically a tiny fraction) anti-join back against the
+       full line table on (doc_id, line_no) via ``hash_join``;
+    4. per-document reassembly groupby — the single payload shuffle.
+
+    md5 (128-bit) keying makes digest collisions ~1e-18 even at 10^10
+    distinct lines; decisions are exact otherwise (no within-group
+    re-verify needed).
+    """
+    from .relational import hash_join, resolve_n_buckets
+
+    n_buckets = resolve_n_buckets(None, est_rows)
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        ids, line_no, lines = _split_lines(batch, text_col, id_col)
+        return pa.table({id_col: ids, "line_no": line_no, "line": lines})
+
+    lines = docs.map_batches(to_lines, batch_format="pyarrow")
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        ln = batch.column("line")
+        long_mask = pc.greater_equal(pc.utf8_length(ln), min_line_chars)
+        part = batch.filter(long_mask)
+        texts = part.column("line").to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        bucket = pa.array(
+            [int(d[:8], 16) % n_buckets for d in digests], pa.int32())
+        return pa.table({"h": pa.array(digests, pa.string()),
+                         id_col: part.column(id_col),
+                         "line_no": part.column("line_no"),
+                         "__bucket": bucket})
+
+    def removals(g: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        g = g.sort_values(["h", id_col, "line_no"], kind="mergesort")
+        dup = g.duplicated("h", keep="first")
+        return pd_to_arrow(g.loc[dup, [id_col, "line_no"]])
+
+    remove = (
+        lines.map_batches(digest_partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(removals, batch_format="pandas")
+    )
+    kept = hash_join(lines, remove, on=[id_col, "line_no"], how="anti",
+                     est_rows=est_rows)
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        g = g.sort_values("line_no", kind="mergesort")
+        text = "\n".join(g["line"])
+        return pd_to_arrow(pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "n_lines_kept": np.array([len(g)], dtype=np.int64),
+            "clean_md5": [hashlib.md5(text.encode("utf-8")).hexdigest()],
+        }))
+
+    return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")

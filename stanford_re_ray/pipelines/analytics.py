@@ -629,3 +629,69 @@ def q35_hash_sample(sf_dir: str, percent: int = 10) -> pa.Table:
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["n_chars"] = out.pop("text").str.len().astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q36_vocab_heavy_hitters(sf_dir: str, top_n: int = 40) -> pa.Table:
+    """Corpus vocabulary heavy-hitters (``functions.corpus``): exact
+    global token counts via a per-batch ``value_counts`` combiner (only
+    distinct-token partials shuffle), one token groupby, vocab-sized
+    sort + limit."""
+    from ..functions.corpus import vocab_heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = vocab_heavy_hitters(docs, top_n=top_n).to_pandas()
+    out["n_occurrences"] = out["n_occurrences"].astype("int64")
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def q37_tfidf_topk(sf_dir: str, k: int = 3) -> pa.Table:
+    """Per-document top-k TF-IDF terms (``functions.corpus.tfidf_topk``):
+    in-batch Arrow tf grouping, token-groupby df, both-sides-large
+    hash join, quantized int64 score, distributed grouped top-k."""
+    from ..functions.corpus import tfidf_topk
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_topk(docs, n_docs=n_docs, k=k,
+                     est_rows=n_docs * 50).to_pandas()
+    out = out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "rnk": out["rank"].astype("int64"),
+        "token": out["token"],
+        "tf": out["tf"].astype("int64"),
+        "score_q": out["score_q"].astype("int64"),
+    }), preserve_index=False)
+
+
+def q38_line_dedup(sf_dir: str) -> pa.Table:
+    """C4-style cross-document line dedup (``functions.corpus.line_dedup``).
+    Fixture documents are single-line, so the query deterministically
+    augments each into three lines — unique body, a footer shared by the
+    ``doc_id % 7`` class (≥30 chars → participates in cross-doc dedup),
+    and the doc's 40-char prefix — identically in both engines (the q32
+    augmentation pattern), making the dedup decisions corpus-global and
+    value-checkable."""
+    from ..functions.corpus import line_dedup
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        txts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out = [
+            f"{t}\nshared boilerplate footer line number {i % 7} for dedup"
+            f"\n{t[:40]}"
+            for t, i in zip(txts, ids)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    out = (line_dedup(aug, min_line_chars=30, est_rows=n_docs * 3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_lines_kept"] = out["n_lines_kept"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

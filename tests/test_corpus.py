@@ -1,0 +1,80 @@
+"""Corpus operators (functions/corpus.py): heavy-hitters, TF-IDF top-k,
+C4-style line dedup — partition-count invariance and edge cases."""
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from stanford_re_ray.functions.corpus import (
+    line_dedup,
+    tfidf_topk,
+    vocab_heavy_hitters,
+)
+
+DOCS = [
+    (0, "alpha beta beta gamma\nshared footer line repeated many times ok"),
+    (1, "beta gamma gamma delta\nshared footer line repeated many times ok"),
+    (2, "delta delta delta\nshort ln\nshared footer line repeated many times ok"),
+    (3, ""),
+    (4, "unique words only here\nanother unique long line that stays put"),
+    (5, "alpha beta beta gamma\nshared footer line repeated many times ok"),
+]
+
+
+def _docs_ds(blocks: int) -> rd.Dataset:
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                    "text": pa.array([t for _, t in DOCS], pa.string())})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_heavy_hitters_partition_invariant(ray_session, blocks):
+    out = vocab_heavy_hitters(_docs_ds(blocks), top_n=5).to_pandas()
+    # 'beta' (docs 0,1,5 → 5) ties 'line' (4 footers + doc 4 → 5);
+    # the token-text tiebreak puts 'beta' first — a total order
+    assert list(out["token"][:3]) == ["beta", "line", "delta"]
+    assert list(out["n_occurrences"][:3]) == [5, 5, 4]
+    assert len(out) == 5
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_tfidf_topk_partition_invariant(ray_session, blocks):
+    out = (tfidf_topk(_docs_ds(blocks), n_docs=len(DOCS), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    ref = (tfidf_topk(_docs_ds(1), n_docs=len(DOCS), k=2)
+           .to_pandas().sort_values(["doc_id", "rank"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref[out.columns])
+    # doc 3 is empty → no terms, absent from output
+    assert 3 not in set(out["doc_id"])
+    # everything-distinctive doc ranks its rarest term first
+    d4 = out[out["doc_id"] == 4]
+    assert (d4["score_q"] > 0).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_line_dedup_first_occurrence_wins(ray_session, blocks):
+    out = (line_dedup(_docs_ds(blocks), min_line_chars=30)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    by_id = out.set_index("doc_id")
+    # footer (>=30 chars, in docs 0,1,2,5) kept only in doc 0
+    assert by_id.loc[0, "n_lines_kept"] == 2
+    assert by_id.loc[1, "n_lines_kept"] == 1
+    # doc 2 keeps body + the short 'short ln' line (always kept)
+    assert by_id.loc[2, "n_lines_kept"] == 2
+    # doc 5 loses the footer; its body (21 chars, below min_line_chars)
+    # never participates in dedup despite duplicating doc 0's body
+    assert by_id.loc[5, "n_lines_kept"] == 1
+    assert by_id.loc[5, "clean_md5"] == hashlib.md5(
+        b"alpha beta beta gamma").hexdigest()
+    # empty doc survives as a single empty line
+    assert by_id.loc[3, "n_lines_kept"] == 1
+    assert by_id.loc[3, "clean_md5"] == hashlib.md5(b"").hexdigest()
+    # doc 4 untouched
+    assert by_id.loc[4, "clean_md5"] == hashlib.md5(
+        DOCS[4][1].encode()).hexdigest()

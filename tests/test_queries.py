@@ -73,7 +73,8 @@ SQL_CHECKED = [
     "q27_asof_join", "q28_gopher_quality", "q29_topk_per_group",
     "q30_median_by_flag", "q31_distinct_suppliers", "q32_pii_scrub",
     "q34_running_totals", "q35_hash_sample", "q18_fingerprints",
-    "q33_ivf_full_topk",
+    "q33_ivf_full_topk", "q36_vocab_heavy_hitters", "q37_tfidf_topk",
+    "q38_line_dedup",
 ]
 
 
