@@ -63,7 +63,10 @@ class PipelineConfig:
     symmetrize: bool = False
     add_inverses: bool = False
     # shuffles
-    n_buckets: int = 64
+    n_buckets: int | None = None           # explicit bucket count wins;
+    est_rows: int | None = None            # else size-derived from this
+                                           # row estimate (resolve_n_buckets;
+                                           # bare default 64)
     # official output
     year: int = 2013
     run_id: str = "ray_kg_1"

@@ -757,8 +757,10 @@ def run_kg_pipeline_cfg(
 
         scored = relation_filter_stage(scored,
                                        cfg.relation_filter_components,
-                                       n_buckets=cfg.n_buckets)
-    candidates = bag_stage(scored, n_buckets=cfg.n_buckets)
+                                       n_buckets=cfg.n_buckets,
+                                       est_rows=cfg.est_rows)
+    candidates = bag_stage(scored, n_buckets=cfg.n_buckets,
+                           est_rows=cfg.est_rows)
     extra = None
     if cfg.entailment:
         from ..stages.consistency import GeoMaps, pass2_chain
@@ -767,6 +769,7 @@ def run_kg_pipeline_cfg(
     triples = consistency_stage(
         candidates,
         n_buckets=cfg.n_buckets,
+        est_rows=cfg.est_rows,
         max_slot_len=cfg.max_slot_len,
         enforce_cardinality=cfg.enforce_cardinality,
         enforce_incompatibilities=cfg.enforce_incompatibilities,

@@ -167,17 +167,24 @@ FILTER_COMPONENTS = {
 }
 
 
-def relation_filter_stage(scored, components, n_buckets: int = 64):
+def relation_filter_stage(scored, components, n_buckets: int | None = None,
+                          est_rows: int | None = None):
     """Apply an ordered RelationFilter component chain over the scored
     candidate stream, grouped per document — one shuffle of the (already
     combiner-thin) scored rows keyed by an int bucket of doc_id; the
     per-doc filtering runs vectorized inside each bucket.  Off unless
-    ``PipelineConfig.relation_filter_components`` selects components."""
+    ``PipelineConfig.relation_filter_components`` selects components.
+    ``n_buckets`` is size-derived from ``est_rows`` (expected scored rows,
+    e.g. pages × mentions-per-page) when not given, so reduce parallelism
+    scales with the corpus instead of capping at the old constant 64."""
     import zlib
 
     import pandas as pd
 
+    from ..functions.relational import resolve_n_buckets
     from ..schema import pd_to_arrow
+
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
 
     fns = [FILTER_COMPONENTS[c] for c in components]
 
