@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_vocab_heavy_hitters": A.q36_vocab_heavy_hitters,
         "q37_tfidf_topk": A.q37_tfidf_topk,
         "q38_line_dedup": A.q38_line_dedup,
+        "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
+        "q40_inverted_index": A.q40_inverted_index,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -1126,5 +1128,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(line, chr(10) ORDER BY line_no))
                      AS clean_md5
             FROM keep WHERE kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q39_quantiles_by_flag": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q40_inverted_index": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents)
+            SELECT token, COUNT(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM toks GROUP BY token
+            HAVING COUNT(*) <= (SELECT COUNT(*) * 0.4 FROM documents)
+            ORDER BY token
         """,
     }

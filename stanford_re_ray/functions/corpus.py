@@ -246,3 +246,51 @@ def line_dedup(docs: ray.data.Dataset, min_line_chars: int = 30,
         }))
 
     return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+
+
+def inverted_index(docs: ray.data.Dataset, max_df: int | None = None,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   est_rows: int | None = None) -> ray.data.Dataset:
+    """Inverted index construction: one row per token with its document
+    frequency and the ascending-sorted posting list (comma-joined string —
+    a stable, engine-neutral representation; a real sink would write the
+    rows Parquet-partitioned by hash(token) so lookups prune at the
+    directory level).
+
+    Shape: ``doc_term_freq`` emits DISTINCT (doc, token) in-batch (no
+    per-occurrence rows) → one hash(token)-bucket shuffle → per-bucket
+    vectorized sort + groupby-join.  ``max_df`` drops tokens appearing in
+    more than that many documents (stopword posting lists are the skew
+    hazard: a token in every one of 10^12 docs is one giant row — real
+    deployments segment such lists; capping df is the standard pruning
+    since stopword postings carry no retrieval signal)."""
+    from .relational import resolve_n_buckets
+
+    n_buckets = resolve_n_buckets(None, est_rows)
+    pairs = doc_term_freq(docs, text_col=text_col, id_col=id_col)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        toks = batch.column("token").to_pylist()
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(t.encode("utf-8", "surrogatepass"))
+                      % n_buckets for t in toks], pa.int32()))
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        agg = g.groupby("token", sort=True)[id_col].agg(
+            df="size", postings=lambda s: ",".join(map(str, s)))
+        agg = agg.reset_index()
+        if max_df is not None:
+            agg = agg[agg["df"] <= max_df]
+        agg["df"] = agg["df"].astype("int64")
+        return pd_to_arrow(agg)
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: build(g.drop(columns=["__bucket"])),
+                        batch_format="pandas"))

@@ -695,3 +695,36 @@ def q38_line_dedup(sf_dir: str) -> pa.Table:
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_lines_kept"] = out["n_lines_kept"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q39_quantiles_by_flag(sf_dir: str) -> pa.Table:
+    """Exact per-group p25/p50/p75 via the histogram shape
+    (``functions.quantiles.exact_quantiles``) — the scale-correct
+    replacement for q30's gather-based median: only (group, cents)
+    histogram cells shuffle, never raw rows."""
+    from ..functions.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = (exact_quantiles(ds, key="l_returnflag",
+                           value_col="l_extendedprice",
+                           quantiles=(0.25, 0.5, 0.75), scale=100)
+           .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q40_inverted_index(sf_dir: str) -> pa.Table:
+    """Inverted-index construction (``functions.corpus.inverted_index``):
+    token → (df, ascending comma-joined posting list).  ``max_df`` capped
+    at 40% of the corpus so stopword-like tokens (the posting-list skew
+    hazard) are pruned, as real indexes do."""
+    from ..functions.corpus import inverted_index
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (inverted_index(docs, max_df=int(n_docs * 0.4),
+                          est_rows=n_docs * 50)
+           .to_pandas().sort_values("token").reset_index(drop=True))
+    out["df"] = out["df"].astype("int64")
+    return pa.Table.from_pandas(out[["token", "df", "postings"]],
+                                preserve_index=False)

@@ -78,3 +78,36 @@ def test_line_dedup_first_occurrence_wins(ray_session, blocks):
     # doc 4 untouched
     assert by_id.loc[4, "clean_md5"] == hashlib.md5(
         DOCS[4][1].encode()).hexdigest()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_exact_quantiles_matches_numpy(ray_session, blocks):
+    import numpy as np
+
+    from stanford_re_ray.functions.quantiles import exact_quantiles
+
+    vals = [1.25, 7.5, 2.0, 2.0, 9.75, 3.5, 3.5, 3.5, 0.25, 6.0]
+    tbl = pa.table({"g": pa.array(["a"] * 6 + ["b"] * 4, pa.string()),
+                    "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = (exact_quantiles(ds, key="g", value_col="v", scale=100)
+           .to_pandas().set_index("g"))
+    for grp, grp_vals in (("a", vals[:6]), ("b", vals[6:])):
+        assert out.loc[grp, "n_rows"] == len(grp_vals)
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert out.loc[grp, col] == pytest.approx(
+                np.quantile(grp_vals, q), abs=1e-9)
+
+
+def test_inverted_index_postings_and_max_df(ray_session):
+    from stanford_re_ray.functions.corpus import inverted_index
+
+    docs = _docs_ds(3)
+    out = inverted_index(docs).to_pandas().set_index("token")
+    # 'footer' appears in docs 0,1,2,5 via the shared line
+    assert out.loc["footer", "df"] == 4
+    assert out.loc["footer", "postings"] == "0,1,2,5"
+    assert out.loc["unique", "postings"] == "4"
+    capped = inverted_index(docs, max_df=3).to_pandas()
+    assert "footer" not in set(capped["token"])
+    assert "unique" in set(capped["token"])

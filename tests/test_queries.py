@@ -74,7 +74,7 @@ SQL_CHECKED = [
     "q30_median_by_flag", "q31_distinct_suppliers", "q32_pii_scrub",
     "q34_running_totals", "q35_hash_sample", "q18_fingerprints",
     "q33_ivf_full_topk", "q36_vocab_heavy_hitters", "q37_tfidf_topk",
-    "q38_line_dedup",
+    "q38_line_dedup", "q39_quantiles_by_flag", "q40_inverted_index",
 ]
 
 
