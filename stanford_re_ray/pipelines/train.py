@@ -343,13 +343,20 @@ def train_model_hoffmann(
     negative_subsample: float = 0.10,
     epochs: int = 10,
     kb_slot_matching: bool = True,
+    mode: str = "auto",
+    n_shards: int = 4,
 ):
     """End-to-end Hoffmann (MultiR) training: pages + KB → HoffmannModel
     (KBPTrainer with ModelType.AT_LEAST_ONCE).  S1–S4 + distant
-    supervision run distributed; the latent averaged perceptron itself is
-    the in-memory fit of the (small) labeled set, like the reference's
-    single-JVM HoffmannExtractor.train."""
-    from ..stages.classify import train_hoffmann
+    supervision run distributed; the latent averaged perceptron runs
+    in-memory for small labeled sets (like the reference's single-JVM
+    HoffmannExtractor.train) and switches to the iterative-parameter-
+    mixing shard trainer (``classify.train_hoffmann_sharded``) above
+    ``SHARDED_FIT_THRESHOLD`` datums (``mode``: auto | memory |
+    sharded).  Unlike MIML, sharded-vs-memory is NOT bit-identical for
+    n_shards > 1 — perceptron updates are sequential; IPM is the
+    published relaxation (see train_hoffmann_sharded)."""
+    from ..stages.classify import train_hoffmann, train_hoffmann_sharded
     from ..stages.pairs import kb_fills_lookup
 
     docs = extract_stage(pages)
@@ -359,6 +366,12 @@ def train_model_hoffmann(
         kb_fills=kb_fills_lookup(kb_tbl) if kb_slot_matching else None)
     labeled = label_pairs_stage(pairs, kb_to_lookup(kb_tbl),
                                 negative_subsample, emit_bag_id=True)
+    if mode == "sharded" or (
+        mode == "auto"
+        and labeled.materialize().count() > SHARDED_FIT_THRESHOLD
+    ):
+        return train_hoffmann_sharded(labeled, n_shards=n_shards,
+                                      epochs=epochs)
     dfs = [b for b in labeled.iter_batches(batch_size=8192,
                                            batch_format="pandas")]
     if not dfs:

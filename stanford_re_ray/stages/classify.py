@@ -782,6 +782,45 @@ def _hoffmann_z_update(S: np.ndarray, gold: set[int], nil: int) -> list[set]:
     return z_update
 
 
+def _hoffmann_bag_step(W, group, gold, nil, upd):
+    """One bag of the MultiR perceptron (HoffmannExtractor.java:158-176):
+    local Z scores → argmax predictions → deterministic-OR Y; on Y
+    mismatch, conditional inference picks latent labels and ``upd``
+    receives the ±1 sparse updates.  Shared verbatim by the in-memory
+    trainer and the sharded (iterative-parameter-mixing) trainer so the
+    two cannot drift."""
+    n_classes = W.shape[0]
+    S = np.stack([
+        W[:, ids].sum(axis=1) if len(ids) else np.zeros(n_classes)
+        for ids in group
+    ])
+    z_pred = [int(np.flatnonzero(row == row.max()).max())
+              for row in S]
+    y_pred = {z for z in z_pred if z != nil}
+    if y_pred != gold:
+        z_upd = _hoffmann_z_update(S, gold, nil)
+        for m, ids in enumerate(group):
+            g, p = z_upd[m], z_pred[m]
+            if p != nil and p not in g:
+                upd(p, ids, -1.0)
+            if p == nil and g:
+                upd(nil, ids, -1.0)
+            for l in sorted(g):
+                if l != nil and l != p:
+                    upd(l, ids, +1.0)
+            if not g and p != nil:
+                upd(nil, ids, +1.0)
+
+
+def _hoffmann_epoch_order(bag_names, epoch: int) -> list[str]:
+    """Deterministic per-epoch bag shuffle — content hash of
+    (epoch, bag_id), the RNG-free analog of ``dataset.randomize(t)``
+    (HoffmannExtractor.java:151-153)."""
+    return sorted(bag_names, key=lambda b: (
+        zlib.crc32(f"hoffmann:{epoch}:{b}".encode("utf-8",
+                                                  "surrogatepass")), b))
+
+
 def train_hoffmann(
     datum_features: list[np.ndarray],
     labels: list[set[str]],
@@ -837,37 +876,184 @@ def train_hoffmann(
 
     bag_names = sorted(bags)
     for epoch in range(epochs):
-        order = sorted(bag_names, key=lambda b: (
-            zlib.crc32(f"hoffmann:{epoch}:{b}".encode("utf-8",
-                                                      "surrogatepass")), b))
-        for b in order:
+        for b in _hoffmann_epoch_order(bag_names, epoch):
             idxs = bags[b]
             group = [feats_c[i] for i in idxs]
-            gold = gold_pos[b]
-            S = np.stack([
-                W[:, ids].sum(axis=1) if len(ids) else np.zeros(n_classes)
-                for ids in group
-            ])
-            z_pred = [int(np.flatnonzero(row == row.max()).max())
-                      for row in S]
-            y_pred = {z for z in z_pred if z != nil}
-            if y_pred != gold:
-                z_upd = _hoffmann_z_update(S, gold, nil)
-                for m, ids in enumerate(group):
-                    g, p = z_upd[m], z_pred[m]
-                    if p != nil and p not in g:
-                        upd(p, ids, -1.0)
-                    if p == nil and g:
-                        upd(nil, ids, -1.0)
-                    for l in sorted(g):
-                        if l != nil and l != p:
-                            upd(l, ids, +1.0)
-                    if not g and p != nil:
-                        upd(nil, ids, +1.0)
+            _hoffmann_bag_step(W, group, gold_pos[b], nil, upd)
             t += 1
     for label in range(n_classes):      # final addToAverage (:177-178)
         AVG[label] += W[label] * (t - last_t[label])
     return HoffmannModel(avg_weights=AVG, dims=dims)
+
+
+class _HoffmannShardImpl:
+    """Shard actor for the distributed MultiR trainer: holds its bags
+    (deterministic crc32(bag_id) assignment, same rule as the MIML
+    shards), remaps features onto the global compact dims once, and runs
+    one perceptron epoch per driver round from the mixed weights."""
+
+    def __init__(self, source, shard_id: int, n_shards: int):
+        import os
+
+        import pandas as _pd
+        import ray as _ray
+
+        if isinstance(source, str):
+            import pyarrow.parquet as _pq
+
+            part = os.path.join(source, f"__shard={shard_id}")
+            tables = [_pq.read_table(
+                part, columns=["sort_key", "features", "labels", "bag_id"])] \
+                if os.path.isdir(part) else []
+            prefiltered = True
+        else:
+            tables = _ray.get(list(source))
+            prefiltered = False
+        rows: list[tuple[str, np.ndarray, set, str]] = []
+        for tbl in tables:
+            if isinstance(tbl, _pd.DataFrame):
+                if not len(tbl.columns):
+                    continue
+                tbl = pa.Table.from_pandas(tbl, preserve_index=False)
+            for k, f, l, b in zip(tbl.column("sort_key").to_pylist(),
+                                  tbl.column("features").to_pylist(),
+                                  tbl.column("labels").to_pylist(),
+                                  tbl.column("bag_id").to_pylist()):
+                if not prefiltered and \
+                        zlib.crc32(f"shard:{b}".encode()) % n_shards \
+                        != shard_id:
+                    continue
+                rows.append((k, np.asarray(f, dtype=np.int64), set(l), b))
+        rows.sort(key=lambda r: r[0])   # canonical datum order
+        self.feats = [r[1] for r in rows]
+        self.bags: dict[str, list[int]] = {}
+        for i, r in enumerate(rows):
+            self.bags.setdefault(r[3], []).append(i)
+        self.gold_pos = {}
+        for b, idxs in self.bags.items():
+            self.gold_pos[b] = {
+                j for i in idxs for rel in rows[i][2]
+                if (j := _REL_INDEX.get(rel)) is not None}
+        self.bag_names = sorted(self.bags)
+
+    def dims(self) -> np.ndarray:
+        flat = (np.concatenate(self.feats) if self.feats
+                else np.empty(0, dtype=np.int64))
+        return np.unique(flat) if flat.size else np.empty(0, np.int64)
+
+    def prepare(self, dims: np.ndarray):
+        remap = np.zeros(D_FEATURES, dtype=np.int64)
+        if len(dims):
+            remap[dims] = np.arange(len(dims))
+        self.feats_c = [remap[f] for f in self.feats]
+        self.n_bags = len(self.bag_names)
+        return self.n_bags
+
+    def run_epoch(self, W_mixed: np.ndarray, epoch: int):
+        """One perceptron epoch from the mixed weights; returns the
+        shard's end-of-epoch weights and its within-epoch averaged-weight
+        accumulation (Σ over this epoch's bag steps of the live W —
+        exact-integer float arithmetic, so the 1-shard case reproduces
+        the in-memory trainer bit-for-bit)."""
+        n_classes = W_mixed.shape[0]
+        nil = n_classes - 1
+        W = W_mixed.copy()
+        AVG = np.zeros_like(W)
+        last_t = np.zeros(n_classes, dtype=np.int64)
+        t = 0
+
+        def upd(label: int, ids: np.ndarray, w: float):
+            AVG[label] += W[label] * (t - last_t[label])
+            last_t[label] = t
+            np.add.at(W[label], ids, w)
+
+        for b in _hoffmann_epoch_order(self.bag_names, epoch):
+            group = [self.feats_c[i] for i in self.bags[b]]
+            _hoffmann_bag_step(W, group, self.gold_pos[b], nil, upd)
+            t += 1
+        for label in range(n_classes):
+            AVG[label] += W[label] * (t - last_t[label])
+        return W, AVG
+
+
+def train_hoffmann_sharded(
+    labeled,
+    n_shards: int = 4,
+    epochs: int = 10,
+    ingest: str = "auto",
+    spill_dir: str | None = None,
+) -> HoffmannModel:
+    """Distributed MultiR training over a labeled Dataset (columns
+    sort_key / features / labels / bag_id) via ITERATIVE PARAMETER MIXING
+    (McDonald, Hall & Mann, NAACL 2010, "Distributed Training Strategies
+    for the Structured Perceptron"): bags shard across actors by content
+    hash; each epoch every shard runs one sequential perceptron epoch
+    from the uniformly-mixed weights, then the driver mixes
+    ``W ← (1/S)·Σ W_s`` and accumulates the averaged-weight sum
+    ``AVG += Σ AVG_s`` (the paper's averaged-IPM; the uniform 1/S on AVG
+    is dropped — a global positive scale never changes per-mention
+    argmax).  Driver memory is O(weights); datums stay in actors.
+
+    Semantics: NOT bit-identical to ``train_hoffmann`` for n_shards > 1
+    (perceptron updates are inherently sequential; IPM is the published
+    convergence-preserving relaxation — McDonald et al. Theorem 2).  For
+    n_shards=1 it IS bit-identical (verified in
+    tests/test_hoffmann_sharded.py): per-epoch AVG flushes telescope to
+    the in-memory trainer's continuous lazy accounting, exactly, because
+    W is integer-valued so every product/sum is exact in float64.
+
+    ``ingest`` as in ``train_mimlre_sharded``: ``refs`` ships block refs
+    (object-store resident), ``parquet`` spills partitioned by shard so
+    each actor reads only its 1/n_shards slice; ``auto`` picks by size.
+    """
+    import ray as _ray
+
+    labeled = labeled.materialize()
+    if ingest == "auto":
+        from .miml import PARQUET_INGEST_THRESHOLD
+
+        ingest = ("parquet" if labeled.count() > PARQUET_INGEST_THRESHOLD
+                  else "refs")
+    if ingest == "parquet":
+        import tempfile
+
+        spill_dir = spill_dir or tempfile.mkdtemp(prefix="hoffmann_shards_")
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            sh = [zlib.crc32(f"shard:{b}".encode()) % n_shards
+                  for b in batch.column("bag_id").to_pylist()]
+            return batch.append_column("__shard", pa.array(sh, pa.int32()))
+
+        labeled.map_batches(add_shard, batch_format="pyarrow") \
+            .write_parquet(spill_dir, partition_cols=["__shard"])
+        sources = [spill_dir] * n_shards
+    else:
+        refs = list(labeled.to_arrow_refs())
+        sources = [refs] * n_shards
+    Shard = _ray.remote(_HoffmannShardImpl)
+    actors = [Shard.remote(sources[i], i, n_shards)
+              for i in range(n_shards)]
+    n_classes = len(RELATION_NAMES) + 1
+    try:
+        shard_dims = _ray.get([a.dims.remote() for a in actors])
+        nonempty = [d for d in shard_dims if len(d)]
+        dims = (np.unique(np.concatenate(nonempty)) if nonempty
+                else np.empty(0, dtype=np.int64))
+        d_c = max(len(dims), 1)
+        _ray.get([a.prepare.remote(dims) for a in actors])
+        W = np.zeros((n_classes, d_c))
+        AVG = np.zeros((n_classes, d_c))
+        for epoch in range(epochs):
+            ref = _ray.put(W)
+            results = _ray.get([a.run_epoch.remote(ref, epoch)
+                                for a in actors])
+            W = np.mean([r[0] for r in results], axis=0)
+            for _, avg_s in results:
+                AVG += avg_s
+        return HoffmannModel(avg_weights=AVG, dims=dims)
+    finally:
+        for a in actors:
+            _ray.kill(a)
 
 
 class HoffmannScorer:
