@@ -490,6 +490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_line_dedup": A.q38_line_dedup,
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
+        "q41_kmeans": A.q41_kmeans,
+        "q42_bigram_lm": A.q42_bigram_lm,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -1149,5 +1151,61 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             HAVING COUNT(*) <= (SELECT COUNT(*) * 0.4 FROM documents)
             ORDER BY token
+        """,
+        "q41_kmeans": """
+            -- one Lloyd iteration, Forgy init on the k lowest vec_ids
+            WITH c AS (
+              SELECT vec_id AS c_id, embedding AS c_emb
+              FROM embeddings WHERE vec_id < 4),
+            d AS (
+              SELECT v.vec_id, c.c_id,
+                (SELECT SUM((a.x - b.x) * (a.x - b.x))
+                 FROM (SELECT generate_subscripts(v.embedding, 1) i,
+                              unnest(v.embedding) x) a
+                 JOIN (SELECT generate_subscripts(c.c_emb, 1) i,
+                              unnest(c.c_emb) x) b USING (i)) AS d2
+              FROM embeddings v, c),
+            assign AS (
+              SELECT vec_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_id) AS rn
+              FROM d),
+            members AS (
+              SELECT e.vec_id, a.c_id AS cluster, e.embedding
+              FROM embeddings e JOIN assign a
+                ON e.vec_id = a.vec_id AND a.rn = 1),
+            longf AS (
+              SELECT cluster, generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS x, vec_id
+              FROM members)
+            SELECT cluster, dim,
+                   round(AVG(x), 6) AS mean_q,
+                   COUNT(DISTINCT vec_id) AS n_members
+            FROM longf GROUP BY cluster, dim ORDER BY cluster, dim
+        """,
+        "q42_bigram_lm": """
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            big AS (
+              SELECT w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id
+                                   ORDER BY pos) AS w2
+              FROM toks),
+            c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12
+              FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+            SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+                   CAST(FLOOR(c12.c12 * 1000000.0 / c1.c1 + 0.5)
+                        AS BIGINT) AS p_q
+            FROM c12 JOIN c1 USING (w1)
+            ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50
         """,
     }

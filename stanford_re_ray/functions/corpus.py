@@ -294,3 +294,54 @@ def inverted_index(docs: ray.data.Dataset, max_df: int | None = None,
             .groupby("__bucket")
             .map_groups(lambda g: build(g.drop(columns=["__bucket"])),
                         batch_format="pandas"))
+
+
+def bigram_lm_topk(docs: ray.data.Dataset, top_n: int = 50,
+                   text_col: str = "text",
+                   est_rows: int | None = None) -> ray.data.Dataset:
+    """Bigram language-model counts: for the ``top_n`` most frequent
+    within-document bigrams, the conditional probability
+    ``P(w2|w1) = c(w1,w2) / c(w1,·)`` as a quantized integer
+    (``round(p·1e6)``, half-away like the TF-IDF score).
+
+    Shape: bigrams pair consecutive tokens WITHIN a document (vectorized:
+    adjacent flattened tokens with equal parent index), per-batch Arrow
+    group_by combiner → one (w1, w2) groupby SUM; the denominator
+    ``c(w1,·)`` re-derives from the bigram table itself (a second, much
+    smaller groupby) — no separate pass over the corpus — and joins back
+    via ``hash_join``.  Final sort+limit runs over bigram-vocab-sized
+    counts, never occurrences."""
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column(text_col))
+        p = np.asarray(parent, dtype=np.int64)
+        if len(p) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = p[:-1] == p[1:]
+        pairs = pa.table({"w1": flat.slice(0, len(flat) - 1).filter(
+                              pa.array(adj)),
+                          "w2": flat.slice(1).filter(pa.array(adj))})
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "n": pc.cast(g.column(g.schema.names[-1]),
+                                      pa.int64())})
+
+    c12 = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12")))
+    c1 = c12.groupby("w1").aggregate(Sum("c12", alias_name="c1"))
+    joined = hash_join(c12, c1, on="w1", how="inner", est_rows=est_rows)
+
+    def prob(batch: pa.Table) -> pa.Table:
+        a = batch.column("c12").to_numpy().astype(np.float64)
+        b = batch.column("c1").to_numpy().astype(np.float64)
+        p_q = np.floor(a * 1e6 / b + 0.5).astype(np.int64)
+        return batch.append_column("p_q", pa.array(p_q))
+
+    return (joined.map_batches(prob, batch_format="pyarrow")
+            .sort(["c12", "w1", "w2"], descending=[True, False, False])
+            .limit(top_n))

@@ -728,3 +728,30 @@ def q40_inverted_index(sf_dir: str) -> pa.Table:
     out["df"] = out["df"].astype("int64")
     return pa.Table.from_pandas(out[["token", "df", "postings"]],
                                 preserve_index=False)
+
+
+def q41_kmeans(sf_dir: str, k: int = 4) -> pa.Table:
+    """One Lloyd iteration of distributed k-means over the embeddings
+    (``functions.clustering``): broadcast centroids, matmul assignment,
+    per-batch (count, vector-sum) combiner partials — k rows per batch
+    shuffle, never vectors."""
+    from ..functions.clustering import kmeans_table
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_table(emb, k=k, n_iter=1)
+
+
+def q42_bigram_lm(sf_dir: str, top_n: int = 50) -> pa.Table:
+    """Top-N bigram conditional probabilities
+    (``functions.corpus.bigram_lm_topk``)."""
+    from ..functions.corpus import bigram_lm_topk
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bigram_lm_topk(docs, top_n=top_n,
+                         est_rows=n_docs * 100).to_pandas()
+    for c in ("c12", "c1", "p_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["w1", "w2", "c12", "c1", "p_q"]].reset_index(drop=True),
+        preserve_index=False)

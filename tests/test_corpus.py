@@ -111,3 +111,44 @@ def test_inverted_index_postings_and_max_df(ray_session):
     capped = inverted_index(docs, max_df=3).to_pandas()
     assert "footer" not in set(capped["token"])
     assert "unique" in set(capped["token"])
+
+
+def test_kmeans_matches_numpy_lloyd(ray_session):
+    import numpy as np
+
+    from stanford_re_ray.functions.clustering import kmeans_fit
+
+    rng_vals = [[(i * 7 + j * 13) % 11 - 5.0 for j in range(6)]
+                for i in range(40)]
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(rng_vals,
+                                          pa.list_(pa.float64()))})
+    for blocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        cents, counts = kmeans_fit(ds, k=3, n_iter=4)
+        # single-node reference Lloyd, same init + tie rules
+        X = np.array(rng_vals)
+        C = X[:3].copy()
+        for _ in range(4):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            lab = np.argmin(d2, axis=1)
+            for c in range(3):
+                if (lab == c).any():
+                    C[c] = X[lab == c].mean(axis=0)
+        np.testing.assert_allclose(cents, C, atol=1e-9)
+        assert counts.sum() == 40
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bigram_lm_partition_invariant(ray_session, blocks):
+    from stanford_re_ray.functions.corpus import bigram_lm_topk
+
+    out = bigram_lm_topk(_docs_ds(blocks), top_n=10).to_pandas()
+    ref = bigram_lm_topk(_docs_ds(1), top_n=10).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
+    # the shared footer bigram appears once per containing doc (0,1,2,5)
+    row = out[(out.w1 == "shared") & (out.w2 == "footer")].iloc[0]
+    assert row["c12"] == 4
+    # 'shared' is only ever followed by 'footer' → P = 1.0 → 1e6
+    assert row["p_q"] == 1_000_000
