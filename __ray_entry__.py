@@ -492,6 +492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_inverted_index": A.q40_inverted_index,
         "q41_kmeans": A.q41_kmeans,
         "q42_bigram_lm": A.q42_bigram_lm,
+        "q43_decontaminate": A.q43_decontaminate,
+        "q44_props_field_stats": A.q44_props_field_stats,
+        "q45_stratified_sample": A.q45_stratified_sample,
+        "q46_sequence_packing": A.q46_sequence_packing,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -1207,5 +1211,67 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS p_q
             FROM c12 JOIN c1 USING (w1)
             ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50
+        """,
+        "q43_decontaminate": """
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            g AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win AS ng
+              FROM toks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            ev AS (
+              SELECT DISTINCT ng FROM g
+              WHERE doc_id % 97 = 0 AND ng IS NOT NULL)
+            SELECT g.doc_id, COUNT(DISTINCT g.ng) AS n_hits
+            FROM g JOIN ev USING (ng)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "q44_props_field_stats": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                          AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
+                   SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high
+            FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "q45_stratified_sample": """
+            WITH cnt AS (SELECT lang, COUNT(*) AS c
+                         FROM documents GROUP BY lang),
+            m AS (SELECT MIN(c) AS mc FROM cnt)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN cnt USING (lang), m
+            WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) % 1000000
+                  < (1000000 * m.mc) // cnt.c
+            ORDER BY d.doc_id
+        """,
+        "q46_sequence_packing": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text),
+                                            '[0-9A-Za-z_]+')) AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tok,
+                     SUM(n_tok) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                       - n_tok AS cum_before
+              FROM t)
+            SELECT CAST(cum_before // 512 AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM c GROUP BY 1 ORDER BY 1
         """,
     }

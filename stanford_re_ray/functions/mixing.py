@@ -1,0 +1,244 @@
+"""Training-data curation operators: benchmark decontamination,
+stratified (per-group rate) sampling, and sequence packing.
+
+These are the data-mixing stages of an LLM pre-training pipeline — the
+step between dedup/quality-filtering and the tokenizer.  Scale shapes:
+
+- **Decontamination** treats the benchmark/eval side as SMALL by nature
+  (a few thousand documents even when the corpus is 100 TB): its n-gram
+  set is collected once, broadcast via ``ray.put``, and membership is an
+  Arrow C++ ``is_in`` per corpus batch — the corpus side never shuffles.
+- **Stratified sampling** needs only the per-stratum row counts (one
+  tiny groupby) on the driver; the keep decision is a pure content-hash
+  function per row, so the sample is reproducible at any parallelism
+  and the payload never moves.
+- **Sequence packing** is a distributed prefix-sum: per-range-bucket
+  token totals (a few hundred ints) come to the driver, per-bucket
+  offsets broadcast back, and each bucket resolves its documents'
+  global token offsets independently.  Requires a dense-ordered integer
+  key (doc_id) to derive range buckets — the partitioning assumption is
+  stated on the function.
+
+Tokenization matches ``functions.corpus`` (explicit ASCII word class so
+DuckDB RE2 oracles stay corpus-independent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .corpus import _tokenize_column
+from .hashing import stable_u64
+
+
+def ngrams_arrow(parent: pa.Array, flat: pa.Array, n: int
+                 ) -> tuple[pa.Array, pa.Array]:
+    """Word n-grams from a flattened token stream, entirely in Arrow C++.
+
+    ``parent``/``flat`` are ``_tokenize_column`` outputs (per-token parent
+    row index + token).  Position ``i`` starts an n-gram iff token
+    ``i+n-1`` exists and belongs to the same parent row.  Returns
+    (parent_row_index, space-joined n-gram string) arrays.
+    """
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return (pa.array([], pa.int64()), pa.array([], pa.string()))
+    p = np.asarray(parent)
+    valid = pa.array(p[: m] == p[n - 1:])
+    shifted = [flat.slice(k, m) for k in range(n)]
+    joined = pc.binary_join_element_wise(*shifted, " ")
+    return (pa.array(p[:m][np.asarray(valid)], pa.int64()),
+            joined.filter(valid))
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    n: int = 4,
+    eval_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Benchmark decontamination: count, per training document, the
+    distinct word ``n``-grams it shares with the eval split (documents
+    whose ``id_col % eval_mod == 0`` — stand-in for a held-out benchmark
+    table).  Returns (doc_id, n_hits) for contaminated docs only.
+
+    Scale shape: the eval side is small by construction (real benchmarks
+    are a few MB against a 100 TB corpus) — its distinct n-grams are
+    aggregated distributed, collected once, and broadcast; each corpus
+    batch then runs one vectorized ``is_in`` + Arrow group_by.  A
+    document's n-grams never leave its batch (a doc is one row), so the
+    per-doc distinct count is exact with no corpus-side shuffle; only
+    (doc_id, n_hits) survivor rows move.
+    """
+
+    def eval_ngram_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).combine_chunks())
+        sub = batch.filter(pa.array(ids % eval_mod == 0))
+        if sub.num_rows == 0:
+            return pa.table({"ng": pa.array([], pa.string())})
+        parent, flat = _tokenize_column(sub.column(text_col))
+        _, ng = ngrams_arrow(parent, flat, n)
+        return pa.table({"ng": pc.unique(ng)})
+
+    eval_ngrams = (docs.map_batches(eval_ngram_partial,
+                                    batch_format="pyarrow")
+                   .unique("ng"))
+    ng_ref = ray.put(pa.array(sorted(eval_ngrams), pa.string()))
+
+    def hits(batch: pa.Table, _ref=ng_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        ev = fetch(_ref)
+        ids = np.asarray(batch.column(id_col).combine_chunks())
+        sub = batch.filter(pa.array(ids % eval_mod != 0))
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if sub.num_rows == 0 or len(ev) == 0:
+            return empty
+        parent, flat = _tokenize_column(sub.column(text_col))
+        gp, ng = ngrams_arrow(parent, flat, n)
+        mask = pc.is_in(ng, value_set=ev)
+        if pc.sum(mask).as_py() in (None, 0):
+            return empty
+        t = pa.table({id_col: sub.column(id_col).take(gp.filter(mask)),
+                      "ng": ng.filter(mask)})
+        per_doc = (t.group_by([id_col, "ng"]).aggregate([])
+                   .group_by(id_col).aggregate([([], "count_all")]))
+        return pa.table({
+            id_col: per_doc.column(id_col),
+            "n_hits": pc.cast(per_doc.column(per_doc.schema.names[-1]),
+                              pa.int64()),
+        })
+
+    return docs.map_batches(hits, batch_format="pyarrow").sort(id_col)
+
+
+def stratified_sample(
+    docs: ray.data.Dataset,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    quantum: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Deterministic stratified subsample that equalizes strata: every
+    stratum is down-sampled at rate ``min_stratum_count / its_count`` via
+    the engine's content-hash Bernoulli (md5 of the row key — the
+    ``md5_number_upper`` cross-engine convention), so the expected output
+    is a balanced mixture and membership is a pure function of the row.
+
+    Scale shape: one tiny groupby-count (strata-sized result) on the
+    driver; the keep filter is stateless per batch with the integer
+    thresholds broadcast.  No payload shuffle; sampling is reproducible
+    at any parallelism.  Rates are quantized to ``1/quantum`` exactly as
+    in the SQL oracle (floor), so both engines make identical decisions.
+    """
+    counts = {r[stratum_col]: r["count()"]
+              for r in docs.groupby(stratum_col).count().take_all()}
+    mc = min(counts.values())
+    thresholds = {s: (quantum * mc) // c for s, c in counts.items()}
+    thr_ref = ray.put(thresholds)
+
+    def keep(batch: pa.Table, _ref=thr_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        thr = fetch(_ref)
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(stratum_col).to_pylist()
+        mask = [stable_u64(str(i)) % quantum < thr[s]
+                for i, s in zip(ids, strata)]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def sequence_packing(
+    docs: ray.data.Dataset,
+    seq_len: int = 512,
+    n_rows: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+) -> pa.Table:
+    """GPT-style sequence packing: concatenate all documents in ``id_col``
+    order into one token stream and cut it into fixed ``seq_len`` chunks;
+    a document belongs to the pack where its first token lands.  Returns
+    (pack_id, n_docs, n_tokens) per pack.
+
+    This is a distributed prefix-sum (exclusive scan), the operator Ray
+    Data lacks natively.  Partitioning assumption: ``id_col`` is a dense
+    ordered integer key (0..N-1, as produced by the corpus writer), so
+    range buckets ``id // ceil(N/B)`` are both balanced and
+    order-preserving.  Pass 1 reduces each range bucket to one token
+    total (B ints to the driver); the driver prefix-sums those into
+    per-bucket offsets; pass 2 re-buckets, sorts WITHIN each bucket, and
+    resolves every document's global offset from the bucket offset plus
+    an in-bucket cumsum — each bucket is independent, so the scan costs
+    one small groupby per pass, never a serial pass over the corpus.
+    """
+    if n_rows is None:
+        n_rows = docs.count()
+    if n_rows == 0:
+        return pa.table({"pack_id": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    if n_buckets is None:
+        n_buckets = max(16, min(4096, n_rows // 50_000))
+    span = -(-n_rows // n_buckets)
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        parent, _ = _tokenize_column(batch.column(text_col))
+        cnt = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(cnt, np.asarray(parent), 1)
+        ids = batch.column(id_col)
+        return pa.table({
+            id_col: ids,
+            "n_tok": pa.array(cnt),
+            "__bucket": pc.cast(pc.divide(ids, span), pa.int64()),
+        })
+
+    counted = docs.map_batches(tok_counts,
+                               batch_format="pyarrow").materialize()
+
+    bucket_tot = {r["__bucket"]: r["sum(n_tok)"]
+                  for r in counted.groupby("__bucket")
+                  .sum("n_tok").take_all()}
+    offsets, acc = {}, 0
+    for b in sorted(bucket_tot):
+        offsets[b] = acc
+        acc += bucket_tot[b]
+    off_ref = ray.put(offsets)
+
+    def resolve(g: pd.DataFrame, _ref=off_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        off = fetch(_ref)
+        g = g.sort_values(id_col, kind="mergesort")
+        cum_before = off[int(g["__bucket"].iloc[0])] + \
+            g["n_tok"].cumsum().shift(fill_value=0)
+        pack = (cum_before // seq_len).astype("int64")
+        out = pd.DataFrame({"pack_id": pack, "n_tok": g["n_tok"].values})
+        agg = out.groupby("pack_id", sort=True).agg(
+            n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        return pa.table({
+            "pack_id": pa.array(agg.index.to_numpy(np.int64)),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    packs = (counted.groupby("__bucket")
+             .map_groups(resolve, batch_format="pandas"))
+    # a pack can straddle a bucket boundary → merge partials
+    out = (packs.groupby("pack_id")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas().sort_values("pack_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -755,3 +755,72 @@ def q42_bigram_lm(sf_dir: str, top_n: int = 50) -> pa.Table:
     return pa.Table.from_pandas(
         out[["w1", "w2", "c12", "c1", "p_q"]].reset_index(drop=True),
         preserve_index=False)
+
+
+def q43_decontaminate(sf_dir: str, n: int = 4) -> pa.Table:
+    """Benchmark decontamination (``functions.mixing.decontaminate``):
+    distinct shared word-n-grams between each training document and the
+    broadcast eval-split n-gram set."""
+    from ..functions.mixing import decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = decontaminate(docs, n=n).to_pandas()
+    for c in ("doc_id", "n_hits"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q44_props_field_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured metadata extraction: pull the integer ``k`` field
+    out of the events' JSON ``props`` string with one vectorized RE2
+    kernel (``pyarrow.compute.extract_regex`` — the same engine family as
+    DuckDB's regexp_extract, so cross-engine parity is exact) and
+    aggregate per event type.  No Python per-row parsing."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "k": k,
+            "is_high": pc.cast(pc.greater(k, 50), pa.int64()),
+        })
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("k", alias_name="sum_k"),
+                      Sum("is_high", alias_name="n_high"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    for c in ("n", "sum_k", "n_high"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q45_stratified_sample(sf_dir: str) -> pa.Table:
+    """Stratum-equalizing deterministic sample
+    (``functions.mixing.stratified_sample``): every language down-sampled
+    to the smallest stratum's expected size via content-hash Bernoulli."""
+    from ..functions.mixing import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = (stratified_sample(docs, stratum_col="lang")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "lang"]],
+                                preserve_index=False)
+
+
+def q46_sequence_packing(sf_dir: str, seq_len: int = 512) -> pa.Table:
+    """GPT-style sequence packing histogram
+    (``functions.mixing.sequence_packing``): distributed exclusive scan
+    over per-document token counts in doc_id order; packs of ``seq_len``
+    tokens with per-pack document and token totals."""
+    from ..functions.mixing import sequence_packing
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return sequence_packing(docs, seq_len=seq_len,
+                            n_rows=_row_count(sf_dir, "documents"))

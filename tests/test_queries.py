@@ -75,7 +75,9 @@ SQL_CHECKED = [
     "q34_running_totals", "q35_hash_sample", "q18_fingerprints",
     "q33_ivf_full_topk", "q36_vocab_heavy_hitters", "q37_tfidf_topk",
     "q38_line_dedup", "q39_quantiles_by_flag", "q40_inverted_index",
-    "q41_kmeans", "q42_bigram_lm",
+    "q41_kmeans", "q42_bigram_lm", "q43_decontaminate",
+    "q44_props_field_stats", "q45_stratified_sample",
+    "q46_sequence_packing",
 ]
 
 
