@@ -496,6 +496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_props_field_stats": A.q44_props_field_stats,
         "q45_stratified_sample": A.q45_stratified_sample,
         "q46_sequence_packing": A.q46_sequence_packing,
+        "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
+        "q48_bloom_membership": A.q48_bloom_membership,
+        "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
@@ -1273,5 +1276,80 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "q47_cms_heavy_hitters": """
+            WITH tf AS (
+              SELECT w AS token, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[0-9A-Za-z_]+')) AS w
+                FROM documents) GROUP BY 1),
+            js AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cells AS (
+              SELECT js.j,
+                     md5_number_upper(CAST(js.j AS VARCHAR) || chr(0)
+                                      || token) % 1024 AS slot,
+                     SUM(n) AS cn
+              FROM tf CROSS JOIN js GROUP BY 1, 2),
+            top AS (SELECT token, n FROM tf
+                    ORDER BY n DESC, token LIMIT 40)
+            SELECT top.token, top.n AS n_exact,
+                   CAST(MIN(c.cn) AS BIGINT) AS n_est
+            FROM top CROSS JOIN js
+            JOIN cells c ON c.j = js.j
+             AND c.slot = md5_number_upper(CAST(js.j AS VARCHAR) || chr(0)
+                                           || top.token) % 1024
+            GROUP BY top.token, top.n
+            ORDER BY n_exact DESC, top.token
+        """,
+        "q48_bloom_membership": """
+            WITH js AS (SELECT unnest(generate_series(0, 2)) AS i),
+            a AS (
+              SELECT DISTINCT
+                     md5_number_upper(CAST(js.i AS VARCHAR) || chr(0)
+                                      || text) % 4096 AS bit
+              FROM documents CROSS JOIN js WHERE doc_id % 2 = 0),
+            probes AS (
+              SELECT doc_id,
+                     md5_number_upper(CAST(js.i AS VARCHAR) || chr(0)
+                                      || text) % 4096 AS bit
+              FROM documents CROSS JOIN js WHERE doc_id % 2 = 1)
+            SELECT doc_id FROM probes
+            GROUP BY doc_id
+            HAVING SUM(CASE WHEN bit IN (SELECT bit FROM a)
+                            THEN 1 ELSE 0 END) = 3
+            ORDER BY doc_id
+        """,
+        "q49_hll_distinct": """
+            WITH toks AS (
+              SELECT DISTINCT unnest(regexp_extract_all(lower(text),
+                                     '[0-9A-Za-z_]+')) AS t
+              FROM documents),
+            h AS (SELECT t, md5_number_upper(t) AS hv FROM toks),
+            regs AS (
+              SELECT hv % 256 AS bucket,
+                     MAX(CASE WHEN hv // 256 = 0 THEN 57
+                         ELSE 57 - length(format('{:b}',
+                                      CAST(hv // 256 AS BIGINT)))
+                         END) AS rho
+              FROM h GROUP BY 1),
+            allb AS (SELECT unnest(generate_series(0, 255)) AS bucket),
+            filled AS (
+              SELECT allb.bucket, COALESCE(regs.rho, 0) AS rho
+              FROM allb LEFT JOIN regs USING (bucket)),
+            st AS (
+              SELECT SUM(CAST(144115188075855872 >> rho AS HUGEINT)) AS s,
+                     SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+              FROM filled),
+            params AS (
+              SELECT (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                     * CAST(144115188075855872 AS DOUBLE)
+                     / CAST(s AS DOUBLE) AS raw,
+                     zeros FROM st)
+            SELECT (SELECT COUNT(*) FROM toks) AS n_exact,
+                   CAST(FLOOR((CASE WHEN raw <= 640.0 AND zeros > 0
+                                    THEN 256.0 * ln(256.0 / zeros)
+                                    ELSE raw END) * 1000.0 + 0.5)
+                        AS BIGINT) AS n_est_q
+            FROM params
         """,
     }

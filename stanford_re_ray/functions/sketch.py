@@ -1,0 +1,240 @@
+"""Mergeable approximate sketches: count-min, Bloom filter, HyperLogLog.
+
+At 100 TB the exact counterparts of these operators (global token counts,
+membership joins, COUNT(DISTINCT)) all need a vocabulary- or corpus-sized
+shuffle; a sketch replaces that with fixed-size state whose merge is
+associative, so it composes with the engine's combiner-then-reduce
+pattern: every batch emits a sparse partial (slot, value) table, one
+small groupby merges them (SUM for count-min/Bloom bits, MAX for HLL
+registers), and the driver folds the final KB-sized sketch.
+
+Every sketch here is DETERMINISTIC cross-engine: slots/registers derive
+from the md5 convention shared with DuckDB (``hashing.stable_u64(x)`` ==
+``md5_number_upper(x)``), so each has an exact SQL oracle — the sketch
+STATE and estimates are value-checked against DuckDB, not just bounded
+by tests (the q47/q48/q49 entries in ``__ray_entry__``).
+
+Per-token hashing is memoized per worker process (Zipf: the same tokens
+recur in every batch), so steady-state cost is a dict probe per distinct
+token per batch, not an md5.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .corpus import _tokenize_column
+from .hashing import stable_u64
+
+# --- count-min sketch -------------------------------------------------------
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+_CMS_SLOT_CACHE: dict[str, tuple[int, ...]] = {}
+
+
+def _cms_slots(token: str, depth: int, width: int) -> tuple[int, ...]:
+    v = _CMS_SLOT_CACHE.get(token)
+    if v is None:
+        if len(_CMS_SLOT_CACHE) > (1 << 20):
+            _CMS_SLOT_CACHE.clear()
+        v = _CMS_SLOT_CACHE[token] = tuple(
+            stable_u64(f"{j}\x00{token}") % width for j in range(depth))
+    return v
+
+
+def cms_build(docs: ray.data.Dataset, text_col: str = "text",
+              width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> np.ndarray:
+    """Count-min sketch of the corpus token stream → ``(depth, width)``
+    int64 matrix.
+
+    Shape: per-batch ``value_counts`` (distinct tokens only) → ``depth``
+    (j, slot, n) rows per distinct token → one (j, slot) groupby SUM —
+    the shuffle carries at most ``depth × batch_vocab`` int rows per
+    batch and the merged sketch is ``depth × width`` ints regardless of
+    corpus size.  Point estimates (min over rows) are upper bounds on
+    the true counts with the classic (ε=e/width, δ=e^-depth) guarantee.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = flat.value_counts()
+        toks = vc.field("values").to_pylist()
+        cnts = vc.field("counts").to_pylist()
+        js, slots, ns = [], [], []
+        for t, c in zip(toks, cnts):
+            for j, s in enumerate(_cms_slots(t, depth, width)):
+                js.append(j)
+                slots.append(s)
+                ns.append(c)
+        return pa.table({"j": pa.array(js, pa.int64()),
+                         "slot": pa.array(slots, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    cells = (docs.map_batches(partial, batch_format="pyarrow")
+             .groupby(["j", "slot"]).aggregate(Sum("n", alias_name="cn"))
+             .take_all())
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for r in cells:
+        sketch[r["j"], r["slot"]] = r["cn"]
+    return sketch
+
+
+def cms_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-query the sketch: ``min_j sketch[j, slot_j(token)]``."""
+    depth, width = sketch.shape
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        out[i] = min(sketch[j, s]
+                     for j, s in enumerate(_cms_slots(t, depth, width)))
+    return out
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+_BLOOM_BIT_CACHE: dict[str, tuple[int, ...]] = {}
+
+
+def _bloom_bits(key: str, k: int, m: int) -> tuple[int, ...]:
+    v = _BLOOM_BIT_CACHE.get(key)
+    if v is None:
+        if len(_BLOOM_BIT_CACHE) > (1 << 20):
+            _BLOOM_BIT_CACHE.clear()
+        v = _BLOOM_BIT_CACHE[key] = tuple(
+            stable_u64(f"{i}\x00{key}") % m for i in range(k))
+    return v
+
+
+def bloom_build(ds: ray.data.Dataset, col: str,
+                m: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Bloom filter over a column → bool bitmap of length ``m``.
+
+    Per batch only the DISTINCT set bit indices move (≤ ``k × batch
+    distinct``, deduped again by the global ``unique``); the merged
+    filter is ``m`` bits however large the build side is.  Use as the
+    broadcast pre-pass of a dedup/membership join: no false negatives,
+    false-positive rate ≈ ``(1 - e^{-kn/m})^k``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.unique(batch.column(col).combine_chunks()).to_pylist()
+        bits = sorted({b for v in vals if v is not None
+                       for b in _bloom_bits(v, k, m)})
+        return pa.table({"bit": pa.array(bits, pa.int64())})
+
+    set_bits = ds.map_batches(partial, batch_format="pyarrow").unique("bit")
+    bitmap = np.zeros(m, dtype=bool)
+    bitmap[np.asarray(sorted(set_bits), dtype=np.int64)] = True
+    return bitmap
+
+
+def bloom_membership(probe: ray.data.Dataset, bitmap: np.ndarray, col: str,
+                     k: int = BLOOM_K) -> ray.data.Dataset:
+    """Filter ``probe`` to rows whose ``col`` value MAY be in the filter
+    (all ``k`` bits set).  The bitmap is broadcast once via ``ray.put``;
+    each batch is one vectorized lookup — the probe side never shuffles.
+    """
+    m = len(bitmap)
+    ref = ray.put(bitmap)
+
+    def maybe(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        bm = fetch(_ref)
+        vals = batch.column(col).to_pylist()
+        mask = [v is not None and all(bm[b] for b in _bloom_bits(v, k, m))
+                for v in vals]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return probe.map_batches(maybe, batch_format="pyarrow")
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+HLL_M = 256          # registers (bucket = low 8 bits of the 64-bit hash)
+_HLL_REST_BITS = 56  # remaining bits scanned for the leading-zero rank
+
+
+def _hll_rho(rest: int) -> int:
+    """Rank of the first set bit of the 56-bit remainder (1-based), 57 if
+    zero — ``57 - bit_length`` exactly mirrors the SQL oracle's
+    ``length(format('{:b}', rest))``."""
+    return (_HLL_REST_BITS + 1 - rest.bit_length()) if rest else \
+        _HLL_REST_BITS + 1
+
+
+_HLL_REG_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _hll_register(value: str) -> tuple[int, int]:
+    v = _HLL_REG_CACHE.get(value)
+    if v is None:
+        if len(_HLL_REG_CACHE) > (1 << 20):
+            _HLL_REG_CACHE.clear()
+        h = stable_u64(value)
+        v = _HLL_REG_CACHE[value] = (h % HLL_M, _hll_rho(h // HLL_M))
+    return v
+
+
+def hll_distinct_tokens(docs: ray.data.Dataset, text_col: str = "text"
+                        ) -> tuple[int, dict[int, int]]:
+    """HyperLogLog estimate of the corpus's distinct token count →
+    (quantized estimate ``floor(est·1000 + 0.5)``, register map).
+
+    Shape: per-batch partial registers (≤ ``HLL_M`` (bucket, rho) rows —
+    MAX is associative so partials merge in any order) → one tiny
+    groupby MAX → driver formula.  The estimate is bit-deterministic
+    cross-engine: the register sum is carried as the exact integer
+    ``Σ 2^(57 - rho_j)`` (no float accumulation-order dependence), and
+    the bias constant / linear-counting branch mirror the SQL oracle
+    term for term.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat = _tokenize_column(batch.column(text_col))
+        toks = pc.unique(flat).to_pylist()
+        regs: dict[int, int] = {}
+        for t in toks:
+            b, r = _hll_register(t)
+            if regs.get(b, 0) < r:
+                regs[b] = r
+        return pa.table({"bucket": pa.array(list(regs), pa.int64()),
+                         "rho": pa.array(list(regs.values()), pa.int64())})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+            .take_all())
+    regs = {r["bucket"]: r["rho"] for r in rows}
+    return hll_estimate_q(regs), regs
+
+
+def hll_estimate_q(regs: dict[int, int], m: int = HLL_M) -> int:
+    """Registers → ``floor(estimate·1000 + 0.5)``.  Integer-exact sum
+    ``S = Σ 2^(57 - rho)`` (empty registers contribute ``2^57``), then
+    one double division — the identical expression the oracle runs."""
+    top = 1 << (_HLL_REST_BITS + 1)
+    s = sum(top >> regs.get(b, 0) for b in range(m))
+    zeros = sum(1 for b in range(m) if b not in regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m * float(top) / float(s)
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = raw
+    return int(math.floor(est * 1000.0 + 0.5))

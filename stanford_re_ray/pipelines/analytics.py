@@ -824,3 +824,61 @@ def q46_sequence_packing(sf_dir: str, seq_len: int = 512) -> pa.Table:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return sequence_packing(docs, seq_len=seq_len,
                             n_rows=_row_count(sf_dir, "documents"))
+
+
+def q47_cms_heavy_hitters(sf_dir: str, top_n: int = 40) -> pa.Table:
+    """Count-min sketch point estimates vs exact counts for the exact
+    top-N tokens (``functions.sketch.cms_build``): the sketch's fixed
+    (depth × width) state replaces the vocabulary shuffle at scale; this
+    query value-checks both the merged sketch cells and the min-over-rows
+    estimates against the SQL oracle."""
+    from ..functions.corpus import vocab_heavy_hitters
+    from ..functions.sketch import cms_build, cms_estimate
+
+    docs = _read(sf_dir, "documents", ["text"])
+    top = vocab_heavy_hitters(
+        _read(sf_dir, "documents", ["text"]), top_n=top_n).to_pandas()
+    sketch = cms_build(docs)
+    return pa.table({
+        "token": pa.array(top["token"], pa.string()),
+        "n_exact": pa.array(top["n_occurrences"].astype("int64")),
+        "n_est": pa.array(cms_estimate(sketch, list(top["token"]))),
+    })
+
+
+def q48_bloom_membership(sf_dir: str) -> pa.Table:
+    """Bloom-filter membership pre-pass (``functions.sketch``): build the
+    filter over even-doc texts, probe odd-doc texts; emits the doc_ids
+    that MAY match (no false negatives; false positives reproduced
+    exactly by the oracle's identical bit math)."""
+    from ..functions.sketch import bloom_build, bloom_membership
+
+    def half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("doc_id").combine_chunks())
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    build = docs.map_batches(half(0), batch_format="pyarrow")
+    probe = docs.map_batches(half(1), batch_format="pyarrow")
+    bitmap = bloom_build(build, "text")
+    out = (bloom_membership(probe, bitmap, "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.table({"doc_id": pa.array(out["doc_id"].astype("int64"))})
+
+
+def q49_hll_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-token estimate next to the exact count
+    (``functions.sketch.hll_distinct_tokens``): 256 max-merged registers
+    replace the distinct shuffle; the quantized estimate is
+    bit-deterministic cross-engine (integer-exact register sum)."""
+    from ..functions.corpus import term_count_partial
+    from ..functions.sketch import hll_distinct_tokens
+
+    docs = _read(sf_dir, "documents", ["text"])
+    n_exact = (docs.map_batches(term_count_partial, batch_format="pyarrow")
+               .groupby("token").count().count())
+    est_q, _regs = hll_distinct_tokens(docs)
+    return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
+                     "n_est_q": pa.array([est_q], pa.int64())})

@@ -77,7 +77,8 @@ SQL_CHECKED = [
     "q38_line_dedup", "q39_quantiles_by_flag", "q40_inverted_index",
     "q41_kmeans", "q42_bigram_lm", "q43_decontaminate",
     "q44_props_field_stats", "q45_stratified_sample",
-    "q46_sequence_packing",
+    "q46_sequence_packing", "q47_cms_heavy_hitters",
+    "q48_bloom_membership", "q49_hll_distinct",
 ]
 
 

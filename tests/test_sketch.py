@@ -1,0 +1,96 @@
+"""Sketch operators (functions/sketch.py): count-min, Bloom, HLL —
+merge associativity (partition invariance), one-sided error guarantees,
+and estimate math pinned against brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from stanford_re_ray.functions.sketch import (
+    bloom_build,
+    bloom_membership,
+    cms_build,
+    cms_estimate,
+    hll_distinct_tokens,
+    hll_estimate_q,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+         "theta", "iota", "kappa"]
+
+
+def _docs(blocks: int) -> rd.Dataset:
+    # deterministic Zipf-ish corpus: word i appears ~ 2^(10-i) times
+    texts = []
+    for d in range(30):
+        toks = [WORDS[i] for i in range(10)
+                for _ in range(max(1, (1 << (9 - i)) // 30))]
+        texts.append(" ".join(toks[d % 7:]))
+    tbl = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    return rd.from_arrow(tbl).repartition(blocks)
+
+
+def _exact_counts() -> dict[str, int]:
+    import collections
+    c: collections.Counter = collections.Counter()
+    for t in _docs(1).take_all():
+        c.update(t["text"].split())
+    return dict(c)
+
+
+def test_cms_overestimates_and_partition_invariant(ray_session):
+    exact = _exact_counts()
+    s1 = cms_build(_docs(1))
+    s4 = cms_build(_docs(4))
+    # merge is an associative SUM → identical sketch at any parallelism
+    np.testing.assert_array_equal(s1, s4)
+    toks = sorted(exact)
+    est = cms_estimate(s1, toks)
+    for t, e in zip(toks, est):
+        assert e >= exact[t]          # one-sided guarantee
+    # total mass conserved per row
+    assert (s1.sum(axis=1) == sum(exact.values())).all()
+
+
+def test_bloom_no_false_negatives(ray_session):
+    build = _docs(2)
+    bitmap = bloom_build(build, "text")
+    # probing the build set itself must return every row
+    out = bloom_membership(_docs(3), bitmap, "text").to_pandas()
+    assert len(out) == 30
+    # a disjoint probe set mostly misses (FP possible but bounded)
+    other = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array([f"unseen text number {i}" for i in range(50)],
+                         pa.string())}))
+    fp = bloom_membership(other, bitmap, "text").to_pandas()
+    assert len(fp) <= 5
+
+
+def test_hll_partition_invariant_and_close(ray_session):
+    q1, regs1 = hll_distinct_tokens(_docs(1))
+    q4, regs4 = hll_distinct_tokens(_docs(4))
+    assert q1 == q4 and regs1 == regs4     # MAX merge is associative
+    n_true = len(_exact_counts())          # 10 distinct words
+    est = q1 / 1000.0
+    # 256 registers on 10 distinct values → linear counting, very tight
+    assert abs(est - n_true) / n_true < 0.15
+
+
+def test_hll_estimate_matches_brute_force():
+    from stanford_re_ray.functions.hashing import stable_u64
+
+    vals = [f"item{i}" for i in range(5000)]
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = stable_u64(v)
+        b, rest = h % 256, h // 256
+        rho = 57 - rest.bit_length() if rest else 57
+        if regs.get(b, 0) < rho:
+            regs[b] = rho
+    est = hll_estimate_q(regs) / 1000.0
+    assert abs(est - 5000) / 5000 < 0.10   # ~1.04/sqrt(256) ≈ 6.5% std
