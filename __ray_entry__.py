@@ -32,16 +32,37 @@ if _REPO_DIR not in sys.path:
 _MODEL_CACHE: dict[str, Any] = {}
 
 
+#: modules that CANNOT affect fixture-model training (analytics-query-only
+#: code paths) — edits here keep the cached weights valid.  Everything not
+#: listed (stages/, pipelines/train+kg, sources/, state/, fixtures,
+#: schema, relations, functions/hashing+relational, …) still invalidates.
+_DIGEST_EXEMPT = frozenset((
+    "pipelines/analytics.py",
+    "functions/corpus.py",
+    "functions/clustering.py",
+    "functions/mixing.py",
+    "functions/sketch.py",
+    "functions/similarity.py",
+    "functions/textstats.py",
+    "functions/multimodal.py",
+))
+
+
 def _src_digest() -> str:
-    """Digest of the package source — the fixture-model disk cache key, so
-    ANY code change invalidates cached weights (a stale model would
-    silently skew driver correctness runs)."""
+    """Digest of the model-relevant package source — the fixture-model
+    disk cache key: any code change that could alter training invalidates
+    cached weights (a stale model would silently skew driver correctness
+    runs).  Analytics-only modules are exempt so an added query doesn't
+    force a 150-epoch retrain in every fresh driver process (r02 verdict
+    noted the retrain inflating first-KG-query timings)."""
     import hashlib
     import pathlib
 
     h = hashlib.sha256()
     pkg = pathlib.Path(__file__).resolve().parent / "stanford_re_ray"
     for p in sorted(pkg.rglob("*.py")):
+        if p.relative_to(pkg).as_posix() in _DIGEST_EXEMPT:
+            continue
         h.update(p.read_bytes())
     return h.hexdigest()[:16]
 

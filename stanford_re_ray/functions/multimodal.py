@@ -1,12 +1,14 @@
 """Multimodal column handling — image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode kernels are STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises ``NotImplementedError`` unless given
-the deterministic fake codec used by tests.  The Ray-side plumbing —
-schema, actor-pool signature, batch sizing for large binary payloads,
-output layout — is real and tested; swapping in PIL/torchaudio later only
-changes the kernel body.
+Decode kernels are REAL and library-free for every format the stdlib can
+reach: binary PPM, uncompressed 24-bit BMP, 8-bit PNG (zlib inflate +
+numpy scanline unfiltering, all five spec filters), and 16-bit PCM WAV —
+plus an ``encode_png`` sink twin.  Only JPEG (which needs a DCT codec
+library absent from this container) raises ``NotImplementedError``; the
+Ray-side plumbing — schema, actor-pool signature, batch sizing for large
+binary payloads, output layout — is identical either way, so swapping in
+PIL/cv2 later only changes that one kernel body.
 
 Batch-size guidance: binary payload stages must keep
 ``batch_size × payload`` under the worker heap — pass small batch_size
@@ -92,14 +94,128 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, ::-1].copy()       # BGR → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth)
+    on the raw inflate output → (h, w, ch) uint8.  Sub rows reconstruct
+    as a vectorized per-channel prefix sum (addition mod 256 chains);
+    Average/Paeth carry a true left dependency and walk the row."""
+    stride = w * ch
+    rows = data.reshape(h, stride + 1)
+    ftype = rows[:, 0]
+    raw = rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f, r = int(ftype[y]), raw[y]
+        if f == 0:
+            cur = r
+        elif f == 1:
+            cur = np.cumsum(r.reshape(w, ch), axis=0).reshape(stride)
+        elif f == 2:
+            cur = r + prev
+        elif f == 3:
+            cur = r.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (r[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            cur = r.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                cur[i] = (r[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        cur = cur & 0xFF
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA) via
+    stdlib zlib + numpy unfiltering — a REAL compressed-format decoder,
+    no image library.  Palette/16-bit/interlaced variants raise."""
+    import zlib as _z
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        chunk = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG variant unsupported (depth={depth}, "
+                    f"color={color}, interlace={interlace}); 8-bit "
+                    "non-interlaced gray/GA/RGB/RGBA only")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, ch = meta
+    data = np.frombuffer(_z.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(data) != h * (w * ch + 1):
+        raise ValueError("PNG inflate size mismatch")
+    img = _png_unfilter(data, h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG writer (filter 0, one IDAT) for (h, w) grayscale or
+    (h, w, 3|4) uint8 arrays — the sink twin of ``_decode_png``."""
+    import zlib as _z
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)], axis=1)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib as z2
+
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", z2.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(scan.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode one image to an (h, w, 3) uint8 array.
 
-    REAL decoders for library-free formats: binary PPM (P6) and
-    uncompressed 24-bit BMP, plus the deterministic fake codec for tests.
-    Compressed formats (JPEG/PNG) still need an image library absent from
-    this container and raise ``NotImplementedError`` — the Ray-side
-    plumbing is identical either way."""
+    REAL decoders, no image library: binary PPM (P6), uncompressed
+    24-bit BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + numpy
+    unfiltering), plus the deterministic fake codec for tests.  JPEG
+    alone still needs a codec library absent from this container and
+    raises ``NotImplementedError`` — the Ray-side plumbing is identical
+    either way."""
     if payload[: len(FAKE_MAGIC)] == FAKE_MAGIC:
         w, h, seed = struct.unpack("<HHB", payload[len(FAKE_MAGIC):len(FAKE_MAGIC) + 5])
         base = np.arange(h * w * 3, dtype=np.uint64) * np.uint64(2654435761) + np.uint64(seed)
@@ -108,9 +224,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image decoding (JPEG/PNG) requires an image library "
-        "(PIL/cv2) not available in this environment; see module docstring"
+        "JPEG decoding requires an image library (PIL/cv2) not available "
+        "in this environment; see module docstring"
     )
 
 
