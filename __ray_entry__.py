@@ -518,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_stratified_sample": A.q45_stratified_sample,
         "q46_sequence_packing": A.q46_sequence_packing,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
+        "q50_mixture_upsample": A.q50_mixture_upsample,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1297,6 +1298,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "q50_mixture_upsample": """
+            WITH cnt AS (SELECT lang, COUNT(*) AS c
+                         FROM documents GROUP BY lang),
+            mx AS (SELECT MAX(c) AS mc FROM cnt),
+            r AS (SELECT lang, (1000000 * mx.mc) // c AS rq
+                  FROM cnt, mx),
+            d2 AS (
+              SELECT d.doc_id, d.lang,
+                     rq // 1000000
+                     + CASE WHEN md5_number_upper(CAST(d.doc_id AS VARCHAR))
+                                 % 1000000 < rq % 1000000
+                            THEN 1 ELSE 0 END AS reps
+              FROM documents d JOIN r USING (lang))
+            SELECT doc_id, lang,
+                   unnest(generate_series(0, CAST(reps AS INT) - 1))
+                     AS epoch
+            FROM d2 ORDER BY doc_id, epoch
         """,
         "q47_cms_heavy_hitters": """
             WITH tf AS (

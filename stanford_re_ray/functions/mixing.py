@@ -242,3 +242,50 @@ def sequence_packing(
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def mixture_upsample(
+    docs: ray.data.Dataset,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    quantum: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Inverse-frequency upsampling with epoch indices — the upsampling
+    twin of ``stratified_sample``: every stratum is repeated
+    ``max_stratum_count / its_count`` times in expectation (integer part
+    deterministic, fractional part a content-hash Bernoulli), so all
+    strata reach the largest's expected size.  Emits one row per
+    (document, epoch) with ``epoch`` ∈ [0, repeats) — the epoch plan a
+    data loader consumes for low-resource-language balancing.
+
+    Scale shape: one strata-sized groupby count to the driver; repeat
+    factors quantized to integers (``(quantum·max)//count`` — no float
+    math, so engines agree exactly) and broadcast; each batch expands
+    locally via ``take`` on a repeat index (no shuffle; output payload
+    moves once, already expanded).
+    """
+    counts = {r[stratum_col]: r["count()"]
+              for r in docs.groupby(stratum_col).count().take_all()}
+    mc = max(counts.values())
+    rq = {s: (quantum * mc) // c for s, c in counts.items()}
+    rq_ref = ray.put(rq)
+
+    def expand(batch: pa.Table, _ref=rq_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        r = fetch(_ref)
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(stratum_col).to_pylist()
+        reps = np.fromiter(
+            (r[s] // quantum
+             + (stable_u64(str(i)) % quantum < r[s] % quantum)
+             for i, s in zip(ids, strata)),
+            dtype=np.int64, count=len(ids))
+        idx = np.repeat(np.arange(len(ids)), reps)
+        epoch = np.concatenate(
+            [np.arange(k) for k in reps]) if len(idx) else \
+            np.array([], dtype=np.int64)
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return docs.map_batches(expand, batch_format="pyarrow")

@@ -882,3 +882,20 @@ def q49_hll_distinct(sf_dir: str) -> pa.Table:
     est_q, _regs = hll_distinct_tokens(docs)
     return pa.table({"n_exact": pa.array([n_exact], pa.int64()),
                      "n_est_q": pa.array([est_q], pa.int64())})
+
+
+def q50_mixture_upsample(sf_dir: str) -> pa.Table:
+    """Inverse-frequency epoch-plan upsampling
+    (``functions.mixing.mixture_upsample``): low-resource languages
+    repeated up to the largest stratum's expected size, one row per
+    (doc, epoch)."""
+    from ..functions.mixing import mixture_upsample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = (mixture_upsample(docs)
+           .to_pandas().sort_values(["doc_id", "epoch"])
+           .reset_index(drop=True))
+    for c in ("doc_id", "epoch"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "lang", "epoch"]],
+                                preserve_index=False)

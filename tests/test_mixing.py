@@ -117,3 +117,27 @@ def test_sequence_packing_matches_serial_scan(ray_session, blocks,
         out.astype("int64"), ref.astype("int64"))
     assert out["n_tokens"].sum() == ntok.sum()
     assert out["n_docs"].sum() == 60
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_mixture_upsample_semantics(ray_session, blocks):
+    from stanford_re_ray.functions.mixing import mixture_upsample
+
+    rows = [(i, "big" if i < 60 else "small") for i in range(75)]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                    "lang": pa.array([s for _, s in rows], pa.string())})
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = (mixture_upsample(ds).to_pandas()
+           .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    # big stratum (the max): exactly once each, epoch 0
+    big = out[out.lang == "big"]
+    assert len(big) == 60 and (big["epoch"] == 0).all()
+    # small stratum: 60/15 = 4.0 → exactly 4 copies each, epochs 0..3
+    small = out[out.lang == "small"]
+    assert len(small) == 60
+    per_doc = small.groupby("doc_id")["epoch"].agg(["size", "max"])
+    assert (per_doc["size"] == 4).all() and (per_doc["max"] == 3).all()
+    # partition invariance
+    ref = (mixture_upsample(rd.from_arrow(tbl)).to_pandas()
+           .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, ref)
