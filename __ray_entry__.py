@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_sequence_packing": A.q46_sequence_packing,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q50_mixture_upsample": A.q50_mixture_upsample,
+        "q51_pagerank": A.q51_pagerank,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1316,6 +1317,56 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, CAST(reps AS INT) - 1))
                      AS epoch
             FROM d2 ORDER BY doc_id, epoch
+        """,
+        "q51_pagerank": """
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM edges
+                       UNION ALL SELECT dst FROM edges)),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT)
+                                  // (SELECT n FROM nn) AS rank_q
+                   FROM nodes),
+            r1 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            r2 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r1 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            r3 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r2 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node))
+            SELECT node, CAST(rank_q AS BIGINT) AS rank_q
+            FROM r3 ORDER BY node
         """,
         "q47_cms_heavy_hitters": """
             WITH tf AS (

@@ -899,3 +899,34 @@ def q50_mixture_upsample(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["doc_id", "lang", "epoch"]],
                                 preserve_index=False)
+
+
+def q51_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
+    """Distributed iterative PageRank (``pipelines.graph_ops.pagerank``)
+    over a deterministic event-derived edge list (src = event_id mod 100,
+    dst shifted by the JSON ``k`` field): integer fixed-point ranks,
+    bit-identical to the oracle's unrolled iterations."""
+    from ..pipelines.graph_ops import pagerank
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+    n_events = _row_count(sf_dir, "events")
+    out = pagerank(edge_ds, n_iter=n_iter, est_rows=n_events).to_pandas()
+    for c in ("node", "rank_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "rank_q"]],
+                                preserve_index=False)

@@ -18,6 +18,7 @@ InferentialSlotFiller / GraphConsistencyPostProcessors path (SURVEY.md
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -309,3 +310,109 @@ def subgraph_bfs(
     if kept is None:
         return edges.limit(0)
     return kept
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iter: int = 3,
+    scale: int = 1_000_000_000,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed PageRank over an integer (src, dst) edge list — the
+    iterative message-passing centrality the closure operators above
+    don't cover.  Returns (node, rank_q) with ranks scaled by ``scale``.
+
+    INTEGER fixed-point arithmetic throughout: uniform init
+    ``scale // N``, per-edge split ``rank_q // out_deg`` (floor), update
+    ``(15·scale) // (100·N) + 85·Σcontrib // 100`` — every shuffle
+    reduction is an associative int SUM, so the result is bit-identical
+    at any parallelism AND cross-engine (the SQL oracle unrolls the same
+    iterations with the same floor divisions).  Dangling-node mass is
+    dropped (standard simplification); every node keeps the teleport
+    floor.
+
+    Scale shape per iteration: one key-partitioned hash join ships the
+    rank vector onto the edges (no broadcast — at web scale the rank
+    vector is itself huge), one (dst) groupby SUMs contributions, one
+    LEFT join folds sums back onto the node set.  The edge list (with
+    out-degrees pre-attached) is materialized once and re-read each
+    round — the classic Pregel layout without a resident actor state.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import hash_join
+
+    import pyarrow.compute as pc
+
+    edges = edges.materialize()
+    deg = edges.groupby("src").count().map_batches(
+        lambda b: pa.table({"src": b.column("src"),
+                            "deg": pc.cast(b.column("count()"),
+                                           pa.int64())}),
+        batch_format="pyarrow")
+    ed = hash_join(edges, deg, on="src", est_rows=est_rows).materialize()
+
+    def side(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column(col)})
+        return f
+
+    nodes = (edges.map_batches(side("src"), batch_format="pyarrow")
+             .union(edges.map_batches(side("dst"), batch_format="pyarrow"))
+             .groupby("node").count()
+             .map_batches(lambda b: pa.table({"node": b.column("node")}),
+                          batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "rank_q": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    base = (15 * scale) // (100 * n_nodes)
+    init_q = scale // n_nodes
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank_q", pa.array([init_q] * b.num_rows, pa.int64())),
+        batch_format="pyarrow")
+
+    for _ in range(n_iter):
+        rk = ranks.map_batches(
+            lambda b: pa.table({"src": b.column("node"),
+                                "rank_q": b.column("rank_q")}),
+            batch_format="pyarrow")
+        joined = hash_join(ed, rk, on="src", est_rows=est_rows)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank_q").to_numpy().astype(np.int64)
+            d = batch.column("deg").to_numpy().astype(np.int64)
+            return pa.table({"node": batch.column("dst"),
+                             "c": pa.array(r // d, pa.int64())})
+
+        def zero(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("node"),
+                             "c": pa.array([0] * batch.num_rows,
+                                           pa.int64())})
+
+        # ONE groupby per iteration folds edge contributions AND the
+        # zero row every node carries (so in-degree-0 nodes keep the
+        # teleport floor) — no second join; the reduce is an int SUM
+        sums = (joined.map_batches(contrib, batch_format="pyarrow")
+                .union(nodes.map_batches(zero, batch_format="pyarrow"))
+                .groupby("node").aggregate(Sum("c", alias_name="s")))
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = pc.cast(pc.fill_null(batch.column("s"), 0),
+                        pa.int64()).to_numpy()
+            return pa.table({"node": batch.column("node"),
+                             "rank_q": pa.array(base + 85 * s // 100,
+                                                pa.int64())})
+
+        # materialize per round: iterative lineage otherwise re-executes
+        # every prior iteration each time the next one inspects schemas
+        # (measured geometric blowup), and the rank vector is the natural
+        # node-sized checkpoint of a Pregel-style loop anyway
+        ranks = sums.map_batches(update,
+                                 batch_format="pyarrow").materialize()
+    return ranks.sort("node")

@@ -79,7 +79,7 @@ SQL_CHECKED = [
     "q44_props_field_stats", "q45_stratified_sample",
     "q46_sequence_packing", "q47_cms_heavy_hitters",
     "q48_bloom_membership", "q49_hll_distinct",
-    "q50_mixture_upsample",
+    "q50_mixture_upsample", "q51_pagerank",
 ]
 
 

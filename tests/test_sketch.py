@@ -94,3 +94,32 @@ def test_hll_estimate_matches_brute_force():
             regs[b] = rho
     est = hll_estimate_q(regs) / 1000.0
     assert abs(est - 5000) / 5000 < 0.10   # ~1.04/sqrt(256) ≈ 6.5% std
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pagerank_matches_serial_and_partition_invariant(ray_session,
+                                                         blocks):
+    """Integer fixed-point PageRank == a serial numpy reference with the
+    same floors, at any partitioning."""
+    from stanford_re_ray.pipelines.graph_ops import pagerank
+
+    # ring + one hub: node 0 receives from everyone
+    edges = [(i, (i + 1) % 10) for i in range(10)] + \
+            [(i, 0) for i in range(1, 10)]
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = pagerank(ds, n_iter=3).to_pandas()
+
+    SCALE, N = 1_000_000_000, 10
+    deg = {i: (2 if i else 1) for i in range(10)}
+    r = {i: SCALE // N for i in range(10)}
+    base = (15 * SCALE) // (100 * N)
+    for _ in range(3):
+        s = {i: 0 for i in range(10)}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        r = {i: base + 85 * s[i] // 100 for i in range(10)}
+    assert dict(zip(out["node"], out["rank_q"])) == r
+    # the hub out-ranks every ring node
+    assert r[0] == max(r.values())
