@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q50_mixture_upsample": A.q50_mixture_upsample,
         "q51_pagerank": A.q51_pagerank,
+        "q52_perplexity_filter": A.q52_perplexity_filter,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1367,6 +1368,41 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY e.dst) c USING (node))
             SELECT node, CAST(rank_q AS BIGINT) AS rank_q
             FROM r3 ORDER BY node
+        """,
+        "q52_perplexity_filter": """
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            big AS (
+              SELECT doc_id, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id
+                                   ORDER BY pos) AS w2
+              FROM toks),
+            lm12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM big
+              WHERE doc_id % 2 = 0 AND w2 IS NOT NULL GROUP BY 1, 2),
+            lm1 AS (SELECT w1, SUM(c12) AS c1 FROM lm12 GROUP BY 1),
+            lm AS (
+              SELECT w1, w2,
+                     CAST(FLOOR(ln(CAST(c12 AS DOUBLE) / c1) * 1000000
+                                + 0.5) AS BIGINT) AS lp_q
+              FROM lm12 JOIN lm1 USING (w1)),
+            sc AS (
+              SELECT doc_id, w1, w2, COUNT(*) AS n FROM big
+              WHERE doc_id % 2 = 1 AND w2 IS NOT NULL GROUP BY 1, 2, 3)
+            SELECT sc.doc_id,
+                   SUM(CASE WHEN lp_q IS NULL THEN 0
+                            ELSE n * lp_q END) AS lp_total_q,
+                   SUM(n) AS n_bigrams,
+                   SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
+            FROM sc LEFT JOIN lm USING (w1, w2)
+            GROUP BY sc.doc_id ORDER BY sc.doc_id
         """,
         "q47_cms_heavy_hitters": """
             WITH tf AS (

@@ -345,3 +345,102 @@ def bigram_lm_topk(docs: ray.data.Dataset, top_n: int = 50,
     return (joined.map_batches(prob, batch_format="pyarrow")
             .sort(["c12", "w1", "w2"], descending=[True, False, False])
             .limit(top_n))
+
+
+def _doc_bigram_counts(docs: ray.data.Dataset, parity: int | None,
+                       id_col: str, text_col: str,
+                       per_doc: bool) -> ray.data.Dataset:
+    """(w1, w2[, doc_id], n) within-document bigram occurrence counts,
+    optionally restricted to ``id_col % 2 == parity`` rows.  Vectorized:
+    adjacent flattened tokens with equal parent index, one Arrow
+    group_by combiner per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if parity is not None:
+            ids = np.asarray(batch.column(id_col).combine_chunks())
+            batch = batch.filter(pa.array(ids % 2 == parity))
+        keys = (["doc_id", "w1", "w2"] if per_doc else ["w1", "w2"])
+        empty = {k: pa.array([], pa.int64() if k == "doc_id"
+                             else pa.string()) for k in keys}
+        empty["n"] = pa.array([], pa.int64())
+        parent, flat = _tokenize_column(batch.column(text_col))
+        p = np.asarray(parent, dtype=np.int64)
+        if len(p) < 2:
+            return pa.table(empty)
+        adj = p[:-1] == p[1:]
+        cols = {"w1": flat.slice(0, len(flat) - 1).filter(pa.array(adj)),
+                "w2": flat.slice(1).filter(pa.array(adj))}
+        if per_doc:
+            cols["doc_id"] = batch.column(id_col).take(
+                pa.array(p[:-1][adj], pa.int64()))
+        g = pa.table(cols).group_by(keys).aggregate([([], "count_all")])
+        out = {k: g.column(k) for k in keys}
+        out["n"] = pc.cast(g.column(g.schema.names[-1]), pa.int64())
+        return pa.table(out)
+
+    return docs.map_batches(partial, batch_format="pyarrow")
+
+
+def perplexity_scores(docs: ray.data.Dataset,
+                      id_col: str = "doc_id",
+                      text_col: str = "text",
+                      quantum: int = 1_000_000,
+                      est_rows: int | None = None) -> ray.data.Dataset:
+    """CCNet-style LM quality scoring: train a bigram LM on the even-id
+    half of the corpus, score every odd-id document under it.  Returns
+    (doc_id, lp_total_q, n_bigrams, n_oov) — the total log-probability
+    as an INTEGER (per-bigram ``floor(ln(c12/c1)·quantum + 0.5)`` times
+    the occurrence count), so every shuffle reduction is an associative
+    int SUM and the score is bit-deterministic cross-engine.  Consumers
+    derive perplexity as ``exp(-lp_total_q / (quantum·n_bigrams))`` and
+    filter on it; OOV bigrams are counted, not scored (no smoothing —
+    the scoring twin of ``bigram_lm_topk``).
+
+    Scale shape: LM counts are bigram-vocab-sized (combiner'd), the
+    LM ⋈ scores join is a key-partitioned ``hash_join`` on (w1, w2) —
+    the LM table at web scale is itself too large to broadcast — and the
+    per-doc reduce moves only integer triples."""
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    c12 = (_doc_bigram_counts(docs, 0, id_col, text_col, per_doc=False)
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12")))
+    c1 = c12.groupby("w1").aggregate(Sum("c12", alias_name="c1"))
+    lm = hash_join(c12, c1, on="w1", how="inner", est_rows=est_rows)
+
+    def logq(batch: pa.Table) -> pa.Table:
+        a = batch.column("c12").to_numpy().astype(np.float64)
+        b = batch.column("c1").to_numpy().astype(np.float64)
+        lp = np.floor(np.log(a / b) * quantum + 0.5).astype(np.int64)
+        return pa.table({"w1": batch.column("w1"),
+                         "w2": batch.column("w2"),
+                         "lp_q": pa.array(lp)})
+
+    lm_q = lm.map_batches(logq, batch_format="pyarrow")
+
+    side = (_doc_bigram_counts(docs, 1, id_col, text_col, per_doc=True)
+            .groupby(["doc_id", "w1", "w2"])
+            .aggregate(Sum("n", alias_name="n")))
+    joined = hash_join(side, lm_q, on=["w1", "w2"], how="left",
+                       est_rows=est_rows)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.int64)
+        lp = pc.fill_null(batch.column("lp_q"), 0)
+        lp = pc.cast(lp, pa.int64()).to_numpy()
+        oov = pc.is_null(batch.column("lp_q")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lp_part": pa.array(n * lp * (1 - oov)),
+            "n_part": pa.array(n),
+            "oov_part": pa.array(n * oov),
+        })
+
+    return (joined.map_batches(fold, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("lp_part", alias_name="lp_total_q"),
+                       Sum("n_part", alias_name="n_bigrams"),
+                       Sum("oov_part", alias_name="n_oov"))
+            .sort("doc_id"))

@@ -930,3 +930,19 @@ def q51_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "rank_q"]],
                                 preserve_index=False)
+
+
+def q52_perplexity_filter(sf_dir: str) -> pa.Table:
+    """Bigram-LM quality scoring (``functions.corpus.perplexity_scores``):
+    LM trained on even-id docs, odd-id docs scored; integer-quantized
+    total log-probability plus bigram/OOV counts per document."""
+    from ..functions.corpus import perplexity_scores
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = perplexity_scores(docs, est_rows=n_docs * 50).to_pandas()
+    for c in ("doc_id", "lp_total_q", "n_bigrams", "n_oov"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "lp_total_q", "n_bigrams", "n_oov"]],
+        preserve_index=False)

@@ -152,3 +152,34 @@ def test_bigram_lm_partition_invariant(ray_session, blocks):
     assert row["c12"] == 4
     # 'shared' is only ever followed by 'footer' → P = 1.0 → 1e6
     assert row["p_q"] == 1_000_000
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_perplexity_scores_hand_checked(ray_session, blocks):
+    import math
+
+    import numpy as np
+
+    from stanford_re_ray.functions.corpus import perplexity_scores
+
+    rows = [
+        (0, "a b a b a c"),        # LM half: c(a,b)=2 c(a,c)=1 c(b,a)=2
+        (2, "b a"),                # + c(b,a)
+        (1, "a b x"),              # scored: (a,b) known, (b,x) OOV
+        (3, "b a b"),              # (b,a) known, (a,b) known
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                    "text": pa.array([t for _, t in rows], pa.string())})
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = perplexity_scores(ds).to_pandas()
+    # LM from docs 0,2: c12: (a,b)=2 (b,a)=3 (a,c)=1 → c1: a=3, b=3
+    q = 1_000_000
+    lp_ab = math.floor(math.log(2 / 3) * q + 0.5)
+    lp_ba = math.floor(math.log(3 / 3) * q + 0.5)
+    got = {r.doc_id: (r.lp_total_q, r.n_bigrams, r.n_oov)
+           for r in out.itertuples()}
+    assert got[1] == (lp_ab, 2, 1)            # (a,b) + OOV (b,x)
+    assert got[3] == (lp_ba + lp_ab, 2, 0)    # (b,a) + (a,b)
+    ref = perplexity_scores(rd.from_arrow(tbl)).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  ref.reset_index(drop=True))
