@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
+        "q53_bpe_merges": A.q53_bpe_merges,
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
         "q15_ngram_jaccard_pairs": _ngram_pairs,

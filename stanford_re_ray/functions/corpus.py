@@ -444,3 +444,92 @@ def perplexity_scores(docs: ray.data.Dataset,
                        Sum("n_part", alias_name="n_bigrams"),
                        Sum("oov_part", alias_name="n_oov"))
             .sort("doc_id"))
+
+
+def bpe_train(docs: ray.data.Dataset, n_merges: int = 8,
+              text_col: str = "text") -> pa.Table:
+    """Distributed BPE tokenizer training: learn ``n_merges`` merge rules
+    over the corpus.  Returns (rank, left, right, pair_count) — the merge
+    table a tokenizer consumes, most frequent pair first, ties broken
+    lexicographically (fully deterministic; pinned against a serial
+    reference implementation in tests — iterative argmax is not
+    SQL-expressible, so this is a pytest-gated operator like the model
+    queries).
+
+    Scale shape (the standard trick): the merge loop runs over the
+    WORD-FREQUENCY table, not the corpus — one corpus pass builds
+    (word, n) via the ``term_count_partial`` combiner, and each of the
+    ``n_merges`` iterations is then vocab-sized: a map emits weighted
+    symbol-pair partials, one (a, b) groupby SUMs them, a sort+limit(1)
+    yields the winning pair (int counts → associative, deterministic),
+    and a broadcast map rewrites the symbol sequences.  The vocab is
+    materialized once per round (iterative-lineage rule, see
+    ``pipelines.graph_ops.pagerank``)."""
+    from ray.data.aggregate import Sum
+
+    words = (docs.map_batches(lambda b: term_count_partial(b, text_col),
+                              batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n")))
+    vocab = words.map_batches(
+        lambda b: pa.table({
+            "syms": pa.array([list(w) for w in
+                              b.column("token").to_pylist()],
+                             pa.list_(pa.string())),
+            "n": b.column("n"),
+        }),
+        batch_format="pyarrow").materialize()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            acc: Counter = Counter()
+            ns = batch.column("n").to_pylist()
+            for syms, n in zip(batch.column("syms").to_pylist(), ns):
+                for a, b2 in zip(syms, syms[1:]):
+                    acc[(a, b2)] += n
+            if not acc:
+                return pa.table({"a": pa.array([], pa.string()),
+                                 "b": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            ks = list(acc)
+            return pa.table({"a": pa.array([k[0] for k in ks]),
+                             "b": pa.array([k[1] for k in ks]),
+                             "c": pa.array([acc[k] for k in ks],
+                                           pa.int64())})
+
+        top = (vocab.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
+               .sort(["c", "a", "b"], descending=[True, False, False])
+               .limit(1).take_all())
+        if not top or top[0]["c"] < 2:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, c))
+
+        def apply_merge(batch: pa.Table, _a=a, _b=b) -> pa.Table:
+            out = []
+            for syms in batch.column("syms").to_pylist():
+                i, new = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == _a
+                            and syms[i + 1] == _b):
+                        new.append(_a + _b)
+                        i += 2
+                    else:
+                        new.append(syms[i])
+                        i += 1
+                out.append(new)
+            return pa.table({"syms": pa.array(out, pa.list_(pa.string())),
+                             "n": batch.column("n")})
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })

@@ -946,3 +946,13 @@ def q52_perplexity_filter(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "lp_total_q", "n_bigrams", "n_oov"]],
         preserve_index=False)
+
+
+def q53_bpe_merges(sf_dir: str, n_merges: int = 6) -> pa.Table:
+    """Distributed BPE tokenizer training (``functions.corpus.bpe_train``):
+    the learned merge table.  Iterative argmax — pytest-gated against a
+    serial reference (rows-only for the driver, like the model queries)."""
+    from ..functions.corpus import bpe_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, n_merges=n_merges)

@@ -183,3 +183,46 @@ def test_perplexity_scores_hand_checked(ray_session, blocks):
     ref = perplexity_scores(rd.from_arrow(tbl)).to_pandas()
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   ref.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bpe_train_matches_serial_reference(ray_session, blocks):
+    from collections import Counter
+
+    from stanford_re_ray.functions.corpus import bpe_train
+
+    out = bpe_train(_docs_ds(blocks), n_merges=6).to_pandas()
+
+    # serial reference: same tokenization, counts, tie-breaks
+    words: Counter = Counter()
+    for _, t in DOCS:
+        import re
+        words.update(re.findall(r"[0-9a-z_]+", t.lower()))
+    vocab = {w: list(w) for w in words}
+    ref = []
+    for rank in range(6):
+        pairs: Counter = Counter()
+        for w, n in words.items():
+            s = vocab[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < 2:
+            break
+        ref.append((rank, a, b, c))
+        for w in vocab:
+            s, i, new = vocab[w], 0, []
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                else:
+                    new.append(s[i])
+                    i += 1
+            vocab[w] = new
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
+    assert len(got) == 6          # corpus is rich enough for 6 merges

@@ -98,6 +98,7 @@ def test_sql_checked_query(entrymod, duck, name):
 
 ROWS_ONLY = [
     "q19_ivf_topk",
+    "q53_bpe_merges",
 ]
 
 
