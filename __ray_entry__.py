@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_mixture_upsample": A.q50_mixture_upsample,
         "q51_pagerank": A.q51_pagerank,
         "q52_perplexity_filter": A.q52_perplexity_filter,
+        "q54_curation": A.q54_curation,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1404,6 +1405,77 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q54_curation": """
+            WITH d AS (
+              SELECT doc_id, lang, text,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, lang, text, ws, len(ws) AS n,
+                     CASE WHEN len(ws) > 0 THEN
+                       round(list_aggregate(list_transform(ws,
+                             w -> length(w)), 'sum')::DOUBLE / len(ws), 6)
+                     ELSE 0.0 END AS mwl,
+                     CASE WHEN len(ws) >= 2 THEN
+                       round(1.0 - len(list_distinct(list_transform(
+                             range(1, len(ws)),
+                             i -> ws[i] || ' ' || ws[i+1])))::DOUBLE
+                             / (len(ws) - 1), 6)
+                     ELSE 0.0 END AS d2
+              FROM d),
+            tw AS (
+              SELECT doc_id, round(max(c)::DOUBLE / any_value(n), 6)
+                       AS twf
+              FROM (SELECT g.doc_id, g.n, count(*) AS c
+                    FROM g, unnest(g.ws) AS u(w)
+                    GROUP BY g.doc_id, g.n, u.w)
+              GROUP BY doc_id),
+            q AS (
+              SELECT g.doc_id, g.lang, g.text
+              FROM g LEFT JOIN tw USING (doc_id)
+              WHERE g.n BETWEEN 50 AND 100000
+                AND g.mwl BETWEEN 3.0 AND 10.0
+                AND g.d2 <= 0.90 AND tw.twf <= 0.20),
+            ded AS (
+              SELECT doc_id, lang, text FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM q) WHERE rn = 1),
+            lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM ded),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            gg AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win AS ng
+              FROM toks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            ev AS (
+              SELECT DISTINCT ng FROM gg
+              WHERE doc_id % 97 = 0 AND ng IS NOT NULL),
+            dirty AS (
+              SELECT DISTINCT gg.doc_id FROM gg JOIN ev USING (ng)
+              WHERE gg.doc_id % 97 <> 0),
+            clean AS (
+              SELECT ded.doc_id, ded.lang FROM ded
+              WHERE ded.doc_id % 97 <> 0
+                AND ded.doc_id NOT IN (SELECT doc_id FROM dirty)),
+            cnt AS (SELECT lang, COUNT(*) AS c FROM clean GROUP BY lang),
+            m AS (SELECT MIN(c) AS mc FROM cnt)
+            SELECT c.doc_id, c.lang
+            FROM clean c JOIN cnt USING (lang), m
+            WHERE md5_number_upper(CAST(c.doc_id AS VARCHAR)) % 1000000
+                  < (1000000 * m.mc) // cnt.c
+            ORDER BY c.doc_id
         """,
         "q47_cms_heavy_hitters": """
             WITH tf AS (

@@ -139,6 +139,8 @@ def stratified_sample(
     """
     counts = {r[stratum_col]: r["count()"]
               for r in docs.groupby(stratum_col).count().take_all()}
+    if not counts:                 # empty input → empty sample
+        return docs
     mc = min(counts.values())
     thresholds = {s: (quantum * mc) // c for s, c in counts.items()}
     thr_ref = ray.put(thresholds)
@@ -289,3 +291,80 @@ def mixture_upsample(
         return out.append_column("epoch", pa.array(epoch, pa.int64()))
 
     return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def curate_corpus(
+    docs: ray.data.Dataset,
+    n: int = 4,
+    eval_mod: int = 97,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """The full pre-training curation chain as ONE composed pipeline —
+    quality filter → exact dedup → benchmark decontamination →
+    stratum-balancing sample — returning the surviving (doc_id, stratum)
+    rows.  Every stage is an already-oracled operator (q28/q09/q43/q45),
+    so the COMPOSITION itself is value-checked cross-engine (q54).
+
+    Stage shapes (each documented on its operator): the quality pass is
+    a stateless vectorizable map; dedup shuffles (sha1, doc_id) only and
+    keeps the min-id representative (semi join back, key-partitioned via
+    ``hash_join`` beyond the broadcast limit); decontamination broadcasts
+    the eval split's n-gram set and drops both contaminated docs and the
+    eval rows themselves; the final sample re-counts strata on the CLEAN
+    set (rates must reflect what survived, not the raw corpus)."""
+    from .relational import hash_join, semi_anti_filter
+    from .textstats import gopher_quality_batch
+
+    # 1. quality: Gopher/C4 keep rule over full rows
+    def quality_keep(batch: pa.Table) -> pa.Table:
+        sig = gopher_quality_batch(batch)
+        return batch.filter(sig.column("keep"))
+
+    # materialized once: stages 2-4 each re-scan the survivor set (dedup
+    # keys, eval n-grams, contamination probe, strata counts, sample) —
+    # the object store holds/spills it, the production analog of
+    # checkpointing survivors to Parquet between curation stages
+    q = docs.map_batches(quality_keep,
+                         batch_format="pyarrow").materialize()
+
+    # 2. exact dedup: min doc_id per identical text among survivors
+    from .dedup import exact_dedup
+
+    winners = exact_dedup(q, col=text_col).materialize()
+    kept_ids = winners.map_batches(
+        lambda b: pa.table({id_col: b.column("doc_id")}),
+        batch_format="pyarrow")
+    BROADCAST_WINNER_LIMIT = 5_000_000
+    n_winners = winners.count()
+    if n_winners <= BROADCAST_WINNER_LIMIT:
+        q = semi_anti_filter(q, set(kept_ids.unique(id_col)), id_col,
+                             keep_matching=True)
+    else:
+        q = hash_join(q, kept_ids, on=id_col, how="semi",
+                      est_rows=est_rows)
+
+    # 3. decontaminate: drop eval rows and docs sharing any eval n-gram
+    dirty = decontaminate(q, n=n, eval_mod=eval_mod, id_col=id_col,
+                          text_col=text_col)
+    dirty_ids = set(dirty.unique(id_col))  # contaminated ≪ corpus
+
+    def clean_only(batch: pa.Table, _ref=ray.put(dirty_ids)) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        bad = fetch(_ref)
+        ids = np.asarray(batch.column(id_col).combine_chunks())
+        mask = [(i % eval_mod != 0) and (int(i) not in bad) for i in ids]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    clean = q.map_batches(clean_only, batch_format="pyarrow")
+
+    # 4. balance strata over what actually survived
+    out = stratified_sample(clean, stratum_col=stratum_col,
+                            id_col=id_col)
+    return out.map_batches(
+        lambda b: pa.table({id_col: b.column(id_col),
+                            stratum_col: b.column(stratum_col)}),
+        batch_format="pyarrow").sort(id_col)

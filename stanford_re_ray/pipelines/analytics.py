@@ -956,3 +956,18 @@ def q53_bpe_merges(sf_dir: str, n_merges: int = 6) -> pa.Table:
 
     docs = _read(sf_dir, "documents", ["text"])
     return bpe_train(docs, n_merges=n_merges)
+
+
+def q54_curation(sf_dir: str) -> pa.Table:
+    """Composed curation pipeline (``functions.mixing.curate_corpus``):
+    Gopher quality filter → exact dedup (min-id representative) →
+    benchmark decontamination → stratum-balancing sample, value-checked
+    end-to-end against one CTE-chained oracle."""
+    from ..functions.mixing import curate_corpus
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = curate_corpus(docs, est_rows=n_docs).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "lang"]],
+                                preserve_index=False)

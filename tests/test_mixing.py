@@ -141,3 +141,31 @@ def test_mixture_upsample_semantics(ray_session, blocks):
     ref = (mixture_upsample(rd.from_arrow(tbl)).to_pandas()
            .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_curate_corpus_partition_invariant(ray_session):
+    from stanford_re_ray.functions.mixing import curate_corpus
+
+    # long DISTINCT docs (pass quality), one exact dup pair, doc 0 is
+    # eval; docs 1 and 2 alone share a 4-gram run with doc 0
+    def body(d):
+        return " ".join(f"w{d}x{i % 29} t{d}y{i % 13}" for i in range(30))
+
+    overlap = "shared quiz phrase run"
+    rows = [(0, "l0", body(0) + " " + overlap)]
+    for d in range(1, 12):
+        extra = (" " + overlap) if d in (1, 2) else ""
+        rows.append((d, "l" + str(d % 2), body(d) + extra))
+    rows.append((12, "l0", rows[3][2]))          # exact dup of doc 3
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "lang": pa.array([r[1] for r in rows], pa.string()),
+                    "text": pa.array([r[2] for r in rows], pa.string())})
+    outs = []
+    for blocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        outs.append(curate_corpus(ds, n=4, eval_mod=97)
+                    .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    ids = set(outs[0]["doc_id"])
+    assert 12 not in ids          # dup loses to min-id representative
+    assert ids <= set(range(12))
