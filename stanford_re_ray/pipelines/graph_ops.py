@@ -312,6 +312,11 @@ def subgraph_bfs(
     return kept
 
 
+#: above this many nodes the rank vector stops being broadcastable and
+#: pagerank switches to the fully key-partitioned join path
+BROADCAST_RANK_LIMIT = 2_000_000
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iter: int = 3,
@@ -371,6 +376,40 @@ def pagerank(
             batch_format="pyarrow")
     base = (15 * scale) // (100 * n_nodes)
     init_q = scale // n_nodes
+
+    if n_nodes <= BROADCAST_RANK_LIMIT:
+        # small-graph gate (same pattern as BROADCAST_NODE_LIMIT /
+        # SMALL_GRAPH_THRESHOLD elsewhere): the rank vector fits one
+        # worker, so broadcast it and run ONE map + ONE int-SUM groupby
+        # per iteration — identical floor math, half the shuffles.  The
+        # edge list stays distributed; only the node-sized vector moves.
+        rank_vec = {n: init_q for n in
+                    (r["node"] for r in nodes.take_all())}
+        for _ in range(n_iter):
+            ref = ray.put(rank_vec)
+
+            def contrib_b(batch: pa.Table, _ref=ref) -> pa.Table:
+                from ..state.broadcast import fetch
+
+                rv = fetch(_ref)
+                srcs = batch.column("src").to_pylist()
+                d = batch.column("deg").to_numpy().astype(np.int64)
+                r = np.fromiter((rv[x] for x in srcs), dtype=np.int64,
+                                count=len(srcs))
+                return pa.table({"node": batch.column("dst"),
+                                 "c": pa.array(r // d, pa.int64())})
+
+            sums = (ed.map_batches(contrib_b, batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("c", alias_name="s"))
+                    .take_all())
+            got = {r["node"]: r["s"] for r in sums}
+            rank_vec = {n: base + 85 * got.get(n, 0) // 100
+                        for n in rank_vec}
+        items = sorted(rank_vec.items())
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([k for k, _ in items], pa.int64()),
+            "rank_q": pa.array([v for _, v in items], pa.int64()),
+        }))
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(

@@ -123,3 +123,13 @@ def test_pagerank_matches_serial_and_partition_invariant(ray_session,
     assert dict(zip(out["node"], out["rank_q"])) == r
     # the hub out-ranks every ring node
     assert r[0] == max(r.values())
+    # the fully-distributed join path (rank vector "too big" to
+    # broadcast) must be bit-identical to the broadcast fast path
+    import stanford_re_ray.pipelines.graph_ops as go
+    old = go.BROADCAST_RANK_LIMIT
+    go.BROADCAST_RANK_LIMIT = 0
+    try:
+        out2 = pagerank(ds, n_iter=3).to_pandas()
+    finally:
+        go.BROADCAST_RANK_LIMIT = old
+    assert dict(zip(out2["node"], out2["rank_q"])) == r
