@@ -351,13 +351,18 @@ def chunk_path(tokens: list, lemmas: list, pos: list,
     return out
 
 
-def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
-                       clusters) -> None:
-    """Emit the pseudo-dependency feature ids for one candidate pair
-    (shared tail of ``featurize_ids``)."""
-    chunks = chunk_path(tokens, lemmas, pos, lo, hi)
-    if not chunks:
-        return
+#: memo for the CLUSTER-INDEPENDENT dep-surrogate id sequence keyed on
+#: (direction, chunks): between-span chunk paths are Zipfian (common
+#: phrase shapes recur across pairs and sentences), and the whole ~10-id
+#: emission is a pure function of the key — one dict probe replaces a
+#: dozen _fid varargs calls on a hit.  Cluster features are NOT cached
+#: (the clusters mapping's identity isn't part of the key by design —
+#: caching them would make results depend on dict identity reuse).
+_DEP_CACHE: dict = {}
+_DEP_CACHE_MAX = 1 << 16
+
+
+def _dep_ids_uncached(add, chunks, direction) -> None:
     roles = []
     units = []
     for r, h, _p in chunks:
@@ -384,6 +389,26 @@ def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
         add(_fid(_T_DSTUB_L, first, h))
         add(_fid(_T_DSTUB_R, h, last))
         add(_fid(_T_DSTUB_B, first, h, last))
+
+
+def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
+                       clusters) -> None:
+    """Emit the pseudo-dependency feature ids for one candidate pair
+    (shared tail of ``featurize_ids``) — bit-identical to the uncached
+    form (pinned by tests/test_featurize_identity.py)."""
+    chunks = chunk_path(tokens, lemmas, pos, lo, hi)
+    if not chunks:
+        return
+    key = (direction, tuple(chunks))
+    ids = _DEP_CACHE.get(key)
+    if ids is None:
+        ids = []
+        _dep_ids_uncached(ids.append, chunks, direction)
+        if len(_DEP_CACHE) >= _DEP_CACHE_MAX:
+            _DEP_CACHE.clear()
+        _DEP_CACHE[key] = ids
+    for v in ids:
+        add(v)
     if clusters:
         for _r, h, _p in chunks:
             c = clusters.get(h)

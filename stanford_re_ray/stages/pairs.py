@@ -236,6 +236,7 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
                 if key not in seen:
                     seen.add(key)
                     out.append(p)
+    fz = featurize_ids if hashed else featurize
     for s in subjects:
         s_absorbed = absorbed_by_subj.get(s.canonical)
         for o in mentions:
@@ -257,7 +258,6 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
             if key in seen:
                 continue
             seen.add(key)
-            fz = featurize_ids if hashed else featurize
             feats = fz(tokens, lemmas, pos, ner,
                        (s.begin, s.end), (o.begin, o.end),
                        s.ner, o.ner, clusters)
