@@ -199,26 +199,19 @@ def _kb_pairs_for_subject(tokens, lemmas, pos, ner, subj_mentions, fills,
     return pairs, absorbed
 
 
-def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
-                       clusters: dict[str, str] | None = None,
-                       hashed: bool = False,
-                       max_pair_distance: int = MAX_PAIR_DISTANCE,
-                       max_sent_tokens: int = MAX_SENT_TOKENS,
-                       kb_fills: dict | None = None) -> list[dict]:
-    """``hashed=True`` (the production path) emits crc-combined feature ids
-    directly (features.featurize_ids) — no feature strings are built.
-
-    ``kb_fills`` (train path only): subj_lower → [(slot_value, is_date,
-    is_person)] from ``kb_fills_lookup``.  Known fills are string-matched
-    into the sentence FIRST — including alternate values (year-only dates,
-    first+last person names) — longest-span-first with absorption; the
-    NER-discovery loop then skips object spans a KB match absorbed
-    (RelationMentionAnnotator.java:104-205)."""
+def _pairs_rows(tokens, lemmas, pos, ner, antecedents,
+                clusters, hashed, max_pair_distance, max_sent_tokens,
+                kb_fills) -> list[tuple]:
+    """Single implementation of candidate-pair generation.  Returns
+    ``(subj, subj_type, obj, obj_type, sb, se, ob, oe, features)`` tuples
+    — no per-pair dict allocation on the hot path (``PairFeaturizer``
+    unpacks the tuples straight into column buffers; the dict form exists
+    only in the thin ``pairs_for_sentence`` wrapper below)."""
     if len(tokens) > max_sent_tokens:
         return []
     mentions = find_mentions(tokens, pos, ner, antecedents)
     subjects = [m for m in mentions if m.is_entity]
-    out: list[dict] = []
+    out: list[tuple] = []
     seen: set[tuple[str, str]] = set()
     absorbed_by_subj: dict[str, set[int]] = {}
     if kb_fills:
@@ -235,10 +228,16 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
                 key = (p["subj"], p["obj"])
                 if key not in seen:
                     seen.add(key)
-                    out.append(p)
+                    out.append((p["subj"], p["subj_type"], p["obj"],
+                                p["obj_type"], p["subj_begin"],
+                                p["subj_end"], p["obj_begin"], p["obj_end"],
+                                p["features"]))
     fz = featurize_ids if hashed else featurize
     for s in subjects:
         s_absorbed = absorbed_by_subj.get(s.canonical)
+        s_begin = s.begin
+        s_end = s.end
+        s_canon = s.canonical
         for o in mentions:
             if s_absorbed and any(
                     k in s_absorbed for k in range(o.begin, o.end)):
@@ -246,35 +245,54 @@ def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
             if o is s:
                 continue
             # no overlap
-            if not (o.end <= s.begin or s.end <= o.begin):
+            if not (o.end <= s_begin or s_end <= o.begin):
                 continue
             # distance cap
-            dist = (o.begin - s.end) if s.end <= o.begin else (s.begin - o.end)
+            dist = (o.begin - s_end) if s_end <= o.begin else (s_begin - o.end)
             if dist > max_pair_distance:
                 continue
-            if s.canonical == o.canonical:
+            if s_canon == o.canonical:
                 continue
-            key = (s.canonical, o.canonical)
+            key = (s_canon, o.canonical)
             if key in seen:
                 continue
             seen.add(key)
             feats = fz(tokens, lemmas, pos, ner,
-                       (s.begin, s.end), (o.begin, o.end),
+                       (s_begin, s_end), (o.begin, o.end),
                        s.ner, o.ner, clusters)
-            out.append(
-                {
-                    "subj": s.canonical,
-                    "subj_type": s.ner,
-                    "obj": o.canonical,
-                    "obj_type": o.ner,
-                    "subj_begin": s.begin,
-                    "subj_end": s.end,
-                    "obj_begin": o.begin,
-                    "obj_end": o.end,
-                    "features": feats,
-                }
-            )
+            out.append((s_canon, s.ner, o.canonical, o.ner,
+                        s_begin, s_end, o.begin, o.end, feats))
     return out
+
+
+def pairs_for_sentence(tokens, lemmas, pos, ner, antecedents,
+                       clusters: dict[str, str] | None = None,
+                       hashed: bool = False,
+                       max_pair_distance: int = MAX_PAIR_DISTANCE,
+                       max_sent_tokens: int = MAX_SENT_TOKENS,
+                       kb_fills: dict | None = None) -> list[dict]:
+    """``hashed=True`` (the production path) emits crc-combined feature ids
+    directly (features.featurize_ids) — no feature strings are built.
+
+    ``kb_fills`` (train path only): subj_lower → [(slot_value, is_date,
+    is_person)] from ``kb_fills_lookup``.  Known fills are string-matched
+    into the sentence FIRST — including alternate values (year-only dates,
+    first+last person names) — longest-span-first with absorption; the
+    NER-discovery loop then skips object spans a KB match absorbed
+    (RelationMentionAnnotator.java:104-205).
+
+    Dict-per-pair convenience wrapper over ``_pairs_rows`` (the tuple form
+    ``PairFeaturizer`` consumes directly)."""
+    return [
+        {
+            "subj": t[0], "subj_type": t[1], "obj": t[2], "obj_type": t[3],
+            "subj_begin": t[4], "subj_end": t[5],
+            "obj_begin": t[6], "obj_end": t[7], "features": t[8],
+        }
+        for t in _pairs_rows(tokens, lemmas, pos, ner, antecedents, clusters,
+                             hashed, max_pair_distance, max_sent_tokens,
+                             kb_fills)
+    ]
 
 
 class PairFeaturizer:
@@ -300,60 +318,81 @@ class PairFeaturizer:
         self._kb_fills_ref = kb_fills_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..schema import PAIRS
+        import numpy as np
+
+        from ..schema import PAIRS, str_lists
         from ..state.broadcast import fetch
 
         clusters = fetch(self._ref)
         kb_fills = fetch(self._kb_fills_ref)
-        cols = {k: [] for k in ("subj", "subj_type", "obj", "obj_type",
-                                "doc_id", "sent_idx", "subj_begin", "subj_end",
-                                "obj_begin", "obj_end", "features")}
-        doc_ids = batch.column("doc_id").to_pylist()
-        sent_idxs = batch.column("sent_idx").to_pylist()
-        from ..schema import str_lists
+        from array import array
+
+        subjs: list[str] = []
+        subj_types: list[str] = []
+        objs: list[str] = []
+        obj_types: list[str] = []
+        spans = array("i")             # (sb, se, ob, oe) interleaved
+        flat_feats = array("q")        # flat feature-id buffer; array.array
+        feat_lens = array("i")         # extend is C-speed and np.frombuffer
+        n_per_sent = array("i")        # is zero-copy (np.asarray on a large
+                                       # Python int list measured ~0.5µs/elem)
 
         toks = str_lists(batch, "tokens")
         lems = str_lists(batch, "lemmas")
         poss = str_lists(batch, "pos")
         ners = str_lists(batch, "ner")
         antes = str_lists(batch, "antecedents")
-        for did, sidx, tk, lm, ps, nr, an in zip(
-            doc_ids, sent_idxs, toks, lems, poss, ners, antes
-        ):
-            for p in pairs_for_sentence(
-                tk, lm, ps, nr, an, clusters, hashed=True,
-                max_pair_distance=self._max_pair_distance,
-                max_sent_tokens=self._max_sent_tokens,
-                kb_fills=kb_fills,
-            ):
-                cols["subj"].append(p["subj"])
-                cols["subj_type"].append(p["subj_type"])
-                cols["obj"].append(p["obj"])
-                cols["obj_type"].append(p["obj_type"])
-                cols["doc_id"].append(did)
-                cols["sent_idx"].append(sidx)
-                cols["subj_begin"].append(p["subj_begin"])
-                cols["subj_end"].append(p["subj_end"])
-                cols["obj_begin"].append(p["obj_begin"])
-                cols["obj_end"].append(p["obj_end"])
-                cols["features"].append(p["features"])
+        mpd = self._max_pair_distance
+        mst = self._max_sent_tokens
+        for tk, lm, ps, nr, an in zip(toks, lems, poss, ners, antes):
+            rows = _pairs_rows(tk, lm, ps, nr, an, clusters, True,
+                               mpd, mst, kb_fills)
+            n_per_sent.append(len(rows))
+            for (subj, styp, obj, otyp, sb, se, ob, oe, feats) in rows:
+                subjs.append(subj)
+                subj_types.append(styp)
+                objs.append(obj)
+                obj_types.append(otyp)
+                spans.append(sb)
+                spans.append(se)
+                spans.append(ob)
+                spans.append(oe)
+                flat_feats.extend(feats)
+                feat_lens.append(len(feats))
+        # doc_id / sent_idx: one zero-copy take per column instead of a
+        # per-pair Python append
+        idx = pa.array(
+            np.repeat(np.arange(len(n_per_sent), dtype=np.int64),
+                      np.frombuffer(n_per_sent, dtype=np.int32)
+                      if n_per_sent else np.empty(0, dtype=np.int32)))
+        span_arr = (np.frombuffer(spans, dtype=np.int32)
+                    if spans else np.empty(0, dtype=np.int32)).reshape(-1, 4)
+        lens_arr = (np.frombuffer(feat_lens, dtype=np.int32)
+                    if feat_lens else np.empty(0, dtype=np.int32))
+        offsets = np.empty(len(feat_lens) + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(lens_arr, out=offsets[1:])
         return pa.table(
             {
-                "subj": pa.array(cols["subj"], pa.string()),
-                "subj_type": pa.array(cols["subj_type"], pa.string()),
-                "obj": pa.array(cols["obj"], pa.string()),
-                "obj_type": pa.array(cols["obj_type"], pa.string()),
-                "doc_id": pa.array(cols["doc_id"], pa.string()),
-                "sent_idx": pa.array(cols["sent_idx"], pa.int32()),
-                "subj_begin": pa.array(cols["subj_begin"], pa.int32()),
-                "subj_end": pa.array(cols["subj_end"], pa.int32()),
-                "obj_begin": pa.array(cols["obj_begin"], pa.int32()),
-                "obj_end": pa.array(cols["obj_end"], pa.int32()),
+                "subj": pa.array(subjs, pa.string()),
+                "subj_type": pa.array(subj_types, pa.string()),
+                "obj": pa.array(objs, pa.string()),
+                "obj_type": pa.array(obj_types, pa.string()),
+                "doc_id": batch.column("doc_id").take(idx),
+                "sent_idx": batch.column("sent_idx").take(idx),
+                "subj_begin": pa.array(span_arr[:, 0]),
+                "subj_end": pa.array(span_arr[:, 1]),
+                "obj_begin": pa.array(span_arr[:, 2]),
+                "obj_end": pa.array(span_arr[:, 3]),
                 # hashed feature ids, not strings: feature strings are
                 # transient inside featurize(); materializing tens of
                 # millions of them through Arrow was a measured memory-
-                # bandwidth bottleneck at high core counts
-                "features": pa.array(cols["features"], pa.list_(pa.int64())),
+                # bandwidth bottleneck at high core counts.  Flat buffer +
+                # offsets → ListArray without per-sublist conversion.
+                "features": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(np.frombuffer(flat_feats, dtype=np.int64)
+                             if flat_feats else np.empty(0, dtype=np.int64))),
             },
             schema=PAIRS,
         )
