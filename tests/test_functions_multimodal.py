@@ -33,9 +33,69 @@ def test_fake_codec_deterministic():
     assert (img == img2).all()
 
 
-def test_jpeg_decode_is_stubbed():
+def _gradient_img(h=41, w=67):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 255 / w), (yy * 255 / h),
+                     ((xx + yy) * 255 / (h + w))], axis=2).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import encode_jpeg
+
+    img = _gradient_img()
+    for sub, tol in (("444", 4), ("420", 8)):
+        for ri in (0, 3):   # ri>0 exercises DRI + RSTn resync
+            dec = decode_image(encode_jpeg(img, quality=90, subsample=sub,
+                                           restart_interval=ri))
+            assert dec.shape == img.shape
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+
+
+def test_jpeg_flat_block_exact_and_gray():
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import encode_jpeg
+
+    flat = np.full((16, 24, 3), 130, np.uint8)
+    assert (decode_image(encode_jpeg(flat, 95)) == flat).all()
+    g = _gradient_img()[:, :, 0]
+    dec = decode_image(encode_jpeg(g, 90))
+    assert dec.shape == (*g.shape, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()   # gray replicated
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_jpeg_golden_digest_pinned():
+    """The codec is frozen the same way the extractor is: a fixed input
+    must produce byte-identical encode and pixel-identical decode
+    across processes and numpy versions in this container."""
+    import hashlib
+
+    from stanford_re_ray.functions.multimodal import encode_jpeg
+
+    enc = encode_jpeg(_gradient_img(), quality=85, subsample="420")
+    assert hashlib.sha256(enc).hexdigest() == (
+        "b4278d3cc06dbcba69fa6ba9112bb55d6b959ad93a526e0bc04d2e8fcb3f3f17")
+    dec = decode_image(enc)
+    assert hashlib.sha256(dec.tobytes()).hexdigest() == (
+        "12de7319000a65de8bdafebd03f45222e01abc6e1ee7424ca202ec8d99ba1bad")
+
+
+def test_jpeg_progressive_raises():
+    import struct
+
+    # SOI + minimal DQT + SOF2 (progressive) header
+    dqt = b"\x00" + bytes(range(1, 65))
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    payload = (b"\xFF\xD8"
+               + b"\xFF\xDB" + struct.pack(">H", len(dqt) + 2) + dqt
+               + b"\xFF\xC2" + struct.pack(">H", len(sof2) + 2) + sof2)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0\x00\x10JFIF....")
+        decode_image(payload)
 
 
 def test_png_roundtrip_all_channel_layouts():
