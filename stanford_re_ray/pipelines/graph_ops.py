@@ -411,47 +411,123 @@ def pagerank(
             "rank_q": pa.array([v for _, v in items], pa.int64()),
         }))
 
-    ranks = nodes.map_batches(
-        lambda b: b.append_column(
-            "rank_q", pa.array([init_q] * b.num_rows, pa.int64())),
-        batch_format="pyarrow")
+    # ----- co-partitioned Pregel path: ONE shuffle per iteration -----
+    # Layout: edges carry __bucket = mix(src) % K and every node's rank
+    # is OWNED by bucket mix(node) % K — the SAME hash, so the groupby
+    # that delivers messages (keyed mix(dst) % K) lands them in the
+    # partition that holds dst's rank AND dst's out-edges.  Each round's
+    # single groupby(__bucket).map_groups (a) computes this round's
+    # ranks for its owned nodes from the incoming message sums, (b)
+    # emits NEXT round's messages pre-aggregated per dst (map-side
+    # combine: ≤ one message row per (bucket, dst) instead of one per
+    # edge).  n_iter+1 shuffles total vs 2·n_iter for the join+groupby
+    # formulation, and the only inter-round data in flight is the
+    # combined message list (≤ min(|E|, K·|V|) rows).  Int sums are
+    # associative and each node's update happens exactly once in its
+    # owning bucket, so the result is bit-identical to the broadcast
+    # path and the unrolled SQL oracle at any parallelism.
+    from ..functions.relational import resolve_n_buckets
+    from ..schema import pd_to_arrow
 
-    for _ in range(n_iter):
-        rk = ranks.map_batches(
-            lambda b: pa.table({"src": b.column("node"),
-                                "rank_q": b.column("rank_q")}),
-            batch_format="pyarrow")
-        joined = hash_join(ed, rk, on="src", est_rows=est_rows)
+    n_buckets = resolve_n_buckets(None, est_rows if est_rows is not None
+                                  else ed.count())
 
-        def contrib(batch: pa.Table) -> pa.Table:
-            r = batch.column("rank_q").to_numpy().astype(np.int64)
-            d = batch.column("deg").to_numpy().astype(np.int64)
-            return pa.table({"node": batch.column("dst"),
-                             "c": pa.array(r // d, pa.int64())})
+    _MIX = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 multiplier
 
-        def zero(batch: pa.Table) -> pa.Table:
-            return pa.table({"node": batch.column("node"),
-                             "c": pa.array([0] * batch.num_rows,
-                                           pa.int64())})
+    def _bucket_of(col: np.ndarray) -> np.ndarray:
+        x = col.astype(np.uint64) * _MIX
+        return ((x >> np.uint64(32)) % np.uint64(n_buckets)).astype(
+            np.int32)
 
-        # ONE groupby per iteration folds edge contributions AND the
-        # zero row every node carries (so in-degree-0 nodes keep the
-        # teleport floor) — no second join; the reduce is an int SUM
-        sums = (joined.map_batches(contrib, batch_format="pyarrow")
-                .union(nodes.map_batches(zero, batch_format="pyarrow"))
-                .groupby("node").aggregate(Sum("c", alias_name="s")))
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy().astype(np.int64)
+        return pa.table({
+            "side": pa.array(["e"] * batch.num_rows, pa.string()),
+            "node": pa.array(src, pa.int64()),   # = src for edges
+            "dst": batch.column("dst"),
+            "deg": batch.column("deg"),
+            "c": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            "__bucket": pa.array(_bucket_of(src), pa.int32()),
+        })
 
-        def update(batch: pa.Table) -> pa.Table:
-            s = pc.cast(pc.fill_null(batch.column("s"), 0),
-                        pa.int64()).to_numpy()
-            return pa.table({"node": batch.column("node"),
-                             "rank_q": pa.array(base + 85 * s // 100,
-                                                pa.int64())})
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy().astype(np.int64)
+        zeros = np.zeros(batch.num_rows, np.int64)
+        return pa.table({
+            "side": pa.array(["n"] * batch.num_rows, pa.string()),
+            "node": batch.column("node"),
+            "dst": pa.array(zeros, pa.int64()),
+            "deg": pa.array(zeros, pa.int64()),
+            "c": pa.array(zeros, pa.int64()),
+            "__bucket": pa.array(_bucket_of(node), pa.int32()),
+        })
 
-        # materialize per round: iterative lineage otherwise re-executes
-        # every prior iteration each time the next one inspects schemas
-        # (measured geometric blowup), and the rank vector is the natural
-        # node-sized checkpoint of a Pregel-style loop anyway
-        ranks = sums.map_batches(update,
-                                 batch_format="pyarrow").materialize()
-    return ranks.sort("node")
+    static = (ed.map_batches(tag_edges, batch_format="pyarrow")
+              .union(nodes.map_batches(tag_nodes, batch_format="pyarrow"))
+              .materialize())
+
+    def make_round(first: bool, last: bool):
+        def rnd(g):
+            """One bucket, one round: ranks for owned nodes from incoming
+            messages (or uniform init on the first round), then either
+            the final rank rows or the combined outgoing messages."""
+            import pandas as pd
+
+            e = g[g["side"] == "e"]
+            if first:
+                owned = g.loc[g["side"] == "n", "node"]
+                rank = pd.Series(np.int64(init_q), index=owned.to_numpy())
+            else:
+                owned = g.loc[g["side"] == "n", "node"]
+                m = g[g["side"] == "m"]
+                sums = m.groupby("node")["c"].sum()
+                s = sums.reindex(owned.to_numpy(), fill_value=0).astype(
+                    np.int64)
+                rank = base + 85 * s // 100
+            if last:
+                out = pd.DataFrame({
+                    "node": rank.index.to_numpy(np.int64),
+                    "rank_q": rank.to_numpy(np.int64),
+                })
+                return pd_to_arrow(out)
+            if len(e) == 0:
+                # explicit Arrow types: an empty pandas object column
+                # would surface as Arrow null and break schema unification
+                return pa.table({
+                    "side": pa.array([], pa.string()),
+                    "node": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int32()),
+                })
+            r = rank.loc[e["node"].to_numpy()].to_numpy(np.int64)
+            d = e["deg"].to_numpy(np.int64)
+            msg = pd.DataFrame({"node": e["dst"].to_numpy(np.int64),
+                                "c": r // d})
+            comb = msg.groupby("node", as_index=False)["c"].sum()
+            dsts = comb["node"].to_numpy(np.int64)
+            zeros = np.zeros(len(comb), np.int64)
+            return pd_to_arrow(pd.DataFrame({
+                "side": "m",
+                "node": dsts,
+                "dst": zeros,
+                "deg": zeros,
+                "c": comb["c"].to_numpy(np.int64),
+                "__bucket": _bucket_of(dsts),
+            }))
+        return rnd
+
+    state = static
+    for t in range(n_iter + 1):
+        out = state.groupby("__bucket").map_groups(
+            make_round(first=(t == 0), last=(t == n_iter)),
+            batch_format="pandas")
+        if t == n_iter:
+            return out.sort("node")
+        # materialize the (small) message list per round: iterative
+        # lineage otherwise re-executes every prior round each time the
+        # next one inspects schemas (measured geometric blowup)
+        msgs = out.materialize()
+        state = static.union(msgs)
+    raise AssertionError("unreachable")
