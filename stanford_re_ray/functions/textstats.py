@@ -242,8 +242,217 @@ def rolling_fingerprint(text: str, window: int = 64) -> str:
     return f"{best:016x}"
 
 
+# --- vectorized twin of rolling_fingerprint ---------------------------------
+# The scalar loop above is the SPEC (and the DuckDB-oracle twin, q18); the
+# numpy path below is bit-identical (pinned by tests/test_property.py and
+# the q18 oracle) and ~3x faster single-core (min-of-K on the noisy host;
+# per-char Python arithmetic was the dominant map cost of the fingerprint
+# stage — NEXT_STEPS r03 item 3).
+#
+# Method: CHUNKED PREFIX HASH WITH CARRY CANCELLATION.  Concatenate all
+# documents' code points; the polynomial hash of any in-document window
+# [a, a+w) is (P[a+w] - P[a] * B^w) mod M where P is the prefix hash of
+# the GLOBAL array — everything before a cancels, so chunking can ignore
+# document boundaries entirely.  Slice the flat array into thousands of
+# equal chunks and run the Horner recurrence down all chunks in lockstep
+# (contiguous 2D rows — no gathers), giving LOCAL prefixes L.  The same
+# cancellation then makes carries drop out of any window that stays
+# inside one chunk:  P[cL+r] = C_c*B^r + L[r-1]  ⇒  for a window at
+# chunk offset r,  H = L[r+w-1] - L[r-1]*B^w  — local values only, one
+# broadcast 2D pass for ~99% of positions.  Only the w-1 window starts
+# per chunk that straddle a boundary need the global carries C_c (a
+# cheap ncols-step scalar stitch loop + a small gather pass).  Per-doc
+# minima come from one np.minimum.reduceat over interleaved (start, end)
+# boundaries, discarding the gap segments.
+# (Two rejected designs, measured: a log-depth Hillis-Steele scan — 10x
+# SLOWER than scalar, ~23 full-array sweeps of 10+ uint64 ops; and
+# doc-lockstep with an active-prefix — parity at uniform lengths and
+# pathological under length skew, one long doc forcing len(doc) tiny
+# numpy calls.)
+# All modular arithmetic is uint64 with 30/31-bit limb splitting (products
+# of two <2^61 values need 122 bits); 2^61 ≡ 1 (mod M) makes the folds
+# one-shift reductions.
+
+_U = np.uint64
+_M64 = _U(_MOD)
+_MASK31 = _U((1 << 31) - 1)
+_MASK30 = _U((1 << 30) - 1)
+_S31 = _U(31)
+_S30 = _U(30)
+_S61 = _U(61)
+_ONE = _U(1)
+
+
+def _redmod(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values < 2^63 to [0, M) via 2^61 ≡ 1 folds."""
+    x = (x & _M64) + (x >> _S61)          # < 2^61 + 3
+    x = (x & _M64) + (x >> _S61)          # <= M + 1
+    return np.where(x >= _M64, x - _M64, x)
+
+
+def _mulmod(a: np.ndarray, b) -> np.ndarray:
+    """(a * b) mod (2^61 - 1) for uint64 inputs already in [0, M)."""
+    b = np.asarray(b, dtype=np.uint64)
+    a_hi, a_lo = a >> _S31, a & _MASK31
+    b_hi, b_lo = b >> _S31, b & _MASK31
+    t1 = (a_hi * b_hi) << _ONE            # 2^62 ≡ 2; a_hi*b_hi < 2^60
+    mid = a_hi * b_lo + a_lo * b_hi       # < 2^62
+    t2 = (mid >> _S30) + ((mid & _MASK30) << _S31)   # mid * 2^31 mod M
+    x = t1 + t2 + (a_lo * b_lo)           # < 2^63
+    return _redmod(x)
+
+
+_B64 = _U(_B)                              # _B < 2^31: small-scalar path
+
+
+def _mulmod_b_lazy(a: np.ndarray) -> np.ndarray:
+    """a * _B partially reduced to < 2^62, for a < 2^61 + 3 (lazy-reduced
+    Horner state); _B < 2^31 so one limb suffices."""
+    a_hi, a_lo = a >> _S31, a & _MASK31   # a_hi <= 2^30
+    m = a_hi * _B64                       # < 2^50
+    return (m >> _S30) + ((m & _MASK30) << _S31) + a_lo * _B64   # < 2^62
+
+
+def _mulmod_b(a: np.ndarray) -> np.ndarray:
+    """(a * _B) mod (2^61 - 1) for a in [0, M); _B < 2^31 so one limb."""
+    return _redmod(_mulmod_b_lazy(a))
+
+
+def _submod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.where(a >= b, a - b, a + _M64 - b)
+
+
+def _pow_table(base: int, n: int) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod M by length-doubling."""
+    p = np.ones(n, dtype=np.uint64)
+    filled = 1
+    while filled < n:
+        step = min(filled, n - filled)
+        p[filled:filled + step] = _mulmod(p[:step],
+                                          _U(pow(base, filled, _MOD)))
+        filled += step
+    return p
+
+
+#: below this many total code points the scalar loop wins (numpy setup
+#: overhead); identical output either way
+_VEC_MIN_CPS = 1 << 15
+_N_CHUNKS = 16384
+
+
+def rolling_fingerprints_vec(texts: list) -> list[str]:
+    """Vectorized ``rolling_fingerprint`` over a list of texts — identical
+    output (incl. the "0" for empty / None)."""
+    w = 64
+    cleaned = [(t or "") for t in texts]
+    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
+    n = int(lens.sum())
+    if n < _VEC_MIN_CPS:
+        return [rolling_fingerprint(t) for t in cleaned]
+    try:
+        flat = "".join(cleaned).encode("utf-32-le")
+    except UnicodeEncodeError:           # lone surrogates: scalar fallback
+        return [rolling_fingerprint(t) for t in cleaned]
+    cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+
+    # docs shorter than the window have no rolling phase at all — scalar
+    # (each is < 64 chars; exact same code path as the spec)
+    out = ["0"] * len(cleaned)
+    for i in np.flatnonzero((lens > 0) & (lens < w)):
+        out[i] = rolling_fingerprint(cleaned[i])
+
+    # ---- local prefix hashes, chunk-parallel Horner ----------------------
+    # transposed (clen, ncols) layout: every per-step slice is a contiguous
+    # row; in-loop reduction is a LAZY single fold (h stays < 2^61 + 3,
+    # which the limb math tolerates) — canonicalized once afterwards
+    ncols = min(_N_CHUNKS, n // 256)
+    clen = -(-n // ncols)
+    pad = ncols * clen - n
+    grid = np.ascontiguousarray(
+        (np.concatenate([cps, np.zeros(pad, np.uint64)]) if pad
+         else cps).reshape(ncols, clen).T)
+    p_loc = np.empty((clen, ncols), dtype=np.uint64)
+    h = np.zeros(ncols, dtype=np.uint64)
+    for r in range(clen):
+        x = _mulmod_b_lazy(h) + grid[r]             # cp < 2^21, sum < 2^62
+        h = (x & _M64) + (x >> _S61)                # lazy: < 2^61 + 3
+        p_loc[r] = h
+    p_loc = _redmod(p_loc)                          # canonical, one pass
+    del grid
+
+    # ---- window hashes -----------------------------------------------------
+    # H over flat window starts a = c*clen + r (chars a..a+w-1).  Same-chunk
+    # (r <= clen-w): carries cancel — H = L[r+w-1] - L[r-1]*B^w, pure 2D
+    # slices.  H_pad is laid out (ncols, clen) so flat index == a.
+    pw_w = _U(pow(_B, w, _MOD))
+    h_pad = np.empty((ncols, clen), dtype=np.uint64)
+    hp = h_pad.reshape(-1)
+    h2d = np.empty((clen - w + 1, ncols), dtype=np.uint64)
+    h2d[0] = p_loc[w - 1]
+    h2d[1:] = _submod(p_loc[w:], _mulmod(p_loc[:clen - w], pw_w))
+    h_pad[:, :clen - w + 1] = h2d.T
+    del h2d
+
+    # straddlers (r > clen-w): need global carries C_c = P[c*clen]
+    # (ncols-step scalar stitch; P[c*clen + r] = C_c*B^r + L[r-1])
+    pow_clen = pow(_B, clen, _MOD)
+    carries = np.empty(ncols, dtype=np.uint64)
+    g = 0
+    tail = p_loc[clen - 1]
+    for c in range(ncols):
+        carries[c] = g
+        g = (g * pow_clen + int(tail[c])) % _MOD
+    pow_row = _pow_table(_B, clen)
+    pl_flat = p_loc.reshape(-1)                     # (r, c) -> r*ncols + c
+
+    def p_at(k: np.ndarray) -> np.ndarray:
+        # global prefix hash at flat char counts k (every k here has
+        # k % clen >= 1: straddler starts/ends never sit on a boundary)
+        c, r = k // clen, k % clen
+        return _redmod(_mulmod(carries[c], pow_row[r])
+                       + pl_flat[(r - 1) * ncols + c])
+
+    str_r = np.arange(clen - w + 1, clen)
+    a_str = (np.arange(ncols - 1)[:, None] * clen + str_r[None, :]).reshape(-1)
+    a_str = a_str[a_str <= n - w]
+    if len(a_str):
+        hp[a_str] = _submod(p_at(a_str + w), _mulmod(p_at(a_str), pw_w))
+    del p_loc
+
+    # ---- per-doc minima: one reduceat over interleaved (start, end) ------
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    big = np.flatnonzero(lens >= w)
+    if len(big):
+        s = doc_starts[big]
+        e = s + lens[big] - (w - 1)
+        idx = np.empty(2 * len(big), dtype=np.int64)
+        idx[0::2] = s
+        idx[1::2] = e
+        if idx[-1] >= n - (w - 1):      # final segment runs to the end
+            idx = idx[:-1]
+        best = np.minimum.reduceat(hp[:n - (w - 1)], idx)[0::2]
+        for i, v in zip(big, best):
+            out[i] = f"{int(v):016x}"
+    return out
+
+
+#: cap on flat code points per vectorized chunk: ~8 transient uint64
+#: arrays of this length ≈ 256 MiB peak, safely inside a worker heap even
+#: at high per-node concurrency.
+_FP_CHUNK_CPS = 4_000_000
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    fps = [rolling_fingerprint(t or "") for t in batch.column("text").to_pylist()]
+    texts = batch.column("text").to_pylist()
+    fps: list[str] = []
+    i = 0
+    while i < len(texts):
+        j, cps = i, 0
+        while j < len(texts) and cps < _FP_CHUNK_CPS:
+            cps += len(texts[j] or "")
+            j += 1
+        fps.extend(rolling_fingerprints_vec(texts[i:j]))
+        i = j
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -162,3 +162,36 @@ def test_str_lists_matches_to_pylist(lists, off):
     off = min(off, len(lists))
     sliced = tbl.slice(off)
     assert str_lists(sliced, "x") == sliced.column("x").to_pylist()
+
+
+# --- rolling fingerprint: chunked-prefix vec ≡ scalar spec ------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abXé中\U0001F600 .", min_size=0, max_size=200),
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_rolling_fingerprint_vec_matches_scalar(texts, pad_long):
+    from stanford_re_ray.functions import textstats as T
+
+    # force the vectorized path past _VEC_MIN_CPS and over chunk
+    # boundaries: add long docs around the 64-char window and the
+    # 256-char chunk floor
+    texts = texts + ["q" * (63 + pad_long), "r" * 257, "s t u " * 300] * 40
+    exp = [T.rolling_fingerprint(t or "") for t in texts]
+    got = T.rolling_fingerprints_vec(texts)
+    assert got == exp
+
+
+def test_rolling_fingerprint_vec_forced_path():
+    from stanford_re_ray.functions import textstats as T
+
+    # exactly at / around the vec threshold and chunk-length edges
+    for fill in (255, 256, 257, 64, 65):
+        texts = ["m" * fill] * (T._VEC_MIN_CPS // fill + 2)
+        assert T.rolling_fingerprints_vec(texts) == [
+            T.rolling_fingerprint(t) for t in texts
+        ]
