@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_pagerank": A.q51_pagerank,
         "q52_perplexity_filter": A.q52_perplexity_filter,
         "q54_curation": A.q54_curation,
+        "q55_semdedup": A.q55_semdedup,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1405,6 +1406,43 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q55_semdedup": """
+            -- SemDeDup twin (functions/clustering.semdedup): Forgy
+            -- assignment on the k=4 smallest-id vectors (exactly q41's
+            -- assign CTE), then keep-earliest within-cluster cosine
+            -- dedup: drop iff ANY lower-id same-cluster vector has
+            -- cosine >= 0.4
+            WITH c AS (
+              SELECT vec_id AS c_id, embedding AS c_emb
+              FROM embeddings WHERE vec_id < 4),
+            d AS (
+              SELECT v.vec_id, c.c_id,
+                (SELECT SUM((a.x - b.x) * (a.x - b.x))
+                 FROM (SELECT generate_subscripts(v.embedding, 1) i,
+                              unnest(v.embedding) x) a
+                 JOIN (SELECT generate_subscripts(c.c_emb, 1) i,
+                              unnest(c.c_emb) x) b USING (i)) AS d2
+              FROM embeddings v, c),
+            assign AS (
+              SELECT vec_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_id) AS rn
+              FROM d),
+            members AS (
+              SELECT e.vec_id, a.c_id AS cluster, e.embedding
+              FROM embeddings e JOIN assign a
+                ON e.vec_id = a.vec_id AND a.rn = 1)
+            SELECT m.vec_id, m.cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM members y
+                     WHERE y.cluster = m.cluster
+                       AND y.vec_id < m.vec_id
+                       AND list_cosine_similarity(
+                             CAST(y.embedding AS DOUBLE[]),
+                             CAST(m.embedding AS DOUBLE[])) >= 0.4
+                   ) AS keep
+            FROM members m ORDER BY m.vec_id
         """,
         "q54_curation": """
             WITH d AS (

@@ -119,3 +119,73 @@ def kmeans_table(
         "mean_q": pa.array(np.round(cents, 6).ravel()),
         "n_members": pa.array(np.repeat(counts, dim).astype(np.int64)),
     })
+
+
+def semdedup(
+    embeddings: ray.data.Dataset,
+    k: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means clustering + within-cluster cosine near-dup
+    removal.  Clustering bounds the quadratic: pairwise similarity is only
+    ever computed INSIDE a cluster, so at corpus scale k grows with the
+    data and per-cluster work stays constant — that bounding is the
+    paper's entire point.
+
+    Deterministic, SQL-checkable variant: cluster assignment is nearest
+    Forgy centroid (the k smallest-id vectors, squared-L2, ties to the
+    lower centroid — identical to ``kmeans_fit``'s init / the q41 oracle),
+    and a vector is dropped iff ANY lower-id vector in its cluster has
+    cosine ≥ threshold (keep-earliest, non-recursive; the paper keeps the
+    member closest to the centroid — an arbitrary representative choice
+    this variant replaces with the id order so the oracle needs no
+    recursion).
+
+    Scale shape: centroids broadcast via ``ray.put``; assignment is one
+    matmul per batch; the per-cluster verify runs under
+    ``groupby("cluster").map_groups`` so only same-cluster vectors ever
+    meet.  Returns (vec_id, cluster, keep).
+    """
+    first = embeddings.sort(id_col).limit(k).take_all()
+    cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    ref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        cc = fetch(_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        lab = (_assign(vecs, cc) if vecs.size
+               else np.zeros(0, dtype=np.int64))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster": pa.array(lab, pa.int64()),
+            vec_col: batch.column(vec_col),
+        })
+
+    assigned = embeddings.map_batches(assign_batch, batch_format="pyarrow")
+
+    def dedup_cluster(df: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        df = df.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(df[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms
+        sim = nv @ nv.T
+        # keep[i] ⇔ no j < i with cosine ≥ threshold (strict lower
+        # triangle — numpy, no Python pair loop)
+        tri = np.tril(sim >= threshold, k=-1)
+        keep = ~tri.any(axis=1)
+        return pd_to_arrow(pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "cluster": df["cluster"].astype("int64"),
+            "keep": keep,
+        }))
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas")

@@ -971,3 +971,20 @@ def q54_curation(sf_dir: str) -> pa.Table:
     out["doc_id"] = out["doc_id"].astype("int64")
     return pa.Table.from_pandas(out[["doc_id", "lang"]],
                                 preserve_index=False)
+
+
+def q55_semdedup(sf_dir: str, k: int = 4, threshold: float = 0.4) -> pa.Table:
+    """SemDeDup (``functions.clustering.semdedup``): k-means-bounded
+    within-cluster cosine dedup over the embeddings — the semantic
+    member of the dedup family (exact → MinHash → SimHash → embedding
+    sign-LSH → SemDeDup)."""
+    from ..functions.clustering import semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (semdedup(emb, k=k, threshold=threshold)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    for c in ("vec_id", "cluster"):
+        out[c] = out[c].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return pa.Table.from_pandas(out[["vec_id", "cluster", "keep"]],
+                                preserve_index=False)

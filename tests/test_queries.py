@@ -80,7 +80,7 @@ SQL_CHECKED = [
     "q46_sequence_packing", "q47_cms_heavy_hitters",
     "q48_bloom_membership", "q49_hll_distinct",
     "q50_mixture_upsample", "q51_pagerank",
-    "q52_perplexity_filter", "q54_curation",
+    "q52_perplexity_filter", "q54_curation", "q55_semdedup",
 ]
 
 
