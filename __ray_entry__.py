@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_perplexity_filter": A.q52_perplexity_filter,
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
+        "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1406,6 +1407,78 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q56_cdc_substring_dedup": """
+            -- twin of functions/dedup.cdc_substring_dedup: cut after
+            -- char e iff the 16-cp rolling hash (base 1000003,
+            -- mod 2^61-1 — q18's arithmetic) of chars e-15..e is
+            -- divisible by 64; doc end always cuts; a chunk occurrence
+            -- is a duplicate iff an identical chunk string occurs
+            -- earlier in (doc_id, start) order anywhere in the corpus
+            WITH RECURSIVE pw(j, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT j + 1, (p * 1000003) % 2305843009213693951
+                FROM pw WHERE j < 15
+            ),
+            d AS (
+                SELECT doc_id, text, length(text) AS n
+                FROM documents WHERE length(text) > 0
+            ),
+            cp2 AS (
+                SELECT doc_id, i,
+                       CAST(ord(substring(text, CAST(i AS INT), 1))
+                            AS HUGEINT) AS cp
+                FROM (SELECT doc_id, unnest(generate_series(1, n)) AS i,
+                             text
+                      FROM d)
+            ),
+            ends AS (
+                SELECT doc_id, unnest(generate_series(16, n)) AS e
+                FROM d WHERE n >= 16
+            ),
+            wh AS (
+                SELECT en.doc_id, en.e,
+                       SUM((c.cp * p.p) % 2305843009213693951)
+                         % 2305843009213693951 AS h
+                FROM ends en
+                JOIN cp2 c ON c.doc_id = en.doc_id
+                          AND c.i > en.e - 16 AND c.i <= en.e
+                JOIN pw p ON p.j = en.e - c.i
+                GROUP BY en.doc_id, en.e
+            ),
+            ce AS (
+                SELECT DISTINCT doc_id, e FROM (
+                  SELECT doc_id, e FROM wh WHERE h % 64 = 0
+                  UNION ALL
+                  SELECT doc_id, n AS e FROM d)
+            ),
+            ch AS (
+                SELECT doc_id, e AS cend,
+                       COALESCE(lag(e) OVER (PARTITION BY doc_id
+                                             ORDER BY e), 0) AS cprev
+                FROM ce
+            ),
+            chunks AS (
+                SELECT ch.doc_id, ch.cprev + 1 AS cstart,
+                       ch.cend - ch.cprev AS clen,
+                       substring(d.text, CAST(ch.cprev + 1 AS INT),
+                                 CAST(ch.cend - ch.cprev AS INT)) AS chunk
+                FROM ch JOIN d USING (doc_id)
+            ),
+            ranked AS (
+                SELECT doc_id, clen,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, cstart) AS rn
+                FROM chunks
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_chunks,
+                   CAST(SUM(CASE WHEN rn > 1 THEN clen ELSE 0 END)
+                        AS BIGINT) AS dup_chars
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "q55_semdedup": """
             -- SemDeDup twin (functions/clustering.semdedup): Forgy

@@ -895,3 +895,143 @@ def simhash_neardup_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# --- content-defined-chunking substring dedup --------------------------------
+# The scalable stand-in for suffix-array exact-substring dedup (Lee et al.
+# 2021, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): instead of indexing every position, split each
+# document at CONTENT-DEFINED boundaries — positions where a w-char
+# rolling hash is ≡ 0 (mod D) — so a long substring duplicated across
+# documents produces byte-identical chunks REGARDLESS of alignment, and
+# exact chunk-level dedup finds it.  Mean chunk length ≈ D chars;
+# duplicated runs ≳ 2D chars are detected with high probability.
+# Amplification is ~1x (each char ships in exactly one chunk), vs the
+# ~w× blow-up of shipping every w-gram.  The boundary hash reuses the
+# same base/modulus as the document fingerprint, so the DuckDB oracle
+# (q56) reuses q18's power-table machinery.
+
+CDC_WINDOW = 16
+CDC_DIVISOR = 64
+
+
+def cdc_cut_points(text: str, window: int = CDC_WINDOW,
+                   divisor: int = CDC_DIVISOR) -> list[int]:
+    """Chunk END positions (Python-slice exclusive) for one document —
+    the scalar SPEC twin of the vectorized batch path: cut after char i
+    iff the rolling hash of text[i-w+1 .. i] ≡ 0 (mod divisor); the
+    document end is always a cut.  Same base/mod arithmetic as
+    ``textstats.rolling_fingerprint``."""
+    from .textstats import _B, _MOD
+
+    n = len(text)
+    if n == 0:
+        return []
+    cuts: list[int] = []
+    if n >= window:
+        cps = list(map(ord, text))
+        h = 0
+        for cp in cps[:window]:
+            h = (h * _B + cp) % _MOD
+        pw = pow(_B, window - 1, _MOD)
+        if h % divisor == 0:
+            cuts.append(window)
+        for i in range(window, n):
+            h = ((h - cps[i - window] * pw) * _B + cps[i]) % _MOD
+            if h % divisor == 0:
+                cuts.append(i + 1)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
+def _cdc_occurrences_batch(batch: pa.Table, window: int,
+                           divisor: int) -> pa.Table:
+    """docs → one row per chunk occurrence (chunk, doc_id, start, length).
+    Uses the shared vectorized window-hash machine when the batch is big
+    enough; bit-identical to ``cdc_cut_points`` either way."""
+    from .textstats import _VEC_MIN_CPS, _flat_window_hashes
+
+    texts = [t or "" for t in batch.column("text").to_pylist()]
+    doc_ids = batch.column("doc_id").to_pylist()
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    n = int(lens.sum())
+    vec_ok = n >= _VEC_MIN_CPS
+    if vec_ok:
+        try:
+            flat = "".join(texts).encode("utf-32-le")
+        except UnicodeEncodeError:
+            vec_ok = False
+        else:
+            cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+            hp = _flat_window_hashes(cps, n, window)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    out_doc, out_start, out_len, out_chunk = [], [], [], []
+    for d, (did, text) in enumerate(zip(doc_ids, texts)):
+        ln = int(lens[d])
+        if ln == 0:
+            continue
+        if vec_ok and ln >= window:
+            s = int(starts[d])
+            seg = hp[s:s + ln - window + 1]
+            cuts = (np.flatnonzero(seg % divisor == 0) + window).tolist()
+            if not cuts or cuts[-1] != ln:
+                cuts.append(ln)
+        else:
+            cuts = cdc_cut_points(text, window, divisor)
+        prev = 0
+        for e in cuts:
+            out_doc.append(did)
+            out_start.append(prev)
+            out_len.append(e - prev)
+            out_chunk.append(text[prev:e])
+            prev = e
+    return pa.table({
+        "chunk": pa.array(out_chunk, pa.string()),
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "start": pa.array(out_start, pa.int64()),
+        "length": pa.array(out_len, pa.int64()),
+    })
+
+
+def cdc_substring_dedup(
+    docs: ray.data.Dataset,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> ray.data.Dataset:
+    """Per-document duplicated-substring accounting via content-defined
+    chunks: (doc_id, n_chunks, n_dup_chunks, dup_chars), where a chunk
+    occurrence is a duplicate iff an identical chunk string occurs
+    earlier in (doc_id, start) order anywhere in the corpus
+    (keep-first, the Lee-et-al. remove-all-but-one rule).
+
+    Scale shape: one narrow map emits each char exactly once (inside its
+    chunk), ONE shuffle groups occurrences by chunk string (at 100 TB
+    you would group on a 128-bit chunk digest and verify in-group;
+    grouping on the string keeps the oracle exact here), and the
+    per-doc rollup shuffles only (doc_id, flag, length) triples."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..schema import pd_to_arrow
+
+    occ = docs.map_batches(
+        lambda b: _cdc_occurrences_batch(b, window, divisor),
+        batch_format="pyarrow")
+
+    def mark(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["doc_id", "start"]).reset_index(drop=True)
+        is_dup = np.ones(len(df), dtype=np.int64)
+        is_dup[0] = 0                         # keep-first
+        return pd_to_arrow(pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "is_dup": is_dup,
+            "dup_chars": is_dup * df["length"].astype("int64"),
+        }))
+
+    marked = occ.groupby("chunk").map_groups(mark, batch_format="pandas")
+    return marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("is_dup", alias_name="n_dup_chunks"),
+        Sum("dup_chars", alias_name="dup_chars"),
+    )

@@ -340,32 +340,19 @@ _VEC_MIN_CPS = 1 << 15
 _N_CHUNKS = 16384
 
 
-def rolling_fingerprints_vec(texts: list) -> list[str]:
-    """Vectorized ``rolling_fingerprint`` over a list of texts — identical
-    output (incl. the "0" for empty / None)."""
-    w = 64
-    cleaned = [(t or "") for t in texts]
-    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
-    n = int(lens.sum())
-    if n < _VEC_MIN_CPS:
-        return [rolling_fingerprint(t) for t in cleaned]
-    try:
-        flat = "".join(cleaned).encode("utf-32-le")
-    except UnicodeEncodeError:           # lone surrogates: scalar fallback
-        return [rolling_fingerprint(t) for t in cleaned]
-    cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
-
-    # docs shorter than the window have no rolling phase at all — scalar
-    # (each is < 64 chars; exact same code path as the spec)
-    out = ["0"] * len(cleaned)
-    for i in np.flatnonzero((lens > 0) & (lens < w)):
-        out[i] = rolling_fingerprint(cleaned[i])
-
+def _flat_window_hashes(cps: np.ndarray, n: int, w: int) -> np.ndarray:
+    """Polynomial hash of EVERY w-length window of the flat code-point
+    array: result[a] = hash(cps[a:a+w]) for all a where the window stays
+    inside one document (entries whose window crosses a document boundary
+    — or runs past n — are garbage; callers index only valid per-doc
+    ranges).  The chunked carry-cancellation machine described above;
+    shared by the min-fingerprint and the content-defined-chunking
+    boundary rule."""
     # ---- local prefix hashes, chunk-parallel Horner ----------------------
     # transposed (clen, ncols) layout: every per-step slice is a contiguous
     # row; in-loop reduction is a LAZY single fold (h stays < 2^61 + 3,
     # which the limb math tolerates) — canonicalized once afterwards
-    ncols = min(_N_CHUNKS, n // 256)
+    ncols = max(1, min(_N_CHUNKS, n // max(256, 2 * w)))
     clen = -(-n // ncols)
     pad = ncols * clen - n
     grid = np.ascontiguousarray(
@@ -380,7 +367,7 @@ def rolling_fingerprints_vec(texts: list) -> list[str]:
     p_loc = _redmod(p_loc)                          # canonical, one pass
     del grid
 
-    # ---- window hashes -----------------------------------------------------
+    # ---- window hashes ---------------------------------------------------
     # H over flat window starts a = c*clen + r (chars a..a+w-1).  Same-chunk
     # (r <= clen-w): carries cancel — H = L[r+w-1] - L[r-1]*B^w, pure 2D
     # slices.  H_pad is laid out (ncols, clen) so flat index == a.
@@ -417,7 +404,31 @@ def rolling_fingerprints_vec(texts: list) -> list[str]:
     a_str = a_str[a_str <= n - w]
     if len(a_str):
         hp[a_str] = _submod(p_at(a_str + w), _mulmod(p_at(a_str), pw_w))
-    del p_loc
+    return hp
+
+
+def rolling_fingerprints_vec(texts: list) -> list[str]:
+    """Vectorized ``rolling_fingerprint`` over a list of texts — identical
+    output (incl. the "0" for empty / None)."""
+    w = 64
+    cleaned = [(t or "") for t in texts]
+    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
+    n = int(lens.sum())
+    if n < _VEC_MIN_CPS:
+        return [rolling_fingerprint(t) for t in cleaned]
+    try:
+        flat = "".join(cleaned).encode("utf-32-le")
+    except UnicodeEncodeError:           # lone surrogates: scalar fallback
+        return [rolling_fingerprint(t) for t in cleaned]
+    cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+
+    # docs shorter than the window have no rolling phase at all — scalar
+    # (each is < 64 chars; exact same code path as the spec)
+    out = ["0"] * len(cleaned)
+    for i in np.flatnonzero((lens > 0) & (lens < w)):
+        out[i] = rolling_fingerprint(cleaned[i])
+
+    hp = _flat_window_hashes(cps, n, w)
 
     # ---- per-doc minima: one reduceat over interleaved (start, end) ------
     doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])

@@ -988,3 +988,20 @@ def q55_semdedup(sf_dir: str, k: int = 4, threshold: float = 0.4) -> pa.Table:
     out["keep"] = out["keep"].astype(bool)
     return pa.Table.from_pandas(out[["vec_id", "cluster", "keep"]],
                                 preserve_index=False)
+
+
+def q56_cdc_substring_dedup(sf_dir: str) -> pa.Table:
+    """Content-defined-chunking substring dedup
+    (``functions.dedup.cdc_substring_dedup``): per-doc counts of
+    duplicated chunks under the keep-first rule — the scalable stand-in
+    for suffix-array exact-substring dedup."""
+    from ..functions.dedup import cdc_substring_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (cdc_substring_dedup(docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_chunks", "n_dup_chunks", "dup_chars"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_chunks", "n_dup_chunks", "dup_chars"]],
+        preserve_index=False)

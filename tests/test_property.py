@@ -195,3 +195,31 @@ def test_rolling_fingerprint_vec_forced_path():
         assert T.rolling_fingerprints_vec(texts) == [
             T.rolling_fingerprint(t) for t in texts
         ]
+
+
+# --- CDC chunking: batch path ≡ scalar cut rule, chunks tile the text -------
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="abné中 .", min_size=0, max_size=300),
+                max_size=10))
+def test_cdc_occurrences_match_scalar(texts):
+    from stanford_re_ray.functions.dedup import (_cdc_occurrences_batch,
+                                                 cdc_cut_points)
+
+    # long tail forces the vectorized window-hash path
+    texts = texts + ["padding words here " * 200] * 12
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = list(zip(*(tbl_col.to_pylist() for tbl_col in
+                     _cdc_occurrences_batch(tbl, 16, 64).columns)))
+    exp = []
+    for did, t in enumerate(texts):
+        prev = 0
+        for e in cdc_cut_points(t):
+            exp.append((t[prev:e], did, prev, e - prev))
+            prev = e
+    assert got == exp
+    # chunks tile each doc exactly
+    for did, t in enumerate(texts):
+        rebuilt = "".join(c for c, d, _, _ in exp if d == did)
+        assert rebuilt == t
