@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
+        "q57_dsir_weights": A.q57_dsir_weights,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1407,6 +1408,44 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q57_dsir_weights": """
+            -- twin of functions/mixing.dsir_importance: md5 word buckets
+            -- (mod 4096), per-bucket target(doc_id%97=0)/corpus count
+            -- ratio in ppm via exact round-half-up integer division,
+            -- per-doc token-multiplicity sum, keep iff mean ratio
+            -- >= 1.1% (the target-like upper tail; corpus mean ~1%)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS w
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(w) % 4096 AS BIGINT) AS bkt
+              FROM toks),
+            cnt AS (
+              SELECT bkt,
+                     SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                       AS ct,
+                     COUNT(*) AS cc
+              FROM b GROUP BY bkt),
+            r AS (
+              SELECT bkt,
+                     CAST((2000000 * ct + cc) // (2 * cc) AS BIGINT)
+                       AS ratio_q
+              FROM cnt),
+            sc AS (
+              SELECT b.doc_id, COUNT(*) AS n_tokens,
+                     SUM(r.ratio_q) AS score_q
+              FROM b JOIN r USING (bkt) GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(sc.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(sc.score_q, 0) AS BIGINT) AS score_q,
+                   COALESCE(sc.score_q, 0)
+                     >= 11000 * COALESCE(sc.n_tokens, 0) AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "q56_cdc_substring_dedup": """
             -- twin of functions/dedup.cdc_substring_dedup: cut after

@@ -368,3 +368,105 @@ def curate_corpus(
         lambda b: pa.table({id_col: b.column(id_col),
                             stratum_col: b.column(stratum_col)}),
         batch_format="pyarrow").sort(id_col)
+
+
+# --- DSIR importance weighting ----------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_MOD = 97          # doc_id % 97 == 0 = the target/eval split
+                              # (same convention as decontaminate)
+DSIR_KEEP_RATIO_Q = 11_000    # keep iff mean per-token ratio >= 1.1% (ppm;
+                              # corpus-wide mean is target_frac ~ 1%, so
+                              # this keeps the target-like upper tail)
+
+
+def dsir_importance(
+    docs: ray.data.Dataset,
+    n_buckets: int = DSIR_BUCKETS,
+    target_mod: int = DSIR_TARGET_MOD,
+    keep_ratio_q: int = DSIR_KEEP_RATIO_Q,
+) -> ray.data.Dataset:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    score each document by how target-like its HASHED word-feature
+    distribution is, then keep high scorers.  Hashing the features to a
+    fixed bucket count is the paper's own scale trick — it makes the
+    "language model" a 4096-int table that broadcasts for free no matter
+    the corpus size.
+
+    Quantized-integer variant for exact cross-engine parity: per bucket,
+    ratio_q = round_half_up(1e6 * target_count / corpus_count) computed
+    in pure integer arithmetic ((2e6·ct + cc) // (2·cc)); a document's
+    score_q is the sum of its tokens' bucket ratios (multiplicity
+    counted) and keep ⇔ score_q ≥ keep_ratio_q · n_tokens.  (The paper
+    uses log-ratios; logs are float and would make oracle parity depend
+    on libm — the linear ratio preserves the ranking semantics and is
+    exact.)  Word buckets are md5-derived (``md5_number_upper % B``),
+    the repo's standard cross-engine hash.
+
+    Two passes by nature (DSIR trains on a first pass, scores on a
+    second): pass 1 is a combiner-style bucket-count groupby (≤ B rows
+    per batch shuffle), pass 2 is a stateless map with the ratio table
+    broadcast via ``ray.put``.  Returns (doc_id, n_tokens, score_q,
+    keep) for every document."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def bucketize(words: list[str], cache: dict) -> np.ndarray:
+        out = np.empty(len(words), dtype=np.int64)
+        for i, w in enumerate(words):
+            b = cache.get(w)
+            if b is None:
+                b = cache[w] = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8", "surrogatepass"))
+                    .digest()[:8], "little") % n_buckets
+            out[i] = b
+        return out
+
+    def count_partial(batch: pa.Table, _cache={}) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bkt = bucketize(flat.to_pylist(), _cache)
+        is_t = (ids[parent.to_numpy(zero_copy_only=False)]
+                % target_mod == 0).astype(np.int64) if len(bkt) else \
+            np.zeros(0, dtype=np.int64)
+        cc = np.bincount(bkt, minlength=n_buckets)
+        ct = np.bincount(bkt, weights=is_t, minlength=n_buckets)
+        nz = np.flatnonzero(cc)
+        return pa.table({
+            "bucket": pa.array(nz, pa.int64()),
+            "ct": pa.array(ct[nz].astype(np.int64)),
+            "cc": pa.array(cc[nz].astype(np.int64)),
+        })
+
+    cnt = (docs.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("ct", alias_name="ct"),
+                      Sum("cc", alias_name="cc"))
+           .to_pandas())
+    ratio = np.zeros(n_buckets, dtype=np.int64)
+    b = cnt["bucket"].to_numpy()
+    ct = cnt["ct"].to_numpy().astype(np.int64)
+    cc = cnt["cc"].to_numpy().astype(np.int64)
+    ratio[b] = (2_000_000 * ct + cc) // (2 * cc)   # round-half-up ppm
+    ref = ray.put(ratio)
+
+    def score(batch: pa.Table, _cache={}) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        r = fetch(ref)
+        parent, flat = _tokenize_column(batch.column("text"))
+        bkt = bucketize(flat.to_pylist(), _cache)
+        pn = parent.to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        n_tok = np.bincount(pn, minlength=n).astype(np.int64)
+        sc = np.bincount(pn, weights=r[bkt],
+                         minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "score_q": pa.array(sc),
+            "keep": pa.array(sc >= keep_ratio_q * n_tok),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -1005,3 +1005,20 @@ def q56_cdc_substring_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "n_chunks", "n_dup_chunks", "dup_chars"]],
         preserve_index=False)
+
+
+def q57_dsir_weights(sf_dir: str) -> pa.Table:
+    """DSIR-style importance weights (``functions.mixing.dsir_importance``):
+    hashed-word-bucket target/corpus ratio scores with a quantized-integer
+    keep rule."""
+    from ..functions.mixing import dsir_importance
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (dsir_importance(docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_tokens", "score_q"):
+        out[c] = out[c].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_tokens", "score_q", "keep"]],
+        preserve_index=False)
