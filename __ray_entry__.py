@@ -958,11 +958,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "q16_embedding_neardup": """
+            -- banded sign-LSH (16 bands x 4 bits, OR-amplified) twin of
+            -- functions/dedup.embedding_neardup_pairs: candidates share
+            -- any band bucket; exact cosine >= 0.4 verifies
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),
             dims AS (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))
                      AS dim),
-            bits AS (SELECT unnest(range(3)) AS bit),
+            bits AS (SELECT unnest(range(64)) AS bit),
             proj AS (
               -- md5_number_upper/2^63 - 1 reproduces the engine's
               -- deterministic sign-LSH projection matrix bitwise
@@ -975,17 +978,21 @@ def oracle_sql() -> dict[str, str]:
                      SUM(e.v[CAST(p.dim AS BIGINT)+1] * p.w) AS dot
               FROM e, proj p GROUP BY e.vec_id, p.bit),
             buckets AS (
-              SELECT vec_id,
+              SELECT vec_id, CAST(bit // 4 AS BIGINT) AS band,
                      SUM(CASE WHEN dot > 0
-                         THEN (1 << CAST(bit AS INTEGER)) ELSE 0 END)
+                         THEN (1 << CAST(bit % 4 AS INTEGER)) ELSE 0 END)
                        AS bucket
-              FROM dots GROUP BY vec_id)
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              FROM dots GROUP BY vec_id, band),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+              FROM buckets a
+              JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.vec_id < b.vec_id)
+            SELECT c.va AS vec_a, c.vb AS vec_b,
                    round(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
-            FROM buckets a
-            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e eb ON eb.vec_id = b.vec_id
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.va
+            JOIN e eb ON eb.vec_id = c.vb
             WHERE list_cosine_similarity(ea.v, eb.v) >= 0.4
               AND NOT isnan(list_cosine_similarity(ea.v, eb.v))
             ORDER BY vec_a, vec_b

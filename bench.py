@@ -103,6 +103,9 @@ def run_bench() -> dict:
         ("q09_exact_dedup", A.q09_exact_dedup),
         ("q10_token_counts", A.q10_token_counts),
         ("q12_ann_topk", A.q12_ann_topk),
+        ("q18_fingerprints", A.q18_fingerprints),
+        ("q55_semdedup", A.q55_semdedup),
+        ("q56_cdc_substring_dedup", A.q56_cdc_substring_dedup),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 

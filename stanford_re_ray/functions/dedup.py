@@ -583,65 +583,127 @@ def _projection_matrix(dim: int, nb: int) -> np.ndarray:
 
 
 def embedding_neardup_pairs(
-    embeddings: ray.data.Dataset, threshold: float = 0.95, n_buckets: int = 8
+    embeddings: ray.data.Dataset, threshold: float = 0.95,
+    n_bands: int = 16, band_bits: int = 4,
 ) -> ray.data.Dataset:
-    """Embedding near-dup: LSH by sign of deterministic random projections →
-    within-bucket exact cosine.  Scale path: more projections = smaller
-    buckets; the all-pairs work is bounded per bucket.
+    """Embedding near-dup via BANDED sign-LSH (OR-amplification) → exact
+    cosine verification on rehydrated candidate pairs.
 
-    The projection matrix is deterministic in (dim, nb) and built ONCE per
-    worker process (module-level memo) — not per batch (r02 verdict item:
-    the per-batch dim×nb md5 double loop was the stage's dominant cost).
-    The generation formula is unchanged, so bucket ids are bit-identical
-    to earlier rounds."""
+    Recall math (and the r03 fix): sign agreement probability for a pair
+    at angle θ is p = 1 - θ/π; a single 3-bit band (the old shape) gives
+    p³ ≈ 0.25 at cosine 0.4 and found ZERO of the fixture's 59 true
+    pairs.  16 bands × 4 bits give 1-(1-p⁴)^16 ≈ 0.94 at t=0.4 and ≈1.0
+    at t=0.95.  The md5 projection formula is UNCHANGED (``proj:i:j``);
+    band b reads sign bits [b·r, (b+1)·r).
+
+    Scale shape: band rows carry only (vec_id, band, bucket) — never the
+    vector; candidate pairs are deduped across bands with one groupby and
+    embeddings are joined BACK with two hash joins (the
+    ``ngram_jaccard_pairs`` rehydration pattern — no driver
+    materialization).  Per-band bucket count is 2^band_bits; raise
+    band_bits to shrink buckets at corpus scale (recall is restored by
+    adding bands)."""
+    from ray.data.aggregate import Count
+
+    from .relational import hash_join
+
+    r = band_bits
+    nb_total = n_bands * r
 
     def project(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        dim = vecs.shape[1] if vecs.ndim == 2 else 0
-        nb = max(1, int(np.log2(max(2, n_buckets))))
-        proj = _projection_matrix(dim, nb)
-        signs = (vecs @ proj) > 0
-        bucket = signs.dot(1 << np.arange(nb)).astype(np.int64)
-        return pa.table(
-            {
-                "vec_id": batch.column("vec_id"),
-                "bucket": pa.array(bucket, pa.int64()),
-                "embedding": batch.column("embedding"),
-            }
-        )
+        vecs = np.array(batch.column("embedding").to_pylist(),
+                        dtype=np.float64)
+        n = batch.num_rows
+        if n == 0 or vecs.ndim != 2:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        proj = _projection_matrix(vecs.shape[1], nb_total)
+        signs = (vecs @ proj) > 0                       # (n, bands*r)
+        weights = (1 << np.arange(r)).astype(np.int64)
+        buckets = signs.reshape(n, n_bands, r) @ weights  # (n, n_bands)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, n_bands)),
+            "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64),
+                                     n)),
+            "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+        })
 
-    def _empty_pairs() -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
+    def explode_pairs(df: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.array(group["embedding"].tolist(), dtype=np.float64)
-        ids = group["vec_id"].tolist()
+        ids = np.sort(df["vec_id"].to_numpy().astype(np.int64))
         if len(ids) < 2:
-            return _empty_pairs()
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        nv = vecs / norms
-        sim = nv @ nv.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sim[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows.append({"vec_a": a, "vec_b": b,
-                                 "cosine": round(float(sim[i, j]), 6)})
-        return pd.DataFrame(rows) if rows else _empty_pairs()
+            return pd_to_arrow(pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64")}))
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd_to_arrow(pd.DataFrame({"vec_a": ids[ii],
+                                         "vec_b": ids[jj]}))
 
-    return (
+    cand = (
         embeddings.map_batches(project, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .groupby(["band", "bucket"])
+        .map_groups(explode_pairs, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])          # dedupe across bands
+        .aggregate(Count(alias_name="__n"))
     )
+
+    emb = embeddings.select_columns(["vec_id", "embedding"])
+    emb_a = emb.map_batches(
+        lambda b: b.rename_columns(["vec_id", "emb_a"]),
+        batch_format="pyarrow")
+    emb_b = emb.map_batches(
+        lambda b: b.rename_columns(["vec_id", "emb_b"]),
+        batch_format="pyarrow")
+
+    def as_a_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch.column("vec_a"),
+                         "vec_b": batch.column("vec_b")})
+
+    with_a = hash_join(cand.map_batches(as_a_key, batch_format="pyarrow"),
+                       emb_a, on="vec_id")
+
+    def as_b_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the null-padded union inside hash_join promotes vec_b to float;
+        # restore int64 so the second join keys/buckets match
+        return pa.table({"vec_id": pc.cast(batch.column("vec_b"),
+                                           pa.int64(), safe=False),
+                         "vec_a": batch.column("vec_id"),
+                         "emb_a": batch.column("emb_a")})
+
+    with_both = hash_join(with_a.map_batches(as_b_key,
+                                             batch_format="pyarrow"),
+                          emb_b, on="vec_id")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_out, b_out, c_out = [], [], []
+        for va, vb, ea, eb in zip(
+            batch.column("vec_a").to_pylist(),
+            batch.column("vec_id").to_pylist(),
+            batch.column("emb_a").to_pylist(),
+            batch.column("emb_b").to_pylist(),
+        ):
+            ea = np.asarray(ea, dtype=np.float64)
+            eb = np.asarray(eb, dtype=np.float64)
+            na, nb_ = np.linalg.norm(ea), np.linalg.norm(eb)
+            if na == 0 or nb_ == 0:
+                continue
+            c = float(ea @ eb / (na * nb_))
+            if c >= threshold:
+                a_out.append(int(va))
+                b_out.append(int(vb))
+                c_out.append(round(c, 6))
+        return pa.table({
+            "vec_a": pa.array(a_out, pa.int64()),
+            "vec_b": pa.array(b_out, pa.int64()),
+            "cosine": pa.array(c_out, pa.float64()),
+        })
+
+    return with_both.map_batches(verify, batch_format="pyarrow")
 
 
 # --- end-to-end corpus dedup (the composed pipeline) -----------------------

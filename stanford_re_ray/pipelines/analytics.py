@@ -1022,3 +1022,17 @@ def q57_dsir_weights(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "n_tokens", "score_q", "keep"]],
         preserve_index=False)
+
+
+def q18_fingerprints(sf_dir: str) -> pa.Table:
+    """Rolling document fingerprints (``textstats.fingerprint_batch`` —
+    the vectorized chunked-prefix kernel); materialized table form for
+    the bench harness (the driver-facing query in ``__ray_entry__``
+    returns the lazy Dataset)."""
+    from ..functions.textstats import fingerprint_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
