@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
+        "q58_cdc_clean": A.q58_cdc_clean,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1415,6 +1416,74 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q58_cdc_clean": """
+            -- q56's chunking, then the Lee-et-al. end state: duplicate
+            -- chunk occurrences removed (keep-first by doc_id, start),
+            -- survivors re-concatenated in position order
+            WITH RECURSIVE pw(j, p) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT j + 1, (p * 1000003) % 2305843009213693951
+                FROM pw WHERE j < 15
+            ),
+            d AS (
+                SELECT doc_id, text, length(text) AS n
+                FROM documents WHERE length(text) > 0
+            ),
+            cp2 AS (
+                SELECT doc_id, i,
+                       CAST(ord(substring(text, CAST(i AS INT), 1))
+                            AS HUGEINT) AS cp
+                FROM (SELECT doc_id, unnest(generate_series(1, n)) AS i,
+                             text
+                      FROM d)
+            ),
+            ends AS (
+                SELECT doc_id, unnest(generate_series(16, n)) AS e
+                FROM d WHERE n >= 16
+            ),
+            wh AS (
+                SELECT en.doc_id, en.e,
+                       SUM((c.cp * p.p) % 2305843009213693951)
+                         % 2305843009213693951 AS h
+                FROM ends en
+                JOIN cp2 c ON c.doc_id = en.doc_id
+                          AND c.i > en.e - 16 AND c.i <= en.e
+                JOIN pw p ON p.j = en.e - c.i
+                GROUP BY en.doc_id, en.e
+            ),
+            ce AS (
+                SELECT DISTINCT doc_id, e FROM (
+                  SELECT doc_id, e FROM wh WHERE h % 64 = 0
+                  UNION ALL
+                  SELECT doc_id, n AS e FROM d)
+            ),
+            ch AS (
+                SELECT doc_id, e AS cend,
+                       COALESCE(lag(e) OVER (PARTITION BY doc_id
+                                             ORDER BY e), 0) AS cprev
+                FROM ce
+            ),
+            chunks AS (
+                SELECT ch.doc_id, ch.cprev + 1 AS cstart,
+                       ch.cend - ch.cprev AS clen,
+                       substring(d.text, CAST(ch.cprev + 1 AS INT),
+                                 CAST(ch.cend - ch.cprev AS INT)) AS chunk
+                FROM ch JOIN d USING (doc_id)
+            ),
+            ranked AS (
+                SELECT doc_id, cstart, clen, chunk,
+                       ROW_NUMBER() OVER (PARTITION BY chunk
+                                          ORDER BY doc_id, cstart) AS rn
+                FROM chunks
+            )
+            SELECT doc_id,
+                   string_agg(CASE WHEN rn = 1 THEN chunk ELSE '' END,
+                              '' ORDER BY cstart) AS clean_text,
+                   CAST(SUM(CASE WHEN rn > 1 THEN clen ELSE 0 END)
+                        AS BIGINT) AS n_removed_chars
+            FROM ranked GROUP BY doc_id ORDER BY doc_id
         """,
         "q57_dsir_weights": """
             -- twin of functions/mixing.dsir_importance: md5 word buckets

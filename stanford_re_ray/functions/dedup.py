@@ -1097,3 +1097,51 @@ def cdc_substring_dedup(
         Sum("is_dup", alias_name="n_dup_chunks"),
         Sum("dup_chars", alias_name="dup_chars"),
     )
+
+
+def cdc_dedup_clean(
+    docs: ray.data.Dataset,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> ray.data.Dataset:
+    """The Lee-et-al. end state on top of ``cdc_substring_dedup``'s
+    accounting: emit each document's CLEANED text — duplicate chunk
+    occurrences (keep-first across the corpus in (doc_id, start) order)
+    removed, surviving chunks re-concatenated in position order.
+    Returns (doc_id, clean_text, n_removed_chars).
+
+    Same shuffle shape as the accounting variant plus one extra
+    (doc_id, start, chunk) groupby to reassemble — chunk payloads move
+    twice, once to the chunk-identity groupby and once to the per-doc
+    reassembly."""
+    from ..schema import pd_to_arrow
+
+    occ = docs.map_batches(
+        lambda b: _cdc_occurrences_batch(b, window, divisor),
+        batch_format="pyarrow")
+
+    def mark(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["doc_id", "start"]).reset_index(drop=True)
+        is_dup = np.ones(len(df), dtype=np.int64)
+        is_dup[0] = 0                         # keep-first
+        return pd_to_arrow(pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "start": df["start"].astype("int64"),
+            "chunk": df["chunk"].astype(str),
+            "is_dup": is_dup,
+        }))
+
+    marked = occ.groupby("chunk").map_groups(mark, batch_format="pandas")
+
+    def reassemble(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("start").reset_index(drop=True)
+        kept = df[df["is_dup"] == 0]
+        return pd_to_arrow(pd.DataFrame({
+            "doc_id": [int(df["doc_id"].iloc[0])],
+            "clean_text": ["".join(kept["chunk"].tolist())],
+            "n_removed_chars": [int(
+                df.loc[df["is_dup"] == 1, "chunk"].str.len().sum())],
+        }))
+
+    return marked.groupby("doc_id").map_groups(reassemble,
+                                               batch_format="pandas")

@@ -1036,3 +1036,19 @@ def q18_fingerprints(sf_dir: str) -> pa.Table:
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["doc_id"] = out["doc_id"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q58_cdc_clean(sf_dir: str) -> pa.Table:
+    """Cleaned corpus after CDC substring dedup
+    (``functions.dedup.cdc_dedup_clean``): duplicate chunks removed,
+    survivors re-concatenated."""
+    from ..functions.dedup import cdc_dedup_clean
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (cdc_dedup_clean(docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_removed_chars"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "clean_text", "n_removed_chars"]],
+        preserve_index=False)

@@ -81,7 +81,7 @@ SQL_CHECKED = [
     "q48_bloom_membership", "q49_hll_distinct",
     "q50_mixture_upsample", "q51_pagerank",
     "q52_perplexity_filter", "q54_curation", "q55_semdedup",
-    "q56_cdc_substring_dedup", "q57_dsir_weights",
+    "q56_cdc_substring_dedup", "q57_dsir_weights", "q58_cdc_clean",
 ]
 
 
