@@ -526,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
         "q58_cdc_clean": A.q58_cdc_clean,
+        "q59_outer_join": A.q59_outer_join,
+        "q60_rollup": A.q60_rollup,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1416,6 +1418,34 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q59_outer_join": """
+            WITH a AS (
+              SELECT o_custkey AS custkey, COUNT(*) AS n_urgent
+              FROM orders WHERE o_orderpriority = '1-URGENT'
+              GROUP BY 1),
+            b AS (
+              SELECT c_custkey AS custkey, c_acctbal
+              FROM customer WHERE c_acctbal < 0)
+            SELECT custkey,
+                   COALESCE(a.n_urgent, 0) AS n_urgent,
+                   round(COALESCE(b.c_acctbal, 0.0), 2) AS acctbal
+            FROM a FULL OUTER JOIN b USING (custkey)
+            ORDER BY custkey
+        """,
+        "q60_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_value,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT l_returnflag, 'ALL',
+                   round(SUM(l_quantity), 2), COUNT(*)
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
         """,
         "q58_cdc_clean": """
             -- q56's chunking, then the Lee-et-al. end state: duplicate

@@ -156,7 +156,9 @@ def hash_join(
     BUCKET (not the key — per-key groups pay pandas-per-group overhead for
     every distinct key), and pandas-merge the two sides inside each bucket.
     One shuffle; bucket size ≈ |rows| / n_buckets.
-    ``how``: inner | left | semi | anti (left-anti).
+    ``how``: inner | left | outer (full) | semi | anti (left-anti).
+    Bucket-local outer is globally correct because every row of a key
+    lands in exactly one bucket.
 
     Skew guardrail: every row of one key must land in one bucket, so a
     pathologically hot key's bucket must fit a worker.  ``salt_keys``
@@ -176,8 +178,10 @@ def hash_join(
         tuple(str(x) for x in (k if isinstance(k, tuple) else (k,))): int(v)
         for k, v in (salt_keys or {}).items()
     }
-    if salt_keys and how in ("semi", "anti"):
-        raise ValueError("salt_keys unsupported for semi/anti joins")
+    if salt_keys and how in ("semi", "anti", "outer"):
+        raise ValueError(
+            "salt_keys unsupported for semi/anti/outer joins "
+            "(replicated right rows would duplicate outputs)")
     max_salt = max(salt_keys.values(), default=1)
     ls = left.schema()
     rs = right.schema()
@@ -188,6 +192,10 @@ def hash_join(
     # Callers that select right columns downstream must pass
     # ``right_schema`` so the degenerate case takes the normal path.
     if ls is None:
+        if how == "outer":
+            return right       # outer keeps the right rows (left cols
+                               # omitted — the documented degenerate-
+                               # schema asymmetry)
         return left            # no left rows → no output rows
     if rs is None and right_schema is not None:
         arrow_schema = (right_schema.base_schema
@@ -196,7 +204,7 @@ def hash_join(
         right = ray.data.from_arrow(arrow_schema.empty_table())
         rs = right.schema()
     if rs is None:
-        if how in ("left", "anti"):
+        if how in ("left", "anti", "outer"):
             return left        # every left row survives (right is empty);
                                # the unknowable right columns are omitted
         return left.limit(0)   # inner/semi with empty right → empty
@@ -304,7 +312,7 @@ def hash_join(
         else:
             out = lg[on + l_only].merge(
                 rg[on + r_only], on=on,
-                how="inner" if how == "inner" else "left"
+                how=how if how in ("inner", "outer") else "left"
             )
         return pd_to_arrow(_restore_int_dtypes(out))
 
@@ -512,3 +520,44 @@ def semi_anti_filter(
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return left.map_batches(flt, batch_format="pyarrow")
+
+
+def rollup_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    all_token: str = "ALL",
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys): sums and counts at every key-prefix level
+    (full keys, each prefix, grand total), subtotal levels marked by
+    ``all_token`` in the rolled-up key columns (string keys only).
+
+    Scale shape: a map-side combiner first collapses each batch to its
+    distinct full-key rows, the (levels+1)x row explosion happens on
+    those TINY partials, and ONE groupby over all key columns finishes —
+    the input never shuffles more than once and never amplifies."""
+    from ray.data.aggregate import Sum
+
+    n = len(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        g = (df.groupby(keys, sort=False, dropna=False)[value_col]
+             .agg(["sum", "count"]).reset_index())
+        levels = []
+        for lvl in range(n + 1):
+            d = g.copy()
+            for k in keys[lvl:]:
+                d[k] = all_token
+            levels.append(d)
+        out = pd.concat(levels, ignore_index=True)
+        out = out.rename(columns={"sum": "__sum", "count": "__n"})
+        out["__n"] = out["__n"].astype("int64")
+        from ..schema import pd_to_arrow
+
+        return pd_to_arrow(out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(keys)
+            .aggregate(Sum("__sum", alias_name="sum_value"),
+                       Sum("__n", alias_name="n_rows")))

@@ -1052,3 +1052,55 @@ def q58_cdc_clean(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "clean_text", "n_removed_chars"]],
         preserve_index=False)
+
+
+def q59_outer_join(sf_dir: str) -> pa.Table:
+    """Full-outer key-partitioned join (``hash_join(how="outer")``):
+    urgent-order counts ⟗ negative-balance customers — unmatched rows
+    survive from BOTH sides, sentinel-filled so the output is
+    null-free for exact cross-engine hashing."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    left = (orders
+            .filter(lambda r: r["o_orderpriority"] == "1-URGENT")
+            .groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
+            .map_batches(lambda b: b.rename_columns(["custkey", "n_urgent"]),
+                         batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def neg_bal(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("c_acctbal"), 0.0)
+        f = batch.filter(m)
+        return pa.table({"custkey": f.column("c_custkey"),
+                         "acctbal": f.column("c_acctbal")})
+
+    right = cust.map_batches(neg_bal, batch_format="pyarrow")
+    out = (hash_join(left, right, on="custkey", how="outer")
+           .to_pandas().sort_values("custkey").reset_index(drop=True))
+    out["custkey"] = out["custkey"].astype("int64")
+    out["n_urgent"] = out["n_urgent"].fillna(0).astype("int64")
+    out["acctbal"] = out["acctbal"].fillna(0.0).round(2)
+    return pa.Table.from_pandas(out[["custkey", "n_urgent", "acctbal"]],
+                                preserve_index=False)
+
+
+def q60_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP aggregation (``functions.relational.rollup_sum``): sums and
+    counts at (flag, status), (flag, ALL), (ALL, ALL) levels in one
+    shuffle over combiner partials."""
+    from ..functions.relational import rollup_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = (rollup_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+           .to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_linestatus", "sum_value", "n_rows"]],
+        preserve_index=False)
