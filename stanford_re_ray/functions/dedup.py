@@ -1069,34 +1069,70 @@ def cdc_substring_dedup(
     (keep-first, the Lee-et-al. remove-all-but-one rule).
 
     Scale shape: one narrow map emits each char exactly once (inside its
-    chunk), ONE shuffle groups occurrences by chunk string (at 100 TB
-    you would group on a 128-bit chunk digest and verify in-group;
-    grouping on the string keeps the oracle exact here), and the
-    per-doc rollup shuffles only (doc_id, flag, length) triples."""
+    chunk), ONE shuffle groups occurrences by a hash BUCKET of the chunk
+    string (a Ray group per distinct chunk would pay pandas-per-group
+    overhead for every chunk — the minhash-collapse pattern; all
+    occurrences of a chunk land in one bucket, so keep-first stays
+    globally correct), and the per-doc rollup shuffles only
+    (doc_id, flag, length) triples.  At 100 TB you would bucket a
+    128-bit chunk digest; bucketing the string keeps the oracle exact
+    here."""
     from ray.data.aggregate import Count, Sum
 
+    marked = _cdc_marked(docs, window, divisor, keep_cols=False)
+    return marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("is_dup", alias_name="n_dup_chunks"),
+        Sum("dup_chars", alias_name="dup_chars"),
+    )
+
+
+#: buckets for the chunk-identity shuffle (and the per-doc reassembly);
+#: size-derived would need an est_rows hint — 256 keeps reduce
+#: parallelism ≥ cluster CPUs at toy scale and bounds per-group pandas
+#: overhead to 256 invocations
+_CDC_BUCKETS = 256
+
+
+def _cdc_marked(docs: ray.data.Dataset, window: int, divisor: int,
+                keep_cols: bool) -> ray.data.Dataset:
+    """Chunk occurrences with the keep-first duplicate flag: one bucketed
+    shuffle on crc32(chunk), vectorized pandas dedupe inside each bucket
+    (``duplicated(keep='first')`` after a (chunk, doc_id, start) sort —
+    deterministic).  ``keep_cols`` retains (start, chunk) for
+    reassembly; otherwise emits the accounting triple."""
     from ..schema import pd_to_arrow
 
     occ = docs.map_batches(
         lambda b: _cdc_occurrences_batch(b, window, divisor),
         batch_format="pyarrow")
 
-    def mark(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["doc_id", "start"]).reset_index(drop=True)
-        is_dup = np.ones(len(df), dtype=np.int64)
-        is_dup[0] = 0                         # keep-first
-        return pd_to_arrow(pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "is_dup": is_dup,
-            "dup_chars": is_dup * df["length"].astype("int64"),
-        }))
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__bucket",
+            pa.array([zlib.crc32(c.encode("utf-8", "surrogatepass"))
+                      % _CDC_BUCKETS
+                      for c in batch.column("chunk").to_pylist()],
+                     pa.int32()))
 
-    marked = occ.groupby("chunk").map_groups(mark, batch_format="pandas")
-    return marked.groupby("doc_id").aggregate(
-        Count(alias_name="n_chunks"),
-        Sum("is_dup", alias_name="n_dup_chunks"),
-        Sum("dup_chars", alias_name="dup_chars"),
-    )
+    def mark_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["chunk", "doc_id", "start"],
+                            kind="mergesort").reset_index(drop=True)
+        is_dup = df["chunk"].duplicated(keep="first").to_numpy() \
+            .astype(np.int64)
+        out = {"doc_id": df["doc_id"].astype("int64"),
+               "is_dup": is_dup}
+        if keep_cols:
+            out["start"] = df["start"].astype("int64")
+            out["chunk"] = df["chunk"].astype(str)
+        else:
+            out["dup_chars"] = is_dup * df["length"].astype("int64")
+        return pd_to_arrow(pd.DataFrame(out))
+
+    return (occ.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: mark_bucket(g.drop(columns="__bucket")),
+                        batch_format="pandas"))
 
 
 def cdc_dedup_clean(
@@ -1111,37 +1147,36 @@ def cdc_dedup_clean(
     Returns (doc_id, clean_text, n_removed_chars).
 
     Same shuffle shape as the accounting variant plus one extra
-    (doc_id, start, chunk) groupby to reassemble — chunk payloads move
-    twice, once to the chunk-identity groupby and once to the per-doc
-    reassembly."""
+    (doc_id, start, chunk) shuffle to reassemble — chunk payloads move
+    twice.  Both shuffles are hash-bucketed (one Ray group per doc
+    would pay pandas-per-group overhead per document); reassembly runs
+    as a vectorized pandas groupby inside each doc bucket."""
     from ..schema import pd_to_arrow
 
-    occ = docs.map_batches(
-        lambda b: _cdc_occurrences_batch(b, window, divisor),
-        batch_format="pyarrow")
+    marked = _cdc_marked(docs, window, divisor, keep_cols=True)
 
-    def mark(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["doc_id", "start"]).reset_index(drop=True)
-        is_dup = np.ones(len(df), dtype=np.int64)
-        is_dup[0] = 0                         # keep-first
-        return pd_to_arrow(pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "start": df["start"].astype("int64"),
-            "chunk": df["chunk"].astype(str),
-            "is_dup": is_dup,
-        }))
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column("doc_id").to_numpy(zero_copy_only=False)
+             % _CDC_BUCKETS).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
-    marked = occ.groupby("chunk").map_groups(mark, batch_format="pandas")
-
-    def reassemble(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values("start").reset_index(drop=True)
+    def reassemble_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["doc_id", "start"],
+                            kind="mergesort").reset_index(drop=True)
         kept = df[df["is_dup"] == 0]
-        return pd_to_arrow(pd.DataFrame({
-            "doc_id": [int(df["doc_id"].iloc[0])],
-            "clean_text": ["".join(kept["chunk"].tolist())],
-            "n_removed_chars": [int(
-                df.loc[df["is_dup"] == 1, "chunk"].str.len().sum())],
-        }))
+        clean = kept.groupby("doc_id", sort=True)["chunk"] \
+            .agg("".join)
+        removed = (df["chunk"].str.len() * df["is_dup"]) \
+            .groupby(df["doc_id"]).sum()
+        out = pd.DataFrame({
+            "doc_id": removed.index.astype("int64"),
+            "clean_text": clean.reindex(removed.index).fillna(""),
+            "n_removed_chars": removed.to_numpy().astype("int64"),
+        })
+        return pd_to_arrow(out.reset_index(drop=True))
 
-    return marked.groupby("doc_id").map_groups(reassemble,
-                                               batch_format="pandas")
+    return (marked.map_batches(add_doc_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(
+                lambda g: reassemble_bucket(g.drop(columns="__bucket")),
+                batch_format="pandas"))
