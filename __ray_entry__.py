@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_cdc_clean": A.q58_cdc_clean,
         "q59_outer_join": A.q59_outer_join,
         "q60_rollup": A.q60_rollup,
+        "q61_range_join": A.q61_range_join,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         # sketch/approximate/model ops (rows-only)
@@ -1418,6 +1419,18 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
+        """,
+        "q61_range_join": """
+            -- keyless band join: identical IEEE arithmetic on both
+            -- sides (one subtract, one compare, round-half-up cents)
+            SELECT p.p_partkey,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(e.value * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM part p JOIN events e
+              ON e.value >= p.p_retailprice - 850.0
+             AND e.value <= p.p_retailprice - 849.5
+            GROUP BY 1 ORDER BY 1
         """,
         "q59_outer_join": """
             WITH a AS (

@@ -561,3 +561,129 @@ def rollup_sum(
             .groupby(keys)
             .aggregate(Sum("__sum", alias_name="sum_value"),
                        Sum("__n", alias_name="n_rows")))
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    n_buckets: int | None = None,
+    bounds: tuple[float, float] | None = None,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Keyless interval join: every (left, right) pair with
+    ``start_col <= value_col <= end_col`` — the band/range join neither
+    Ray Data nor a hash join can express (no equality key).
+
+    Distributed shape: partition the VALUE DOMAIN into ``n_buckets``
+    equal ranges (global min/max of the left column from one streaming
+    aggregate unless ``bounds`` is given).  A left row routes to exactly
+    ONE bucket — so no output dedup is ever needed — while a right
+    interval replicates to every bucket it overlaps (amplification
+    ≈ span/bucket_width + 1; the operator suits short-interval
+    workloads, the classic band-join assumption).  Inside a bucket the
+    left values are sorted once and each interval finds its matches by
+    binary search (searchsorted), never an all-pairs scan.  Bucket
+    routing uses the same arithmetic on both sides, so float fuzz can
+    only co-locate a pair, never separate it; the exact predicate is
+    re-checked by the searchsorted bounds.
+
+    Column names must not overlap between the two sides."""
+    from ray.data.aggregate import Max, Min
+
+    from ..schema import pd_to_arrow
+
+    n_buckets = resolve_n_buckets(n_buckets, est_rows)
+    if bounds is None:
+        mm = left.aggregate(Min(value_col), Max(value_col))
+        lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    shared = set(l_schema.names) & set(r_schema.names)
+    if shared:
+        raise ValueError(f"overlapping columns: {sorted(shared)}; rename first")
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0,
+                       n_buckets - 1)
+
+    def route_left(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        out = batch.append_column(
+            "__bucket", pa.array(bucket_of(v.astype(np.float64)),
+                                 pa.int32()))
+        return out.append_column("__side",
+                                 pa.array(["l"] * batch.num_rows))
+
+    def route_right(batch: pa.Table) -> pa.Table:
+        s = batch.column(start_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b0 = bucket_of(s)
+        b1 = bucket_of(e)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        buckets = (np.arange(int(reps.sum()))
+                   - np.repeat(np.concatenate([[0],
+                                               np.cumsum(reps)[:-1]]), reps)
+                   + np.repeat(b0, reps)).astype(np.int32)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("__bucket", pa.array(buckets, pa.int32()))
+        return out.append_column("__side",
+                                 pa.array(["r"] * len(idx)))
+
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    all_cols = l_cols + r_cols
+    types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    types.update({n: t for n, t in zip(r_schema.names, r_schema.types)})
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in all_cols:
+            cols[c] = (batch.column(c) if c in batch.column_names
+                       else pa.nulls(batch.num_rows, types[c]))
+        cols["__bucket"] = batch.column("__bucket")
+        cols["__side"] = batch.column("__side")
+        return pa.table(cols)
+
+    tagged = left.map_batches(route_left, batch_format="pyarrow") \
+        .map_batches(align, batch_format="pyarrow").union(
+            right.map_batches(route_right, batch_format="pyarrow")
+            .map_batches(align, batch_format="pyarrow"))
+
+    # every bucket casts to the DECLARED schema: the null-padded union
+    # float-ifies integer columns in mixed buckets while a one-sided
+    # bucket would keep int64 — inconsistent block schemas otherwise
+    target = pa.schema([(c, types[c]) for c in all_cols])
+
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
+        lg = g[g["__side"] == "l"][l_cols].sort_values(
+            value_col, kind="mergesort").reset_index(drop=True)
+        rg = g[g["__side"] == "r"][r_cols].reset_index(drop=True)
+        if not len(lg) or not len(rg):
+            return target.empty_table()
+        v = lg[value_col].to_numpy(dtype=np.float64)
+        s = rg[start_col].to_numpy(dtype=np.float64)
+        e = rg[end_col].to_numpy(dtype=np.float64)
+        a = np.searchsorted(v, s, side="left")
+        b = np.searchsorted(v, e, side="right")
+        reps = np.maximum(b - a, 0)
+        r_idx = np.repeat(np.arange(len(rg)), reps)
+        off = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        l_idx = (np.arange(int(reps.sum())) - np.repeat(off, reps)
+                 + np.repeat(a, reps))
+        out = pd.concat([lg.iloc[l_idx].reset_index(drop=True),
+                         rg.iloc[r_idx].reset_index(drop=True)], axis=1)
+        return pd_to_arrow(out).cast(target)
+
+    return tagged.groupby("__bucket").map_groups(
+        lambda g: join_bucket(g.drop(columns="__bucket")),
+        batch_format="pandas")

@@ -1104,3 +1104,48 @@ def q60_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["l_returnflag", "l_linestatus", "sum_value", "n_rows"]],
         preserve_index=False)
+
+
+def q61_range_join(sf_dir: str) -> pa.Table:
+    """Keyless band join (``functions.relational.range_join``): events
+    whose value falls in a half-unit price band derived from each part,
+    rolled up per part.  Cents are round-half-up integers so the
+    aggregate is associative and the oracle exact."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        rp = batch.column("p_retailprice")
+        return pa.table({
+            "p_partkey": batch.column("p_partkey"),
+            "band_lo": pc.subtract(rp, 850.0),
+            "band_hi": pc.subtract(rp, 849.5),
+        })
+
+    joined = range_join(ev, part.map_batches(bands, batch_format="pyarrow"),
+                        "value", "band_lo", "band_hi")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        if "value" not in batch.column_names:   # schema-less empty block
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"p_partkey": batch.column("p_partkey"),
+                         "cents": pa.array(c)})
+
+    out = (joined.map_batches(cents, batch_format="pyarrow")
+           .groupby("p_partkey")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("cents", alias_name="sum_cents"))
+           .to_pandas().sort_values("p_partkey").reset_index(drop=True))
+    for c in ("p_partkey", "n_events", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["p_partkey", "n_events", "sum_cents"]],
+                                preserve_index=False)

@@ -223,3 +223,47 @@ def test_cdc_occurrences_match_scalar(texts):
     for did, t in enumerate(texts):
         rebuilt = "".join(c for c, d, _, _ in exp if d == did)
         assert rebuilt == t
+
+
+# --- range join ≡ quadratic reference ---------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0, max_value=100, allow_nan=False),
+             min_size=0, max_size=40),
+    st.lists(st.tuples(st.floats(min_value=0, max_value=100,
+                                 allow_nan=False),
+                       st.floats(min_value=0, max_value=20,
+                                 allow_nan=False)),
+             min_size=0, max_size=15),
+)
+def test_range_join_matches_reference(values, intervals):
+    import ray
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import range_join
+
+    left = pa.table({"lid": pa.array(range(len(values)), pa.int64()),
+                     "v": pa.array(values, pa.float64())})
+    right = pa.table({
+        "rid": pa.array(range(len(intervals)), pa.int64()),
+        "lo": pa.array([a for a, _ in intervals], pa.float64()),
+        "hi": pa.array([a + w for a, w in intervals], pa.float64()),
+    })
+    if not len(values) or not len(intervals):
+        return
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    out = range_join(rd.from_arrow(left), rd.from_arrow(right),
+                     "v", "lo", "hi", n_buckets=7)
+    tbl = dataset_to_table(out)
+    got = (sorted(zip(tbl.column("lid").to_pylist(),
+                      tbl.column("rid").to_pylist()))
+           if tbl.num_rows else [])
+    exp = sorted(
+        (li, ri)
+        for li, v in enumerate(values)
+        for ri, (a, w) in enumerate(intervals)
+        if a <= v <= a + w
+    )
+    assert got == exp
