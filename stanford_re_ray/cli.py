@@ -96,6 +96,56 @@ def cmd_kg(args) -> int:
     return 1 if res["failed"] else 0
 
 
+def cmd_curate(args) -> int:
+    """One-command corpus curation: quality → exact dedup →
+    decontamination → stratum balance (``mixing.curate_corpus``, the
+    q54-oracled composition), surviving documents optionally
+    PII-scrubbed and written as partitioned Parquet.
+
+    Unlike ``kg`` (per-shard checkpointing), curation is one GLOBAL job
+    by nature — dedup and decontamination are cross-shard decisions —
+    so resume = rerun; the write streams, nothing materializes on the
+    driver."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.mixing import curate_corpus
+    from .functions.relational import hash_join
+
+    shards = sorted(glob.glob(args.docs))
+    if not shards:
+        print(f"no shards match {args.docs}", file=sys.stderr)
+        return 2
+    docs = rd.read_parquet(shards)
+    n_in = docs.count()                   # Parquet metadata, no scan
+    keep = curate_corpus(docs, stratum_col=args.stratum,
+                         est_rows=n_in)
+    ids = keep.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    survivors = hash_join(docs, ids, on="doc_id", how="semi",
+                          est_rows=n_in)
+    if args.pii:
+        from .functions.textstats import pii_scrub_batch
+
+        cols = [c for c in docs.schema().names
+                if c not in ("doc_id", "text")]
+
+        def scrub(batch):
+            import pyarrow as pa
+
+            s = pii_scrub_batch(batch)
+            keep_cols = {c: batch.column(c) for c in cols}
+            return pa.table({"doc_id": s.column("doc_id"),
+                             "text": s.column("text"), **keep_cols})
+
+        survivors = survivors.map_batches(scrub, batch_format="pyarrow")
+    survivors.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "docs_in": n_in,
+                      "docs_out": n_out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="stanford_re_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +171,20 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--lang", default="en",
                    help='language filter; "" keeps all pages')
     k.set_defaults(fn=cmd_kg)
+
+    c = sub.add_parser(
+        "curate",
+        help="quality/dedup/decontaminate corpus curation → Parquet")
+    c.add_argument("--docs", required=True,
+                   help="documents Parquet path or glob "
+                        "(doc_id, text, <stratum> columns)")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--stratum", default="lang",
+                   help="stratum column for the balancing sample")
+    c.add_argument("--pii", action="store_true",
+                   help="scrub emails/IPs/phone-like runs from "
+                        "surviving text")
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -157,3 +157,26 @@ def test_cli_train_then_kg_resume(ray_session, tmp_path, capsys):
     assert rc == 0
     run2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert run2["skipped"] == 2 and run2["processed"] == 0
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    """`curate` runs the composed quality/dedup/decontaminate/balance
+    chain over a documents shard and writes surviving rows (with PII
+    scrubbed) as Parquet."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from stanford_re_ray.cli import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = main(["curate", "--docs", src,
+               "--out", str(tmp_path / "curated"), "--pii"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < stats["docs_out"] < stats["docs_in"]
+    files = glob.glob(str(tmp_path / "curated" / "*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert {"doc_id", "text", "lang"} <= set(t.column_names)
