@@ -116,6 +116,14 @@ def cmd_curate(args) -> int:
     if not shards:
         print(f"no shards match {args.docs}", file=sys.stderr)
         return 2
+    import os
+
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        # write_parquet ADDS files: rerunning into a populated dir would
+        # mix two corpora and double doc_ids
+        print(f"--out {args.out} already exists and is not empty",
+              file=sys.stderr)
+        return 2
     docs = rd.read_parquet(shards)
     n_in = docs.count()                   # Parquet metadata, no scan
     keep = curate_corpus(docs, stratum_col=args.stratum,

@@ -176,11 +176,21 @@ def semdedup(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         nv = vecs / norms
-        sim = nv @ nv.T
-        # keep[i] ⇔ no j < i with cosine ≥ threshold (strict lower
-        # triangle — numpy, no Python pair loop)
-        tri = np.tril(sim >= threshold, k=-1)
-        keep = ~tri.any(axis=1)
+        # keep[i] ⇔ no j < i with cosine ≥ threshold.  Blockwise rows ×
+        # earlier-rows matmul: peak memory is block × n floats, never the
+        # full n × n similarity matrix (a 50k-vector cluster would need
+        # 20 GB dense) — same comparisons, identical output
+        n = len(df)
+        keep = np.ones(n, dtype=bool)
+        block = 512
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            sim = nv[i0:i1] @ nv[:i1].T          # (block, i1)
+            hit = sim >= threshold
+            # mask j >= i within the block's own columns
+            local = np.arange(i0, i1)
+            hit[:, i0:i1] &= local[None, :] < local[:, None]
+            keep[i0:i1] = ~hit.any(axis=1)
         return pd_to_arrow(pd.DataFrame({
             id_col: df[id_col].astype("int64"),
             "cluster": df["cluster"].astype("int64"),

@@ -408,18 +408,20 @@ def dsir_importance(
     per batch shuffle), pass 2 is a stateless map with the ratio table
     broadcast via ``ray.put``.  Returns (doc_id, n_tokens, score_q,
     keep) for every document."""
-    import hashlib
-
     from ray.data.aggregate import Sum
+
+    _CACHE_MAX = 1 << 16          # bound the per-worker token→bucket memo:
+                                  # web-scale vocabularies would otherwise
+                                  # grow it without limit
 
     def bucketize(words: list[str], cache: dict) -> np.ndarray:
         out = np.empty(len(words), dtype=np.int64)
         for i, w in enumerate(words):
             b = cache.get(w)
             if b is None:
-                b = cache[w] = int.from_bytes(
-                    hashlib.md5(w.encode("utf-8", "surrogatepass"))
-                    .digest()[:8], "little") % n_buckets
+                if len(cache) >= _CACHE_MAX:
+                    cache.clear()
+                b = cache[w] = stable_u64(w) % n_buckets
             out[i] = b
         return out
 

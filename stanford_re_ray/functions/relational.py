@@ -168,6 +168,9 @@ def hash_join(
     sub-buckets — the standard skew join.  Only inner/left support
     salting (semi/anti would double-count replicated right rows).
     """
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r} (inner | left | outer "
+                         "| semi | anti)")
     on = [on] if isinstance(on, str) else list(on)
     n_buckets = resolve_n_buckets(n_buckets, est_rows)
     if auto_salt and not salt_keys and how in ("inner", "left"):
@@ -542,6 +545,15 @@ def rollup_sum(
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + [value_col]).to_pandas()
+        # a real key value equal to the subtotal marker would silently
+        # merge with subtotal rows in the final groupby (SQL ROLLUP uses
+        # NULL and is immune) — refuse instead
+        for k in keys:
+            if (df[k] == all_token).any():
+                raise ValueError(
+                    f"rollup_sum: key column {k!r} contains the "
+                    f"all_token value {all_token!r}; pass a different "
+                    "all_token")
         g = (df.groupby(keys, sort=False, dropna=False)[value_col]
              .agg(["sum", "count"]).reset_index())
         levels = []
@@ -596,18 +608,23 @@ def range_join(
     from ..schema import pd_to_arrow
 
     n_buckets = resolve_n_buckets(n_buckets, est_rows)
-    if bounds is None:
-        mm = left.aggregate(Min(value_col), Max(value_col))
-        lo, hi = float(mm[f"min({value_col})"]), float(mm[f"max({value_col})"])
-    else:
-        lo, hi = float(bounds[0]), float(bounds[1])
-    width = (hi - lo) / n_buckets if hi > lo else 1.0
-
     l_schema = left.schema()
     r_schema = right.schema()
     shared = set(l_schema.names) & set(r_schema.names)
     if shared:
         raise ValueError(f"overlapping columns: {sorted(shared)}; rename first")
+    if bounds is None:
+        mm = left.aggregate(Min(value_col), Max(value_col))
+        lo_raw = mm.get(f"min({value_col})") if mm else None
+        if lo_raw is None:                   # empty left → empty join
+            empty = pa.schema(
+                list(zip(l_schema.names, l_schema.types))
+                + list(zip(r_schema.names, r_schema.types))).empty_table()
+            return ray.data.from_arrow(empty)
+        lo, hi = float(lo_raw), float(mm[f"max({value_col})"])
+    else:
+        lo, hi = float(bounds[0]), float(bounds[1])
+    width = (hi - lo) / n_buckets if hi > lo else 1.0
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
         return np.clip(((v - lo) / width).astype(np.int64), 0,
@@ -618,8 +635,10 @@ def range_join(
         out = batch.append_column(
             "__bucket", pa.array(bucket_of(v.astype(np.float64)),
                                  pa.int32()))
-        return out.append_column("__side",
-                                 pa.array(["l"] * batch.num_rows))
+        # explicit string type: an untyped empty pa.array infers Arrow
+        # null and breaks block-schema consistency
+        return out.append_column(
+            "__side", pa.array(["l"] * batch.num_rows, pa.string()))
 
     def route_right(batch: pa.Table) -> pa.Table:
         s = batch.column(start_col).to_numpy(zero_copy_only=False) \
@@ -636,8 +655,8 @@ def range_join(
                    + np.repeat(b0, reps)).astype(np.int32)
         out = batch.take(pa.array(idx))
         out = out.append_column("__bucket", pa.array(buckets, pa.int32()))
-        return out.append_column("__side",
-                                 pa.array(["r"] * len(idx)))
+        return out.append_column(
+            "__side", pa.array(["r"] * len(idx), pa.string()))
 
     l_cols = list(l_schema.names)
     r_cols = list(r_schema.names)

@@ -427,6 +427,8 @@ def rolling_fingerprints_vec(texts: list) -> list[str]:
     out = ["0"] * len(cleaned)
     for i in np.flatnonzero((lens > 0) & (lens < w)):
         out[i] = rolling_fingerprint(cleaned[i])
+    if not (lens >= w).any():
+        return out                  # short-text batch: nothing to roll
 
     hp = _flat_window_hashes(cps, n, w)
 
