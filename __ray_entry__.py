@@ -1420,6 +1420,52 @@ def oracle_sql() -> dict[str, str]:
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
         """,
+        "q19_ivf_topk": """
+            -- full twin of functions/similarity.ivf_topk: md5-derived
+            -- centroids (cosine is scale-invariant, so raw weights rank
+            -- identically to the engine's normalized ones), nearest-
+            -- centroid assignment (ties -> lower list id, matching
+            -- np.argmax), top-4 probe lists for the vec_id=0 query,
+            -- exact cosine top-10 within the probed lists
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            ev AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim,
+                          unnest(v) AS x
+                   FROM e),
+            cents AS (
+              SELECT c.c_id, d.dim,
+                     CAST(md5_number_upper('centroid:' || c.c_id || ':'
+                                           || d.dim) AS DOUBLE)
+                       / 9223372036854775808.0 - 1.0 AS w
+              FROM (SELECT unnest(range(16)) AS c_id) c,
+                   (SELECT unnest(range((SELECT len(v) FROM e LIMIT 1)))
+                    AS dim) d),
+            cn AS (SELECT c_id, sqrt(SUM(w * w)) AS nrm
+                   FROM cents GROUP BY 1),
+            vn AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm
+                   FROM ev GROUP BY 1),
+            dots AS (SELECT ev.vec_id, ct.c_id, SUM(ev.x * ct.w) AS dot
+                     FROM ev JOIN cents ct USING (dim) GROUP BY 1, 2),
+            cosvc AS (SELECT d.vec_id, d.c_id,
+                             d.dot / (vn.nrm * cn.nrm) AS cosv
+                      FROM dots d JOIN vn USING (vec_id)
+                      JOIN cn USING (c_id)),
+            assigned AS (
+              SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cosv DESC, c_id) AS rn
+                FROM cosvc) WHERE rn = 1),
+            probe AS (
+              SELECT c_id FROM cosvc WHERE vec_id = 0
+              ORDER BY cosv DESC, c_id LIMIT 4),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id
+            FROM e JOIN assigned a USING (vec_id)
+                   JOIN probe p ON p.c_id = a.c_id, q
+            ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+            LIMIT 10
+        """,
         "q61_range_join": """
             -- keyless band join: identical IEEE arithmetic on both
             -- sides (one subtract, one compare, round-half-up cents)

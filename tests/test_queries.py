@@ -82,7 +82,7 @@ SQL_CHECKED = [
     "q50_mixture_upsample", "q51_pagerank",
     "q52_perplexity_filter", "q54_curation", "q55_semdedup",
     "q56_cdc_substring_dedup", "q57_dsir_weights", "q58_cdc_clean",
-    "q59_outer_join", "q60_rollup", "q61_range_join",
+    "q59_outer_join", "q60_rollup", "q61_range_join", "q19_ivf_topk",
 ]
 
 
@@ -99,7 +99,6 @@ def test_sql_checked_query(entrymod, duck, name):
 
 
 ROWS_ONLY = [
-    "q19_ivf_topk",
     "q53_bpe_merges",
 ]
 
