@@ -627,8 +627,11 @@ def range_join(
     width = (hi - lo) / n_buckets if hi > lo else 1.0
 
     def bucket_of(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0,
-                       n_buckets - 1)
+        # clip in FLOAT space before the int cast: an interval end far
+        # outside the value domain (e.g. tiny width from a degenerate
+        # domain) would overflow int64 and wrap to INT64_MIN, silently
+        # dropping matches (hypothesis-found)
+        return np.clip((v - lo) / width, 0, n_buckets - 1).astype(np.int64)
 
     def route_left(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
