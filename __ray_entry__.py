@@ -479,60 +479,22 @@ def _embedding_exact_pairs(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_re_ray.pipelines import analytics as A
 
+    # NOTE on ordering: the driver's per-round correctness sweep checks the
+    # FIRST 50 entries in dict order.  Round 3 left 18 entries (the kg_*
+    # family, q13-q19, q22-q24, q33) outside that window with no scoreboard
+    # row, so they are promoted here; 18 redundant exact-twin / simple
+    # aggregate entries (all green in CORRECTNESS_r02/r03 and pytest-gated
+    # in tests/test_queries.py at sf0.001 AND sf0.01) rotate to the tail.
     return {
-        # relational / aggregation primitives (SQL-checked)
-        "q01_pricing_summary": A.q01_pricing_summary,
-        "q02_revenue_by_nation": A.q02_revenue_by_nation,
-        "q03_topk_orders": A.q03_topk_orders,
-        "q04_distinct_brands": A.q04_distinct_brands,
-        "q05_events_hourly": A.q05_events_hourly,
-        "q06_filtered_revenue": A.q06_filtered_revenue,
-        "q07_join_revenue_by_priority": A.q07_join_revenue_by_priority,
-        "q08_customers_without_orders": A.q08_customers_without_orders,
-        # dedup / text analysis (SQL-checked where expressible)
-        "q09_exact_dedup": A.q09_exact_dedup,
-        "q10_token_counts": A.q10_token_counts,
-        "q11_quality_stats": A.q11_quality_stats,
-        "q12_ann_topk": A.q12_ann_topk,
-        "q20_semi_join": A.q20_semi_join,
-        "q21_sessions": A.q21_sessions,
-        "q25_bpe_tokens": A.q25_bpe_tokens,
-        "q26_sliding_windows": A.q26_sliding_windows,
-        "q27_asof_join": A.q27_asof_join,
-        "q28_gopher_quality": A.q28_gopher_quality,
-        "q29_topk_per_group": A.q29_topk_per_group,
-        "q32_pii_scrub": A.q32_pii_scrub,
-        "q34_running_totals": A.q34_running_totals,
-        "q35_hash_sample": A.q35_hash_sample,
-        "q30_median_by_flag": A.q30_median_by_flag,
-        "q31_distinct_suppliers": A.q31_distinct_suppliers,
-        "q36_vocab_heavy_hitters": A.q36_vocab_heavy_hitters,
-        "q37_tfidf_topk": A.q37_tfidf_topk,
-        "q38_line_dedup": A.q38_line_dedup,
-        "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
-        "q40_inverted_index": A.q40_inverted_index,
-        "q41_kmeans": A.q41_kmeans,
-        "q42_bigram_lm": A.q42_bigram_lm,
-        "q43_decontaminate": A.q43_decontaminate,
-        "q44_props_field_stats": A.q44_props_field_stats,
-        "q45_stratified_sample": A.q45_stratified_sample,
-        "q46_sequence_packing": A.q46_sequence_packing,
-        "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
-        "q50_mixture_upsample": A.q50_mixture_upsample,
-        "q51_pagerank": A.q51_pagerank,
-        "q52_perplexity_filter": A.q52_perplexity_filter,
-        "q54_curation": A.q54_curation,
-        "q55_semdedup": A.q55_semdedup,
-        "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
-        "q57_dsir_weights": A.q57_dsir_weights,
-        "q58_cdc_clean": A.q58_cdc_clean,
-        "q59_outer_join": A.q59_outer_join,
-        "q60_rollup": A.q60_rollup,
-        "q61_range_join": A.q61_range_join,
-        "q48_bloom_membership": A.q48_bloom_membership,
-        "q49_hll_distinct": A.q49_hll_distinct,
-        # sketch/approximate/model ops (rows-only)
-        "q53_bpe_merges": A.q53_bpe_merges,
+        # KG pipeline (rows-only: model-driven extraction)
+        "kg_triples": kg_triples,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_triples_mimlre": kg_triples_mimlre,
+        "kg_triples_hoffmann": kg_triples_hoffmann,
+        "kg_doc_ner_stats": kg_doc_ner_stats,
+        "kg_extract_text": kg_extract_text,
+        # dedup / similarity family (SQL-checked)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
         "q15_ngram_jaccard_pairs": _ngram_pairs,
@@ -545,14 +507,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_ngram_jaccard_exact": _ngram_exact_pairs,
         "q24_embedding_cosine_exact": _embedding_exact_pairs,
         "q33_ivf_full_topk": _ivf_full_topk,
-        # KG pipeline (rows-only: model-driven extraction)
-        "kg_triples": kg_triples,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
-        "kg_triples_mimlre": kg_triples_mimlre,
-        "kg_triples_hoffmann": kg_triples_hoffmann,
-        "kg_doc_ner_stats": kg_doc_ner_stats,
-        "kg_extract_text": kg_extract_text,
+        # red in r3 (oracle dtype rendering, fixed): keep in-window
+        "q42_bigram_lm": A.q42_bigram_lm,
+        "q44_props_field_stats": A.q44_props_field_stats,
+        "q52_perplexity_filter": A.q52_perplexity_filter,
+        # relational / aggregation primitives (SQL-checked)
+        "q01_pricing_summary": A.q01_pricing_summary,
+        "q02_revenue_by_nation": A.q02_revenue_by_nation,
+        "q05_events_hourly": A.q05_events_hourly,
+        "q07_join_revenue_by_priority": A.q07_join_revenue_by_priority,
+        "q09_exact_dedup": A.q09_exact_dedup,
+        "q10_token_counts": A.q10_token_counts,
+        "q11_quality_stats": A.q11_quality_stats,
+        "q12_ann_topk": A.q12_ann_topk,
+        "q21_sessions": A.q21_sessions,
+        "q27_asof_join": A.q27_asof_join,
+        "q28_gopher_quality": A.q28_gopher_quality,
+        "q32_pii_scrub": A.q32_pii_scrub,
+        "q37_tfidf_topk": A.q37_tfidf_topk,
+        "q41_kmeans": A.q41_kmeans,
+        "q43_decontaminate": A.q43_decontaminate,
+        "q45_stratified_sample": A.q45_stratified_sample,
+        "q46_sequence_packing": A.q46_sequence_packing,
+        "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
+        "q50_mixture_upsample": A.q50_mixture_upsample,
+        "q51_pagerank": A.q51_pagerank,
+        "q62_pagerank_dangling": A.q62_pagerank_dangling,
+        "q54_curation": A.q54_curation,
+        "q55_semdedup": A.q55_semdedup,
+        "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
+        "q57_dsir_weights": A.q57_dsir_weights,
+        "q58_cdc_clean": A.q58_cdc_clean,
+        "q59_outer_join": A.q59_outer_join,
+        "q60_rollup": A.q60_rollup,
+        "q61_range_join": A.q61_range_join,
+        # --- tail (entry 51+): outside the driver window this round; all
+        # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q03_topk_orders": A.q03_topk_orders,
+        "q04_distinct_brands": A.q04_distinct_brands,
+        "q06_filtered_revenue": A.q06_filtered_revenue,
+        "q08_customers_without_orders": A.q08_customers_without_orders,
+        "q20_semi_join": A.q20_semi_join,
+        "q25_bpe_tokens": A.q25_bpe_tokens,
+        "q26_sliding_windows": A.q26_sliding_windows,
+        "q29_topk_per_group": A.q29_topk_per_group,
+        "q30_median_by_flag": A.q30_median_by_flag,
+        "q31_distinct_suppliers": A.q31_distinct_suppliers,
+        "q34_running_totals": A.q34_running_totals,
+        "q35_hash_sample": A.q35_hash_sample,
+        "q36_vocab_heavy_hitters": A.q36_vocab_heavy_hitters,
+        "q38_line_dedup": A.q38_line_dedup,
+        "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
+        "q40_inverted_index": A.q40_inverted_index,
+        "q48_bloom_membership": A.q48_bloom_membership,
+        "q49_hll_distinct": A.q49_hll_distinct,
+        "q53_bpe_merges": A.q53_bpe_merges,
     }
 
 
@@ -1248,7 +1257,8 @@ def oracle_sql() -> dict[str, str]:
             c12 AS (
               SELECT w1, w2, COUNT(*) AS c12
               FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2),
-            c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1)
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+                   FROM c12 GROUP BY 1)
             SELECT c12.w1, c12.w2, c12.c12, c1.c1,
                    CAST(FLOOR(c12.c12 * 1000000.0 / c1.c1 + 0.5)
                         AS BIGINT) AS p_q
@@ -1286,8 +1296,10 @@ def oracle_sql() -> dict[str, str]:
                      CAST(regexp_extract(props, '"k": (\\d+)', 1)
                           AS BIGINT) AS k
               FROM events)
-            SELECT event_type, COUNT(*) AS n, SUM(k) AS sum_k,
-                   SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS n_high
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_high
             FROM e GROUP BY event_type ORDER BY event_type
         """,
         "q45_stratified_sample": """
@@ -1385,6 +1397,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(rank_q AS BIGINT) AS rank_q
             FROM r3 ORDER BY node
         """,
+        "q62_pagerank_dangling": """
+            -- pagerank(redistribute_dangling=True): src % 7 == 0 edges
+            -- dropped so nodes 0,7,... are dangling; each round the
+            -- summed dangling rank is floor-split across all nodes
+            -- INSIDE the damped term (85*(s + dq//n)//100), matching
+            -- the engine's integer fixed-point update exactly
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100
+                AND (event_id % 100) % 7 <> 0),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM edges
+                       UNION ALL SELECT dst FROM edges)),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT)
+                                  // (SELECT n FROM nn) AS rank_q
+                   FROM nodes),
+            d0 AS (SELECT COALESCE(SUM(r.rank_q), 0)
+                            // (SELECT n FROM nn) AS sh
+                   FROM r0 r LEFT JOIN deg d ON d.src = r.node
+                   WHERE d.src IS NULL),
+            r1 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * (COALESCE(c.s, 0) + (SELECT sh FROM d0)) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            d1 AS (SELECT COALESCE(SUM(r.rank_q), 0)
+                            // (SELECT n FROM nn) AS sh
+                   FROM r1 r LEFT JOIN deg d ON d.src = r.node
+                   WHERE d.src IS NULL),
+            r2 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * (COALESCE(c.s, 0) + (SELECT sh FROM d1)) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r1 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            d2 AS (SELECT COALESCE(SUM(r.rank_q), 0)
+                            // (SELECT n FROM nn) AS sh
+                   FROM r2 r LEFT JOIN deg d ON d.src = r.node
+                   WHERE d.src IS NULL),
+            r3 AS (
+  SELECT nodes.node,
+         (15 * CAST(1000000000 AS BIGINT))
+           // (100 * (SELECT n FROM nn))
+         + 85 * (COALESCE(c.s, 0) + (SELECT sh FROM d2)) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r2 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node))
+            SELECT node, CAST(rank_q AS BIGINT) AS rank_q
+            FROM r3 ORDER BY node
+        """,
         "q52_perplexity_filter": """
             WITH lx AS (
               SELECT doc_id,
@@ -1413,10 +1493,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, w1, w2, COUNT(*) AS n FROM big
               WHERE doc_id % 2 = 1 AND w2 IS NOT NULL GROUP BY 1, 2, 3)
             SELECT sc.doc_id,
-                   SUM(CASE WHEN lp_q IS NULL THEN 0
-                            ELSE n * lp_q END) AS lp_total_q,
-                   SUM(n) AS n_bigrams,
-                   SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END) AS n_oov
+                   CAST(SUM(CASE WHEN lp_q IS NULL THEN 0
+                            ELSE n * lp_q END) AS BIGINT) AS lp_total_q,
+                   CAST(SUM(n) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN lp_q IS NULL THEN n ELSE 0 END)
+                        AS BIGINT) AS n_oov
             FROM sc LEFT JOIN lm USING (w1, w2)
             GROUP BY sc.doc_id ORDER BY sc.doc_id
         """,

@@ -32,6 +32,32 @@ def _assign(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1).astype(np.int64)
 
 
+def forgy_min_ids(
+    embeddings: ray.data.Dataset,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The k vectors with the SMALLEST ids, without sorting the table:
+    each batch emits its own ≤ k candidate rows (np.argpartition — no
+    all-to-all Sort operator in the plan), then a driver-side merge over
+    ≤ k × n_batches rows picks the global min-k.  Same output as
+    ``sort(id_col).limit(k)`` at any parallelism; same pattern as
+    ``similarity.brute_force_topk``'s per-batch partial top-k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sel = batch.select([id_col, vec_col])
+        if batch.num_rows <= k:
+            return sel
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.argpartition(ids, k - 1)[:k]
+        return sel.take(pa.array(np.sort(idx), pa.int64()))
+
+    rows = embeddings.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r[vec_col] for r in rows[:k]], dtype=np.float64)
+
+
 def kmeans_fit(
     embeddings: ray.data.Dataset,
     k: int = 4,
@@ -43,14 +69,14 @@ def kmeans_fit(
     after ``n_iter`` assignment+update rounds.
 
     Init is Forgy on a deterministic choice: the k vectors with the
-    SMALLEST ids (distributed sort + limit — no RNG, reproducible at any
-    parallelism).  An empty cluster keeps its previous centroid (the
-    standard convention).  Updates use exact partial sums, so the result
-    is partition-invariant up to float associativity in the final k-row
-    reduce — and that reduce is over ≤ k × n_batches rows combined in
-    sorted batch order, deterministic for a fixed block count."""
-    first = embeddings.sort(id_col).limit(k).take_all()
-    cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    SMALLEST ids (per-batch partial min-k + tiny driver merge — no RNG,
+    no all-to-all sort, reproducible at any parallelism).  An empty
+    cluster keeps its previous centroid (the standard convention).
+    Updates use exact partial sums, so the result is partition-invariant
+    up to float associativity in the final k-row reduce — and that reduce
+    is over ≤ k × n_batches rows combined in sorted batch order,
+    deterministic for a fixed block count."""
+    cents = forgy_min_ids(embeddings, k, id_col=id_col, vec_col=vec_col)
     dim = cents.shape[1] if cents.size else 0
     counts = np.zeros(k, dtype=np.int64)
 
@@ -127,6 +153,7 @@ def semdedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication = k-means clustering + within-cluster cosine near-dup
@@ -148,9 +175,16 @@ def semdedup(
     matmul per batch; the per-cluster verify runs under
     ``groupby("cluster").map_groups`` so only same-cluster vectors ever
     meet.  Returns (vec_id, cluster, keep).
+
+    ``centroids``: pass a trained codebook (e.g. ``kmeans_fit(...)[0]``)
+    for production use — clusters become data-dependent and k scales with
+    the corpus.  Default (None) is the deterministic Forgy min-id init
+    the q55 oracle pins.
     """
-    first = embeddings.sort(id_col).limit(k).take_all()
-    cents = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    if centroids is None:
+        cents = forgy_min_ids(embeddings, k, id_col=id_col, vec_col=vec_col)
+    else:
+        cents = np.asarray(centroids, dtype=np.float64)
     ref = ray.put(cents)
 
     def assign_batch(batch: pa.Table, _ref=ref) -> pa.Table:

@@ -139,6 +139,7 @@ def hash_join(
     right_schema: "pa.Schema | None" = None,
     est_rows: int | None = None,
     auto_salt: bool = False,
+    left_schema: "pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
 
@@ -190,15 +191,24 @@ def hash_join(
     rs = right.schema()
     # an empty dataset downstream of a transform has no inferable schema;
     # resolve the join degenerately rather than crash.  NOTE the schema
-    # asymmetry in the left/anti fallback below: the unknowable right
-    # columns are OMITTED (a schema-known empty right null-pads them).
-    # Callers that select right columns downstream must pass
-    # ``right_schema`` so the degenerate case takes the normal path.
+    # asymmetry in the fallbacks below: the unknowable side's columns are
+    # OMITTED (a schema-known empty side null-pads them).  Callers that
+    # select the other side's columns downstream — in particular EVERY
+    # ``how="outer"`` caller, whose output by definition carries both
+    # sides' columns — must pass ``right_schema`` / ``left_schema`` so
+    # the degenerate case takes the normal (null-padding) path.
+    if ls is None and left_schema is not None:
+        arrow_schema = (left_schema.base_schema
+                        if hasattr(left_schema, "base_schema")
+                        else left_schema)
+        left = ray.data.from_arrow(arrow_schema.empty_table())
+        ls = left.schema()
     if ls is None:
         if how == "outer":
             return right       # outer keeps the right rows (left cols
                                # omitted — the documented degenerate-
-                               # schema asymmetry)
+                               # schema asymmetry; pass left_schema to
+                               # get the full outer schema instead)
         return left            # no left rows → no output rows
     if rs is None and right_schema is not None:
         arrow_schema = (right_schema.base_schema
@@ -530,6 +540,7 @@ def rollup_sum(
     keys: list[str],
     value_col: str,
     all_token: str = "ALL",
+    scale: int | None = None,
 ) -> ray.data.Dataset:
     """GROUP BY ROLLUP(keys): sums and counts at every key-prefix level
     (full keys, each prefix, grand total), subtotal levels marked by
@@ -538,13 +549,26 @@ def rollup_sum(
     Scale shape: a map-side combiner first collapses each batch to its
     distinct full-key rows, the (levels+1)x row explosion happens on
     those TINY partials, and ONE groupby over all key columns finishes —
-    the input never shuffles more than once and never amplifies."""
+    the input never shuffles more than once and never amplifies.
+
+    Determinism: pass ``scale`` (e.g. 100 for cents) to quantize each
+    VALUE to int64 units before the shuffle — the reduction then sums
+    integers, which is associative, and ``sum_value`` comes back as
+    ``int_sum / scale``.  Without ``scale`` the partials ship float64
+    and the final Sum is subject to float non-associativity across
+    block orders: only use that path when ``value_col`` is exactly
+    representable (integers, or dyadic fractions) so every sum is
+    exact."""
     from ray.data.aggregate import Sum
 
     n = len(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + [value_col]).to_pandas()
+        if scale is not None:
+            df[value_col] = (
+                np.floor(df[value_col].to_numpy(dtype=np.float64)
+                         * scale + 0.5).astype(np.int64))
         # a real key value equal to the subtotal marker would silently
         # merge with subtotal rows in the final groupby (SQL ROLLUP uses
         # NULL and is immune) — refuse instead
@@ -569,10 +593,20 @@ def rollup_sum(
 
         return pd_to_arrow(out)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(keys)
-            .aggregate(Sum("__sum", alias_name="sum_value"),
-                       Sum("__n", alias_name="n_rows")))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(keys)
+           .aggregate(Sum("__sum", alias_name="sum_value"),
+                      Sum("__n", alias_name="n_rows")))
+    if scale is None:
+        return agg
+
+    def unscale(batch: pa.Table) -> pa.Table:
+        sv = batch.column("sum_value").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.column_names.index("sum_value"), "sum_value",
+            pa.array(sv.astype(np.float64) / scale, pa.float64()))
+
+    return agg.map_batches(unscale, batch_format="pyarrow")
 
 
 def range_join(
@@ -650,7 +684,11 @@ def range_join(
             .astype(np.float64)
         b0 = bucket_of(s)
         b1 = bucket_of(e)
-        reps = (b1 - b0 + 1).astype(np.int64)
+        # clamp: an inverted interval (end < start) whose endpoints land
+        # in different buckets would give negative reps and crash
+        # np.repeat — SQL BETWEEN semantics say such rows match nothing,
+        # so route them nowhere (join_bucket already clamps its side)
+        reps = np.maximum((b1 - b0 + 1).astype(np.int64), 0)
         idx = np.repeat(np.arange(batch.num_rows), reps)
         buckets = (np.arange(int(reps.sum()))
                    - np.repeat(np.concatenate([[0],

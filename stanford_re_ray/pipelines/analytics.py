@@ -932,6 +932,40 @@ def q51_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
                                 preserve_index=False)
 
 
+def q62_pagerank_dangling(sf_dir: str, n_iter: int = 3) -> pa.Table:
+    """PageRank with dangling-mass redistribution
+    (``pagerank(redistribute_dangling=True)``): the standard formulation
+    where zero-out-degree nodes' rank is split evenly (integer floor)
+    into every node's damped term each round.  The edge list drops all
+    edges whose src ≡ 0 (mod 7), so nodes 0, 7, … receive rank but emit
+    none — real dangling mass the q51 variant would silently drop."""
+    from ..pipelines.graph_ops import pagerank
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = (src != dst) & (src % 7 != 0)
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+    n_events = _row_count(sf_dir, "events")
+    out = pagerank(edge_ds, n_iter=n_iter, est_rows=n_events,
+                   redistribute_dangling=True).to_pandas()
+    for c in ("node", "rank_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "rank_q"]],
+                                preserve_index=False)
+
+
 def q52_perplexity_filter(sf_dir: str) -> pa.Table:
     """Bigram-LM quality scoring (``functions.corpus.perplexity_scores``):
     LM trained on even-id docs, odd-id docs scored; integer-quantized
@@ -1095,7 +1129,8 @@ def q60_rollup(sf_dir: str) -> pa.Table:
 
     li = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity"])
-    out = (rollup_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    out = (rollup_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                      scale=100)
            .to_pandas()
            .sort_values(["l_returnflag", "l_linestatus"])
            .reset_index(drop=True))

@@ -322,6 +322,7 @@ def pagerank(
     n_iter: int = 3,
     scale: int = 1_000_000_000,
     est_rows: int | None = None,
+    redistribute_dangling: bool = False,
 ) -> ray.data.Dataset:
     """Distributed PageRank over an integer (src, dst) edge list — the
     iterative message-passing centrality the closure operators above
@@ -332,9 +333,17 @@ def pagerank(
     ``(15·scale) // (100·N) + 85·Σcontrib // 100`` — every shuffle
     reduction is an associative int SUM, so the result is bit-identical
     at any parallelism AND cross-engine (the SQL oracle unrolls the same
-    iterations with the same floor divisions).  Dangling-node mass is
-    dropped (standard simplification); every node keeps the teleport
-    floor.
+    iterations with the same floor divisions).
+
+    Dangling-node mass: by default DROPPED (a documented simplification;
+    every node keeps the teleport floor).  Pass
+    ``redistribute_dangling=True`` for the standard formulation — each
+    round the summed rank of zero-out-degree nodes is split evenly
+    (floor) across all nodes inside the damped term:
+    ``rank' = base + 85·(Σcontrib + dangling_q // N) // 100``.  The
+    dangling sum is an associative int SUM (bit-identical at any
+    parallelism); in the Pregel path it costs one tiny per-round driver
+    sync over ≤ n_buckets partial rows, never an extra shuffle.
 
     Scale shape per iteration: one key-partitioned hash join ships the
     rank vector onto the edges (no broadcast — at web scale the rank
@@ -385,6 +394,8 @@ def pagerank(
         # edge list stays distributed; only the node-sized vector moves.
         rank_vec = {n: init_q for n in
                     (r["node"] for r in nodes.take_all())}
+        out_nodes = ({r["src"] for r in deg.take_all()}
+                     if redistribute_dangling else set())
         for _ in range(n_iter):
             ref = ray.put(rank_vec)
 
@@ -403,7 +414,12 @@ def pagerank(
                     .groupby("node").aggregate(Sum("c", alias_name="s"))
                     .take_all())
             got = {r["node"]: r["s"] for r in sums}
-            rank_vec = {n: base + 85 * got.get(n, 0) // 100
+            share = 0
+            if redistribute_dangling:
+                dang_q = sum(v for n, v in rank_vec.items()
+                             if n not in out_nodes)
+                share = dang_q // n_nodes
+            rank_vec = {n: base + 85 * (got.get(n, 0) + share) // 100
                         for n in rank_vec}
         items = sorted(rank_vec.items())
         return ray.data.from_arrow(pa.table({
@@ -466,11 +482,14 @@ def pagerank(
               .union(nodes.map_batches(tag_nodes, batch_format="pyarrow"))
               .materialize())
 
-    def make_round(first: bool, last: bool):
+    def make_round(first: bool, last: bool, dang_share: int = 0):
         def rnd(g):
             """One bucket, one round: ranks for owned nodes from incoming
             messages (or uniform init on the first round), then either
-            the final rank rows or the combined outgoing messages."""
+            the final rank rows or the combined outgoing messages — plus,
+            under redistribute_dangling, one side="d" partial row holding
+            this bucket's summed dangling-node rank (the driver folds the
+            ≤ n_buckets partials into next round's dang_share)."""
             import pandas as pd
 
             e = g[g["side"] == "e"]
@@ -483,14 +502,25 @@ def pagerank(
                 sums = m.groupby("node")["c"].sum()
                 s = sums.reindex(owned.to_numpy(), fill_value=0).astype(
                     np.int64)
-                rank = base + 85 * s // 100
+                rank = base + 85 * (s + np.int64(dang_share)) // 100
             if last:
                 out = pd.DataFrame({
                     "node": rank.index.to_numpy(np.int64),
                     "rank_q": rank.to_numpy(np.int64),
                 })
                 return pd_to_arrow(out)
+            extra = []
+            if redistribute_dangling and len(rank):
+                dang = rank[~rank.index.isin(e["node"].to_numpy())]
+                extra.append(pd.DataFrame({
+                    "side": ["d"], "node": [np.int64(0)],
+                    "dst": [np.int64(0)], "deg": [np.int64(0)],
+                    "c": [np.int64(dang.sum())],
+                    "__bucket": [np.int32(0)],
+                }))
             if len(e) == 0:
+                if extra:
+                    return pd_to_arrow(extra[0])
                 # explicit Arrow types: an empty pandas object column
                 # would surface as Arrow null and break schema unification
                 return pa.table({
@@ -508,20 +538,25 @@ def pagerank(
             comb = msg.groupby("node", as_index=False)["c"].sum()
             dsts = comb["node"].to_numpy(np.int64)
             zeros = np.zeros(len(comb), np.int64)
-            return pd_to_arrow(pd.DataFrame({
+            out = pd.DataFrame({
                 "side": "m",
                 "node": dsts,
                 "dst": zeros,
                 "deg": zeros,
                 "c": comb["c"].to_numpy(np.int64),
                 "__bucket": _bucket_of(dsts),
-            }))
+            })
+            if extra:
+                out = pd.concat([out] + extra, ignore_index=True)
+            return pd_to_arrow(out)
         return rnd
 
     state = static
+    dang_share = 0
     for t in range(n_iter + 1):
         out = state.groupby("__bucket").map_groups(
-            make_round(first=(t == 0), last=(t == n_iter)),
+            make_round(first=(t == 0), last=(t == n_iter),
+                       dang_share=dang_share),
             batch_format="pandas")
         if t == n_iter:
             return out.sort("node")
@@ -529,5 +564,15 @@ def pagerank(
         # lineage otherwise re-executes every prior round each time the
         # next one inspects schemas (measured geometric blowup)
         msgs = out.materialize()
+        if redistribute_dangling:
+            import pyarrow.compute as _pc
+
+            drows = msgs.map_batches(
+                lambda b: b.filter(_pc.equal(b.column("side"), "d")),
+                batch_format="pyarrow").take_all()
+            dang_share = sum(r["c"] for r in drows) // n_nodes
+            msgs = msgs.map_batches(
+                lambda b: b.filter(_pc.not_equal(b.column("side"), "d")),
+                batch_format="pyarrow")
         state = static.union(msgs)
     raise AssertionError("unreachable")

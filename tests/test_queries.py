@@ -1,13 +1,17 @@
 """Driver-contract conformance: every SQL-checked ``queries()`` entry must
-match its ``oracle_sql()`` DuckDB result (row count + columns +
-order-insensitive values) on /root/testdata/sf0.001; rows-only entries must
-produce stable, non-erroring output."""
+match its ``oracle_sql()`` DuckDB result EXACTLY (row count + columns +
+order-insensitive values, dtype-kind-sensitive) on /root/testdata/sf0.001
+AND sf0.01 — the driver checks at sf0.01 with an exact value hash, so an
+int64 engine column vs a float64-rendered oracle column (DuckDB HUGEINT)
+is a FAILURE here, as it is there.  Round-3 shipped three red rows
+(q42/q44/q52) precisely because the old comparator used
+``check_dtype=False, atol=1e-9``; this one would have caught them."""
 
 import numpy as np
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -24,16 +28,22 @@ def entrymod(ray_session):
     return m
 
 
+@pytest.fixture(scope="module", params=SF_DIRS, ids=["sf0.001", "sf0.01"])
+def sf_dir(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def duck():
+def duck(sf_dir):
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return con
+    yield con
+    con.close()
 
 
 def _to_pandas(result) -> pd.DataFrame:
@@ -49,13 +59,24 @@ def _to_pandas(result) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form for an EXACT, dtype-kind-sensitive compare.
+
+    Integer widths collapse to int64 and datetimes to int64 epoch-ns, but
+    int-vs-float is preserved (that distinction is exactly what the
+    driver's value hash sees when DuckDB renders HUGEINT sums as float64).
+    Floats are NOT rounded: the repo's float policy already rounds on both
+    sides inside the queries/oracles, so surviving values must be
+    bit-equal.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = np.round(df[c].astype("float64"), 9)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
@@ -83,19 +104,26 @@ SQL_CHECKED = [
     "q52_perplexity_filter", "q54_curation", "q55_semdedup",
     "q56_cdc_substring_dedup", "q57_dsir_weights", "q58_cdc_clean",
     "q59_outer_join", "q60_rollup", "q61_range_join", "q19_ivf_topk",
+    "q62_pagerank_dangling",
 ]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
-def test_sql_checked_query(entrymod, duck, name):
-    ours = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+def test_sql_checked_query(entrymod, duck, sf_dir, name):
+    ours = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
     oracle = _canon(duck.execute(entrymod.oracle_sql()[name]).fetchdf())
     assert list(ours.columns) == list(oracle.columns), (
         f"{name} columns {list(ours.columns)} != {list(oracle.columns)}"
     )
     assert len(ours) == len(oracle), f"{name} rows {len(ours)} != {len(oracle)}"
+    for c in ours.columns:
+        ok, oc = ours[c].dtype.kind, oracle[c].dtype.kind
+        assert ok == oc, (
+            f"{name}.{c} dtype kind {ours[c].dtype} != oracle {oracle[c].dtype}"
+            " (driver hash is dtype-sensitive — CAST the oracle aggregate)"
+        )
     pd.testing.assert_frame_equal(ours, oracle, check_dtype=False,
-                                  check_exact=False, rtol=0, atol=1e-9)
+                                  check_exact=True)
 
 
 ROWS_ONLY = [
@@ -104,8 +132,8 @@ ROWS_ONLY = [
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query(entrymod, name):
-    df = _to_pandas(entrymod.queries()[name](SF_DIR))
+def test_rows_only_query(entrymod, sf_dir, name):
+    df = _to_pandas(entrymod.queries()[name](sf_dir))
     assert df is not None
     assert len(df.columns) > 0
 

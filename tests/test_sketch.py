@@ -133,3 +133,42 @@ def test_pagerank_matches_serial_and_partition_invariant(ray_session,
     finally:
         go.BROADCAST_RANK_LIMIT = old
     assert dict(zip(out2["node"], out2["rank_q"])) == r
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_pagerank_dangling_redistribution(ray_session, blocks):
+    """redistribute_dangling=True == a serial reference that floor-splits
+    the dangling-node rank sum into every damped update; broadcast and
+    Pregel paths bit-identical."""
+    from stanford_re_ray.pipelines.graph_ops import pagerank
+
+    # chain into two sinks: 3 and 4 have no out-edges (dangling)
+    edges = [(0, 1), (1, 2), (2, 3), (0, 4), (1, 4)]
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(blocks)
+    out = pagerank(ds, n_iter=3, redistribute_dangling=True).to_pandas()
+
+    SCALE, N = 1_000_000_000, 5
+    deg = {0: 2, 1: 2, 2: 1}
+    r = {i: SCALE // N for i in range(5)}
+    base = (15 * SCALE) // (100 * N)
+    for _ in range(3):
+        s = {i: 0 for i in range(5)}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        share = (r[3] + r[4]) // N
+        r = {i: base + 85 * (s[i] + share) // 100 for i in range(5)}
+    assert dict(zip(out["node"], out["rank_q"])) == r
+    # dangling mass actually moved: ranks differ from the dropped-mass mode
+    out_drop = pagerank(ds, n_iter=3).to_pandas()
+    assert dict(zip(out_drop["node"], out_drop["rank_q"])) != r
+
+    import stanford_re_ray.pipelines.graph_ops as go
+    old = go.BROADCAST_RANK_LIMIT
+    go.BROADCAST_RANK_LIMIT = 0
+    try:
+        out2 = pagerank(ds, n_iter=3, redistribute_dangling=True).to_pandas()
+    finally:
+        go.BROADCAST_RANK_LIMIT = old
+    assert dict(zip(out2["node"], out2["rank_q"])) == r
