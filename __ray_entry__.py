@@ -38,7 +38,9 @@ _MODEL_CACHE: dict[str, Any] = {}
 #: schema, relations, functions/hashing+relational, …) still invalidates.
 _DIGEST_EXEMPT = frozenset((
     "pipelines/analytics.py",
+    "pipelines/graph_ops.py",
     "functions/corpus.py",
+    "functions/dedup.py",
     "functions/clustering.py",
     "functions/mixing.py",
     "functions/sketch.py",
@@ -529,7 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_decontaminate": A.q43_decontaminate,
         "q45_stratified_sample": A.q45_stratified_sample,
         "q46_sequence_packing": A.q46_sequence_packing,
-        "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
+        "q63_semdedup_trained": A.q63_semdedup_trained,
         "q50_mixture_upsample": A.q50_mixture_upsample,
         "q51_pagerank": A.q51_pagerank,
         "q62_pagerank_dangling": A.q62_pagerank_dangling,
@@ -559,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_line_dedup": A.q38_line_dedup,
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
+        "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         "q53_bpe_merges": A.q53_bpe_merges,
@@ -1801,6 +1804,68 @@ def oracle_sql() -> dict[str, str]:
                              CAST(m.embedding AS DOUBLE[])) >= 0.4
                    ) AS keep
             FROM members m ORDER BY m.vec_id
+        """,
+        "q63_semdedup_trained": """
+            -- SemDeDup over TRAINED centroids: q41's one-Lloyd-iteration
+            -- codebook (rounded to 6 dp, exactly the quantization the
+            -- engine applies before broadcasting), then q55's
+            -- keep-earliest within-cluster cosine dedup against it
+            WITH c0 AS (
+              SELECT vec_id AS c_id, embedding AS c_emb
+              FROM embeddings WHERE vec_id < 4),
+            d0 AS (
+              SELECT v.vec_id, c.c_id,
+                (SELECT SUM((a.x - b.x) * (a.x - b.x))
+                 FROM (SELECT generate_subscripts(v.embedding, 1) i,
+                              unnest(v.embedding) x) a
+                 JOIN (SELECT generate_subscripts(c.c_emb, 1) i,
+                              unnest(c.c_emb) x) b USING (i)) AS d2
+              FROM embeddings v, c0 c),
+            a0 AS (
+              SELECT vec_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_id) AS rn
+              FROM d0),
+            m0 AS (
+              SELECT e.vec_id, a.c_id AS cluster, e.embedding
+              FROM embeddings e JOIN a0 a
+                ON e.vec_id = a.vec_id AND a.rn = 1),
+            cent AS (
+              SELECT cluster AS c_id, list(xr ORDER BY dim) AS c_emb
+              FROM (SELECT cluster, dim, round(AVG(x), 6) AS xr
+                    FROM (SELECT cluster,
+                                 generate_subscripts(embedding, 1) AS dim,
+                                 unnest(embedding) AS x
+                          FROM m0)
+                    GROUP BY cluster, dim)
+              GROUP BY cluster),
+            d1 AS (
+              SELECT v.vec_id, c.c_id,
+                (SELECT SUM((a.x - b.x) * (a.x - b.x))
+                 FROM (SELECT generate_subscripts(v.embedding, 1) i,
+                              unnest(v.embedding) x) a
+                 JOIN (SELECT generate_subscripts(c.c_emb, 1) i,
+                              unnest(c.c_emb) x) b USING (i)) AS d2
+              FROM embeddings v, cent c),
+            a1 AS (
+              SELECT vec_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_id) AS rn
+              FROM d1),
+            m1 AS (
+              SELECT e.vec_id, a.c_id AS cluster, e.embedding
+              FROM embeddings e JOIN a1 a
+                ON e.vec_id = a.vec_id AND a.rn = 1)
+            SELECT m.vec_id, m.cluster,
+                   NOT EXISTS (
+                     SELECT 1 FROM m1 y
+                     WHERE y.cluster = m.cluster
+                       AND y.vec_id < m.vec_id
+                       AND list_cosine_similarity(
+                             CAST(y.embedding AS DOUBLE[]),
+                             CAST(m.embedding AS DOUBLE[])) >= 0.4
+                   ) AS keep
+            FROM m1 m ORDER BY m.vec_id
         """,
         "q54_curation": """
             WITH d AS (

@@ -93,6 +93,13 @@ def run_bench() -> dict:
     timings["warmup"] = round(time.time() - t0, 3)
 
     # --- analytics queries over the sf tables ----------------------------
+    from stanford_re_ray.functions.dedup import minhash_lsh_groups
+
+    def q13_minhash(sf_dir):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return minhash_lsh_groups(docs).count()
+
     for name, fn in [
         ("q01_pricing_summary", A.q01_pricing_summary),
         ("q02_revenue_by_nation", A.q02_revenue_by_nation),
@@ -103,6 +110,7 @@ def run_bench() -> dict:
         ("q09_exact_dedup", A.q09_exact_dedup),
         ("q10_token_counts", A.q10_token_counts),
         ("q12_ann_topk", A.q12_ann_topk),
+        ("q13_minhash_lsh_groups", q13_minhash),
         ("q18_fingerprints", A.q18_fingerprints),
         ("q55_semdedup", A.q55_semdedup),
         ("q56_cdc_substring_dedup", A.q56_cdc_substring_dedup),

@@ -1024,6 +1024,27 @@ def q55_semdedup(sf_dir: str, k: int = 4, threshold: float = 0.4) -> pa.Table:
                                 preserve_index=False)
 
 
+def q63_semdedup_trained(sf_dir: str, k: int = 4,
+                         threshold: float = 0.4) -> pa.Table:
+    """SemDeDup over TRAINED centroids (the production path): one Lloyd
+    iteration of ``kmeans_fit`` refines the Forgy init, the codebook is
+    quantized to 6 dp (so the SQL twin can reproduce it bit-for-bit from
+    ``round(AVG(x), 6)``), and ``semdedup(centroids=...)`` runs the
+    within-cluster keep-earliest cosine dedup against it."""
+    from ..functions.clustering import kmeans_fit, semdedup
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=k, n_iter=1)
+    out = (semdedup(emb, k=k, threshold=threshold,
+                    centroids=np.round(cents, 6))
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    for c in ("vec_id", "cluster"):
+        out[c] = out[c].astype("int64")
+    out["keep"] = out["keep"].astype(bool)
+    return pa.Table.from_pandas(out[["vec_id", "cluster", "keep"]],
+                                preserve_index=False)
+
+
 def q56_cdc_substring_dedup(sf_dir: str) -> pa.Table:
     """Content-defined-chunking substring dedup
     (``functions.dedup.cdc_substring_dedup``): per-doc counts of
