@@ -1010,10 +1010,15 @@ def cdc_cut_points(text: str, window: int = CDC_WINDOW,
 
 
 def _cdc_occurrences_batch(batch: pa.Table, window: int,
-                           divisor: int) -> pa.Table:
+                           divisor: int, with_text: bool = True,
+                           with_digest: bool = False) -> pa.Table:
     """docs → one row per chunk occurrence (chunk, doc_id, start, length).
     Uses the shared vectorized window-hash machine when the batch is big
-    enough; bit-identical to ``cdc_cut_points`` either way."""
+    enough; bit-identical to ``cdc_cut_points`` either way.
+
+    ``with_text=False, with_digest=True`` replaces the chunk string with
+    its 128-bit md5 as two int64 columns (dig_hi, dig_lo) — the
+    shuffle-key form: chunk identity without chunk payload."""
     from .textstats import _VEC_MIN_CPS, _flat_window_hashes
 
     texts = [t or "" for t in batch.column("text").to_pylist()]
@@ -1051,12 +1056,21 @@ def _cdc_occurrences_batch(batch: pa.Table, window: int,
             out_len.append(e - prev)
             out_chunk.append(text[prev:e])
             prev = e
-    return pa.table({
-        "chunk": pa.array(out_chunk, pa.string()),
-        "doc_id": pa.array(out_doc, pa.int64()),
-        "start": pa.array(out_start, pa.int64()),
-        "length": pa.array(out_len, pa.int64()),
-    })
+    cols: dict = {}
+    if with_text:
+        cols["chunk"] = pa.array(out_chunk, pa.string())
+    if with_digest:
+        hi, lo = [], []
+        for c in out_chunk:
+            dd = hashlib.md5(c.encode("utf-8", "surrogatepass")).digest()
+            hi.append(int.from_bytes(dd[:8], "big", signed=True))
+            lo.append(int.from_bytes(dd[8:], "big", signed=True))
+        cols["dig_hi"] = pa.array(hi, pa.int64())
+        cols["dig_lo"] = pa.array(lo, pa.int64())
+    cols["doc_id"] = pa.array(out_doc, pa.int64())
+    cols["start"] = pa.array(out_start, pa.int64())
+    cols["length"] = pa.array(out_len, pa.int64())
+    return pa.table(cols)
 
 
 def cdc_substring_dedup(
@@ -1070,15 +1084,15 @@ def cdc_substring_dedup(
     earlier in (doc_id, start) order anywhere in the corpus
     (keep-first, the Lee-et-al. remove-all-but-one rule).
 
-    Scale shape: one narrow map emits each char exactly once (inside its
-    chunk), ONE shuffle groups occurrences by a hash BUCKET of the chunk
-    string (a Ray group per distinct chunk would pay pandas-per-group
-    overhead for every chunk — the minhash-collapse pattern; all
-    occurrences of a chunk land in one bucket, so keep-first stays
-    globally correct), and the per-doc rollup shuffles only
-    (doc_id, flag, length) triples.  At 100 TB you would bucket a
-    128-bit chunk digest; bucketing the string keeps the oracle exact
-    here."""
+    Scale shape: chunk identity ships as a 128-bit md5 (two int64
+    columns) — the accounting shuffle carries NO text payload at all.
+    ONE shuffle groups occurrences by a hash BUCKET of the digest (a
+    Ray group per distinct chunk would pay pandas-per-group overhead
+    for every chunk — the minhash-collapse pattern; all occurrences of
+    a chunk land in one bucket, so keep-first stays globally correct),
+    and the per-doc rollup shuffles only (doc_id, flag, length)
+    triples.  Digest equality stands in for string equality (md5-128:
+    collision odds ~n²/2¹²⁹ — at 10¹² chunks, ~1e-15)."""
     from ray.data.aggregate import Count, Sum
 
     marked = _cdc_marked(docs, window, divisor, keep_cols=False)
@@ -1099,34 +1113,35 @@ _CDC_BUCKETS = 256
 def _cdc_marked(docs: ray.data.Dataset, window: int, divisor: int,
                 keep_cols: bool) -> ray.data.Dataset:
     """Chunk occurrences with the keep-first duplicate flag: one bucketed
-    shuffle on crc32(chunk), vectorized pandas dedupe inside each bucket
-    (``duplicated(keep='first')`` after a (chunk, doc_id, start) sort —
-    deterministic).  ``keep_cols`` retains (start, chunk) for
-    reassembly; otherwise emits the accounting triple."""
+    shuffle on the chunk's 128-bit md5 — NO chunk text in flight —
+    vectorized pandas dedupe inside each bucket
+    (``duplicated(keep='first')`` after a (digest, doc_id, start) sort —
+    deterministic; md5 sort order per digest is per-chunk order, and
+    keep-first only depends on the per-chunk (doc_id, start) order).
+    ``keep_cols`` retains ``start`` so the clean path can join the flags
+    back onto the chunk text; otherwise emits the accounting triple."""
     from ..schema import pd_to_arrow
 
     occ = docs.map_batches(
-        lambda b: _cdc_occurrences_batch(b, window, divisor),
+        lambda b: _cdc_occurrences_batch(b, window, divisor,
+                                         with_text=False,
+                                         with_digest=True),
         batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__bucket",
-            pa.array([zlib.crc32(c.encode("utf-8", "surrogatepass"))
-                      % _CDC_BUCKETS
-                      for c in batch.column("chunk").to_pylist()],
-                     pa.int32()))
+        b = (batch.column("dig_hi").to_numpy(zero_copy_only=False)
+             % _CDC_BUCKETS).astype(np.int32)
+        return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def mark_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["chunk", "doc_id", "start"],
+        df = df.sort_values(["dig_hi", "dig_lo", "doc_id", "start"],
                             kind="mergesort").reset_index(drop=True)
-        is_dup = df["chunk"].duplicated(keep="first").to_numpy() \
-            .astype(np.int64)
+        is_dup = df.duplicated(subset=["dig_hi", "dig_lo"],
+                               keep="first").to_numpy().astype(np.int64)
         out = {"doc_id": df["doc_id"].astype("int64"),
                "is_dup": is_dup}
         if keep_cols:
             out["start"] = df["start"].astype("int64")
-            out["chunk"] = df["chunk"].astype(str)
         else:
             out["dup_chars"] = is_dup * df["length"].astype("int64")
         return pd_to_arrow(pd.DataFrame(out))
@@ -1148,14 +1163,40 @@ def cdc_dedup_clean(
     removed, surviving chunks re-concatenated in position order.
     Returns (doc_id, clean_text, n_removed_chars).
 
-    Same shuffle shape as the accounting variant plus one extra
-    (doc_id, start, chunk) shuffle to reassemble — chunk payloads move
-    twice.  Both shuffles are hash-bucketed (one Ray group per doc
-    would pay pandas-per-group overhead per document); reassembly runs
-    as a vectorized pandas groupby inside each doc bucket."""
+    Shuffle shape: the identity shuffle (inside ``_cdc_marked``) ships
+    digests only; the chunk TEXT moves exactly ONCE — a second chunking
+    pass over the docs emits (doc_id, start, chunk) rows that union with
+    the narrow (doc_id, start, is_dup) flags into one doc-bucketed
+    shuffle, and a pandas merge on (doc_id, start) inside each bucket
+    re-attaches the flags (chunk boundaries are content-defined, so both
+    passes cut identically).  One Ray group per doc would pay
+    pandas-per-group overhead per document — hence the hash buckets."""
     from ..schema import pd_to_arrow
 
     marked = _cdc_marked(docs, window, divisor, keep_cols=True)
+    texts = docs.map_batches(
+        lambda b: _cdc_occurrences_batch(b, window, divisor),
+        batch_format="pyarrow")
+
+    def tag_marks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "start": batch.column("start"),
+            "is_dup": batch.column("is_dup"),
+            "chunk": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    def tag_texts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "start": batch.column("start"),
+            "is_dup": pa.array(
+                np.full(batch.num_rows, -1, np.int64), pa.int64()),
+            "chunk": batch.column("chunk"),
+        })
+
+    tagged = marked.map_batches(tag_marks, batch_format="pyarrow").union(
+        texts.map_batches(tag_texts, batch_format="pyarrow"))
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
         b = (batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1163,13 +1204,18 @@ def cdc_dedup_clean(
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def reassemble_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["doc_id", "start"],
-                            kind="mergesort").reset_index(drop=True)
-        kept = df[df["is_dup"] == 0]
+        flags = df.loc[df["is_dup"] >= 0, ["doc_id", "start", "is_dup"]]
+        text = df.loc[df["is_dup"] < 0, ["doc_id", "start", "chunk"]]
+        m = text.merge(flags, on=["doc_id", "start"], how="left")
+        if m["is_dup"].isna().any():   # both passes chunk identically
+            raise AssertionError("cdc_dedup_clean: flag/text row mismatch")
+        m = m.sort_values(["doc_id", "start"],
+                          kind="mergesort").reset_index(drop=True)
+        kept = m[m["is_dup"] == 0]
         clean = kept.groupby("doc_id", sort=True)["chunk"] \
             .agg("".join)
-        removed = (df["chunk"].str.len() * df["is_dup"]) \
-            .groupby(df["doc_id"]).sum()
+        removed = (m["chunk"].str.len() * m["is_dup"]) \
+            .groupby(m["doc_id"]).sum()
         out = pd.DataFrame({
             "doc_id": removed.index.astype("int64"),
             "clean_text": clean.reindex(removed.index).fillna(""),
@@ -1177,7 +1223,7 @@ def cdc_dedup_clean(
         })
         return pd_to_arrow(out.reset_index(drop=True))
 
-    return (marked.map_batches(add_doc_bucket, batch_format="pyarrow")
+    return (tagged.map_batches(add_doc_bucket, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(
                 lambda g: reassemble_bucket(g.drop(columns="__bucket")),

@@ -223,6 +223,23 @@ def test_cdc_occurrences_match_scalar(texts):
     for did, t in enumerate(texts):
         rebuilt = "".join(c for c, d, _, _ in exp if d == did)
         assert rebuilt == t
+    # digest form: same rows, chunk replaced by its md5-128 split into
+    # two signed int64s (the payload-free shuffle-key form)
+    import hashlib
+
+    dig = _cdc_occurrences_batch(tbl, 16, 64, with_text=False,
+                                 with_digest=True)
+    assert dig.column_names == ["dig_hi", "dig_lo", "doc_id", "start",
+                                "length"]
+    got_d = list(zip(*(dig.column(c).to_pylist()
+                       for c in dig.column_names)))
+    exp_d = []
+    for c, did, s, ln in exp:
+        dd = hashlib.md5(c.encode("utf-8", "surrogatepass")).digest()
+        exp_d.append((int.from_bytes(dd[:8], "big", signed=True),
+                      int.from_bytes(dd[8:], "big", signed=True),
+                      did, s, ln))
+    assert got_d == exp_d
 
 
 # --- range join ≡ quadratic reference ---------------------------------------
