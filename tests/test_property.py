@@ -250,7 +250,9 @@ def test_cdc_occurrences_match_scalar(texts):
              min_size=0, max_size=40),
     st.lists(st.tuples(st.floats(min_value=0, max_value=100,
                                  allow_nan=False),
-                       st.floats(min_value=0, max_value=20,
+                       # negative widths = inverted intervals: BETWEEN
+                       # matches nothing; routing must not crash
+                       st.floats(min_value=-20, max_value=20,
                                  allow_nan=False)),
              min_size=0, max_size=15),
 )

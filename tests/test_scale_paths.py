@@ -272,6 +272,59 @@ def test_hash_join_empty_sides(ray_session):
         on="k").count() == 0
 
 
+def test_hash_join_degenerate_outer_left_schema(ray_session):
+    """An empty-SCHEMA left (e.g. a fully-filtered upstream) with
+    ``left_schema`` passed takes the normal outer path: the output
+    carries BOTH sides' columns (left ones null), so downstream
+    fillna()/select() callers don't KeyError on degenerate inputs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import hash_join
+
+    empty_left = rd.from_items([])           # schema() is None
+    assert empty_left.schema() is None
+    right = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                    "rv": pa.array([10, 20], pa.int64())}))
+    lsch = pa.schema([("k", pa.int64()), ("lv", pa.int64())])
+    out = hash_join(empty_left, right, on="k", how="outer",
+                    left_schema=lsch).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "rv"]
+    assert len(out) == 2
+    assert out["lv"].isna().all()
+    # without the hatch the documented asymmetry applies: right verbatim
+    out2 = hash_join(rd.from_items([]), right, on="k", how="outer") \
+        .to_pandas()
+    assert sorted(out2.columns) == ["k", "rv"]
+
+
+def test_rollup_sum_scale_quantized(ray_session):
+    """rollup_sum(scale=) quantizes values to integer units before the
+    shuffle (associative reduce) and returns exact sums for
+    scale-representable fractions at any partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import rollup_sum
+
+    vals = [0.25, 1.75, 2.5, 3.25, 0.75, 1.25]
+    flags = ["a", "a", "a", "b", "b", "b"]
+    stat = ["x", "y", "x", "y", "x", "y"]
+    ds = rd.from_arrow(pa.table({
+        "f": pa.array(flags), "s": pa.array(stat),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(3)
+    out = rollup_sum(ds, ["f", "s"], "v", scale=100).to_pandas() \
+        .sort_values(["f", "s"]).reset_index(drop=True)
+    got = {(r.f, r.s): (r.sum_value, r.n_rows) for r in out.itertuples()}
+    assert got[("a", "x")] == (2.75, 2)
+    assert got[("a", "y")] == (1.75, 1)
+    assert got[("a", "ALL")] == (4.5, 3)
+    assert got[("b", "ALL")] == (5.25, 3)
+    assert got[("ALL", "ALL")] == (9.75, 6)
+    assert len(out) == 7   # 4 full + 2 flag subtotals + grand total
+
+
 def test_detect_hot_keys_and_auto_salt(ray_session):
     """detect_hot_keys finds a key holding 50% of rows via the sampled
     pre-pass; auto_salt joins match the unsalted join; and the salted
