@@ -1077,6 +1077,7 @@ def cdc_substring_dedup(
     docs: ray.data.Dataset,
     window: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    est_chunks: int | None = None,
 ) -> ray.data.Dataset:
     """Per-document duplicated-substring accounting via content-defined
     chunks: (doc_id, n_chunks, n_dup_chunks, dup_chars), where a chunk
@@ -1092,10 +1093,15 @@ def cdc_substring_dedup(
     a chunk land in one bucket, so keep-first stays globally correct),
     and the per-doc rollup shuffles only (doc_id, flag, length)
     triples.  Digest equality stands in for string equality (md5-128:
-    collision odds ~n²/2¹²⁹ — at 10¹² chunks, ~1e-15)."""
+    collision odds ~n²/2¹²⁹ — at 10¹² chunks, ~1e-15).
+
+    ``est_chunks`` (≈ corpus chars / 4·window): sizes the identity
+    shuffle's bucket count via ``resolve_n_buckets`` so reduce
+    parallelism scales with the corpus; default 256."""
     from ray.data.aggregate import Count, Sum
 
-    marked = _cdc_marked(docs, window, divisor, keep_cols=False)
+    marked = _cdc_marked(docs, window, divisor, keep_cols=False,
+                         est_chunks=est_chunks)
     return marked.groupby("doc_id").aggregate(
         Count(alias_name="n_chunks"),
         Sum("is_dup", alias_name="n_dup_chunks"),
@@ -1103,15 +1109,16 @@ def cdc_substring_dedup(
     )
 
 
-#: buckets for the chunk-identity shuffle (and the per-doc reassembly);
-#: size-derived would need an est_rows hint — 256 keeps reduce
-#: parallelism ≥ cluster CPUs at toy scale and bounds per-group pandas
-#: overhead to 256 invocations
+#: bucket-count floor for the chunk-identity shuffle (and the per-doc
+#: reassembly): 256 keeps reduce parallelism ≥ cluster CPUs at toy scale
+#: and bounds per-group pandas overhead; pass ``est_chunks`` to the CDC
+#: entry points to scale it with the corpus (resolve_n_buckets)
 _CDC_BUCKETS = 256
 
 
 def _cdc_marked(docs: ray.data.Dataset, window: int, divisor: int,
-                keep_cols: bool) -> ray.data.Dataset:
+                keep_cols: bool,
+                est_chunks: int | None = None) -> ray.data.Dataset:
     """Chunk occurrences with the keep-first duplicate flag: one bucketed
     shuffle on the chunk's 128-bit md5 — NO chunk text in flight —
     vectorized pandas dedupe inside each bucket
@@ -1121,6 +1128,11 @@ def _cdc_marked(docs: ray.data.Dataset, window: int, divisor: int,
     ``keep_cols`` retains ``start`` so the clean path can join the flags
     back onto the chunk text; otherwise emits the accounting triple."""
     from ..schema import pd_to_arrow
+    from .relational import resolve_n_buckets
+
+    n_buckets = (_CDC_BUCKETS if est_chunks is None
+                 else max(_CDC_BUCKETS,
+                          resolve_n_buckets(None, est_chunks)))
 
     occ = docs.map_batches(
         lambda b: _cdc_occurrences_batch(b, window, divisor,
@@ -1130,7 +1142,7 @@ def _cdc_marked(docs: ray.data.Dataset, window: int, divisor: int,
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (batch.column("dig_hi").to_numpy(zero_copy_only=False)
-             % _CDC_BUCKETS).astype(np.int32)
+             % n_buckets).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def mark_bucket(df: pd.DataFrame) -> pa.Table:
@@ -1156,6 +1168,7 @@ def cdc_dedup_clean(
     docs: ray.data.Dataset,
     window: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    est_chunks: int | None = None,
 ) -> ray.data.Dataset:
     """The Lee-et-al. end state on top of ``cdc_substring_dedup``'s
     accounting: emit each document's CLEANED text — duplicate chunk
@@ -1173,7 +1186,8 @@ def cdc_dedup_clean(
     pandas-per-group overhead per document — hence the hash buckets."""
     from ..schema import pd_to_arrow
 
-    marked = _cdc_marked(docs, window, divisor, keep_cols=True)
+    marked = _cdc_marked(docs, window, divisor, keep_cols=True,
+                         est_chunks=est_chunks)
     texts = docs.map_batches(
         lambda b: _cdc_occurrences_batch(b, window, divisor),
         batch_format="pyarrow")

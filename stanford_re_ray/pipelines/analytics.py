@@ -202,7 +202,11 @@ def q07_join_revenue_by_priority(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, orders, on="o_orderkey", how="inner")
+    # est_rows from Parquet footers: reduce parallelism scales with the
+    # data instead of the bare 64-bucket default (under-parallel >16M rows)
+    joined = hash_join(li, orders, on="o_orderkey", how="inner",
+                       est_rows=_row_count(sf_dir, "lineitem")
+                       + _row_count(sf_dir, "orders"))
     out = (
         joined.groupby("o_orderpriority")
         .aggregate(Sum("l_extendedprice", alias_name="revenue"),
