@@ -144,6 +144,26 @@ def test_oracle_keys_subset_of_queries(entrymod):
     assert o <= q
 
 
+def test_driver_window_covers_critical_queries(entrymod):
+    """The driver's correctness sweep checks the FIRST 50 queries()
+    entries (dict order).  Pin the families that must stay in-window so a
+    future reorder can't silently push them off the scoreboard: the
+    model-driven kg_* family, the dedup/similarity family (q13-q19,
+    q22-q24, q33), and the r3-red-now-fixed trio (q42/q44/q52)."""
+    first50 = list(entrymod.queries())[:50]
+    must = {
+        "kg_triples", "kg_nodes", "kg_edges", "kg_triples_mimlre",
+        "kg_triples_hoffmann", "kg_doc_ner_stats", "kg_extract_text",
+        "q13_minhash_lsh_groups", "q14_simhash", "q15_ngram_jaccard_pairs",
+        "q16_embedding_neardup", "q17_langid", "q18_fingerprints",
+        "q19_ivf_topk", "q22_simhash_pairs", "q23_ngram_jaccard_exact",
+        "q24_embedding_cosine_exact", "q33_ivf_full_topk",
+        "q42_bigram_lm", "q44_props_field_stats", "q52_perplexity_filter",
+    }
+    missing = must - set(first50)
+    assert not missing, f"critical queries outside driver window: {missing}"
+
+
 def test_entry_smoke(entrymod):
     res = entrymod.entry()
     df = _to_pandas(res)
