@@ -32,12 +32,25 @@ from ..stages.nlp import Dictionaries, NlpAnnotator
 from ..stages.pairs import PairFeaturizer
 
 
+#: batch_size for every map stage in the fused S1–S5 chain.  batch_size
+#: doubles as Ray Data's ``min_rows_per_bundled_input``, and on a FUSED
+#: task chain the LARGEST stage value wins — one stage asking for 1024
+#: rows coalesced a 4,000-page bench into 4 tasks on a 32-CPU node
+#: (measured 2.7x slower than 64).  64 pages ≈ 50–100 ms of S1–S5 work
+#: per task: fine-grained enough for small inputs, and at real scale it
+#: never splits or coalesces the reader's large parquet blocks — it only
+#: chunks the per-task UDF calls.
+MAP_BATCH_SIZE = 64
+
+
 def extract_stage(pages: ray.data.Dataset, lang: str = "en") -> ray.data.Dataset:
     """S1: html → text (frozen extractor), language filter, drop html."""
-    docs = pages.map_batches(extract_batch, batch_format="pyarrow")
+    docs = pages.map_batches(extract_batch, batch_format="pyarrow",
+                             batch_size=MAP_BATCH_SIZE)
     if lang:
         docs = docs.map_batches(
-            lambda t, _lang=lang: filter_lang(t, _lang), batch_format="pyarrow"
+            lambda t, _lang=lang: filter_lang(t, _lang),
+            batch_format="pyarrow", batch_size=MAP_BATCH_SIZE,
         )
     return docs
 
@@ -60,7 +73,7 @@ def nlp_stage(
     docs: ray.data.Dataset,
     dicts: Dictionaries | None = None,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 256,
+    batch_size: int = MAP_BATCH_SIZE,
     mode: str = "tasks",
     max_sentences: int = 512,
 ) -> ray.data.Dataset:
@@ -102,7 +115,7 @@ def nlp_stage(
 def pairs_stage(
     sentences: ray.data.Dataset,
     clusters: dict[str, str] | None = None,
-    batch_size: int = 512,
+    batch_size: int = MAP_BATCH_SIZE,
     max_pair_distance: int | None = None,
     max_sent_tokens: int | None = None,
     kb_fills: dict | None = None,
@@ -146,7 +159,7 @@ def score_stage(pairs: ray.data.Dataset, model: LRModel,
     return pairs.map_batches(
         MentionScorer(model_ref, keep_threshold=keep_threshold),
         batch_format="pyarrow",
-        batch_size=1024,
+        batch_size=MAP_BATCH_SIZE,
     )
 
 
@@ -698,7 +711,8 @@ def run_kg_pipeline_hoffmann(
     sentences = nlp_stage(docs, dicts)
     pairs = pairs_stage(sentences, clusters)
     scored = pairs.map_batches(HoffmannScorer(ray.put(hoffmann_model)),
-                               batch_format="pyarrow", batch_size=1024)
+                               batch_format="pyarrow",
+                               batch_size=MAP_BATCH_SIZE)
     nb = resolve_n_buckets(n_buckets, None)
     partials = scored.map_batches(
         lambda df, _n=nb: partial_bag_combine(df, _n),

@@ -646,8 +646,13 @@ def miml_score_stage(pairs, model: MimlModel):
     import ray
 
     model_ref = ray.put(model)
+    # batch_size doubles as min_rows_per_bundled_input and the MAX across
+    # a fused chain wins (see pipelines.kg.MAP_BATCH_SIZE) — 1024 here
+    # would re-coalesce the whole fused S1-S5 chain into few tasks
+    from ..pipelines.kg import MAP_BATCH_SIZE
+
     return pairs.map_batches(MimlScorer(model_ref), batch_format="pyarrow",
-                             batch_size=1024)
+                             batch_size=MAP_BATCH_SIZE)
 
 
 def miml_bag_stage(scored, model: MimlModel, n_buckets: int = 64,
