@@ -532,7 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_stratified_sample": A.q45_stratified_sample,
         "q46_sequence_packing": A.q46_sequence_packing,
         "q63_semdedup_trained": A.q63_semdedup_trained,
-        "q50_mixture_upsample": A.q50_mixture_upsample,
+        "q64_ivf_trained_topk": A.q64_ivf_trained_topk,
         "q51_pagerank": A.q51_pagerank,
         "q62_pagerank_dangling": A.q62_pagerank_dangling,
         "q54_curation": A.q54_curation,
@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
+        "q50_mixture_upsample": A.q50_mixture_upsample,
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         "q53_bpe_merges": A.q53_bpe_merges,
@@ -1543,6 +1544,61 @@ def oracle_sql() -> dict[str, str]:
             probe AS (
               SELECT c_id FROM cosvc WHERE vec_id = 0
               ORDER BY cosv DESC, c_id LIMIT 4),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id
+            FROM e JOIN assigned a USING (vec_id)
+                   JOIN probe p ON p.c_id = a.c_id, q
+            ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q64_ivf_trained_topk": """
+            -- IVF over TRAINED centroids: q41-style one-Lloyd-iteration
+            -- codebook (Forgy = 8 smallest ids, L2 assignment, means
+            -- rounded to 6 dp — exactly the engine's quantization),
+            -- then q19's probe machinery.  Engine ranks lists by v̂·c;
+            -- per fixed vec that ordering equals ordering by raw v·c,
+            -- so the oracle ranks SUM(x*w) directly (ties -> lower
+            -- c_id, matching np.argmax / stable argsort).
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+                          unnest(v) AS x
+                   FROM e),
+            c0 AS (SELECT vec_id AS c_id, v AS c_emb
+                   FROM e WHERE vec_id < 8),
+            d0 AS (
+              SELECT v.vec_id, c.c_id,
+                (SELECT SUM((a.x - b.x) * (a.x - b.x))
+                 FROM (SELECT generate_subscripts(v.v, 1) i,
+                              unnest(v.v) x) a
+                 JOIN (SELECT generate_subscripts(c.c_emb, 1) i,
+                              unnest(c.c_emb) x) b USING (i)) AS d2
+              FROM e v, c0 c),
+            a0 AS (
+              SELECT vec_id, c_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, c_id) AS rn
+              FROM d0),
+            m0 AS (
+              SELECT e.vec_id, a.c_id AS cluster, e.v
+              FROM e JOIN a0 a ON e.vec_id = a.vec_id AND a.rn = 1),
+            cent AS (
+              SELECT cluster AS c_id, dim, round(AVG(x), 6) AS w
+              FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                           unnest(v) AS x
+                    FROM m0)
+              GROUP BY cluster, dim),
+            dots AS (SELECT ev.vec_id, ct.c_id, SUM(ev.x * ct.w) AS dot
+                     FROM ev JOIN cent ct USING (dim) GROUP BY 1, 2),
+            assigned AS (
+              SELECT vec_id, c_id FROM (
+                SELECT vec_id, c_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, c_id) AS rn
+                FROM dots) WHERE rn = 1),
+            probe AS (
+              SELECT c_id FROM dots WHERE vec_id = 0
+              ORDER BY dot DESC, c_id LIMIT 2),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
             SELECT e.vec_id
             FROM e JOIN assigned a USING (vec_id)

@@ -92,18 +92,27 @@ def ivf_build(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> None:
     """IVF index build — the scale path made concrete: assign each vector
-    to its nearest deterministic centroid and WRITE the table as Parquet
-    partitioned by list id (one directory per inverted list).  Probing
-    then reads only ``n_probe / n_lists`` of the data from storage."""
+    to its nearest centroid and WRITE the table as Parquet partitioned by
+    list id (one directory per inverted list).  Probing then reads only
+    ``n_probe / n_lists`` of the data from storage.
+
+    ``centroids``: pass a TRAINED codebook (e.g. ``kmeans_fit(...)[0]``)
+    for data-dependent lists — the production path; default is the
+    deterministic md5 codebook (test/oracle path).  Assignment is
+    argmax of v̂·cᵢ on both paths (first index wins ties)."""
+    fixed = None if centroids is None else np.asarray(centroids,
+                                                      dtype=np.float64)
+
     def assign(batch: pa.Table, dim_cache={}) -> pa.Table:
         vecs = _to_matrix(batch.column(vec_col))
         if vecs.size == 0:
             return batch.append_column("ivf_list",
                                        pa.array([], pa.int32()))
         dim = vecs.shape[1]
-        cc = dim_cache.get(dim)
+        cc = fixed if fixed is not None else dim_cache.get(dim)
         if cc is None:
             cc = _det_centroids(dim, n_lists)
             dim_cache[dim] = cc
@@ -125,16 +134,19 @@ def ivf_topk_pruned(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Partition-pruned IVF search over an ``ivf_build`` index: ONLY the
     ``n_probe`` nearest lists' Parquet partitions are read from storage
     (directory-level pruning — the other lists never leave disk), then
-    exact cosine rank within them."""
+    exact cosine rank within them.  Pass the SAME ``centroids`` the index
+    was built with (or None for the md5 default)."""
     import ray.data as rd
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    cents = _det_centroids(len(qn), n_lists)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None else _det_centroids(len(qn), n_lists))
     probe_lists = np.argsort(-(cents @ qn))[:n_probe].tolist()
     import os
 
@@ -160,14 +172,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
 ) -> pa.Table:
-    """IVF-style ANN: assign each vector to its nearest deterministic
-    centroid (map_batches), filter to the query's ``n_probe`` nearest lists,
+    """IVF-style ANN: assign each vector to its nearest centroid
+    (map_batches), filter to the query's ``n_probe`` nearest lists,
     exact-rank only those.  ``ivf_build`` + ``ivf_topk_pruned`` are the
-    persisted variant where probing prunes at the STORAGE level."""
+    persisted variant where probing prunes at the STORAGE level.
+    ``centroids``: trained codebook (production) or None for the
+    deterministic md5 codebook (test/oracle)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
-    cents = _det_centroids(len(qn), n_lists)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None else _det_centroids(len(qn), n_lists))
     probe_lists = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
     cents_ref = ray.put(cents)
     probe_ref = ray.put(probe_lists)

@@ -294,6 +294,23 @@ def q12_ann_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def q64_ivf_trained_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """IVF ANN over a TRAINED codebook (the production path): one Lloyd
+    iteration of ``kmeans_fit`` (k=8) refines the Forgy init, the
+    codebook quantizes to 6 dp (SQL-reproducible, as q63), and
+    ``ivf_topk(centroids=...)`` probes the query's 2 nearest lists.
+    Assignment/probing rank by v̂·cᵢ (first index wins ties), exactly
+    what the oracle's ROW_NUMBER ordering reproduces."""
+    from ..functions.clustering import kmeans_fit
+    from ..functions.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, n_iter=1)
+    out = ivf_topk(emb, _query_vector(sf_dir), k=k, n_lists=8, n_probe=2,
+                   centroids=np.round(cents, 6))
+    return pa.table({"vec_id": out.column("vec_id")})
+
+
 def q20_semi_join(sf_dir: str) -> pa.Table:
     """Distributed semi join (hash_join how='semi'): customers with ≥1
     order."""
