@@ -286,3 +286,81 @@ def test_range_join_matches_reference(values, intervals):
         if a <= v <= a + w
     )
     assert got == exp
+
+
+# --- CDC clean ≡ serial keep-first reference --------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="ab x.", min_size=0, max_size=120),
+                min_size=1, max_size=6),
+       st.integers(min_value=0, max_value=3))
+def test_cdc_dedup_clean_matches_serial(ray_session, texts, dup_of):
+    """cdc_dedup_clean == a serial pass that chunks each doc
+    (cdc_cut_points), walks docs in (doc_id, start) order, drops chunks
+    whose string was seen anywhere earlier, and re-concatenates.  A
+    duplicated doc is appended so cross-doc duplicate runs exist."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import (cdc_cut_points,
+                                                 cdc_dedup_clean)
+
+    texts = texts + [texts[dup_of % len(texts)] + " tail"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = (cdc_dedup_clean(rd.from_arrow(tbl).repartition(3), 16, 64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    seen: set[str] = set()
+    exp = {}
+    for did, t in enumerate(texts):
+        if not t:
+            continue
+        kept, removed, prev = [], 0, 0
+        for e in cdc_cut_points(t, 16, 64):
+            c = t[prev:e]
+            prev = e
+            if c in seen:
+                removed += len(c)
+            else:
+                seen.add(c)
+                kept.append(c)
+        exp[did] = ("".join(kept), removed)
+    got = {int(r.doc_id): (r.clean_text, int(r.n_removed_chars))
+           for r in out.itertuples()}
+    assert got == exp
+
+
+# --- pagerank dangling mode ≡ serial fixed-point reference ------------------
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=7),
+                          st.integers(min_value=0, max_value=7)),
+                min_size=1, max_size=20))
+def test_pagerank_dangling_matches_serial(ray_session, raw_edges):
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import pagerank
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    out = pagerank(rd.from_arrow(tbl).repartition(2), n_iter=2,
+                   redistribute_dangling=True).to_pandas()
+
+    SCALE = 1_000_000_000
+    nodes = sorted({n for e in edges for n in e})
+    N = len(nodes)
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: SCALE // N for n in nodes}
+    base = (15 * SCALE) // (100 * N)
+    for _ in range(2):
+        s = {n: 0 for n in nodes}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        share = sum(v for n, v in r.items() if n not in deg) // N
+        r = {n: base + 85 * (s[n] + share) // 100 for n in nodes}
+    assert dict(zip(out["node"], out["rank_q"])) == r
