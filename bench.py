@@ -238,8 +238,12 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling-level" in sys.argv:
         i = sys.argv.index("--scaling-level")
+        reps = (int(sys.argv[i + 3])
+                if len(sys.argv) > i + 3 and sys.argv[i + 3].isdigit()
+                else 2)
         print(json.dumps(run_scaling_level(int(sys.argv[i + 1]),
-                                           int(sys.argv[i + 2]))))
+                                           int(sys.argv[i + 2]),
+                                           repeats=reps)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
