@@ -5,8 +5,10 @@ Decode kernels are REAL and library-free: binary PPM, uncompressed
 24-bit BMP, 8-bit PNG (zlib inflate + numpy scanline unfiltering, all
 five spec filters), baseline sequential JPEG (marker parse, Annex-K
 Huffman, dequantize + float IDCT, 4:2:0/4:2:2 chroma upsample, DRI
-restart resync), and 16-bit PCM WAV — plus ``encode_png`` /
-``encode_jpeg`` sink twins that generate the codecs' test vectors.
+restart resync), GIF87a/89a (LZW, interlace, transparency; animated
+GIFs decode frame 1), and 16-bit PCM WAV — plus ``encode_png`` /
+``encode_jpeg`` / ``encode_gif`` sink twins that generate the codecs'
+test vectors.
 Progressive/arithmetic/12-bit JPEG raises ``NotImplementedError``.
 The Ray-side plumbing — schema, actor-pool signature, batch sizing for
 large binary payloads, output layout — is codec-independent.
@@ -706,6 +708,220 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
+_GIF_MAGIC = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, 12-bit
+    cap): the decoder adds its dictionary entry one step behind the
+    encoder and bumps the code width when next_code reaches
+    2^code_size — the exact handshake ``_gif_lzw_encode`` emits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return ({i: (i,) for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, code_size = fresh()
+    out: list[int] = []
+    acc = nbits = pos = 0
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < code_size and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < code_size:
+            break                      # ran out without END (tolerated)
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table, next_code, code_size = fresh()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code and next_code < 4096:
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode (first frame): LZW, global/local color tables,
+    interlace de-pass, 89a transparency (transparent pixels keep the
+    background color).  Animated GIFs decode frame 1 — frame sampling
+    is the actor-pool stage's job, not the codec's."""
+    if payload[:6] not in _GIF_MAGIC:
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx, _aspect = payload[10], payload[11], payload[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    transparent = -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                         # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                gc_packed = payload[pos + 1]
+                if gc_packed & 0x01:
+                    transparent = payload[pos + 4]
+            while payload[pos]:               # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                       # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n,
+                                   pos).reshape(n, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            idx = np.array(_gif_lzw_decode(b"".join(chunks), min_code),
+                           dtype=np.int32)[:h * w]
+            if idx.size < h * w:              # short stream: pad with bg
+                idx = np.concatenate(
+                    [idx, np.full(h * w - idx.size,
+                                  bg_idx if gct is not None else 0,
+                                  np.int32)])
+            grid = idx.reshape(h, w)
+            if ipacked & 0x40:                # interlace: 4-pass rows
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+                  else np.zeros(3, np.uint8))
+            img = np.broadcast_to(bg, (sh, sw, 3)).copy()
+            frame = ct[np.clip(grid, 0, len(ct) - 1)]
+            if transparent >= 0:
+                mask = grid == transparent
+                region = img[top:top + h, left:left + w]
+                frame = np.where(mask[:, :, None], region, frame)
+            img[top:top + h, left:left + w] = frame
+            return img
+        elif b == 0x3B:                       # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a sink twin of ``_decode_gif``: palette from the image's
+    unique colors (≤256 required), non-interlaced, single frame, LZW
+    with CLEAR-on-full — generates the decoder's test vectors the same
+    way ``encode_png``/``encode_jpeg`` do for theirs."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: more than 256 unique colors")
+    ct_bits = max(1, int(len(palette) - 1).bit_length())
+    n_ct = 1 << ct_bits
+    min_code = max(2, ct_bits)
+
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code + 1
+    emit(clear, code_size)
+    wseq: tuple[int, ...] = ()
+    for k in map(int, inverse):
+        wk = wseq + (k,)
+        if wk in table:
+            wseq = wk
+            continue
+        emit(table[wseq], code_size)
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # one later than the decoder's bump: the decoder's table is
+            # one entry behind, so it widens only after the code that
+            # overflows the old width has been DEFINED on its side too
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:                                  # table full: reset
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = min_code + 1
+        wseq = (k,)
+    if wseq:
+        emit(table[wseq], code_size)
+    emit(end, code_size)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (ct_bits - 1))           # GCT present, size bits
+    out += b"\x00\x00"                         # bg index, aspect
+    ct = np.zeros((n_ct, 3), np.uint8)
+    ct[:len(palette)] = palette
+    out += ct.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    data = bytes(out_bits)
+    for i in range(0, len(data), 255):
+        block = data[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode one image to an (h, w, 3) uint8 array.
 
@@ -728,8 +944,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:2] == b"\xFF\xD8":
         return _decode_jpeg(payload)
+    if payload[:6] in _GIF_MAGIC:
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "unrecognized image payload (PPM/BMP/PNG/JPEG supported)"
+        "unrecognized image payload (PPM/BMP/PNG/JPEG/GIF supported)"
     )
 
 
