@@ -179,6 +179,27 @@ def test_feature_extractor_batch():
     assert len(f1) == 3
 
 
+def test_feature_extractor_gif_payload():
+    """The actor-pool extractor decodes GIF payloads like any other
+    codec — plumbing is codec-independent."""
+    from stanford_re_ray.functions.multimodal import encode_gif
+
+    img = np.zeros((6, 5, 3), np.uint8)
+    img[2:, 1:3] = [200, 10, 40]
+    tbl = pa.table({
+        "media_id": ["g1"],
+        "kind": ["image"],
+        "payload": [encode_gif(img)],
+        "mime": ["image/gif"],
+        "width": pa.array([5], pa.int32()),
+        "height": pa.array([6], pa.int32()),
+        "duration_ms": pa.array([0], pa.int32()),
+    })
+    out = ImageFeatureExtractor(target=(4, 4))(tbl)
+    assert out.column("decoded").to_pylist() == [True]
+    assert len(out.column("features")[0].as_py()) == 3
+
+
 def test_frame_sampling_layout():
     out = frame_sample_stub(_media_table(), every_ms=1000)
     rows = list(zip(out.column("media_id").to_pylist(),
