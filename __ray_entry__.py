@@ -530,11 +530,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_kmeans": A.q41_kmeans,
         "q43_decontaminate": A.q43_decontaminate,
         "q45_stratified_sample": A.q45_stratified_sample,
-        "q46_sequence_packing": A.q46_sequence_packing,
         "q63_semdedup_trained": A.q63_semdedup_trained,
         "q64_ivf_trained_topk": A.q64_ivf_trained_topk,
         "q51_pagerank": A.q51_pagerank,
         "q62_pagerank_dangling": A.q62_pagerank_dangling,
+        "q65_triangle_counts": A.q65_triangle_counts,
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_line_dedup": A.q38_line_dedup,
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
+        "q46_sequence_packing": A.q46_sequence_packing,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q50_mixture_upsample": A.q50_mixture_upsample,
         "q48_bloom_membership": A.q48_bloom_membership,
@@ -1400,6 +1401,31 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY e.dst) c USING (node))
             SELECT node, CAST(rank_q AS BIGINT) AS rank_q
             FROM r3 ORDER BY node
+        """,
+        "q65_triangle_counts": """
+            -- triangle_counts twin: LEAST/GREATEST canonicalization =
+            -- the engine's min/max orientation; the three-way self-join
+            -- enumerates each triangle once as its sorted triple
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                           GREATEST(src, dst) AS b
+                    FROM edges),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            n AS (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            SELECT node, COUNT(*) AS n_triangles
+            FROM n GROUP BY node ORDER BY node
         """,
         "q62_pagerank_dangling": """
             -- pagerank(redistribute_dangling=True): src % 7 == 0 edges

@@ -311,6 +311,35 @@ def q64_ivf_trained_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def q65_triangle_counts(sf_dir: str) -> pa.Table:
+    """Distributed triangle counting (``graph_ops.triangle_counts``)
+    over the q51 event-derived edge list: canonical a<b orientation,
+    wedge join on the middle vertex, semi-join closure, per-node
+    explode+count — three key-partitioned hash joins, zero driver
+    materialization."""
+    from ..pipelines.graph_ops import triangle_counts
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    edge_ds = ds.map_batches(edges, batch_format="pyarrow")
+    out = (triangle_counts(edge_ds, est_rows=_row_count(sf_dir, "events"))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in ("node", "n_triangles"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "n_triangles"]],
+                                preserve_index=False)
+
+
 def q20_semi_join(sf_dir: str) -> pa.Table:
     """Distributed semi join (hash_join how='semi'): customers with ≥1
     order."""

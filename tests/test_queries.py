@@ -105,7 +105,7 @@ SQL_CHECKED = [
     "q56_cdc_substring_dedup", "q57_dsir_weights", "q58_cdc_clean",
     "q59_outer_join", "q60_rollup", "q61_range_join", "q19_ivf_topk",
     "q62_pagerank_dangling", "q63_semdedup_trained",
-    "q64_ivf_trained_topk",
+    "q64_ivf_trained_topk", "q65_triangle_counts",
 ]
 
 
