@@ -528,12 +528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_pii_scrub": A.q32_pii_scrub,
         "q37_tfidf_topk": A.q37_tfidf_topk,
         "q41_kmeans": A.q41_kmeans,
-        "q43_decontaminate": A.q43_decontaminate,
         "q45_stratified_sample": A.q45_stratified_sample,
         "q63_semdedup_trained": A.q63_semdedup_trained,
         "q64_ivf_trained_topk": A.q64_ivf_trained_topk,
         "q51_pagerank": A.q51_pagerank,
         "q62_pagerank_dangling": A.q62_pagerank_dangling,
+        "q66_personalized_pagerank": A.q66_personalized_pagerank,
         "q65_triangle_counts": A.q65_triangle_counts,
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q38_line_dedup": A.q38_line_dedup,
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
+        "q43_decontaminate": A.q43_decontaminate,
         "q46_sequence_packing": A.q46_sequence_packing,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q50_mixture_upsample": A.q50_mixture_upsample,
@@ -1393,6 +1394,62 @@ def oracle_sql() -> dict[str, str]:
   SELECT nodes.node,
          (15 * CAST(1000000000 AS BIGINT))
            // (100 * (SELECT n FROM nn))
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r2 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node))
+            SELECT node, CAST(rank_q AS BIGINT) AS rank_q
+            FROM r3 ORDER BY node
+        """,
+        "q66_personalized_pagerank": """
+            -- pagerank(seeds=[3,17,59]): teleport floor-splits over the
+            -- seed set (base = (15·scale)//(100·3) for seeds, 0 else);
+            -- uniform init scale//N as in q51; same floor divisions
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT src AS node FROM edges
+                       UNION ALL SELECT dst FROM edges)),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT)
+                                  // (SELECT n FROM nn) AS rank_q
+                   FROM nodes),
+            r1 AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN (3, 17, 59)
+              THEN (15 * CAST(1000000000 AS BIGINT)) // 300
+              ELSE 0 END
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            r2 AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN (3, 17, 59)
+              THEN (15 * CAST(1000000000 AS BIGINT)) // 300
+              ELSE 0 END
+         + 85 * COALESCE(c.s, 0) // 100 AS rank_q
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s
+    FROM edges e JOIN r1 r ON r.node = e.src
+                 JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) c USING (node)),
+            r3 AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node IN (3, 17, 59)
+              THEN (15 * CAST(1000000000 AS BIGINT)) // 300
+              ELSE 0 END
          + 85 * COALESCE(c.s, 0) // 100 AS rank_q
   FROM nodes LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank_q // d.deg) AS s

@@ -311,6 +311,38 @@ def q64_ivf_trained_topk(sf_dir: str, k: int = 10) -> pa.Table:
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def q66_personalized_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
+    """Personalized PageRank (``pagerank(seeds=...)``): the teleport
+    mass floor-splits over the seed set {3, 17, 59} instead of all
+    nodes — the entity-relatedness variant of q51, same integer
+    fixed-point arithmetic."""
+    from ..pipelines.graph_ops import pagerank
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+    out = pagerank(edge_ds, n_iter=n_iter,
+                   est_rows=_row_count(sf_dir, "events"),
+                   seeds=[3, 17, 59]).to_pandas()
+    for c in ("node", "rank_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "rank_q"]],
+                                preserve_index=False)
+
+
 def q65_triangle_counts(sf_dir: str) -> pa.Table:
     """Distributed triangle counting (``graph_ops.triangle_counts``)
     over the q51 event-derived edge list: canonical a<b orientation,

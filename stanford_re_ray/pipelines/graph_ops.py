@@ -323,6 +323,7 @@ def pagerank(
     scale: int = 1_000_000_000,
     est_rows: int | None = None,
     redistribute_dangling: bool = False,
+    seeds: "list[int] | None" = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank over an integer (src, dst) edge list — the
     iterative message-passing centrality the closure operators above
@@ -344,6 +345,16 @@ def pagerank(
     dangling sum is an associative int SUM (bit-identical at any
     parallelism); in the Pregel path it costs one tiny per-round driver
     sync over ≤ n_buckets partial rows, never an extra shuffle.
+
+    ``seeds``: personalized PageRank — the teleport term (and, under
+    ``redistribute_dangling``, the dangling mass) floor-splits over the
+    SEED set instead of all nodes: ``rank\' = [v∈S]·(15·scale)//(100·|S|)
+    + 85·(Σcontrib + [v∈S]·dangling_q//|S|) // 100``; init stays uniform
+    ``scale // N`` (any deterministic init converges the same way and
+    keeps the oracle one CASE simpler).  Seeds outside the graph are
+    ignored; the effective set must be non-empty.  The seed set ships
+    inside the task closure — personalization assumes the usual SMALL
+    seed set (entity relatedness queries), not a node-scale vector.
 
     Scale shape per iteration: one key-partitioned hash join ships the
     rank vector onto the edges (no broadcast — at web scale the rank
@@ -383,7 +394,15 @@ def pagerank(
             lambda b: pa.table({"node": pa.array([], pa.int64()),
                                 "rank_q": pa.array([], pa.int64())}),
             batch_format="pyarrow")
-    base = (15 * scale) // (100 * n_nodes)
+    seed_set = None
+    if seeds is not None:
+        want = frozenset(int(x) for x in seeds)
+        have = {r["node"] for r in nodes.take_all()}
+        seed_set = frozenset(want & have)
+        if not seed_set:
+            raise ValueError("pagerank: no seed is a node of the graph")
+    n_teleport = len(seed_set) if seed_set is not None else n_nodes
+    base = (15 * scale) // (100 * n_teleport)
     init_q = scale // n_nodes
 
     if n_nodes <= BROADCAST_RANK_LIMIT:
@@ -418,9 +437,16 @@ def pagerank(
             if redistribute_dangling:
                 dang_q = sum(v for n, v in rank_vec.items()
                              if n not in out_nodes)
-                share = dang_q // n_nodes
-            rank_vec = {n: base + 85 * (got.get(n, 0) + share) // 100
-                        for n in rank_vec}
+                share = dang_q // n_teleport
+            if seed_set is None:
+                rank_vec = {n: base + 85 * (got.get(n, 0) + share) // 100
+                            for n in rank_vec}
+            else:
+                rank_vec = {
+                    n: ((base if n in seed_set else 0)
+                        + 85 * (got.get(n, 0)
+                                + (share if n in seed_set else 0)) // 100)
+                    for n in rank_vec}
         items = sorted(rank_vec.items())
         return ray.data.from_arrow(pa.table({
             "node": pa.array([k for k, _ in items], pa.int64()),
@@ -502,7 +528,14 @@ def pagerank(
                 sums = m.groupby("node")["c"].sum()
                 s = sums.reindex(owned.to_numpy(), fill_value=0).astype(
                     np.int64)
-                rank = base + 85 * (s + np.int64(dang_share)) // 100
+                if seed_set is None:
+                    rank = base + 85 * (s + np.int64(dang_share)) // 100
+                else:
+                    in_seed = pd.Series(
+                        [n in seed_set for n in s.index], index=s.index)
+                    rank = (in_seed * np.int64(base)
+                            + 85 * (s + in_seed * np.int64(dang_share))
+                            // 100)
             if last:
                 out = pd.DataFrame({
                     "node": rank.index.to_numpy(np.int64),
@@ -570,7 +603,7 @@ def pagerank(
             drows = msgs.map_batches(
                 lambda b: b.filter(_pc.equal(b.column("side"), "d")),
                 batch_format="pyarrow").take_all()
-            dang_share = sum(r["c"] for r in drows) // n_nodes
+            dang_share = sum(r["c"] for r in drows) // n_teleport
             msgs = msgs.map_batches(
                 lambda b: b.filter(_pc.not_equal(b.column("side"), "d")),
                 batch_format="pyarrow")

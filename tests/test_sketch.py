@@ -172,3 +172,46 @@ def test_pagerank_dangling_redistribution(ray_session, blocks):
     finally:
         go.BROADCAST_RANK_LIMIT = old
     assert dict(zip(out2["node"], out2["rank_q"])) == r
+
+
+@pytest.mark.parametrize("dangling", [False, True])
+def test_pagerank_personalized(ray_session, dangling):
+    """seeds=: teleport (and dangling mass) floor-split over the seed
+    set only; serial reference; broadcast and Pregel paths identical."""
+    from stanford_re_ray.pipelines.graph_ops import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (0, 4)]
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], pa.int64()),
+                    "dst": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(2)
+    seeds = [1, 4, 99]            # 99 not in graph -> ignored
+    out = pagerank(ds, n_iter=3, seeds=seeds,
+                   redistribute_dangling=dangling).to_pandas()
+
+    SCALE, N = 1_000_000_000, 5
+    S = {1, 4}
+    deg = {0: 2, 1: 1, 2: 2, 3: 1}
+    base = (15 * SCALE) // (100 * len(S))
+    r = {i: SCALE // N for i in range(5)}
+    for _ in range(3):
+        s = {i: 0 for i in range(5)}
+        for a, b in edges:
+            s[b] += r[a] // deg[a]
+        share = (r[4] // len(S)) if dangling else 0   # node 4 dangles
+        r = {i: (base if i in S else 0)
+             + 85 * (s[i] + (share if i in S else 0)) // 100
+             for i in range(5)}
+    assert dict(zip(out["node"], out["rank_q"])) == r
+
+    import stanford_re_ray.pipelines.graph_ops as go
+    old = go.BROADCAST_RANK_LIMIT
+    go.BROADCAST_RANK_LIMIT = 0
+    try:
+        out2 = pagerank(ds, n_iter=3, seeds=seeds,
+                        redistribute_dangling=dangling).to_pandas()
+    finally:
+        go.BROADCAST_RANK_LIMIT = old
+    assert dict(zip(out2["node"], out2["rank_q"])) == r
+
+    with pytest.raises(ValueError):
+        pagerank(ds, n_iter=1, seeds=[1234])
