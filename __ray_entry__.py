@@ -1665,12 +1665,20 @@ def oracle_sql() -> dict[str, str]:
             m0 AS (
               SELECT e.vec_id, a.c_id AS cluster, e.v
               FROM e JOIN a0 a ON e.vec_id = a.vec_id AND a.rn = 1),
+            fl AS (SELECT c_id, generate_subscripts(c_emb, 1) AS dim,
+                          unnest(c_emb) AS x
+                   FROM c0),
+            tm AS (SELECT cluster AS c_id, dim, AVG(x) AS xavg
+                   FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
+                                unnest(v) AS x
+                         FROM m0)
+                   GROUP BY 1, 2),
             cent AS (
-              SELECT cluster AS c_id, dim, round(AVG(x), 6) AS w
-              FROM (SELECT cluster, generate_subscripts(v, 1) AS dim,
-                           unnest(v) AS x
-                    FROM m0)
-              GROUP BY cluster, dim),
+              -- COALESCE: an empty cluster keeps its (rounded) Forgy
+              -- init vector, exactly kmeans_fit's empty-cluster rule
+              SELECT fl.c_id, fl.dim,
+                     round(COALESCE(tm.xavg, fl.x), 6) AS w
+              FROM fl LEFT JOIN tm USING (c_id, dim)),
             dots AS (SELECT ev.vec_id, ct.c_id, SUM(ev.x * ct.w) AS dot
                      FROM ev JOIN cent ct USING (dim) GROUP BY 1, 2),
             assigned AS (
@@ -1969,15 +1977,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.vec_id, a.c_id AS cluster, e.embedding
               FROM embeddings e JOIN a0 a
                 ON e.vec_id = a.vec_id AND a.rn = 1),
+            fl AS (SELECT c_id, generate_subscripts(c_emb, 1) AS dim,
+                          unnest(c_emb) AS x
+                   FROM c0),
+            tm AS (SELECT cluster AS c_id, dim, AVG(x) AS xavg
+                   FROM (SELECT cluster,
+                                generate_subscripts(embedding, 1) AS dim,
+                                unnest(embedding) AS x
+                         FROM m0)
+                   GROUP BY 1, 2),
             cent AS (
-              SELECT cluster AS c_id, list(xr ORDER BY dim) AS c_emb
-              FROM (SELECT cluster, dim, round(AVG(x), 6) AS xr
-                    FROM (SELECT cluster,
-                                 generate_subscripts(embedding, 1) AS dim,
-                                 unnest(embedding) AS x
-                          FROM m0)
-                    GROUP BY cluster, dim)
-              GROUP BY cluster),
+              -- COALESCE: an empty cluster keeps its (rounded) Forgy
+              -- init vector, exactly kmeans_fit's empty-cluster rule
+              SELECT c_id, list(round(COALESCE(tm.xavg, fl.x), 6)
+                                ORDER BY dim) AS c_emb
+              FROM fl LEFT JOIN tm USING (c_id, dim)
+              GROUP BY c_id),
             d1 AS (
               SELECT v.vec_id, c.c_id,
                 (SELECT SUM((a.x - b.x) * (a.x - b.x))

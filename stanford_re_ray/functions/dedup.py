@@ -1186,6 +1186,10 @@ def cdc_dedup_clean(
     pandas-per-group overhead per document — hence the hash buckets."""
     from ..schema import pd_to_arrow
 
+    from .relational import resolve_n_buckets
+
+    n_buckets = (_CDC_BUCKETS if est_chunks is None
+                 else max(_CDC_BUCKETS, resolve_n_buckets(None, est_chunks)))
     marked = _cdc_marked(docs, window, divisor, keep_cols=True,
                          est_chunks=est_chunks)
     texts = docs.map_batches(
@@ -1213,8 +1217,10 @@ def cdc_dedup_clean(
         texts.map_batches(tag_texts, batch_format="pyarrow"))
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        # the reassembly shuffle carries the full chunk text: scale its
+        # bucket count with the corpus too, not just the identity shuffle
         b = (batch.column("doc_id").to_numpy(zero_copy_only=False)
-             % _CDC_BUCKETS).astype(np.int32)
+             % n_buckets).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b, pa.int32()))
 
     def reassemble_bucket(df: pd.DataFrame) -> pa.Table:

@@ -830,12 +830,17 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
                   else np.zeros(3, np.uint8))
             img = np.broadcast_to(bg, (sh, sw, 3)).copy()
+            # clip a frame rect that overhangs the logical screen (some
+            # real encoders emit these; browsers clip the same way)
+            h2 = max(0, min(h, sh - top))
+            w2 = max(0, min(w, sw - left))
+            grid = grid[:h2, :w2]
             frame = ct[np.clip(grid, 0, len(ct) - 1)]
             if transparent >= 0:
                 mask = grid == transparent
-                region = img[top:top + h, left:left + w]
+                region = img[top:top + h2, left:left + w2]
                 frame = np.where(mask[:, :, None], region, frame)
-            img[top:top + h, left:left + w] = frame
+            img[top:top + h2, left:left + w2] = frame
             return img
         elif b == 0x3B:                       # trailer before any image
             break

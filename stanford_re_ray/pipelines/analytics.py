@@ -320,15 +320,7 @@ def q66_personalized_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
-        eid = batch.column("event_id").to_numpy().astype(np.int64)
-        src = eid % 100
-        dst = (eid + k) % 100
-        keep = src != dst
-        return pa.table({"src": pa.array(src[keep]),
-                         "dst": pa.array(dst[keep])})
+    edges = _event_edge_batch
 
     edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
                .groupby(["src", "dst"]).count()
@@ -353,15 +345,7 @@ def q65_triangle_counts(sf_dir: str) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
-        eid = batch.column("event_id").to_numpy().astype(np.int64)
-        src = eid % 100
-        dst = (eid + k) % 100
-        keep = src != dst
-        return pa.table({"src": pa.array(src[keep]),
-                         "dst": pa.array(dst[keep])})
+    edges = _event_edge_batch
 
     edge_ds = ds.map_batches(edges, batch_format="pyarrow")
     out = (triangle_counts(edge_ds, est_rows=_row_count(sf_dir, "events"))
@@ -983,6 +967,24 @@ def q50_mixture_upsample(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def _event_edge_batch(batch: pa.Table,
+                      drop_src_mod7: bool = False) -> pa.Table:
+    """Shared deterministic event-graph derivation (q51/q62/q65/q66 and
+    their SQL oracles): src = event_id mod 100, dst shifted by the JSON
+    ``k`` field, self-loops dropped; ``drop_src_mod7`` removes all
+    out-edges of nodes ≡ 0 (mod 7) so those nodes dangle (q62)."""
+    hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+    k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+    eid = batch.column("event_id").to_numpy().astype(np.int64)
+    src = eid % 100
+    dst = (eid + k) % 100
+    keep = src != dst
+    if drop_src_mod7:
+        keep &= src % 7 != 0
+    return pa.table({"src": pa.array(src[keep]),
+                     "dst": pa.array(dst[keep])})
+
+
 def q51_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
     """Distributed iterative PageRank (``pipelines.graph_ops.pagerank``)
     over a deterministic event-derived edge list (src = event_id mod 100,
@@ -992,15 +994,7 @@ def q51_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
 
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
-    def edges(batch: pa.Table) -> pa.Table:
-        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
-        eid = batch.column("event_id").to_numpy().astype(np.int64)
-        src = eid % 100
-        dst = (eid + k) % 100
-        keep = src != dst
-        return pa.table({"src": pa.array(src[keep]),
-                         "dst": pa.array(dst[keep])})
+    edges = _event_edge_batch
 
     edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
                .groupby(["src", "dst"]).count()
@@ -1026,14 +1020,7 @@ def q62_pagerank_dangling(sf_dir: str, n_iter: int = 3) -> pa.Table:
     ds = _read(sf_dir, "events", ["event_id", "props"])
 
     def edges(batch: pa.Table) -> pa.Table:
-        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
-        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
-        eid = batch.column("event_id").to_numpy().astype(np.int64)
-        src = eid % 100
-        dst = (eid + k) % 100
-        keep = (src != dst) & (src % 7 != 0)
-        return pa.table({"src": pa.array(src[keep]),
-                         "dst": pa.array(dst[keep])})
+        return _event_edge_batch(batch, drop_src_mod7=True)
 
     edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
                .groupby(["src", "dst"]).count()

@@ -396,9 +396,19 @@ def pagerank(
             batch_format="pyarrow")
     seed_set = None
     if seeds is not None:
-        want = frozenset(int(x) for x in seeds)
-        have = {r["node"] for r in nodes.take_all()}
-        seed_set = frozenset(want & have)
+        # membership check WITHOUT driver-materializing the node set (the
+        # Pregel path exists for graphs whose nodes don't fit a driver):
+        # a distributed is_in filter returns ≤ |seeds| rows
+        want = pa.array(sorted({int(x) for x in seeds}), pa.int64())
+
+        def _seed_hits(b: pa.Table, _w=want) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return b.filter(_pc.is_in(b.column("node"), value_set=_w))
+
+        seed_set = frozenset(
+            r["node"] for r in nodes.map_batches(
+                _seed_hits, batch_format="pyarrow").take_all())
         if not seed_set:
             raise ValueError("pagerank: no seed is a node of the graph")
     n_teleport = len(seed_set) if seed_set is not None else n_nodes
@@ -644,10 +654,15 @@ def triangle_counts(
         return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
                          "b": pa.array(np.maximum(s, d), pa.int64())})
 
+    # materialize: und feeds THREE consumers (both wedge sides + the
+    # closure semi-join's right side) — without this the canonicalize +
+    # distinct shuffle would re-execute three times (pagerank
+    # materializes `ed` for the same reason)
     und = (edges.map_batches(canon, batch_format="pyarrow")
            .groupby(["a", "b"]).count()
            .map_batches(lambda t: t.drop_columns(["count()"]),
-                        batch_format="pyarrow"))
+                        batch_format="pyarrow")
+           .materialize())
 
     e1 = und.map_batches(lambda t: t.rename_columns(["u", "k"]),
                          batch_format="pyarrow")

@@ -364,3 +364,21 @@ def test_gif_interlace_and_transparency():
     out2 = decode_image(payload)
     assert (out2[0, 0] == [0xAA, 0xBB, 0xCC]).all()   # transparent -> bg
     assert (out2[0, 1] == [0xAA, 0xBB, 0xCC]).all()   # color 1 itself
+
+
+def test_gif_frame_rect_clipped():
+    """A frame rect overhanging the logical screen is clipped (browser
+    behavior) instead of crashing the numpy composite."""
+    import struct
+
+    from stanford_re_ray.functions.multimodal import decode_image, encode_gif
+
+    img = np.full((2, 2, 3), 9, np.uint8)
+    enc = bytearray(encode_gif(img))
+    i = enc.index(0x2C, 13)
+    # move the frame to (1, 1) on a 2x2 screen: only the top-left pixel
+    # of the frame lands on-screen
+    enc[i + 1:i + 5] = struct.pack("<HH", 1, 1)
+    out = decode_image(bytes(enc))
+    assert out.shape == (2, 2, 3)
+    assert (out[1, 1] == 9).all()
