@@ -528,13 +528,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_pii_scrub": A.q32_pii_scrub,
         "q37_tfidf_topk": A.q37_tfidf_topk,
         "q41_kmeans": A.q41_kmeans,
-        "q45_stratified_sample": A.q45_stratified_sample,
         "q63_semdedup_trained": A.q63_semdedup_trained,
         "q64_ivf_trained_topk": A.q64_ivf_trained_topk,
         "q51_pagerank": A.q51_pagerank,
         "q62_pagerank_dangling": A.q62_pagerank_dangling,
         "q66_personalized_pagerank": A.q66_personalized_pagerank,
         "q65_triangle_counts": A.q65_triangle_counts,
+        "q67_connected_components": A.q67_connected_components,
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_quantiles_by_flag": A.q39_quantiles_by_flag,
         "q40_inverted_index": A.q40_inverted_index,
         "q43_decontaminate": A.q43_decontaminate,
+        "q45_stratified_sample": A.q45_stratified_sample,
         "q46_sequence_packing": A.q46_sequence_packing,
         "q47_cms_heavy_hitters": A.q47_cms_heavy_hitters,
         "q50_mixture_upsample": A.q50_mixture_upsample,
@@ -1402,6 +1403,31 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY e.dst) c USING (node))
             SELECT node, CAST(rank_q AS BIGINT) AS rank_q
             FROM r3 ORDER BY node
+        """,
+        "q67_connected_components": """
+            -- connected_components twin: recursive transitive closure,
+            -- component = MIN reachable node (incl. self)
+            WITH RECURSIVE prs AS (
+              SELECT event_id % 1000 AS a,
+                     (event_id + 7 * CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 1000 AS b
+              FROM events
+              WHERE event_id % 211 = 0
+                AND event_id % 1000 <>
+                    (event_id + 7 * CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 1000),
+            und AS (
+              SELECT a AS node, b AS nbr FROM prs
+              UNION SELECT b, a FROM prs
+              UNION SELECT a, a FROM prs
+              UNION SELECT b, b FROM prs),
+            reach AS (
+              SELECT node, nbr AS lab FROM und
+              UNION
+              SELECT r.node, u.nbr
+              FROM reach r JOIN und u ON u.node = r.lab)
+            SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "q66_personalized_pagerank": """
             -- pagerank(seeds=[3,17,59]): teleport floor-splits over the

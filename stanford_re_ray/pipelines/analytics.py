@@ -335,6 +335,37 @@ def q66_personalized_pagerank(sf_dir: str, n_iter: int = 3) -> pa.Table:
                                 preserve_index=False)
 
 
+def q67_connected_components(sf_dir: str) -> pa.Table:
+    """Distributed connected components
+    (``functions.dedup.connected_components`` — the same join-based
+    min-label propagation that clusters verified near-dup pairs inside
+    ``dedup_corpus``) over a SPARSE deterministic pair graph (every
+    211th event links two of 1,000 nodes), so multiple non-trivial
+    components exist.  Oracle: recursive-CTE transitive closure +
+    MIN(label)."""
+    from ..functions.dedup import connected_components
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def prs(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        a = eid % 1000
+        b = (eid + 7 * k) % 1000
+        keep = (eid % 211 == 0) & (a != b)
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep])})
+
+    out = (connected_components(
+               ds.map_batches(prs, batch_format="pyarrow"), max_rounds=40)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "component"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "component"]],
+                                preserve_index=False)
+
+
 def q65_triangle_counts(sf_dir: str) -> pa.Table:
     """Distributed triangle counting (``graph_ops.triangle_counts``)
     over the q51 event-derived edge list: canonical a<b orientation,

@@ -106,7 +106,7 @@ SQL_CHECKED = [
     "q59_outer_join", "q60_rollup", "q61_range_join", "q19_ivf_topk",
     "q62_pagerank_dangling", "q63_semdedup_trained",
     "q64_ivf_trained_topk", "q65_triangle_counts",
-    "q66_personalized_pagerank",
+    "q66_personalized_pagerank", "q67_connected_components",
 ]
 
 
