@@ -569,7 +569,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         "q53_bpe_merges": A.q53_bpe_merges,
+        # round-4 tail additions (rotate into the window in round 5)
+        "q69_kcore": A.q69_kcore,
     }
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
+    """Unrolled synchronous k-core peeling, the SQL twin of
+    ``graph_ops.kcore`` + ``analytics.q69_kcore``'s scale-adaptive event
+    graph (n_nodes = n_events // 4).  Each CTE round recomputes degrees
+    and keeps only edges whose BOTH endpoints have degree ≥ k — exactly
+    the engine's round-synchronous removal, so the two agree after the
+    same number of rounds whether or not the peel has converged.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    round references the previous one ~4x, so an un-materialized
+    unroll expands to ~4^rounds parquet scans (observed as a 'too
+    many open files' IOException at rounds=12)."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 4 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS a,
+                 (event_id + 13 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn) AS b
+          FROM events WHERE event_id % 5 = 0)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b "
+        "FROM g WHERE a <> b)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{r-1} UNION ALL "
+            f"SELECT b FROM e{r-1}) GROUP BY node)")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e "
+            f"JOIN d{r} da ON da.node = e.a JOIN d{r} db ON db.node = e.b "
+            f"WHERE da.deg >= {k} AND db.deg >= {k})")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM "
+        f"(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
+        "GROUP BY node ORDER BY node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2193,4 +2233,5 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_est_q
             FROM params
         """,
+        "q69_kcore": _kcore_oracle_sql(k=2, rounds=12),
     }

@@ -387,6 +387,41 @@ def q65_triangle_counts(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q69_kcore(sf_dir: str, k: int = 2, rounds: int = 12) -> pa.Table:
+    """k-core decomposition (``graph_ops.kcore``) over a scale-adaptive
+    sparse event graph: n_nodes = n_events // 4 keeps average degree
+    ~1.6 at every scale factor, so the 2-core peels away ~70% of nodes
+    over ~8 synchronous rounds (nontrivial at sf0.001 AND sf0.01).
+    Oracle: the same peeling unrolled to ``rounds`` CTE rounds — both
+    sides are round-synchronous, so they agree even short of fixpoint."""
+    from ..pipelines.graph_ops import kcore
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 4
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 5 == 0
+        return pa.table({"src": pa.array(eid[keep] % n_nodes),
+                         "dst": pa.array((eid[keep] + 13 * kk[keep])
+                                         % n_nodes)})
+
+    core = kcore(ds.map_batches(edges, batch_format="pyarrow"), k=k,
+                 est_rows=n_events, max_rounds=rounds)
+    out = core.to_pandas()
+    if not len(out):
+        out = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                            "core_deg": pd.Series([], dtype="int64")})
+    out = out.sort_values("node").reset_index(drop=True)
+    for c in ("node", "core_deg"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "core_deg"]],
+                                preserve_index=False)
+
+
 def q20_semi_join(sf_dir: str) -> pa.Table:
     """Distributed semi join (hash_join how='semi'): customers with ≥1
     order."""

@@ -687,3 +687,131 @@ def triangle_counts(
 
     return (closed.map_batches(explode, batch_format="pyarrow")
             .groupby("node").aggregate(Count(alias_name="n_triangles")))
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    est_rows: int | None = None,
+    max_rounds: int = 12,
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """k-core subgraph by synchronous iterative peeling: each round
+    removes EVERY node whose current degree is < k (and all its edges),
+    until no node is removable.  Returns (node, core_deg) — the nodes of
+    the k-core with their degree inside the core.
+
+    Distributed shape: canonicalize to distinct undirected a < b edges
+    (one groupby); each peel round is one degree groupby (map-side
+    combinable Count) producing the round's low-degree node table, and
+    edges incident to a low node are stripped — via a broadcast
+    ``np.isin`` filter when the low table fits ``broadcast_limit``
+    (``dedup_corpus``'s BROADCAST_LOSER_LIMIT pattern: one ``ray.put``,
+    fetched zero-copy once per worker), else via two distributed ANTI
+    hash joins.  Convergence is ``low.count()`` on a materialized
+    table — only the scalar reaches the driver; neither the edge set
+    nor the degree table ever does.  Each round materializes the
+    surviving edge set: the next round re-reads it, and un-materialized
+    Ray Data lineage re-executes geometrically across rounds (measured
+    on pagerank — see NEXT_STEPS).
+
+    Round-synchronous semantics make the result EXACTLY reproducible by
+    an unrolled SQL oracle: after R identical rounds both sides hold the
+    same edge set, whether or not the peeling has reached its fixpoint,
+    because each round's removals depend only on the previous round's
+    edge set.  Rounds needed ≤ peeling depth (≤ max degree; O(log n)
+    for web-like graphs); if ``max_rounds`` is hit before the fixpoint a
+    RuntimeWarning is raised and the partially-peeled degrees are
+    returned (still oracle-equal for an oracle unrolled to the same R).
+    """
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow")
+           .materialize())
+
+    def explode_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("a").combine_chunks(),
+            batch.column("b").combine_chunks()])})
+
+    def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
+        return (e.map_batches(explode_nodes, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="deg")))
+
+    import pyarrow.compute as pc
+
+    def only_low(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("deg"), pa.scalar(k, pa.int64()))
+        return pa.table({"node": batch.column("node").filter(keep)})
+
+    from ..state import broadcast
+
+    for _ in range(max_rounds):
+        if und.count() == 0:      # metadata count (materialized)
+            break
+        low = (degrees(und).map_batches(only_low, batch_format="pyarrow")
+               .materialize())
+        n_low = low.count()       # metadata count — no recompute
+        if n_low == 0:
+            break
+        if n_low <= broadcast_limit:
+            ref = broadcast.put(np.sort(
+                low.to_pandas()["node"].to_numpy().astype(np.int64)))
+
+            def drop_low(batch: pa.Table, _ref=ref) -> pa.Table:
+                gone = broadcast.fetch(_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                keep = ~np.isin(a, gone) & ~np.isin(b, gone)
+                return batch.filter(pa.array(keep))
+
+            und = und.map_batches(drop_low,
+                                  batch_format="pyarrow").materialize()
+        else:
+            low_a = low.map_batches(lambda t: t.rename_columns(["a"]),
+                                    batch_format="pyarrow")
+            low_b = low.map_batches(lambda t: t.rename_columns(["b"]),
+                                    batch_format="pyarrow")
+            stripped = hash_join(
+                hash_join(und, low_a, on="a", how="anti",
+                          est_rows=est_rows),
+                low_b, on="b", how="anti", est_rows=est_rows,
+            )
+            # Each chained anti join multiplies block count ~3x (union
+            # side blocks + per-bucket group outputs), so an
+            # un-coalesced loop reaches 3^rounds blocks and the
+            # per-round task count — not the data — dominates wall time
+            # (measured: round 5 had 729 blocks for 17 rows).  Bound
+            # blocks to the surviving edge count before snapshotting.
+            n_blocks = max(4, (est_rows or und.count()) // 250_000 + 1)
+            und = stripped.repartition(n_blocks).materialize()
+    else:
+        low = (degrees(und).map_batches(only_low, batch_format="pyarrow")
+               .materialize())
+        if low.count():
+            import warnings
+
+            warnings.warn(
+                f"kcore: nodes below degree {k} remain after "
+                f"max_rounds={max_rounds}; returning the partially-peeled "
+                "subgraph (matches an oracle unrolled to the same rounds)",
+                RuntimeWarning,
+            )
+
+    return degrees(und).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "core_deg": t.column("deg")}),
+        batch_format="pyarrow")

@@ -107,6 +107,7 @@ SQL_CHECKED = [
     "q62_pagerank_dangling", "q63_semdedup_trained",
     "q64_ivf_trained_topk", "q65_triangle_counts",
     "q66_personalized_pagerank", "q67_connected_components",
+    "q69_kcore",
 ]
 
 

@@ -476,3 +476,52 @@ def test_asof_join_consistent_int_dtype_across_buckets(ray_session):
     assert par.types.is_integer(rv_type), rv_type
     df = out.to_pandas()
     assert df["rv"].notna().sum() == 20 and df["rv"].isna().sum() == 20
+
+
+def test_kcore_broadcast_matches_join_path(ray_session):
+    """kcore's broadcast np.isin peel and the distributed ANTI-join peel
+    (forced with broadcast_limit=0) must produce identical cores; both
+    must match a serial peeling reference."""
+    import collections
+
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import kcore
+
+    # deterministic sparse graph: ring + chords + a pendant tree (the
+    # tree peels away; the ring and chorded core survive k=2)
+    src, dst = [], []
+    for i in range(12):                      # 12-cycle: all degree 2
+        src.append(i); dst.append((i + 1) % 12)
+    for i in (0, 3, 6):                      # chords raise some degrees
+        src.append(i); dst.append(i + 5)
+    for i in range(12, 20):                  # pendant chain off node 0
+        src.append(i - 12 if i == 12 else i - 1); dst.append(i)
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+
+    def serial_kcore(k):
+        adj = collections.defaultdict(set)
+        for a, b in zip(src, dst):
+            if a != b:
+                adj[a].add(b); adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            low = [n for n in adj if len(adj[n]) < k]
+            for n in low:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+        return {n: len(s) for n, s in adj.items()}
+
+    for k in (2, 3):
+        want = serial_kcore(k)
+        got_b = {r["node"]: r["core_deg"]
+                 for r in kcore(rd.from_arrow(edges), k=k).take_all()}
+        got_j = {r["node"]: r["core_deg"]
+                 for r in kcore(rd.from_arrow(edges), k=k,
+                                broadcast_limit=0).take_all()}
+        assert got_b == want, (k, got_b, want)
+        assert got_j == want, (k, got_j, want)
