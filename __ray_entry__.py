@@ -541,10 +541,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_dsir_weights": A.q57_dsir_weights,
         "q58_cdc_clean": A.q58_cdc_clean,
         "q59_outer_join": A.q59_outer_join,
-        "q60_rollup": A.q60_rollup,
-        "q61_range_join": A.q61_range_join,
+        # round-4 NEW operators (never had a driver row — promoted over
+        # the r3-green q60/q61, which rotate to the tail top)
+        "q68_source_cap": A.q68_source_cap,
+        "q70_bfs_distances": A.q70_bfs_distances,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q60_rollup": A.q60_rollup,
+        "q61_range_join": A.q61_range_join,
         "q03_topk_orders": A.q03_topk_orders,
         "q04_distinct_brands": A.q04_distinct_brands,
         "q06_filtered_revenue": A.q06_filtered_revenue,
@@ -609,6 +613,41 @@ def _kcore_oracle_sql(k: int = 2, rounds: int = 12) -> str:
         f"SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM "
         f"(SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) "
         "GROUP BY node ORDER BY node"
+    )
+
+
+def _bfs_oracle_sql(max_hops: int = 8) -> str:
+    """Unrolled min-plus BFS, the SQL twin of ``graph_ops.bfs_distances``
+    + ``analytics.q70_bfs_distances``'s scale-adaptive event graph
+    (n_nodes = n_events // 10, every 7th event an edge, seeds {0,1,2}).
+    Each CTE round takes MIN(dist) over a node's previous value and all
+    neighbors' previous value + 1 — a node first appears in round r iff
+    its true hop distance is r, so after R rounds both sides hold exactly
+    the nodes within R hops with exact distances, converged or not.
+    MATERIALIZED for the same 4^rounds-expansion reason as the kcore
+    oracle."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 10 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS a,
+                 (event_id + 11 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn) AS b
+          FROM events WHERE event_id % 7 = 0)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, "
+        "GREATEST(a, b) AS b FROM g WHERE a <> b)",
+        "d0 AS MATERIALIZED (SELECT UNNEST([0, 1, 2]) AS node, 0 AS dist)",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{r-1} "
+            f"UNION ALL SELECT e.b AS node, d.dist + 1 AS dist "
+            f"FROM d{r-1} d JOIN e0 e ON e.a = d.node "
+            f"UNION ALL SELECT e.a AS node, d.dist + 1 AS dist "
+            f"FROM d{r-1} d JOIN e0 e ON e.b = d.node) GROUP BY node)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_hops} "
+        "ORDER BY node"
     )
 
 
@@ -2234,4 +2273,15 @@ def oracle_sql() -> dict[str, str]:
             FROM params
         """,
         "q69_kcore": _kcore_oracle_sql(k=2, rounds=12),
+        "q68_source_cap": """
+            SELECT source, rnk, doc_id FROM (
+              SELECT source, doc_id,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR))
+                                % 2147483647, doc_id) AS rnk
+              FROM documents)
+            WHERE rnk <= 10 ORDER BY source, rnk
+        """,
+        "q70_bfs_distances": _bfs_oracle_sql(max_hops=8),
     }

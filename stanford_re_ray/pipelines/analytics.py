@@ -1340,3 +1340,72 @@ def q61_range_join(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["p_partkey", "n_events", "sum_cents"]],
                                 preserve_index=False)
+
+
+def q68_source_cap(sf_dir: str, k: int = 10) -> pa.Table:
+    """C4/CommonCrawl-style per-domain document cap: keep at most ``k``
+    documents per ``source``, selected by a deterministic content-hash
+    order (``md5_number_upper`` — the q35 reproducible-sampling
+    convention, so the oracle replays the exact same order) — the
+    standard webtext guard against any one domain dominating the
+    training mix.  Distributed as ``functions.relational.grouped_topk``:
+    per-batch partial top-k (at most k rows per (batch, source) enter
+    the shuffle), one hash(source) bucket exchange, vectorized per-key
+    head(k) + rank."""
+    import hashlib
+
+    from ..functions.relational import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def hkey(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hk = [int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                             "little") % 2147483647 for i in ids]
+        return batch.append_column("hkey", pa.array(hk, pa.int64()))
+
+    out = grouped_topk(
+        docs.map_batches(hkey, batch_format="pyarrow"),
+        key="source", order_by="hkey", k=k, descending=False,
+        tiebreak=["doc_id"]).to_pandas()
+    out = out.sort_values(["source", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        pd.DataFrame({
+            "source": out["source"],
+            "rnk": out["rank"].astype("int64"),
+            "doc_id": out["doc_id"].astype("int64"),
+        }), preserve_index=False)
+
+
+def q70_bfs_distances(sf_dir: str, max_hops: int = 8) -> pa.Table:
+    """Multi-source BFS hop distances (``graph_ops.bfs_distances``) from
+    seeds {0, 1, 2} over a scale-adaptive event graph: n_nodes =
+    n_events // 10 and every 7th event contributes an edge keep average
+    degree ~2.9 at every scale factor — a giant component plus a fringe,
+    so the hop frontier stays nontrivial for several rounds.  Oracle:
+    the same expansion as a min-plus unroll to ``max_hops`` CTE rounds
+    (both sides are round-synchronous, so they agree even short of
+    convergence)."""
+    from ..pipelines.graph_ops import bfs_distances
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        return pa.table({"src": pa.array(eid[keep] % n_nodes),
+                         "dst": pa.array((eid[keep] + 11 * kk[keep])
+                                         % n_nodes)})
+
+    dist = bfs_distances(ds.map_batches(edges, batch_format="pyarrow"),
+                         seeds=[0, 1, 2], max_hops=max_hops,
+                         est_rows=n_events)
+    out = dist.to_pandas().sort_values("node").reset_index(drop=True)
+    for c in ("node", "dist"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "dist"]],
+                                preserve_index=False)

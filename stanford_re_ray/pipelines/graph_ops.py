@@ -815,3 +815,135 @@ def kcore(
         lambda t: pa.table({"node": t.column("node"),
                             "core_deg": t.column("deg")}),
         batch_format="pyarrow")
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_hops: int = 8,
+    est_rows: int | None = None,
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distances over an undirected graph: returns
+    ``(node, dist)`` for every node within ``max_hops`` of any seed
+    (seeds at dist 0; a node's dist is its minimum hop count to the
+    nearest seed).  The single-source shortest-path primitive the
+    reference runs inside ``InferentialSlotFiller``'s per-query entity
+    graphs (EntityGraph BFS, InferentialSlotFiller.java:181-310) — here
+    over the whole corpus graph, not one query's neighborhood
+    (``subgraph_bfs`` above is the per-query budgeted form).
+
+    Distributed shape: canonicalize to distinct undirected a < b edges
+    (one groupby, materialized ONCE — every round re-reads the same
+    edge snapshot); each hop expands the frontier by filtering the edge
+    set against the frontier ids — a broadcast ``np.isin`` scan when
+    the frontier fits ``broadcast_limit`` (one ``ray.put``, fetched
+    zero-copy once per worker; NO shuffle per round), else two
+    distributed SEMI hash joins — then strips already-visited nodes the
+    same size-gated way.  Only per-round COUNTS reach the driver; node
+    tables never do.  New-frontier materialization per round is the
+    iterative-lineage rule (see ``kcore``); block count is re-bounded
+    each round so join-grown tiny blocks don't compound.
+
+    Round-synchronous semantics: after R rounds the visited table
+    equals the min-plus SQL unroll to R rounds exactly — a node first
+    appears in round r iff its true BFS distance is r, and its value
+    never changes after — so an oracle unrolled to the same R agrees
+    whether or not the expansion has converged.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.relational import hash_join
+    from ..state import broadcast
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow")
+           .materialize())
+
+    seed_arr = np.unique(np.asarray(sorted(seeds), dtype=np.int64))
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array(seed_arr, pa.int64()),
+        "dist": pa.array(np.zeros(len(seed_arr), np.int64), pa.int64()),
+    })).materialize()
+    frontier = visited  # (node, dist) — dist is uniform per round
+
+    def nodes_of(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda t: pa.table({"node": t.column("node")}),
+            batch_format="pyarrow")
+
+    for hop in range(1, max_hops + 1):
+        n_frontier = frontier.count()   # metadata count (materialized)
+        if n_frontier == 0:
+            break
+        if n_frontier <= broadcast_limit:
+            ref = broadcast.put(np.sort(
+                frontier.to_pandas()["node"].to_numpy().astype(np.int64)))
+
+            def expand(batch: pa.Table, _ref=ref) -> pa.Table:
+                front = broadcast.fetch(_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                out = np.concatenate([b[np.isin(a, front)],
+                                      a[np.isin(b, front)]])
+                return pa.table({"node": pa.array(out, pa.int64())})
+
+            nbrs = und.map_batches(expand, batch_format="pyarrow")
+        else:
+            fa = frontier.map_batches(
+                lambda t: pa.table({"a": t.column("node")}),
+                batch_format="pyarrow")
+            fb = frontier.map_batches(
+                lambda t: pa.table({"b": t.column("node")}),
+                batch_format="pyarrow")
+            via_a = hash_join(und, fa, on="a", how="semi",
+                              est_rows=est_rows).map_batches(
+                lambda t: pa.table({"node": t.column("b")}),
+                batch_format="pyarrow")
+            via_b = hash_join(und, fb, on="b", how="semi",
+                              est_rows=est_rows).map_batches(
+                lambda t: pa.table({"node": t.column("a")}),
+                batch_format="pyarrow")
+            nbrs = via_a.union(via_b)
+
+        # distinct new nodes this round, minus everything already seen
+        nbrs = nbrs.groupby("node").count().map_batches(
+            lambda t: t.drop_columns(["count()"]), batch_format="pyarrow")
+        n_seen = visited.count()
+        if n_seen <= broadcast_limit:
+            seen_ref = broadcast.put(np.sort(
+                visited.to_pandas()["node"].to_numpy().astype(np.int64)))
+
+            def unseen(batch: pa.Table, _ref=seen_ref) -> pa.Table:
+                seen = broadcast.fetch(_ref)
+                n = batch.column("node").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(n, seen)))
+
+            fresh = nbrs.map_batches(unseen, batch_format="pyarrow")
+        else:
+            fresh = hash_join(nbrs, nodes_of(visited), on="node",
+                              how="anti", est_rows=est_rows)
+
+        def stamp(batch: pa.Table, _d=hop) -> pa.Table:
+            return batch.append_column(
+                "dist", pa.array(np.full(batch.num_rows, _d, np.int64)))
+
+        n_blocks = max(4, (est_rows or n_seen) // 250_000 + 1)
+        frontier = (fresh.map_batches(stamp, batch_format="pyarrow")
+                    .repartition(n_blocks).materialize())
+        if frontier.count() == 0:
+            break
+        visited = (visited.union(frontier)
+                   .repartition(n_blocks).materialize())
+
+    return visited

@@ -364,3 +364,39 @@ def test_pagerank_dangling_matches_serial(ray_session, raw_edges):
         share = sum(v for n, v in r.items() if n not in deg) // N
         r = {n: base + 85 * (s[n] + share) // 100 for n in nodes}
     assert dict(zip(out["node"], out["rank_q"])) == r
+
+
+# --- bfs_distances ≡ serial BFS reference -----------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=9),
+                          st.integers(min_value=0, max_value=9)),
+                min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=4))
+def test_bfs_distances_matches_serial(ray_session, raw_edges, max_hops):
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import bfs_distances
+
+    tbl = pa.table({"src": pa.array([a for a, _ in raw_edges], pa.int64()),
+                    "dst": pa.array([b for _, b in raw_edges], pa.int64())})
+    seeds = [0, 1]
+    out = bfs_distances(rd.from_arrow(tbl).repartition(2), seeds=seeds,
+                        max_hops=max_hops).to_pandas()
+
+    adj: dict[int, set] = {}
+    for a, b in raw_edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert dict(zip(out["node"], out["dist"])) == dist

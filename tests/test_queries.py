@@ -107,7 +107,7 @@ SQL_CHECKED = [
     "q62_pagerank_dangling", "q63_semdedup_trained",
     "q64_ivf_trained_topk", "q65_triangle_counts",
     "q66_personalized_pagerank", "q67_connected_components",
-    "q69_kcore",
+    "q69_kcore", "q68_source_cap", "q70_bfs_distances",
 ]
 
 
@@ -162,6 +162,8 @@ def test_driver_window_covers_critical_queries(entrymod):
         "q19_ivf_topk", "q22_simhash_pairs", "q23_ngram_jaccard_exact",
         "q24_embedding_cosine_exact", "q33_ivf_full_topk",
         "q42_bigram_lm", "q44_props_field_stats", "q52_perplexity_filter",
+        # round-4 new operators: first driver row this round
+        "q68_source_cap", "q70_bfs_distances",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
