@@ -124,7 +124,7 @@ def featurize(
         add(_clean(f"verb_between={v}"))
 
     # pseudo-dependency path over shallow chunks (string twin of
-    # _dep_surrogate_ids — FeatureFactory.java:654-973 template family)
+    # the featurize_ids mid-section — FeatureFactory.java:654-973 family)
     lo_, hi_ = (between[0], between[-1] + 1) if between else (0, 0)
     chunks = chunk_path(tokens, lemmas, pos, lo_, hi_)
     if chunks:
@@ -361,6 +361,13 @@ def chunk_path(tokens: list, lemmas: list, pos: list,
 _DEP_CACHE: dict = {}
 _DEP_CACHE_MAX = 1 << 16
 
+#: memo for the entire cluster-independent mid-section of
+#: ``featurize_ids`` keyed on (direction, between-lemmas, between-POS)
+#: — see the inline rationale there.  Value: (ids, chunk_heads,
+#: deduped_between_lemmas).  Bounded per worker like the other caches.
+_MID_CACHE: dict = {}
+_MID_CACHE_MAX = 1 << 16
+
 
 def _dep_ids_uncached(add, chunks, direction) -> None:
     roles = []
@@ -389,31 +396,6 @@ def _dep_ids_uncached(add, chunks, direction) -> None:
         add(_fid(_T_DSTUB_L, first, h))
         add(_fid(_T_DSTUB_R, h, last))
         add(_fid(_T_DSTUB_B, first, h, last))
-
-
-def _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction,
-                       clusters) -> None:
-    """Emit the pseudo-dependency feature ids for one candidate pair
-    (shared tail of ``featurize_ids``) — bit-identical to the uncached
-    form (pinned by tests/test_featurize_identity.py)."""
-    chunks = chunk_path(tokens, lemmas, pos, lo, hi)
-    if not chunks:
-        return
-    key = (direction, tuple(chunks))
-    ids = _DEP_CACHE.get(key)
-    if ids is None:
-        ids = []
-        _dep_ids_uncached(ids.append, chunks, direction)
-        if len(_DEP_CACHE) >= _DEP_CACHE_MAX:
-            _DEP_CACHE.clear()
-        _DEP_CACHE[key] = ids
-    for v in ids:
-        add(v)
-    if clusters:
-        for _r, h, _p in chunks:
-            c = clusters.get(h)
-            if c is not None:
-                add(_cid(_C_DCLUST, _T_DCLUST, c))
 
 
 #: memo for _fid: feature values are Zipfian (lemma/POS/role vocabularies),
@@ -512,42 +494,77 @@ def featurize_ids(
     add(_cid(_C_A2L, _T_A2L, tokens[ob - 1].lower() if ob > 0 else "<PAD>"))
     add(_cid(_C_A2R, _T_A2R, tokens[oe].lower() if oe < n else "<PAD>"))
 
-    bw = lemmas[lo:hi]
-    # order-preserving dedup (set iteration is hash-randomized per process)
-    uw = list(dict.fromkeys(bw)) if bw else ()
-    for w in uw:
-        # inlined _cid: this is the hottest single-part loop
-        v = _C_BETW.get(w)
-        if v is None:
-            if len(_C_BETW) >= _C_MAX:
-                _C_BETW.clear()
-            v = _C_BETW[w] = _crc(w.encode("utf-8", "surrogatepass"),
-                                  _T_BETW) % _D
-        add(v)
-    if len(bw) > 1:
-        for a, b in zip(bw, bw[1:]):
-            add(_fid(_T_BETW2, a, "_", b))
-    if not bw:
-        add(_ID_BETW_EMPTY)
-
     direction = ">" if sb < ob else "<"
-    pos_bw = pos[lo:hi]
-    add(_fid(_T_SPATH, direction, *pos_bw))
-    vp: list[str] = []
-    verbs: list[str] = []
-    for p_, l_ in zip(pos_bw, bw):
-        if p_ == "VB":
-            vp.append(l_)
-            verbs.append(l_)
-        elif p_ == "IN":
-            vp.append(l_)
-    add(_fid(_T_VPPATH, direction, *vp))
-    for v_ in dict.fromkeys(verbs):
-        add(_cid(_C_VERB, _T_VERB, v_))
+    # The whole mid-section — between unigrams/bigrams, surface path,
+    # verb/prep path, verb unigrams, and the non-cluster dep-surrogate
+    # family — is a pure function of (direction, between-lemmas,
+    # between-POS): ``chunk_path`` never reads ``tokens``.  Phrase shapes
+    # are Zipfian across pairs (the _DEP_CACHE rationale, one level up),
+    # so a single two-tuple probe replaces ~40 per-pair id computations
+    # on a hit.  Cluster-dependent ids stay OUT of the cache (same
+    # policy as _DEP_CACHE): the cached entry carries the chunk heads
+    # and deduped between-lemmas so cluster lookups run per call.
+    mkey = (direction, tuple(lemmas[lo:hi]), tuple(pos[lo:hi]))
+    ent = _MID_CACHE.get(mkey)
+    if ent is None:
+        bw, pos_bw = mkey[1], mkey[2]
+        mids: list[int] = []
+        madd = mids.append
+        # order-preserving dedup (set iteration is hash-randomized per
+        # process)
+        uw = tuple(dict.fromkeys(bw)) if bw else ()
+        for w in uw:
+            # inlined _cid: this is the hottest single-part loop
+            v = _C_BETW.get(w)
+            if v is None:
+                if len(_C_BETW) >= _C_MAX:
+                    _C_BETW.clear()
+                v = _C_BETW[w] = _crc(w.encode("utf-8", "surrogatepass"),
+                                      _T_BETW) % _D
+            madd(v)
+        if len(bw) > 1:
+            for a, b in zip(bw, bw[1:]):
+                madd(_fid(_T_BETW2, a, "_", b))
+        if not bw:
+            madd(_ID_BETW_EMPTY)
 
-    # pseudo-dependency path over shallow chunks (FeatureFactory.java
-    # :654-973 template family)
-    _dep_surrogate_ids(add, tokens, lemmas, pos, lo, hi, direction, clusters)
+        madd(_fid(_T_SPATH, direction, *pos_bw))
+        vp: list[str] = []
+        verbs: list[str] = []
+        for p_, l_ in zip(pos_bw, bw):
+            if p_ == "VB":
+                vp.append(l_)
+                verbs.append(l_)
+            elif p_ == "IN":
+                vp.append(l_)
+        madd(_fid(_T_VPPATH, direction, *vp))
+        for v_ in dict.fromkeys(verbs):
+            madd(_cid(_C_VERB, _T_VERB, v_))
+
+        # pseudo-dependency path over shallow chunks (FeatureFactory.java
+        # :654-973 template family), cluster ids excluded
+        chunks = chunk_path(tokens, lemmas, pos, lo, hi)
+        heads = tuple(h for _r, h, _p in chunks)
+        if chunks:
+            dkey = (direction, tuple(chunks))
+            ids = _DEP_CACHE.get(dkey)
+            if ids is None:
+                ids = []
+                _dep_ids_uncached(ids.append, chunks, direction)
+                if len(_DEP_CACHE) >= _DEP_CACHE_MAX:
+                    _DEP_CACHE.clear()
+                _DEP_CACHE[dkey] = ids
+            mids.extend(ids)
+        if len(_MID_CACHE) >= _MID_CACHE_MAX:
+            _MID_CACHE.clear()
+        ent = _MID_CACHE[mkey] = (mids, heads, uw)
+    mids, heads, uw = ent
+    out.extend(mids)
+    if clusters:
+        for h in heads:
+            c = clusters.get(h)
+            if c is not None:
+                add(_cid(_C_DCLUST, _T_DCLUST, c))
 
     ents_between = 0
     i = min(se, oe)
