@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_bpe_merges": A.q53_bpe_merges,
         # round-4 tail additions (rotate into the window in round 5)
         "q69_kcore": A.q69_kcore,
+        "q71_boilerplate_clean": A.q71_boilerplate_clean,
     }
 
 
@@ -2284,4 +2285,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE rnk <= 10 ORDER BY source, rnk
         """,
         "q70_bfs_distances": _bfs_oracle_sql(max_hops=8),
+        "q71_boilerplate_clean": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) ||
+                     'shared boilerplate footer line number ' ||
+                     (doc_id % 7) || ' for dedup' || chr(10) ||
+                     substr(text, 1, 40) AS text
+              FROM documents),
+            lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                   FROM aug),
+            lines AS (
+              SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_no,
+                     unnest(ls) AS line
+              FROM lx),
+            freq AS (
+              SELECT line FROM lines WHERE length(line) >= 30
+              GROUP BY line
+              HAVING COUNT(DISTINCT doc_id) >
+                     (SELECT COUNT(*) // 10 FROM documents)),
+            tagged AS (
+              SELECT doc_id, line_no, line,
+                     (length(line) < 30 OR line NOT IN
+                        (SELECT line FROM freq)) AS kept
+              FROM lines)
+            SELECT doc_id,
+                   CAST(COUNT(*) FILTER (kept) AS BIGINT)
+                     AS n_lines_kept,
+                   CAST(COUNT(*) FILTER (NOT kept) AS BIGINT)
+                     AS n_lines_removed,
+                   md5(string_agg(line, chr(10) ORDER BY line_no)
+                       FILTER (kept)) AS clean_md5
+            FROM tagged GROUP BY doc_id
+            HAVING COUNT(*) FILTER (kept) > 0
+            ORDER BY doc_id
+        """,
     }

@@ -248,6 +248,111 @@ def line_dedup(docs: ray.data.Dataset, min_line_chars: int = 30,
     return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")
 
 
+def boilerplate_clean(docs: ray.data.Dataset, max_docs: int,
+                      min_line_chars: int = 30,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      est_rows: int | None = None,
+                      broadcast_limit: int = 5_000_000) -> ray.data.Dataset:
+    """CCNet/C4-style boilerplate-line removal: every line of
+    ``min_line_chars`` or more that occurs in MORE than ``max_docs``
+    distinct documents is removed from ALL of them (navigation bars,
+    cookie banners, shared footers); shorter lines always survive.
+    Unlike ``line_dedup`` (keep-first), boilerplate is dropped at every
+    occurrence — the CCNet §3.1 / C4 §2.2 companion pass.  Returns one
+    row per document that keeps at least one line: (doc_id,
+    n_lines_kept, n_lines_removed, clean_md5).
+
+    Scale shape — document text NEVER crosses the wire:
+
+    1. counting pass: per batch, split to lines (Arrow kernels), md5 the
+       long ones, dedup (doc, digest) in-batch (a doc's rows never span
+       batches), emit per-digest partial doc-counts — only (digest,
+       count) rows shuffle into one groupby-sum;
+    2. the frequent-digest table is by construction tiny (each entry
+       already occurs in > ``max_docs`` documents, so there can be at
+       most n_docs/max_docs of them) — it is collected and broadcast
+       via ``ray.put``; a corpus whose frequent set tops
+       ``broadcast_limit`` raises rather than silently OOMing
+       (raise the threshold — a frequent set that size means the
+       threshold is below the corpus's natural duplication floor);
+    3. removal pass: a second in-batch map over the ORIGINAL docs
+       filters against the broadcast set and rejoins — no reassembly
+       shuffle, because lines never left their document.
+    """
+    from ..state import broadcast as bcast
+    from .relational import resolve_n_buckets
+
+    n_buckets = resolve_n_buckets(None, est_rows)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ids, _ln, lines = _split_lines(batch, text_col, id_col)
+        long_mask = pc.greater_equal(pc.utf8_length(lines), min_line_chars)
+        ids = ids.filter(long_mask).to_pylist()
+        texts = lines.filter(long_mask).to_pylist()
+        seen = dict.fromkeys(
+            (i, hashlib.md5(t.encode("utf-8")).hexdigest())
+            for i, t in zip(ids, texts))
+        counts: dict[str, int] = {}
+        for _i, h in seen:
+            counts[h] = counts.get(h, 0) + 1
+        hs = list(counts)
+        return pa.table({
+            "h": pa.array(hs, pa.string()),
+            "c": pa.array([counts[h] for h in hs], pa.int64()),
+            "__bucket": pa.array(
+                [int(h[:8], 16) % n_buckets for h in hs], pa.int32()),
+        })
+
+    def bucket_sum(g: pd.DataFrame) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        agg = g.groupby("h", sort=True)["c"].sum().reset_index()
+        return pd_to_arrow(agg.loc[agg["c"] > max_docs, ["h"]])
+
+    freq = (docs.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(bucket_sum,
+                                            batch_format="pandas")
+            .materialize())
+    n_freq = freq.count()
+    if n_freq > broadcast_limit:
+        raise ValueError(
+            f"boilerplate_clean: {n_freq} distinct lines exceed the "
+            f"max_docs={max_docs} threshold (> broadcast_limit="
+            f"{broadcast_limit}); raise the threshold")
+    freq_set = (frozenset(freq.to_pandas()["h"]) if n_freq
+                else frozenset())
+    ref = bcast.put(freq_set)
+
+    def clean(batch: pa.Table, _ref=ref) -> pa.Table:
+        gone = bcast.fetch(_ref)
+        ids_out, kept_out, removed_out, md5_out = [], [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            kept, removed = [], 0
+            for line in (text or "").split("\n"):
+                if (len(line) >= min_line_chars and
+                        hashlib.md5(line.encode("utf-8")).hexdigest()
+                        in gone):
+                    removed += 1
+                else:
+                    kept.append(line)
+            if not kept:
+                continue
+            ids_out.append(did)
+            kept_out.append(len(kept))
+            removed_out.append(removed)
+            md5_out.append(hashlib.md5(
+                "\n".join(kept).encode("utf-8")).hexdigest())
+        return pa.table({
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "n_lines_kept": pa.array(kept_out, pa.int64()),
+            "n_lines_removed": pa.array(removed_out, pa.int64()),
+            "clean_md5": pa.array(md5_out, pa.string()),
+        })
+
+    return docs.map_batches(clean, batch_format="pyarrow")
+
+
 def inverted_index(docs: ray.data.Dataset, max_df: int | None = None,
                    text_col: str = "text", id_col: str = "doc_id",
                    est_rows: int | None = None) -> ray.data.Dataset:

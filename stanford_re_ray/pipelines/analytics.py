@@ -1409,3 +1409,39 @@ def q70_bfs_distances(sf_dir: str, max_hops: int = 8) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "dist"]],
                                 preserve_index=False)
+
+
+def q71_boilerplate_clean(sf_dir: str) -> pa.Table:
+    """CCNet-style boilerplate-line removal
+    (``functions.corpus.boilerplate_clean``): lines shared by more than
+    n_docs // 10 documents are dropped from every document (vs q38's
+    keep-first dedup).  Fixture documents are single-line, so each is
+    deterministically augmented with the q38 footer (shared by the
+    ``doc_id % 7`` class — ~n/7 docs, above the n/10 threshold, so the
+    footers are the boilerplate) and its 40-char prefix, identically in
+    both engines."""
+    from ..functions.corpus import boilerplate_clean
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        txts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out = [
+            f"{t}\nshared boilerplate footer line number {i % 7} for dedup"
+            f"\n{t[:40]}"
+            for t, i in zip(txts, ids)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    out = (boilerplate_clean(aug, max_docs=n_docs // 10,
+                             min_line_chars=30, est_rows=n_docs * 3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_lines_kept", "n_lines_removed"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_lines_kept", "n_lines_removed", "clean_md5"]],
+        preserve_index=False)

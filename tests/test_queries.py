@@ -108,6 +108,7 @@ SQL_CHECKED = [
     "q64_ivf_trained_topk", "q65_triangle_counts",
     "q66_personalized_pagerank", "q67_connected_components",
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
+    "q71_boilerplate_clean",
 ]
 
 
