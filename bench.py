@@ -114,6 +114,8 @@ def run_bench() -> dict:
         ("q18_fingerprints", A.q18_fingerprints),
         ("q55_semdedup", A.q55_semdedup),
         ("q56_cdc_substring_dedup", A.q56_cdc_substring_dedup),
+        ("q65_triangle_counts", A.q65_triangle_counts),
+        ("q71_boilerplate_clean", A.q71_boilerplate_clean),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 
