@@ -851,8 +851,6 @@ def bfs_distances(
     never changes after — so an oracle unrolled to the same R agrees
     whether or not the expansion has converged.
     """
-    import pyarrow.compute as pc
-
     from ..functions.relational import hash_join
     from ..state import broadcast
 
