@@ -525,3 +525,42 @@ def test_kcore_broadcast_matches_join_path(ray_session):
                                 broadcast_limit=0).take_all()}
         assert got_b == want, (k, got_b, want)
         assert got_j == want, (k, got_j, want)
+
+
+def test_bfs_distances_broadcast_matches_join_path(ray_session):
+    """bfs_distances' broadcast np.isin frontier expansion and the
+    distributed SEMI/ANTI-join path (forced with broadcast_limit=0) must
+    label identical (node, dist) sets; both must match a serial BFS."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import bfs_distances
+
+    # two components: a 10-node path from seed 0 (distances 0..9, capped
+    # by max_hops) and a 4-cycle around seed 20; node 40 isolated
+    src = list(range(9)) + [20, 21, 22, 23]
+    dst = list(range(1, 10)) + [21, 22, 23, 20]
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+    seeds, max_hops = [0, 20], 4
+
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for d in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+
+    for limit in (5_000_000, 0):
+        out = bfs_distances(
+            rd.from_arrow(edges).repartition(3), seeds=seeds,
+            max_hops=max_hops, broadcast_limit=limit).to_pandas()
+        got = dict(zip(out["node"], out["dist"]))
+        assert got == want, f"broadcast_limit={limit}: {got} != {want}"
