@@ -828,8 +828,24 @@ def connected_components(
                              "label": batch.column("label")})
 
         prop = msgs.map_batches(to_nbr, batch_format="pyarrow")
+
+        def min_combine(batch: pa.Table) -> pa.Table:
+            # map-side combine before the Min shuffle: Ray's sort-based
+            # groupby ships every row, and a node receives one message
+            # per incident edge — per-batch min-per-node shrinks the
+            # exchange to distinct nodes per batch (min is associative,
+            # np.unique order deterministic)
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(n, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, lab.astype(np.int64))
+            return pa.table({"node": pa.array(uniq.astype(np.int64)),
+                             "label": pa.array(best)})
+
         new_labels = (
             labels.union(prop)
+            .map_batches(min_combine, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()

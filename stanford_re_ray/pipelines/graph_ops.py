@@ -621,6 +621,28 @@ def pagerank(
     raise AssertionError("unreachable")
 
 
+def node_count(exploded: ray.data.Dataset, alias: str) -> ray.data.Dataset:
+    """Count occurrences per ``node`` with a MAP-SIDE COMBINE: Ray Data's
+    sort-based groupby ships every input row (measured — AggregateMap
+    output rows == input rows), so counting exploded node rows directly
+    moves the whole edge list through the shuffle.  A per-batch
+    ``np.unique(return_counts=True)`` shrinks the exchange to distinct
+    nodes per batch (~avg-degree× smaller); the downstream Sum of int64
+    partials is associative, and np.unique's sorted order keeps the
+    partials deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            batch.column("node").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"node": pa.array(v.astype(np.int64), pa.int64()),
+                         "__c": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (exploded.map_batches(partial, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("__c", alias_name=alias)))
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     est_rows: int | None = None,
@@ -683,10 +705,8 @@ def triangle_counts(
                 batch.column("b").to_numpy(zero_copy_only=False)]
         return pa.table({"node": pa.array(np.concatenate(cols), pa.int64())})
 
-    from ray.data.aggregate import Count
-
-    return (closed.map_batches(explode, batch_format="pyarrow")
-            .groupby("node").aggregate(Count(alias_name="n_triangles")))
+    return node_count(closed.map_batches(explode, batch_format="pyarrow"),
+                      alias="n_triangles")
 
 
 def kcore(
@@ -724,8 +744,6 @@ def kcore(
     RuntimeWarning is raised and the partially-peeled degrees are
     returned (still oracle-equal for an oracle unrolled to the same R).
     """
-    from ray.data.aggregate import Count
-
     from ..functions.relational import hash_join
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -748,8 +766,9 @@ def kcore(
             batch.column("b").combine_chunks()])})
 
     def degrees(e: ray.data.Dataset) -> ray.data.Dataset:
-        return (e.map_batches(explode_nodes, batch_format="pyarrow")
-                .groupby("node").aggregate(Count(alias_name="deg")))
+        return node_count(
+            e.map_batches(explode_nodes, batch_format="pyarrow"),
+            alias="deg")
 
     import pyarrow.compute as pc
 
@@ -915,8 +934,10 @@ def bfs_distances(
             nbrs = via_a.union(via_b)
 
         # distinct new nodes this round, minus everything already seen
-        nbrs = nbrs.groupby("node").count().map_batches(
-            lambda t: t.drop_columns(["count()"]), batch_format="pyarrow")
+        # (node_count = per-batch unique combine, so only distinct nodes
+        # per batch enter the exchange)
+        nbrs = node_count(nbrs, alias="__n").map_batches(
+            lambda t: t.drop_columns(["__n"]), batch_format="pyarrow")
         n_seen = visited.count()
         if n_seen <= broadcast_limit:
             seen_ref = broadcast.put(np.sort(
