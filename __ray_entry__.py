@@ -370,6 +370,23 @@ def _ngram_pairs(sf_dir: str):
     return dataset_to_table(ngram_jaccard_pairs(docs, threshold=0.8))
 
 
+def _dedup_corpus(sf_dir: str):
+    """End-to-end near-dup removal (``functions.dedup.dedup_corpus``):
+    MinHash+LSH candidates → exact n-gram-Jaccard verify (threshold 0.8,
+    5-shingles) → connected components → keep the min-doc_id
+    representative per cluster plus every unclustered doc.  The oracle
+    replays it as exact all-pairs Jaccard (the q15 twin) + a recursive
+    transitive-closure CTE (the q67 twin) + NOT IN."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import dedup_corpus
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dataset_to_table(dedup_corpus(docs, threshold=0.8, k_shingle=5))
+
+
 def _embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -539,14 +556,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
-        "q58_cdc_clean": A.q58_cdc_clean,
-        "q59_outer_join": A.q59_outer_join,
         # round-4 NEW operators (never had a driver row — promoted over
-        # the r3-green q60/q61, which rotate to the tail top)
+        # the r3-green q58/q59/q60/q61, which rotate to the tail top)
         "q68_source_cap": A.q68_source_cap,
         "q70_bfs_distances": A.q70_bfs_distances,
+        "q72_cube": A.q72_cube,
+        "q73_dedup_corpus": _dedup_corpus,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q58_cdc_clean": A.q58_cdc_clean,
+        "q59_outer_join": A.q59_outer_join,
         "q60_rollup": A.q60_rollup,
         "q61_range_join": A.q61_range_join,
         "q03_topk_orders": A.q03_topk_orders,
@@ -919,6 +938,51 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(a.s || b.s))
                   END >= 0.8
             ORDER BY doc_a, doc_b
+        """,
+        "q73_dedup_corpus": """
+            -- dedup_corpus twin: exact all-pairs Jaccard >= 0.8 (the q15
+            -- twin) -> recursive transitive closure, component = MIN
+            -- reachable doc (the q67 twin) -> drop clustered docs that
+            -- are not their cluster's min-id representative
+            WITH RECURSIVE d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                     END AS s
+              FROM d),
+            prs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE
+                      WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                      WHEN len(a.s) = 0 OR len(b.s) = 0 THEN 0.0
+                      ELSE len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(a.s || b.s))
+                    END >= 0.8),
+            und AS (
+              SELECT da AS node, db AS nbr FROM prs
+              UNION SELECT db, da FROM prs
+              UNION SELECT da, da FROM prs
+              UNION SELECT db, db FROM prs),
+            reach AS (
+              SELECT node, nbr AS lab FROM und
+              UNION
+              SELECT r.node, u.nbr
+              FROM reach r JOIN und u ON u.node = r.lab),
+            comp AS (
+              SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+            SELECT doc_id, text FROM documents
+            WHERE doc_id NOT IN
+                  (SELECT node FROM comp WHERE component <> node)
+            ORDER BY doc_id
         """,
         "q29_topk_per_group": """
             WITH r AS (
@@ -1838,6 +1902,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, 'ALL',
                    round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q72_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 2) AS sum_value,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT l_returnflag, 'ALL',
+                   round(SUM(l_quantity), 2), COUNT(*)
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', l_linestatus,
+                   round(SUM(l_quantity), 2), COUNT(*)
+            FROM lineitem GROUP BY 2
             UNION ALL
             SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem

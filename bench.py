@@ -93,12 +93,18 @@ def run_bench() -> dict:
     timings["warmup"] = round(time.time() - t0, 3)
 
     # --- analytics queries over the sf tables ----------------------------
-    from stanford_re_ray.functions.dedup import minhash_lsh_groups
+    from stanford_re_ray.functions.dedup import (dedup_corpus,
+                                                 minhash_lsh_groups)
 
     def q13_minhash(sf_dir):
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         return minhash_lsh_groups(docs).count()
+
+    def q73_dedup(sf_dir):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return dedup_corpus(docs, threshold=0.8).count()
 
     for name, fn in [
         ("q01_pricing_summary", A.q01_pricing_summary),
@@ -116,6 +122,7 @@ def run_bench() -> dict:
         ("q56_cdc_substring_dedup", A.q56_cdc_substring_dedup),
         ("q65_triangle_counts", A.q65_triangle_counts),
         ("q71_boilerplate_clean", A.q71_boilerplate_clean),
+        ("q73_dedup_corpus", q73_dedup),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 

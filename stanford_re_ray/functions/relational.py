@@ -563,9 +563,44 @@ def rollup_sum(
     block orders: only use that path when ``value_col`` is exactly
     representable (integers, or dyadic fractions) so every sum is
     exact."""
-    from ray.data.aggregate import Sum
+    sets = [tuple(keys[:lvl]) for lvl in range(len(keys) + 1)]
+    return _grouping_sets_sum(ds, keys, value_col, sets, all_token, scale)
 
-    n = len(keys)
+
+def cube_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    all_token: str = "ALL",
+    scale: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys): sums and counts at every key SUBSET (2^n
+    grouping sets), rolled-up columns marked by ``all_token``.  Same
+    scale shape and determinism contract as ``rollup_sum`` — the 2^n
+    explosion happens only on per-batch combiner partials (distinct
+    full-key rows), never on the input, and ONE groupby finishes.  Keep
+    ``len(keys)`` small (2-4): the shuffle carries partials × 2^n."""
+    import itertools
+
+    sets = [subset
+            for r in range(len(keys) + 1)
+            for subset in itertools.combinations(keys, r)]
+    return _grouping_sets_sum(ds, keys, value_col, sets, all_token, scale)
+
+
+def _grouping_sets_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    sets: list[tuple[str, ...]],
+    all_token: str,
+    scale: int | None,
+) -> ray.data.Dataset:
+    """Shared GROUPING SETS engine behind ``rollup_sum``/``cube_sum``:
+    each grouping set keeps its listed key columns and masks the rest
+    with ``all_token``; distinct mask patterns keep the sets disjoint in
+    the single final groupby."""
+    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(keys + [value_col]).to_pandas()
@@ -574,21 +609,22 @@ def rollup_sum(
                 np.floor(df[value_col].to_numpy(dtype=np.float64)
                          * scale + 0.5).astype(np.int64))
         # a real key value equal to the subtotal marker would silently
-        # merge with subtotal rows in the final groupby (SQL ROLLUP uses
-        # NULL and is immune) — refuse instead
+        # merge with subtotal rows in the final groupby (SQL ROLLUP/CUBE
+        # use NULL and are immune) — refuse instead
         for k in keys:
             if (df[k] == all_token).any():
                 raise ValueError(
-                    f"rollup_sum: key column {k!r} contains the "
+                    f"grouping_sets: key column {k!r} contains the "
                     f"all_token value {all_token!r}; pass a different "
                     "all_token")
         g = (df.groupby(keys, sort=False, dropna=False)[value_col]
              .agg(["sum", "count"]).reset_index())
         levels = []
-        for lvl in range(n + 1):
+        for kept in sets:
             d = g.copy()
-            for k in keys[lvl:]:
-                d[k] = all_token
+            for k in keys:
+                if k not in kept:
+                    d[k] = all_token
             levels.append(d)
         out = pd.concat(levels, ignore_index=True)
         out = out.rename(columns={"sum": "__sum", "count": "__n"})

@@ -1305,6 +1305,28 @@ def q60_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q72_cube(sf_dir: str) -> pa.Table:
+    """CUBE aggregation (``functions.relational.cube_sum``): sums and
+    counts at all four grouping sets of (flag, status) — (f,s), (f,ALL),
+    (ALL,s), (ALL,ALL) — in one shuffle over 2^n-exploded combiner
+    partials.  l_quantity is integer-valued so the scale=100 quantized
+    sums are exact on both engines."""
+    from ..functions.relational import cube_sum
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    out = (cube_sum(li, ["l_returnflag", "l_linestatus"], "l_quantity",
+                    scale=100)
+           .to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_linestatus", "sum_value", "n_rows"]],
+        preserve_index=False)
+
+
 def q61_range_join(sf_dir: str) -> pa.Table:
     """Keyless band join (``functions.relational.range_join``): events
     whose value falls in a half-unit price band derived from each part,

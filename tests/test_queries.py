@@ -108,7 +108,7 @@ SQL_CHECKED = [
     "q64_ivf_trained_topk", "q65_triangle_counts",
     "q66_personalized_pagerank", "q67_connected_components",
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
-    "q71_boilerplate_clean",
+    "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
 ]
 
 
@@ -164,7 +164,8 @@ def test_driver_window_covers_critical_queries(entrymod):
         "q24_embedding_cosine_exact", "q33_ivf_full_topk",
         "q42_bigram_lm", "q44_props_field_stats", "q52_perplexity_filter",
         # round-4 new operators: first driver row this round
-        "q68_source_cap", "q70_bfs_distances",
+        "q68_source_cap", "q70_bfs_distances", "q72_cube",
+        "q73_dedup_corpus",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"

@@ -325,6 +325,41 @@ def test_rollup_sum_scale_quantized(ray_session):
     assert len(out) == 7   # 4 full + 2 flag subtotals + grand total
 
 
+def test_cube_sum_grouping_sets(ray_session):
+    """cube_sum adds the (ALL, s) grouping set rollup lacks, agrees with
+    rollup on the shared sets, and refuses key values that collide with
+    the all_token marker."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import cube_sum
+
+    vals = [0.25, 1.75, 2.5, 3.25, 0.75, 1.25]
+    flags = ["a", "a", "a", "b", "b", "b"]
+    stat = ["x", "y", "x", "y", "x", "y"]
+    ds = rd.from_arrow(pa.table({
+        "f": pa.array(flags), "s": pa.array(stat),
+        "v": pa.array(vals, pa.float64()),
+    })).repartition(3)
+    out = cube_sum(ds, ["f", "s"], "v", scale=100).to_pandas() \
+        .sort_values(["f", "s"]).reset_index(drop=True)
+    got = {(r.f, r.s): (r.sum_value, r.n_rows) for r in out.itertuples()}
+    assert got[("a", "x")] == (2.75, 2)
+    assert got[("a", "ALL")] == (4.5, 3)
+    assert got[("ALL", "x")] == (3.5, 3)    # the CUBE-only set
+    assert got[("ALL", "y")] == (6.25, 3)
+    assert got[("ALL", "ALL")] == (9.75, 6)
+    assert len(out) == 9   # 4 full + 2 flag + 2 status + grand total
+
+    bad = rd.from_arrow(pa.table({
+        "f": pa.array(["ALL"]), "s": pa.array(["x"]),
+        "v": pa.array([1.0], pa.float64()),
+    }))
+    with pytest.raises(Exception, match="all_token"):
+        cube_sum(bad, ["f", "s"], "v", scale=100).materialize()
+
+
 def test_detect_hot_keys_and_auto_salt(ray_session):
     """detect_hot_keys finds a key holding 50% of rows via the sampled
     pre-pass; auto_salt joins match the unsalted join; and the salted
