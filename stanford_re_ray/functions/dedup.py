@@ -345,12 +345,20 @@ def ngram_jaccard_pairs(
             }
         )
 
-    # distinct candidate pairs (a pair can surface in several bands)
+    # distinct candidate pairs (a pair can surface in several bands).
+    # The groupby inherits the LSH stage's block count (hundreds of tiny
+    # blocks), and Ray's sort-based joins downstream scale with BLOCK
+    # COUNT — bound blocks to the candidate-row count before the two
+    # rehydration joins (the connected_components lesson), and feed the
+    # count to them as est_rows so their bucket counts size to the data.
     cand = (
         buckets.map_batches(explode_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="__n"))
+        .materialize()
     )
+    n_cand = cand.count()
+    cand = cand.repartition(max(4, n_cand // 250_000 + 1)).materialize()
     docs = ds.select_columns(["doc_id", "text"])
     docs_a = docs.map_batches(
         lambda b: b.rename_columns(["doc_id", "text_a"]),
@@ -367,7 +375,7 @@ def ngram_jaccard_pairs(
 
     with_a = hash_join(
         cand.map_batches(as_a_key, batch_format="pyarrow"), docs_a,
-        on="doc_id",
+        on="doc_id", est_rows=3 * n_cand,
     )
 
     def as_b_key(batch: pa.Table) -> pa.Table:
@@ -382,7 +390,7 @@ def ngram_jaccard_pairs(
 
     with_both = hash_join(
         with_a.map_batches(as_b_key, batch_format="pyarrow"), docs_b,
-        on="doc_id",
+        on="doc_id", est_rows=3 * n_cand,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -808,8 +816,20 @@ def connected_components(
             "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
         })
 
+    _I64_MAX = np.iinfo(np.int64).max
+
     edges = pairs.map_batches(explode, batch_format="pyarrow").materialize()
     n_edges = edges.count()    # metadata count on the materialized dataset
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    # LSH/verify upstreams emit hundreds of tiny blocks; Ray's sort-based
+    # shuffles scale with BLOCK COUNT, not rows (the kcore/bfs iterative
+    # gotcha), so bound blocks to the edge count before looping — without
+    # this, one round over a 255-pair graph spent ~50 s in sort metadata.
+    n_blocks = max(4, n_edges // 250_000 + 1)
+    edges = edges.repartition(n_blocks).materialize()
     # initial label = min(own id, min neighbor id)
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
 
@@ -817,17 +837,29 @@ def connected_components(
         lab = pc.min_element_wise(batch.column("node"), batch.column("label"))
         return pa.table({"node": batch.column("node"), "label": lab})
 
-    labels = labels.map_batches(own_min, batch_format="pyarrow").materialize()
+    labels = (labels.map_batches(own_min, batch_format="pyarrow")
+              .repartition(n_blocks).materialize())
     n_changed = 0
     for _ in range(max_rounds):
-        # propagate: node's label flows to each neighbor (edges ⋈ labels)
+        # propagate: node's label flows to each neighbor (edges ⋈ labels);
+        # the convergence check rides the SAME aggregation — label rows
+        # carry old=label, message rows old=+inf, so Min(old) recovers
+        # each node's previous label with no second join per round
         msgs = hash_join(edges, labels, on="node", est_rows=n_edges)
 
         def to_nbr(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
             return pa.table({"node": batch.column("nbr"),
-                             "label": batch.column("label")})
+                             "label": batch.column("label"),
+                             "old": pa.array(
+                                 np.full(n, _I64_MAX, np.int64))})
 
         prop = msgs.map_batches(to_nbr, batch_format="pyarrow")
+
+        def with_old(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column("node"),
+                             "label": batch.column("label"),
+                             "old": batch.column("label")})
 
         def min_combine(batch: pa.Table) -> pa.Table:
             # map-side combine before the Min shuffle: Ray's sort-based
@@ -837,36 +869,41 @@ def connected_components(
             # np.unique order deterministic)
             n = batch.column("node").to_numpy(zero_copy_only=False)
             lab = batch.column("label").to_numpy(zero_copy_only=False)
+            old = batch.column("old").to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(n, return_inverse=True)
-            best = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            best = np.full(len(uniq), _I64_MAX, np.int64)
             np.minimum.at(best, inv, lab.astype(np.int64))
+            bold = np.full(len(uniq), _I64_MAX, np.int64)
+            np.minimum.at(bold, inv, old.astype(np.int64))
             return pa.table({"node": pa.array(uniq.astype(np.int64)),
-                             "label": pa.array(best)})
+                             "label": pa.array(best),
+                             "old": pa.array(bold)})
 
-        new_labels = (
-            labels.union(prop)
+        merged = (
+            labels.map_batches(with_old, batch_format="pyarrow")
+            .union(prop)
             .map_batches(min_combine, batch_format="pyarrow")
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label"),
+                       Min("old", alias_name="old"))
+            .repartition(n_blocks)
             .materialize()
         )
-        # distributed convergence check: count changed labels
-        old = labels.map_batches(
-            lambda b: pa.table({"node": b.column("node"),
-                                "old_label": b.column("label")}),
-            batch_format="pyarrow",
-        )
-        delta = hash_join(new_labels, old, on="node", est_rows=n_edges)
+
+        def drop_old(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["old"])
 
         def flag(batch: pa.Table) -> pa.Table:
             ch = pc.cast(
-                pc.not_equal(batch.column("label"), batch.column("old_label")),
+                pc.not_equal(batch.column("label"), batch.column("old")),
                 pa.int64(),
             )
             return pa.table({"changed": ch})
 
-        n_changed = delta.map_batches(flag, batch_format="pyarrow").sum("changed")
-        labels = new_labels
+        n_changed = merged.map_batches(flag, batch_format="pyarrow") \
+            .sum("changed")
+        labels = merged.map_batches(drop_old,
+                                    batch_format="pyarrow").materialize()
         if not n_changed:
             break
     else:
