@@ -555,15 +555,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_curation": A.q54_curation,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
-        "q57_dsir_weights": A.q57_dsir_weights,
         # round-4 NEW operators (never had a driver row — promoted over
-        # the r3-green q58/q59/q60/q61, which rotate to the tail top)
+        # the r3-green q57/q58/q59/q60/q61, which rotate to the tail top)
         "q68_source_cap": A.q68_source_cap,
         "q70_bfs_distances": A.q70_bfs_distances,
         "q72_cube": A.q72_cube,
         "q73_dedup_corpus": _dedup_corpus,
+        "q74_event_deltas": A.q74_event_deltas,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q57_dsir_weights": A.q57_dsir_weights,
         "q58_cdc_clean": A.q58_cdc_clean,
         "q59_outer_join": A.q59_outer_join,
         "q60_rollup": A.q60_rollup,
@@ -1906,6 +1907,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q74_event_deltas": """
+            -- LAG/LEAD twin: per-user time deltas over the (user, ts)
+            -- compacted stream, int64 epoch-microseconds end to end
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS ts_us,
+                     MAX(event_id) AS event_id
+              FROM events GROUP BY 1, 2)
+            SELECT event_id, user_id, ts_us,
+                   COALESCE(ts_us - LAG(ts_us) OVER w, -1)
+                     AS prev_delta_us,
+                   COALESCE(LEAD(ts_us) OVER w - ts_us, -1)
+                     AS next_delta_us
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+            ORDER BY user_id, ts_us
         """,
         "q72_cube": """
             SELECT l_returnflag, l_linestatus,

@@ -745,6 +745,71 @@ def q34_running_totals(sf_dir: str) -> pa.Table:
     }), preserve_index=False)
 
 
+def q74_event_deltas(sf_dir: str) -> pa.Table:
+    """LAG/LEAD window primitive: per-user time-to-previous and
+    time-to-next event — ``ts - LAG(ts) OVER (PARTITION BY user ORDER BY
+    ts)`` — distributed exactly like q34's running totals: ONE
+    hash(user) bucket shuffle, then a vectorized in-group sort + diff
+    (each user's timeline lives whole in its bucket).  Timestamps ride
+    as int64 epoch-microseconds end to end (the q05 policy: no
+    cross-engine timestamp-resolution ambiguity) so every delta is
+    exact integer arithmetic; boundary rows (no prev/next) take -1.
+    Events are pre-compacted to one row per (user_id, ts) keeping max
+    event_id so ordering ties cannot differ across engines."""
+    import zlib
+
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": ts_us,
+            "__bucket": pa.array(
+                [zlib.crc32(str(v).encode()) % 64
+                 for v in batch.column("user_id").to_pylist()],
+                pa.int32()),
+        })
+
+    def deltas(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "ts_us"], keep="last")
+        ts = g["ts_us"].to_numpy(dtype=np.int64)
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        prev = np.empty(len(g), np.int64)
+        nxt = np.empty(len(g), np.int64)
+        if len(g):
+            same_prev = np.zeros(len(g), bool)
+            same_prev[1:] = uid[1:] == uid[:-1]
+            prev[:] = -1
+            prev[same_prev] = (ts[same_prev]
+                               - ts[np.flatnonzero(same_prev) - 1])
+            same_next = np.zeros(len(g), bool)
+            same_next[:-1] = uid[:-1] == uid[1:]
+            nxt[:] = -1
+            nxt[same_next] = (ts[np.flatnonzero(same_next) + 1]
+                              - ts[same_next])
+        g["prev_delta_us"] = prev
+        g["next_delta_us"] = nxt
+        return pd_to_arrow(g)
+
+    out = (events.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(deltas, batch_format="pandas")
+           .to_pandas().sort_values(["user_id", "ts_us"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "user_id": out["user_id"].astype("int64"),
+        "ts_us": out["ts_us"].astype("int64"),
+        "prev_delta_us": out["prev_delta_us"].astype("int64"),
+        "next_delta_us": out["next_delta_us"].astype("int64"),
+    }), preserve_index=False)
+
+
 def q35_hash_sample(sf_dir: str, percent: int = 10) -> pa.Table:
     """Deterministic content-hash sampling — the reproducible subsample
     every pipeline needs (no RNG state; membership is a pure function of

@@ -679,12 +679,19 @@ def triangle_counts(
     # materialize: und feeds THREE consumers (both wedge sides + the
     # closure semi-join's right side) — without this the canonicalize +
     # distinct shuffle would re-execute three times (pagerank
-    # materializes `ed` for the same reason)
+    # materializes `ed` for the same reason).  Then bound its block
+    # count: the distinct groupby emits as many near-empty blocks as the
+    # sort had inputs, and the two downstream joins' sorts scale with
+    # BLOCK COUNT, not rows (the connected_components lesson).
     und = (edges.map_batches(canon, batch_format="pyarrow")
            .groupby(["a", "b"]).count()
            .map_batches(lambda t: t.drop_columns(["count()"]),
                         batch_format="pyarrow")
            .materialize())
+    n_und = und.count()
+    und = und.repartition(max(4, n_und // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = 2 * n_und
 
     e1 = und.map_batches(lambda t: t.rename_columns(["u", "k"]),
                          batch_format="pyarrow")

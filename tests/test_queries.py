@@ -109,6 +109,7 @@ SQL_CHECKED = [
     "q66_personalized_pagerank", "q67_connected_components",
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
     "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
+    "q74_event_deltas",
 ]
 
 
@@ -165,7 +166,7 @@ def test_driver_window_covers_critical_queries(entrymod):
         "q42_bigram_lm", "q44_props_field_stats", "q52_perplexity_filter",
         # round-4 new operators: first driver row this round
         "q68_source_cap", "q70_bfs_distances", "q72_cube",
-        "q73_dedup_corpus",
+        "q73_dedup_corpus", "q74_event_deltas",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
