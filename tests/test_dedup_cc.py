@@ -93,3 +93,29 @@ def test_dedup_corpus_end_to_end(ray_session):
     kept = sorted(dedup_corpus(docs, threshold=0.5).to_pandas()["doc_id"])
     # cluster {1,2,3} -> representative 1; the three distinct docs survive
     assert kept == [1, 4, 5, 6]
+
+
+def test_embedding_neardup_broadcast_matches_join_path(ray_session):
+    """The size-gated broadcast verify (vectorized row-gather cosine,
+    dedupe after verification) must return exactly the distributed
+    rehydration-join path's pairs — same ids, same 6-dp cosines."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import embedding_neardup_pairs
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def canon(df):
+        return (df.sort_values(["vec_a", "vec_b"])
+                .reset_index(drop=True)[["vec_a", "vec_b", "cosine"]])
+
+    via_broadcast = canon(
+        embedding_neardup_pairs(emb, threshold=0.4).to_pandas())
+    via_joins = canon(
+        embedding_neardup_pairs(emb, threshold=0.4,
+                                broadcast_limit=0).to_pandas())
+    assert len(via_broadcast) > 0          # fixture plants true pairs
+    pd.testing.assert_frame_equal(via_broadcast, via_joins,
+                                  check_exact=True)
