@@ -243,6 +243,20 @@ def hash_join(
                  % n_buckets).astype(np.int32)
             buckets = pa.array(b, pa.int32())
             return batch.append_column("__bucket", buckets)
+        if not salt_keys:
+            # string / multi-column keys: vectorized fixed-key siphash
+            # (pd.util.hash_pandas_object — process-independent, so the
+            # determinism rule holds).  Routing only co-locates a key's
+            # rows; it never affects join OUTPUT, so the hash function
+            # needs stability, not any particular value.  The per-row
+            # crc32 loop below (kept for the salted path, which also
+            # content-hashes whole rows) cost seconds per million rows.
+            h = pd.util.hash_pandas_object(
+                batch.select(on).to_pandas(), index=False).to_numpy()
+            return batch.append_column(
+                "__bucket",
+                pa.array((h % np.uint64(n_buckets)).astype(np.int32),
+                         pa.int32()))
         key_rows = list(zip(*(batch.column(c).to_pylist() for c in on)))
         base = [
             zlib.crc32("\x00".join(str(v) for v in row)
