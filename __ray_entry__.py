@@ -553,17 +553,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_triangle_counts": A.q65_triangle_counts,
         "q67_connected_components": A.q67_connected_components,
         "q54_curation": A.q54_curation,
-        "q55_semdedup": A.q55_semdedup,
-        "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         # round-4 NEW operators (never had a driver row — promoted over
-        # the r3-green q57/q58/q59/q60/q61, which rotate to the tail top)
+        # the r3-green q55-q61, which rotate to the tail top)
         "q68_source_cap": A.q68_source_cap,
         "q70_bfs_distances": A.q70_bfs_distances,
         "q72_cube": A.q72_cube,
         "q73_dedup_corpus": _dedup_corpus,
         "q74_event_deltas": A.q74_event_deltas,
+        "q75_set_ops": A.q75_set_ops,
+        "q76_funnel": A.q76_funnel,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q55_semdedup": A.q55_semdedup,
+        "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
         "q58_cdc_clean": A.q58_cdc_clean,
         "q59_outer_join": A.q59_outer_join,
@@ -1907,6 +1909,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q75_set_ops": """
+            -- intersect_distinct / except_distinct twins over the same
+            -- viewer/high-value-purchaser sets, tagged and unioned
+            WITH v AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'view'),
+            p AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase' AND value > 90),
+            i AS (SELECT user_id FROM v INTERSECT SELECT user_id FROM p),
+            e AS (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+            SELECT 'intersect' AS op, user_id FROM i
+            UNION ALL
+            SELECT 'except', user_id FROM e
+            ORDER BY op, user_id
+        """,
+        "q76_funnel": """
+            -- funnel twin: first view strictly before last purchase;
+            -- users missing either leg drop out via NULL comparison
+            WITH agg AS (
+              SELECT user_id,
+                     MIN(CASE WHEN event_type = 'view'
+                              THEN epoch_us(ts) END) AS first_view_us,
+                     MAX(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END) AS last_purchase_us,
+                     CAST(SUM(CASE WHEN event_type = 'view'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_views,
+                     CAST(SUM(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases
+              FROM events GROUP BY user_id)
+            SELECT user_id, first_view_us, last_purchase_us,
+                   n_views, n_purchases
+            FROM agg
+            WHERE first_view_us < last_purchase_us
+            ORDER BY user_id
         """,
         "q74_event_deltas": """
             -- LAG/LEAD twin: per-user time deltas over the (user, ts)

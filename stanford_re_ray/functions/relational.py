@@ -553,6 +553,48 @@ def semi_anti_filter(
     return left.map_batches(flt, batch_format="pyarrow")
 
 
+def _distinct(ds: ray.data.Dataset, on: list[str]) -> ray.data.Dataset:
+    """Distinct ``on`` rows with a map-side combine: per-batch Arrow
+    ``group_by`` collapses each batch to its own distinct rows before the
+    global groupby, so the exchange carries distinct-per-batch keys."""
+    def local(batch: pa.Table) -> pa.Table:
+        return batch.select(on).group_by(on).aggregate([])
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby(on).count()
+            .map_batches(lambda t: t.drop_columns(["count()"]),
+                         batch_format="pyarrow"))
+
+
+def intersect_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` (distinct): the distinct ``on`` rows present on
+    BOTH sides — distinct-ify the left (map-side-combined groupby), then
+    one key-partitioned SEMI ``hash_join`` against the right (which
+    needs no dedup: semi joins emit each left row at most once)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return hash_join(_distinct(left, on), right.select_columns(on),
+                     on=on, how="semi", est_rows=est_rows)
+
+
+def except_distinct(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` (distinct): the distinct ``on`` rows present on the
+    left and absent from the right — ``intersect_distinct``'s ANTI
+    twin."""
+    on = [on] if isinstance(on, str) else list(on)
+    return hash_join(_distinct(left, on), right.select_columns(on),
+                     on=on, how="anti", est_rows=est_rows)
+
+
 def rollup_sum(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -810,6 +810,102 @@ def q74_event_deltas(sf_dir: str) -> pa.Table:
     }), preserve_index=False)
 
 
+def q75_set_ops(sf_dir: str) -> pa.Table:
+    """Distinct set operations (``functions.relational.intersect_distinct``
+    / ``except_distinct``): viewers INTERSECT high-value purchasers and
+    viewers EXCEPT high-value purchasers, both as map-side-combined
+    distinct + one SEMI/ANTI hash join, unioned with an ``op`` tag."""
+    from ..functions.relational import except_distinct, intersect_distinct
+
+    events = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def viewers(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("event_type"), "view")
+        return batch.filter(keep).select(["user_id"])
+
+    def purchasers(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                       pc.greater(batch.column("value"), 90.0))
+        return batch.filter(keep).select(["user_id"])
+
+    v = events.map_batches(viewers, batch_format="pyarrow")
+    p = events.map_batches(purchasers, batch_format="pyarrow")
+
+    def tag(op: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "op", pa.array([op] * batch.num_rows, pa.string()))
+        return f
+
+    both = (intersect_distinct(v, p, on="user_id")
+            .map_batches(tag("intersect"), batch_format="pyarrow")
+            .union(except_distinct(v, p, on="user_id")
+                   .map_batches(tag("except"), batch_format="pyarrow")))
+    out = (both.to_pandas().sort_values(["op", "user_id"])
+           .reset_index(drop=True))
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out[["op", "user_id"]],
+                                preserve_index=False)
+
+
+def q76_funnel(sf_dir: str) -> pa.Table:
+    """Conversion funnel: users whose FIRST view precedes their LAST
+    purchase, with per-user view/purchase counts.  Fully combiner-shaped
+    — per-batch Arrow ``group_by`` partials (min/max over int64
+    epoch-microsecond sentinels, int counts) then ONE groupby of
+    associative reductions; no bucketing, no row ever reshuffles."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    events = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    I64_MAX = np.iinfo(np.int64).max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch.column("ts"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        is_v = et == "view"
+        is_p = et == "purchase"
+        # sentinel encoding keeps the reduce null-free and associative:
+        # min-identity for first view, max-identity for last purchase
+        ts_v = np.where(is_v, ts_us, I64_MAX)
+        ts_p = np.where(is_p, ts_us, -1)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        fv = np.full(len(uniq), I64_MAX, np.int64)
+        np.minimum.at(fv, inv, ts_v)
+        lp = np.full(len(uniq), -1, np.int64)
+        np.maximum.at(lp, inv, ts_p)
+        nv = np.zeros(len(uniq), np.int64)
+        np.add.at(nv, inv, is_v.astype(np.int64))
+        npu = np.zeros(len(uniq), np.int64)
+        np.add.at(npu, inv, is_p.astype(np.int64))
+        return pa.table({"user_id": pa.array(uniq),
+                         "fv": pa.array(fv), "lp": pa.array(lp),
+                         "nv": pa.array(nv), "np": pa.array(npu)})
+
+    agg = (events.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("fv", alias_name="first_view_us"),
+                      Max("lp", alias_name="last_purchase_us"),
+                      Sum("nv", alias_name="n_views"),
+                      Sum("np", alias_name="n_purchases")))
+
+    def funnel(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("first_view_us"),
+                       batch.column("last_purchase_us"))
+        return batch.filter(keep)
+
+    out = (agg.map_batches(funnel, batch_format="pyarrow")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in ("user_id", "first_view_us", "last_purchase_us",
+              "n_views", "n_purchases"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "first_view_us", "last_purchase_us",
+             "n_views", "n_purchases"]], preserve_index=False)
+
+
 def q35_hash_sample(sf_dir: str, percent: int = 10) -> pa.Table:
     """Deterministic content-hash sampling — the reproducible subsample
     every pipeline needs (no RNG state; membership is a pure function of

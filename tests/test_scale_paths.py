@@ -599,3 +599,30 @@ def test_bfs_distances_broadcast_matches_join_path(ray_session):
             max_hops=max_hops, broadcast_limit=limit).to_pandas()
         got = dict(zip(out["node"], out["dist"]))
         assert got == want, f"broadcast_limit={limit}: {got} != {want}"
+
+
+def test_set_ops_distinct(ray_session):
+    """intersect_distinct/except_distinct match Python set semantics on
+    multi-column keys, with duplicates on both sides collapsed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import (except_distinct,
+                                                      intersect_distinct)
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+        "s": pa.array(["a", "a", "b", "c", "c", "d"]),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 3, 5], pa.int64()),
+        "s": pa.array(["b", "x", "c", "e"]),
+    })).repartition(2)
+
+    inter = intersect_distinct(left, right, on=["k", "s"]).to_pandas()
+    got_i = sorted(map(tuple, inter[["k", "s"]].itertuples(index=False)))
+    assert got_i == [(2, "b"), (3, "c")]
+
+    exc = except_distinct(left, right, on=["k", "s"]).to_pandas()
+    got_e = sorted(map(tuple, exc[["k", "s"]].itertuples(index=False)))
+    assert got_e == [(1, "a"), (4, "d")]
