@@ -540,7 +540,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_quality_stats": A.q11_quality_stats,
         "q12_ann_topk": A.q12_ann_topk,
         "q21_sessions": A.q21_sessions,
-        "q27_asof_join": A.q27_asof_join,
         "q28_gopher_quality": A.q28_gopher_quality,
         "q32_pii_scrub": A.q32_pii_scrub,
         "q37_tfidf_topk": A.q37_tfidf_topk,
@@ -562,8 +561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_event_deltas": A.q74_event_deltas,
         "q75_set_ops": A.q75_set_ops,
         "q76_funnel": A.q76_funnel,
+        "q77_source_kl": A.q77_source_kl,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
+        "q27_asof_join": A.q27_asof_join,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
@@ -1909,6 +1910,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q77_source_kl": """
+            -- source_kl_divergence twin: int-quantized per-(source,
+            -- token) KL terms (the perplexity_scores quantization
+            -- policy), identical float op order to the engine
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            sw AS (
+              SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_sw
+              FROM toks GROUP BY 1, 2),
+            w AS (
+              SELECT token, CAST(SUM(n_sw) AS BIGINT) AS n_w
+              FROM sw GROUP BY 1),
+            s AS (
+              SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s
+              FROM sw GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n_sw) AS BIGINT) AS n FROM sw),
+            terms AS (
+              SELECT sw.source,
+                     CAST(floor(
+                       (sw.n_sw / CAST(s.n_s AS DOUBLE))
+                       * ln((sw.n_sw * CAST(tot.n AS DOUBLE))
+                            / (CAST(s.n_s AS DOUBLE) * w.n_w))
+                       * 1000000000 + 0.5) AS BIGINT) AS t_q
+              FROM sw
+              JOIN w USING (token)
+              JOIN s USING (source)
+              CROSS JOIN tot),
+            kl AS (
+              SELECT source, CAST(SUM(t_q) AS BIGINT) AS kl_q
+              FROM terms GROUP BY 1)
+            SELECT kl.source, kl.kl_q, s.n_s AS n_tokens
+            FROM kl JOIN s USING (source)
+            ORDER BY kl.source
         """,
         "q75_set_ops": """
             -- intersect_distinct / except_distinct twins over the same

@@ -472,3 +472,97 @@ def dsir_importance(
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def source_kl_divergence(
+    docs: ray.data.Dataset,
+    source_col: str = "source",
+    text_col: str = "text",
+    quantum: int = 1_000_000_000,
+) -> ray.data.Dataset:
+    """Per-source KL divergence KL(p_source ‖ p_corpus) over unigram
+    distributions — the mixture diagnostic that tells a curation run how
+    far each source's token distribution sits from the blend (the
+    qualitative companion to ``dsir_importance``'s per-document
+    weights).  Returns (source, kl_q, n_tokens): ``kl_q`` is the KL in
+    ``1/quantum`` nats as an int64 — each (source, token) contributes
+    ``floor((n_sw/N_s)·ln((n_sw·N)/(N_s·n_w))·quantum + 0.5)``, so the
+    per-source reduction is an associative integer SUM and the result
+    is bit-deterministic across partitionings (the
+    ``perplexity_scores`` quantization policy).
+
+    Scale shape: per-batch Arrow group_by combiners mean only distinct
+    (source, token) and (token) partial counts ever shuffle (Zipf-bound,
+    like ``term_count_partial``); the (source, token) ⋈ (token) join is
+    a key-partitioned ``hash_join`` (the corpus vocabulary is too large
+    to broadcast at web scale); the per-source totals table is
+    sources-sized — tiny by nature — and broadcasts."""
+    from ray.data.aggregate import Sum
+
+    from ..state import broadcast
+    from .relational import hash_join
+
+    def sw_partial(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column(text_col))
+        src = batch.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src.take(parent), "token": flat})
+        g = t.group_by(["source", "token"]).aggregate([("token", "count")])
+        return pa.table({"source": g.column("source"),
+                         "token": g.column("token"),
+                         "n": pc.cast(g.column("token_count"), pa.int64())})
+
+    sw = (docs.map_batches(sw_partial, batch_format="pyarrow")
+          .groupby(["source", "token"])
+          .aggregate(Sum("n", alias_name="n_sw"))
+          .materialize())
+
+    def w_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("n_sw", "sum")])
+        return pa.table({"token": g.column("token"),
+                         "n": pc.cast(g.column("n_sw_sum"), pa.int64())})
+
+    n_w = (sw.map_batches(w_partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n_w")))
+
+    # per-source totals: sources-sized by nature → driver + broadcast
+    s_tot = (sw.groupby("source").aggregate(Sum("n_sw", alias_name="n_s"))
+             .to_pandas())
+    totals = dict(zip(s_tot["source"], s_tot["n_s"].astype(np.int64)))
+    n_total = int(s_tot["n_s"].sum())
+    ref = broadcast.put((totals, n_total))
+
+    joined = hash_join(sw, n_w, on="token",
+                       est_rows=int(sw.count()))
+
+    def term(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        tot, n = fetch(ref)
+        n_sw = batch.column("n_sw").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nw = batch.column("n_w").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        src = batch.column("source").to_pylist()
+        n_s = np.array([tot[s] for s in src], dtype=np.float64)
+        t_q = np.floor((n_sw / n_s)
+                       * np.log((n_sw * n) / (n_s * nw))
+                       * quantum + 0.5).astype(np.int64)
+        return pa.table({"source": batch.column("source"),
+                         "t_q": pa.array(t_q),
+                         "n_tok": pa.array(n_s.astype(np.int64))})
+
+    out = (joined.map_batches(term, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("t_q", alias_name="kl_q")))
+
+    def attach_total(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        tot, _ = fetch(ref)
+        src = batch.column("source").to_pylist()
+        return batch.append_column(
+            "n_tokens", pa.array([int(tot[s]) for s in src], pa.int64()))
+
+    return out.map_batches(attach_total, batch_format="pyarrow")

@@ -1286,6 +1286,22 @@ def q52_perplexity_filter(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q77_source_kl(sf_dir: str) -> pa.Table:
+    """Per-source KL divergence vs the corpus unigram blend
+    (``functions.mixing.source_kl_divergence``): integer-quantized
+    per-(source, token) terms, associative int sums, broadcast
+    source totals, key-partitioned vocabulary join."""
+    from ..functions.mixing import source_kl_divergence
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    out = (source_kl_divergence(docs).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    for c in ("kl_q", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["source", "kl_q", "n_tokens"]],
+                                preserve_index=False)
+
+
 def q53_bpe_merges(sf_dir: str, n_merges: int = 6) -> pa.Table:
     """Distributed BPE tokenizer training (``functions.corpus.bpe_train``):
     the learned merge table.  Iterative argmax — pytest-gated against a

@@ -109,7 +109,7 @@ SQL_CHECKED = [
     "q66_personalized_pagerank", "q67_connected_components",
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
     "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
-    "q74_event_deltas", "q75_set_ops", "q76_funnel",
+    "q74_event_deltas", "q75_set_ops", "q76_funnel", "q77_source_kl",
 ]
 
 
@@ -167,7 +167,7 @@ def test_driver_window_covers_critical_queries(entrymod):
         # round-4 new operators: first driver row this round
         "q68_source_cap", "q70_bfs_distances", "q72_cube",
         "q73_dedup_corpus", "q74_event_deltas", "q75_set_ops",
-        "q76_funnel",
+        "q76_funnel", "q77_source_kl",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
