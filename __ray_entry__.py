@@ -541,7 +541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_ann_topk": A.q12_ann_topk,
         "q21_sessions": A.q21_sessions,
         "q28_gopher_quality": A.q28_gopher_quality,
-        "q32_pii_scrub": A.q32_pii_scrub,
         "q37_tfidf_topk": A.q37_tfidf_topk,
         "q41_kmeans": A.q41_kmeans,
         "q63_semdedup_trained": A.q63_semdedup_trained,
@@ -562,9 +561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_set_ops": A.q75_set_ops,
         "q76_funnel": A.q76_funnel,
         "q77_source_kl": A.q77_source_kl,
+        "q78_weighted_sample": A.q78_weighted_sample,
         # --- tail (entry 51+): outside the driver window this round; all
         # green in r2/r3 driver sweeps and exact-checked in pytest ---
         "q27_asof_join": A.q27_asof_join,
+        "q32_pii_scrub": A.q32_pii_scrub,
         "q55_semdedup": A.q55_semdedup,
         "q56_cdc_substring_dedup": A.q56_cdc_substring_dedup,
         "q57_dsir_weights": A.q57_dsir_weights,
@@ -1910,6 +1911,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ALL', 'ALL', round(SUM(l_quantity), 2), COUNT(*)
             FROM lineitem
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q78_weighted_sample": """
+            -- weighted_bottomk_sample twin: ceil(len/100) tickets per
+            -- doc, ticket i = md5('{id}:{i}') % 1e12 (the q35
+            -- md5_number_upper convention), priority = min ticket,
+            -- k smallest priorities win (tie-break doc_id)
+            WITH t AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     GREATEST(CAST(ceil(length(text) / 100.0) AS BIGINT),
+                              1) AS w
+              FROM documents),
+            ticket_ids AS (
+              SELECT doc_id, n_chars,
+                     unnest(generate_series(0, w - 1)) AS i
+              FROM t),
+            tickets AS (
+              SELECT doc_id, n_chars,
+                     CAST(md5_number_upper(
+                            CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR))
+                          % 1000000000000 AS BIGINT) AS pr
+              FROM ticket_ids),
+            pri AS (
+              SELECT doc_id, MIN(n_chars) AS n_chars,
+                     MIN(pr) AS priority
+              FROM tickets GROUP BY doc_id),
+            win AS (
+              SELECT doc_id, n_chars, priority FROM pri
+              ORDER BY priority, doc_id LIMIT 50)
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority
+            FROM win ORDER BY doc_id
         """,
         "q77_source_kl": """
             -- source_kl_divergence twin: int-quantized per-(source,

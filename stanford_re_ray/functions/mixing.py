@@ -566,3 +566,52 @@ def source_kl_divergence(
             "n_tokens", pa.array([int(tot[s]) for s in src], pa.int64()))
 
     return out.map_batches(attach_total, batch_format="pyarrow")
+
+
+def weighted_bottomk_sample(
+    docs: ray.data.Dataset,
+    k: int = 50,
+    chars_per_ticket: int = 100,
+    priority_mod: int = 10**12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (bottom-k
+    tickets): each document holds ``ceil(n_chars / chars_per_ticket)``
+    tickets, ticket i hashes to ``stable_u64(f"{id}:{i}") %
+    priority_mod``, a document's priority is its MINIMUM ticket, and the
+    k smallest priorities win — longer documents hold more tickets, so
+    inclusion probability rises ~proportionally with length, yet the
+    draw is a pure content-hash function (no RNG state, identical at any
+    parallelism; the q35 ``md5_number_upper`` convention, so a SQL twin
+    replays it exactly).
+
+    Scale shape: the ticket loop is per-document map work (never
+    shuffled); each batch forwards only its own k smallest (priority,
+    id) rows, so the final sort+limit sees ≤ k·n_blocks tiny rows."""
+    from .hashing import stable_u64
+
+    def priorities(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_pr = np.empty(len(ids), np.int64)
+        n_chars = np.empty(len(ids), np.int64)
+        for j, (i, t) in enumerate(zip(ids, texts)):
+            n = len(t or "")
+            n_chars[j] = n
+            w = max(1, -(-n // chars_per_ticket))
+            out_pr[j] = min(stable_u64(f"{i}:{ti}") % priority_mod
+                            for ti in range(w))
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(n_chars),
+            "priority": pa.array(out_pr),
+        })
+        # per-batch partial top-k bounds the shuffle to k rows per batch
+        order = np.lexsort((np.asarray(ids, dtype=np.int64)
+                            if t.column(id_col).type == pa.int64()
+                            else np.arange(len(ids)), out_pr))[:k]
+        return t.take(pa.array(np.sort(order)))
+
+    return (docs.map_batches(priorities, batch_format="pyarrow")
+            .sort(["priority", id_col]).limit(k))

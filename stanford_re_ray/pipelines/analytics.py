@@ -1302,6 +1302,22 @@ def q77_source_kl(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q78_weighted_sample(sf_dir: str, k: int = 50) -> pa.Table:
+    """Weighted bottom-k ticket sampling
+    (``functions.mixing.weighted_bottomk_sample``): inclusion
+    probability ∝ document length, fully deterministic via the q35
+    md5 convention; per-batch partial top-k bounds the shuffle."""
+    from ..functions.mixing import weighted_bottomk_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (weighted_bottomk_sample(docs, k=k).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_chars", "priority"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "n_chars", "priority"]],
+                                preserve_index=False)
+
+
 def q53_bpe_merges(sf_dir: str, n_merges: int = 6) -> pa.Table:
     """Distributed BPE tokenizer training (``functions.corpus.bpe_train``):
     the learned merge table.  Iterative argmax — pytest-gated against a

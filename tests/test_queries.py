@@ -110,6 +110,7 @@ SQL_CHECKED = [
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
     "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
     "q74_event_deltas", "q75_set_ops", "q76_funnel", "q77_source_kl",
+    "q78_weighted_sample",
 ]
 
 
@@ -167,7 +168,7 @@ def test_driver_window_covers_critical_queries(entrymod):
         # round-4 new operators: first driver row this round
         "q68_source_cap", "q70_bfs_distances", "q72_cube",
         "q73_dedup_corpus", "q74_event_deltas", "q75_set_ops",
-        "q76_funnel", "q77_source_kl",
+        "q76_funnel", "q77_source_kl", "q78_weighted_sample",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
