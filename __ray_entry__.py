@@ -600,6 +600,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 tail additions (rotate into the window in round 5)
         "q69_kcore": A.q69_kcore,
         "q71_boilerplate_clean": A.q71_boilerplate_clean,
+        "q79_bm25_topk": A.q79_bm25_topk,
+        "q80_pmi_collocations": A.q80_pmi_collocations,
+        "q81_event_pivot": A.q81_event_pivot,
+        "q82_zipf_slope": A.q82_zipf_slope,
     }
 
 
@@ -2526,5 +2530,130 @@ def oracle_sql() -> dict[str, str]:
             FROM tagged GROUP BY doc_id
             HAVING COUNT(*) FILTER (kept) > 0
             ORDER BY doc_id
+        """,
+        "q79_bm25_topk": """
+            -- bm25_topk twin: Lucene +1-inside-the-log idf, k1=1.25
+            -- b=0.75 (exactly-representable doubles so both engines fold
+            -- the constants identically); per-(doc, term) contribution
+            -- quantized half-away to 1e-6 before the per-doc SUM, the
+            -- engine's associative-integer-reduce policy
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            dl AS (SELECT doc_id, len(ls) AS dl FROM lx),
+            toks AS (SELECT doc_id, unnest(ls) AS token FROM lx),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM toks
+              WHERE token IN ('hash', 'join', 'window') GROUP BY 1, 2),
+            df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY 1),
+            consts AS (
+              SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       AS n,
+                     CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       AS avgdl),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(FLOOR(
+                       LN((consts.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * CAST(tf.tf AS DOUBLE) * (1.25 + 1.0)
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.25 * (1.0 - 0.75
+                                    + 0.75 * CAST(dl.dl AS DOUBLE)
+                                           / consts.avgdl))
+                       * 1000000 + 0.5) AS BIGINT) AS contrib_q
+              FROM tf JOIN df USING (token) JOIN dl USING (doc_id),
+                   consts)
+            SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM contrib GROUP BY doc_id
+            ORDER BY score_q DESC, doc_id LIMIT 10
+        """,
+        "q80_pmi_collocations": """
+            -- pmi_topk twin: PMI over within-doc bigrams with c12 >= 5,
+            -- totals taken over the UNFILTERED tables, one double
+            -- expression written in the engine's exact op order
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            big AS (
+              SELECT w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id
+                                   ORDER BY pos) AS w2
+              FROM toks),
+            bc AS (
+              SELECT w1, w2, COUNT(*) AS c12
+              FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2),
+            uni AS (SELECT w AS token, COUNT(*) AS c FROM toks
+                    GROUP BY 1),
+            consts AS (
+              SELECT CAST((SELECT COUNT(*) FROM toks) AS DOUBLE)
+                       AS t_uni,
+                     CAST((SELECT SUM(c12) FROM bc) AS DOUBLE) AS t_big)
+            SELECT bc.w1, bc.w2, CAST(bc.c12 AS BIGINT) AS c12,
+                   CAST(FLOOR(
+                     LN((CAST(bc.c12 AS DOUBLE) / consts.t_big)
+                        / ((CAST(u1.c AS DOUBLE) / consts.t_uni)
+                           * (CAST(u2.c AS DOUBLE) / consts.t_uni)))
+                     * 1000000 + 0.5) AS BIGINT) AS pmi_q
+            FROM bc JOIN uni u1 ON bc.w1 = u1.token
+                    JOIN uni u2 ON bc.w2 = u2.token, consts
+            WHERE bc.c12 >= 5
+            ORDER BY pmi_q DESC, w1, w2 LIMIT 50
+        """,
+        "q81_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view')
+                        AS BIGINT) AS n_view,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q82_zipf_slope": """
+            -- zipf twin: least-squares ln(freq) on ln(rank) over the
+            -- top-30 vocabulary; 1e9-quantized log coordinates, EXACT
+            -- HUGEINT covariance sums (the engine uses Python bigints),
+            -- one double division at the end
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1),
+            top AS (
+              SELECT token, n FROM counts
+              ORDER BY n DESC, token LIMIT 30),
+            q AS (
+              SELECT CAST(FLOOR(LN(CAST(ROW_NUMBER() OVER (
+                       ORDER BY n DESC, token) AS DOUBLE))
+                       * 1000000000 + 0.5) AS HUGEINT) AS xq,
+                     CAST(FLOOR(LN(CAST(n AS DOUBLE))
+                       * 1000000000 + 0.5) AS HUGEINT) AS yq
+              FROM top),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     SUM(xq) AS sx, SUM(yq) AS sy,
+                     SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+              FROM q)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS slope_q
+            FROM s
         """,
     }

@@ -638,3 +638,170 @@ def bpe_train(docs: ray.data.Dataset, n_merges: int = 8,
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+# --- BM25 retrieval ---------------------------------------------------------
+
+
+def bm25_topk(docs: ray.data.Dataset, query_terms: list[str], n_docs: int,
+              k: int = 10, k1: float = 1.25, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id",
+              quantum: int = 1_000_000) -> ray.data.Dataset:
+    """BM25 retrieval: the ``k`` highest-scoring documents for a fixed
+    query-term set (Robertson/Sparck-Jones idf, the Lucene ``+1``-inside-
+    the-log variant so idf is always positive).
+
+    Scale shape: two column-pruned passes over the text.  Pass A is a
+    one-row-per-batch combiner for the global token total (avgdl comes
+    from it plus the free Parquet-footer doc count — no driver-side
+    loop).  Pass B tokenizes once and keeps ONLY postings for the query
+    terms (``pc.is_in`` against the tiny term set), so the shuffled
+    relation is bounded by |terms| x n_docs postings, never token
+    occurrences.  Document frequencies reduce to |terms| rows
+    (driver-collected, provably small) and are closed over by the
+    scoring map; per-(doc, term) contributions are quantized to int64 so
+    the per-document reduce is an associative integer SUM at any
+    parallelism.  The final global top-k is a vocab-free sort+limit over
+    one row per matching document.
+
+    ``n_docs`` comes from Parquet footer metadata (free); the score is
+    ``idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)``, quantized
+    half-away-from-zero like the TF-IDF score (matches SQL ROUND/FLOOR
+    conventions in the oracle)."""
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted(dict.fromkeys(query_terms))
+    terms_arr = pa.array(terms, pa.string())
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        _, flat = _tokenize_column(batch.column(text_col))
+        return pa.table({"dl": pa.array([len(flat)], pa.int64())})
+
+    total_tokens = int(
+        docs.map_batches(dl_partial, batch_format="pyarrow").sum("dl"))
+    avgdl = total_tokens / n_docs  # exact-int true division: both engines
+    # round the same rational to the nearest double (ints < 2^53)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64())})
+        parent, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) == 0:
+            return empty
+        p = np.asarray(parent, dtype=np.int64)
+        dl = np.bincount(p, minlength=batch.num_rows).astype(np.int64)
+        keep = pc.is_in(flat, value_set=terms_arr)
+        fp = pa.array(p, pa.int64()).filter(keep)
+        ft = flat.filter(keep)
+        if len(ft) == 0:
+            return empty
+        g = (pa.table({"pid": fp, "token": ft})
+             .group_by(["pid", "token"]).aggregate([([], "count_all")]))
+        pid = g.column("pid").to_numpy()
+        return pa.table({
+            id_col: batch.column(id_col).take(g.column("pid")),
+            "token": g.column("token"),
+            "tf": pc.cast(g.column(g.schema.names[-1]), pa.int64()),
+            "dl": pa.array(dl[pid], pa.int64()),
+        })
+
+    # bounded by |terms| x n_docs rows; materialized once so the df
+    # reduce and the scoring map don't each re-tokenize the corpus
+    postings = docs.map_batches(
+        tf_partial, batch_format="pyarrow").materialize()
+
+    df_pd = (postings.groupby("token")
+             .aggregate(Count(alias_name="df")).to_pandas())
+    df_map = dict(zip(df_pd["token"], df_pd["df"].astype(np.int64)))
+    df_arr = np.array([df_map.get(t, 0) for t in terms], dtype=np.float64)
+
+    n_f = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        idx = pc.index_in(batch.column("token"),
+                          value_set=terms_arr).to_numpy(
+                              zero_copy_only=False).astype(np.int64)
+        dfv = df_arr[idx]
+        idf = np.log((n_f - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        s = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        sq = np.floor(s * quantum + 0.5).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "contrib_q": pa.array(sq)})
+
+    return (postings.map_batches(score, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("contrib_q", alias_name="score_q"),
+                       Count(alias_name="n_terms"))
+            .sort(["score_q", id_col], descending=[True, False])
+            .limit(k))
+
+
+# --- PMI collocations -------------------------------------------------------
+
+
+def pmi_topk(docs: ray.data.Dataset, top_n: int = 50, min_count: int = 5,
+             text_col: str = "text", quantum: int = 1_000_000,
+             est_rows: int | None = None) -> ray.data.Dataset:
+    """Pointwise-mutual-information collocations: the ``top_n``
+    within-document bigrams by ``PMI = ln(p(w1,w2) / (p(w1) p(w2)))``
+    among bigrams seen at least ``min_count`` times.
+
+    Scale shape: one tokenize pass feeds BOTH count tables through
+    per-batch Arrow group_by combiners (``_doc_bigram_counts`` /
+    ``term_count_partial``), so only per-batch DISTINCT (w1,w2)/(token)
+    partials shuffle.  The unigram table is vocab-sized and the bigram
+    table bigram-vocab-sized; both totals come from small aggregates
+    over those tables, and the c12 >= min_count filter shrinks the
+    bigram relation BEFORE the two key-partitioned ``hash_join``s
+    rehydrate c(w1) and c(w2) (the unigram table at web scale is itself
+    too large to broadcast).  PMI is computed in one double expression
+    written identically in the SQL oracle and quantized to int64, so the
+    final sort+limit is a total order."""
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_join
+
+    uni = (docs.map_batches(
+               lambda bt: term_count_partial(bt, text_col),
+               batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="c"))
+           .materialize())
+    c12 = (_doc_bigram_counts(docs, None, "doc_id", text_col,
+                              per_doc=False)
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12"))
+           .materialize())
+
+    total_uni = float(int(uni.sum("c")))
+    total_big = float(int(c12.sum("c12")))
+
+    frequent = c12.map_batches(
+        lambda bt: bt.filter(pc.greater_equal(bt.column("c12"),
+                                              min_count)),
+        batch_format="pyarrow")
+    uni1 = uni.map_batches(lambda bt: bt.rename_columns(["w1", "c1"]),
+                           batch_format="pyarrow")
+    uni2 = uni.map_batches(lambda bt: bt.rename_columns(["w2", "c2"]),
+                           batch_format="pyarrow")
+    j = hash_join(frequent, uni1, on="w1", how="inner", est_rows=est_rows)
+    j = hash_join(j, uni2, on="w2", how="inner", est_rows=est_rows)
+
+    def pmi(batch: pa.Table) -> pa.Table:
+        c12v = batch.column("c12").to_numpy().astype(np.float64)
+        c1v = batch.column("c1").to_numpy().astype(np.float64)
+        c2v = batch.column("c2").to_numpy().astype(np.float64)
+        val = np.log((c12v / total_big)
+                     / ((c1v / total_uni) * (c2v / total_uni)))
+        q = np.floor(val * quantum + 0.5).astype(np.int64)
+        return pa.table({"w1": batch.column("w1"),
+                         "w2": batch.column("w2"),
+                         "c12": batch.column("c12"),
+                         "pmi_q": pa.array(q)})
+
+    return (j.map_batches(pmi, batch_format="pyarrow")
+            .sort(["pmi_q", "w1", "w2"], descending=[True, False, False])
+            .limit(top_n))

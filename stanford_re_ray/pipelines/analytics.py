@@ -1668,3 +1668,100 @@ def q71_boilerplate_clean(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "n_lines_kept", "n_lines_removed", "clean_md5"]],
         preserve_index=False)
+
+
+def q79_bm25_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 retrieval (``functions.corpus.bm25_topk``): top-k documents
+    for a fixed query-term set — quantized integer contributions reduce
+    associatively per doc; only query-term postings ever shuffle."""
+    from ..functions.corpus import bm25_topk
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_topk(docs, ["hash", "join", "window"],
+                    n_docs=n_docs, k=k).to_pandas()
+    for c in ("doc_id", "score_q", "n_terms"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "score_q", "n_terms"]],
+                                preserve_index=False)
+
+
+def q80_pmi_collocations(sf_dir: str, top_n: int = 50) -> pa.Table:
+    """PMI collocations (``functions.corpus.pmi_topk``): top bigrams by
+    pointwise mutual information with a min-count floor; combiner'd
+    bigram/unigram tables, key-partitioned rehydration joins."""
+    from ..functions.corpus import pmi_topk
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pmi_topk(docs, top_n=top_n, min_count=5,
+                   est_rows=n_docs * 30).to_pandas()
+    for c in ("c12", "pmi_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["w1", "w2", "c12", "pmi_q"]],
+                                preserve_index=False)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q81_event_pivot(sf_dir: str) -> pa.Table:
+    """Pivot: per-user event counts widened to one column per event type
+    (the relational PIVOT / conditional-aggregate shape).  Map-side: a
+    vectorized indicator table + in-batch Arrow group_by, so at most one
+    partial row per (batch, user) enters the shuffle; the global reduce
+    is an associative integer SUM per column."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, t), pa.int64())
+        cols["n_total"] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int64))
+        tab = pa.table(cols)
+        aggs = [(c, "sum") for c in tab.schema.names if c != "user_id"]
+        g = tab.group_by(["user_id"]).aggregate(aggs)
+        return g.rename_columns(
+            [n.replace("_sum", "") for n in g.schema.names])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                        for t in _EVENT_TYPES],
+                      Sum("n_total", alias_name="n_total"))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    cols = (["user_id"] + [f"n_{t}" for t in _EVENT_TYPES] + ["n_total"])
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+def q82_zipf_slope(sf_dir: str, top_n: int = 30) -> pa.Table:
+    """Zipf-law slope of the corpus frequency distribution: least-squares
+    slope of ln(frequency) on ln(rank) over the top-``top_n`` vocabulary.
+    The heavy part (global term counts) is the combiner'd distributed
+    groupby of ``vocab_heavy_hitters``; the regression runs driver-side
+    over the provably-small top-n rows using EXACT integer sums of
+    1e9-quantized log coordinates (the covariance sums overflow int64, so
+    Python bigints here and HUGEINT in the oracle — both then round the
+    same integer ratio to the nearest double once)."""
+    from ..functions.corpus import vocab_heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+    top = vocab_heavy_hitters(docs, top_n=top_n).to_pandas()
+    n = len(top)
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    freq = top["n_occurrences"].to_numpy().astype(np.float64)
+    xq = [int(v) for v in np.floor(np.log(rank) * 1e9 + 0.5)]
+    yq = [int(v) for v in np.floor(np.log(freq) * 1e9 + 0.5)]
+    sx, sy = sum(xq), sum(yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    sxx = sum(a * a for a in xq)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    slope_q = int(np.floor(slope * 1e6 + 0.5))
+    return pa.table({"n_terms": pa.array([n], pa.int64()),
+                     "slope_q": pa.array([slope_q], pa.int64())})

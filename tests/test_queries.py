@@ -110,7 +110,8 @@ SQL_CHECKED = [
     "q69_kcore", "q68_source_cap", "q70_bfs_distances",
     "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
     "q74_event_deltas", "q75_set_ops", "q76_funnel", "q77_source_kl",
-    "q78_weighted_sample",
+    "q78_weighted_sample", "q79_bm25_topk", "q80_pmi_collocations",
+    "q81_event_pivot", "q82_zipf_slope",
 ]
 
 
