@@ -604,6 +604,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_pmi_collocations": A.q80_pmi_collocations,
         "q81_event_pivot": A.q81_event_pivot,
         "q82_zipf_slope": A.q82_zipf_slope,
+        "q83_rolling_window": A.q83_rolling_window,
+        "q84_ntile": A.q84_ntile,
+        "q85_token_entropy": A.q85_token_entropy,
+        "q86_ngram_repetition": A.q86_ngram_repetition,
     }
 
 
@@ -2655,5 +2659,90 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(n * sxx - sx * sx AS DOUBLE)
                               * 1000000 + 0.5) AS BIGINT) AS slope_q
             FROM s
+        """,
+        "q83_rolling_window": """
+            -- frame window twin: exact integer cents, ROWS BETWEEN 2
+            -- PRECEDING AND CURRENT ROW, (ts, event_id) total order
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_q
+              FROM events)
+            SELECT event_id, user_id, ts_us,
+                   CAST(SUM(v_q) OVER w AS BIGINT) AS roll_sum_q,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_us, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, ts_us, event_id
+        """,
+        "q84_ntile": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_q
+              FROM events)
+            SELECT event_id, user_id, v_q,
+                   CAST(NTILE(4) OVER (PARTITION BY user_id
+                                       ORDER BY v_q, event_id)
+                        AS BIGINT) AS tile
+            FROM e ORDER BY user_id, v_q, event_id
+        """,
+        "q85_token_entropy": """
+            -- token_entropy twin: -(p ln p) per (doc, token) quantized
+            -- to 1e-9 BEFORE the per-doc sum (exact int reduce, immune
+            -- to summation order)
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl,
+                          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                          CAST(COUNT(*) AS BIGINT) AS n_distinct
+                   FROM tf GROUP BY 1),
+            terms AS (
+              SELECT tf.doc_id,
+                     CAST(FLOOR(
+                       -((CAST(tf.tf AS DOUBLE) / dl.dl)
+                         * LN(CAST(tf.tf AS DOUBLE) / dl.dl))
+                       * 1000000000 + 0.5) AS BIGINT) AS term_q
+              FROM tf JOIN dl USING (doc_id))
+            SELECT dl.doc_id, dl.n_tokens, dl.n_distinct,
+                   CAST(SUM(terms.term_q) AS BIGINT) AS entropy_q
+            FROM terms JOIN dl USING (doc_id)
+            GROUP BY dl.doc_id, dl.n_tokens, dl.n_distinct
+            ORDER BY dl.doc_id
+        """,
+        "q86_ngram_repetition": """
+            -- ngram_repetition twin: within-doc 3-grams via lead(),
+            -- exact half-up integer ppm ((dup*2e6 + n) // (2n))
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            toks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            g AS (
+              SELECT doc_id, w AS w0,
+                     lead(w, 1) OVER win AS w1,
+                     lead(w, 2) OVER win AS w2
+              FROM toks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            trig AS (SELECT doc_id, w0, w1, w2 FROM g
+                     WHERE w2 IS NOT NULL),
+            agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+                     CAST(COUNT(DISTINCT (w0, w1, w2)) AS BIGINT)
+                       AS n_distinct
+              FROM trig GROUP BY doc_id)
+            SELECT doc_id, n_ngrams, n_distinct,
+                   CAST(((n_ngrams - n_distinct) * 2000000 + n_ngrams)
+                        // (2 * n_ngrams) AS BIGINT) AS dup_ppm
+            FROM agg ORDER BY doc_id
         """,
     }

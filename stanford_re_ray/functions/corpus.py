@@ -805,3 +805,99 @@ def pmi_topk(docs: ray.data.Dataset, top_n: int = 50, min_count: int = 5,
     return (j.map_batches(pmi, batch_format="pyarrow")
             .sort(["pmi_q", "w1", "w2"], descending=[True, False, False])
             .limit(top_n))
+
+
+# --- per-document information/repetition signals ----------------------------
+
+
+def token_entropy(docs: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  quantum: int = 1_000_000_000) -> ray.data.Dataset:
+    """Per-document token-distribution Shannon entropy — the
+    information-density quality signal (low entropy = repetitive/spammy
+    text).  Entirely in-batch (a document never spans batches): Arrow
+    group_by for per-(doc, token) tf, vectorized ``-(p ln p)`` terms
+    quantized to int64 BEFORE the per-doc sum, so the reduction is exact
+    integer math and the SQL twin reproduces it bit-for-bit regardless
+    of summation order.  No shuffle at any scale."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "entropy_q": pa.array([], pa.int64())})
+        parent, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) == 0:
+            return empty
+        p = np.asarray(parent, dtype=np.int64)
+        dl = np.bincount(p, minlength=batch.num_rows).astype(np.int64)
+        g = (pa.table({"pid": pa.array(p, pa.int64()), "token": flat})
+             .group_by(["pid", "token"]).aggregate([([], "count_all")]))
+        pid = g.column("pid").to_numpy()
+        tf = g.column(g.schema.names[-1]).to_numpy().astype(np.float64)
+        pr = tf / dl[pid].astype(np.float64)
+        term_q = np.floor(-(pr * np.log(pr)) * quantum + 0.5).astype(
+            np.int64)
+        ent = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(ent, pid, term_q)
+        nd = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(nd, pid, 1)
+        keep = dl > 0
+        ids = batch.column(id_col).to_numpy()[keep]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(dl[keep]),
+                         "n_distinct": pa.array(nd[keep]),
+                         "entropy_q": pa.array(ent[keep])})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+def ngram_repetition(docs: ray.data.Dataset, n: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-document duplicate-n-gram fraction — the Gopher repetition
+    signal (MassiveText filters drop documents whose duplicated n-gram
+    share is high).  In-batch like ``token_entropy``: within-document
+    n-grams are adjacent flattened tokens with equal parent index,
+    distinct counting is one Arrow group_by, and the ppm ratio is exact
+    integer arithmetic (``(dup*2e6 + n)/(2n)`` half-up) so the SQL twin
+    matches bit-for-bit.  Documents shorter than ``n`` tokens emit no
+    row (the ratio is undefined), as in the oracle."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_ngrams": pa.array([], pa.int64()),
+                          "n_distinct": pa.array([], pa.int64()),
+                          "dup_ppm": pa.array([], pa.int64())})
+        parent, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) < n:
+            return empty
+        p = np.asarray(parent, dtype=np.int64)
+        m = len(p) - (n - 1)
+        adj = np.ones(m, dtype=bool)
+        for i in range(1, n):
+            adj &= p[:m] == p[i:m + i]
+        if not adj.any():
+            return empty
+        keep = pa.array(adj)
+        cols = {"pid": pa.array(p[:m][adj], pa.int64())}
+        for i in range(n):
+            cols[f"w{i}"] = flat.slice(i, m).filter(keep)
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(total, p[:m][adj], 1)
+        g = (pa.table(cols)
+             .group_by(list(cols.keys())).aggregate([([], "count_all")]))
+        gpid = g.column("pid").to_numpy()
+        distinct = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(distinct, gpid, 1)
+        has = total > 0
+        tot, dis = total[has], distinct[has]
+        dup = tot - dis
+        ppm = (dup * 2_000_000 + tot) // (2 * tot)
+        ids = batch.column(id_col).to_numpy()[has]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_ngrams": pa.array(tot),
+                         "n_distinct": pa.array(dis),
+                         "dup_ppm": pa.array(ppm)})
+
+    return docs.map_batches(per_batch, batch_format="pyarrow")

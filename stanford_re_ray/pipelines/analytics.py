@@ -1765,3 +1765,139 @@ def q82_zipf_slope(sf_dir: str, top_n: int = 30) -> pa.Table:
     slope_q = int(np.floor(slope * 1e6 + 0.5))
     return pa.table({"n_terms": pa.array([n], pa.int64()),
                      "slope_q": pa.array([slope_q], pa.int64())})
+
+
+def q83_rolling_window(sf_dir: str) -> pa.Table:
+    """Frame-based window aggregate: per-user rolling sum/count over
+    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW`` — the frame sibling of
+    q34's unbounded running totals.  One hash(user) bucket shuffle (each
+    user's timeline lives whole in its bucket), then a vectorized
+    segment-aware cumsum-difference; values ride as exact integer cents
+    (the q61 policy) so the rolling sums are associative-exact."""
+    import zlib
+
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "v_q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def roll(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        v = g["v_q"].to_numpy(np.int64)
+        m = len(g)
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, m]))
+        pos = np.arange(m) - starts[seg_id]
+        lb = np.minimum(pos, 2)
+        wstart = np.arange(m) - lb
+        prev = np.where(wstart > 0, cs[np.maximum(wstart - 1, 0)], 0)
+        g["roll_sum_q"] = cs - prev
+        g["n_in_window"] = lb + 1
+        return pd_to_arrow(g)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(roll, batch_format="pandas")
+           .to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["event_id", "user_id", "ts_us", "roll_sum_q",
+             "n_in_window"]], preserve_index=False)
+
+
+def q84_ntile(sf_dir: str, k: int = 4) -> pa.Table:
+    """Ranked window: NTILE(4) per user over integer-cent values — the
+    rank-bucket primitive (quartile assignment for per-partition score
+    normalization).  Same bucketed shape as q83; tiles computed
+    vectorized from segment rank and length with exact SQL NTILE
+    semantics (first ``n % k`` tiles take the extra row)."""
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "v_q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def tiles(g: pd.DataFrame, _k=k):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "v_q", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        m = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_len = np.diff(np.r_[starts, m])
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        pos = np.arange(m) - starts[seg_id]
+        n = seg_len[seg_id]
+        base, rem = n // _k, n % _k
+        big = rem * (base + 1)
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(base + 1, 1) + 1,
+            rem + np.where(base > 0, (pos - big) // np.maximum(base, 1),
+                           0) + 1)
+        g["tile"] = tile.astype(np.int64)
+        return pd_to_arrow(g)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(tiles, batch_format="pandas")
+           .to_pandas().sort_values(["user_id", "v_q", "event_id"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["event_id", "user_id", "v_q", "tile"]], preserve_index=False)
+
+
+def q85_token_entropy(sf_dir: str) -> pa.Table:
+    """Per-document token entropy (``functions.corpus.token_entropy``):
+    int-quantized -(p ln p) terms, exact integer per-doc sums, zero
+    shuffle."""
+    from ..functions.corpus import token_entropy
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (token_entropy(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_tokens", "n_distinct", "entropy_q"]],
+        preserve_index=False)
+
+
+def q86_ngram_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style duplicate-3-gram fraction per document
+    (``functions.corpus.ngram_repetition``): exact integer ppm ratio,
+    in-batch distinct counting, zero shuffle."""
+    from ..functions.corpus import ngram_repetition
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (ngram_repetition(docs, n=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_ngrams", "n_distinct", "dup_ppm"]],
+        preserve_index=False)

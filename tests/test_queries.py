@@ -111,7 +111,8 @@ SQL_CHECKED = [
     "q71_boilerplate_clean", "q72_cube", "q73_dedup_corpus",
     "q74_event_deltas", "q75_set_ops", "q76_funnel", "q77_source_kl",
     "q78_weighted_sample", "q79_bm25_topk", "q80_pmi_collocations",
-    "q81_event_pivot", "q82_zipf_slope",
+    "q81_event_pivot", "q82_zipf_slope", "q83_rolling_window",
+    "q84_ntile", "q85_token_entropy", "q86_ngram_repetition",
 ]
 
 
