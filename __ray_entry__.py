@@ -608,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q84_ntile": A.q84_ntile,
         "q85_token_entropy": A.q85_token_entropy,
         "q86_ngram_repetition": A.q86_ngram_repetition,
+        "q87_grouped_hll": A.q87_grouped_hll,
+        "q88_embedding_moments": A.q88_embedding_moments,
     }
 
 
@@ -2744,5 +2746,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((n_ngrams - n_distinct) * 2000000 + n_ngrams)
                         // (2 * n_ngrams) AS BIGINT) AS dup_ppm
             FROM agg ORDER BY doc_id
+        """,
+        "q87_grouped_hll": """
+            -- grouped q49: per-source HLL registers, exact-integer
+            -- register sums, identical estimate expression
+            WITH toks AS (
+              SELECT DISTINCT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS t
+              FROM documents),
+            h AS (SELECT source, md5_number_upper(t) AS hv FROM toks),
+            regs AS (
+              SELECT source, hv % 256 AS bucket,
+                     MAX(CASE WHEN hv // 256 = 0 THEN 57
+                         ELSE 57 - length(format('{:b}',
+                                      CAST(hv // 256 AS BIGINT)))
+                         END) AS rho
+              FROM h GROUP BY 1, 2),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            allb AS (
+              SELECT source, unnest(generate_series(0, 255)) AS bucket
+              FROM srcs),
+            filled AS (
+              SELECT allb.source, allb.bucket,
+                     COALESCE(regs.rho, 0) AS rho
+              FROM allb LEFT JOIN regs USING (source, bucket)),
+            st AS (
+              SELECT source,
+                     SUM(CAST(144115188075855872 >> rho AS HUGEINT)) AS s,
+                     SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+              FROM filled GROUP BY source),
+            params AS (
+              SELECT source,
+                     (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                     * CAST(144115188075855872 AS DOUBLE)
+                     / CAST(s AS DOUBLE) AS raw,
+                     zeros FROM st)
+            SELECT source,
+                   CAST(FLOOR((CASE WHEN raw <= 640.0 AND zeros > 0
+                                    THEN 256.0 * ln(256.0 / zeros)
+                                    ELSE raw END) * 1000.0 + 0.5)
+                        AS BIGINT) AS n_est_q
+            FROM params ORDER BY source
+        """,
+        "q88_embedding_moments": """
+            -- embedding_moments twin: same half-up 1e6 quantization,
+            -- exact integer products; j = -1 rows are per-dimension
+            -- sums, (-1, -1) is the row count
+            WITH q AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) - 1
+                          AS BIGINT) AS i,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000000.0 + 0.5) AS BIGINT) AS xq
+              FROM embeddings),
+            prod AS (
+              SELECT a.i AS i, b.i AS j,
+                     CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
+              FROM q a JOIN q b
+                ON a.vec_id = b.vec_id AND a.i <= b.i
+              GROUP BY 1, 2),
+            sums AS (
+              SELECT i, CAST(-1 AS BIGINT) AS j,
+                     CAST(SUM(xq) AS BIGINT) AS sxy
+              FROM q GROUP BY 1),
+            cnt AS (
+              SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+                     CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS sxy
+              FROM q)
+            SELECT i, j, sxy FROM prod
+            UNION ALL SELECT i, j, sxy FROM sums
+            UNION ALL SELECT i, j, sxy FROM cnt
+            ORDER BY i, j
         """,
     }

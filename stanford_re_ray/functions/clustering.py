@@ -233,3 +233,49 @@ def semdedup(
 
     return assigned.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas")
+
+
+def embedding_moments(emb: ray.data.Dataset, dim: int,
+                      vec_col: str = "embedding",
+                      quantum: int = 1_000_000) -> ray.data.Dataset:
+    """Distributed second-moment (Gram) matrix of an embedding column —
+    the shuffle-free building block for PCA / whitening / covariance at
+    corpus scale.
+
+    Each batch quantizes its vectors to integers
+    (``floor(x·quantum + 0.5)``, the engine's half-up convention) and
+    emits ONE combiner partial of at most dim·(dim+1)/2 rows
+    (``i <= j``): the exact int64 products ``Σ x_qi·x_qj`` plus the
+    per-dimension sums ``Σ x_qi`` (as the ``j = -1`` rows) and the row
+    count (``i = j = -1``).  The global reduce is an associative integer
+    SUM, so the matrix is bit-identical at any parallelism and the SQL
+    twin reproduces it from the same quantized values.  Consumers derive
+    covariance as ``(n·sxy − sx·sy) / (n·(n−1)·quantum²)`` — bigint
+    arithmetic at the (tiny) matrix level, never over the data.
+
+    Overflow headroom: |x_q| ≈ quantum, so each product is ≤ quantum²
+    = 1e12 and int64 holds ~9.2e6 accumulated rows per dimension pair
+    PER PARTIAL; the global Sum is over per-batch partials, so the bound
+    applies to total rows ~9e6 at quantum=1e6.  For 100 TB corpora pass
+    a smaller quantum (1e3 → 9e12 rows) — the oracle scales with it."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.int64())})
+        m = _to_matrix(batch.column(vec_col))
+        q = np.floor(m * float(quantum) + 0.5).astype(np.int64)
+        gram = q.T @ q  # (dim, dim) exact int64
+        iu, ju = np.triu_indices(dim)
+        s = q.sum(axis=0)
+        i = np.concatenate([iu, np.arange(dim), [-1]]).astype(np.int64)
+        j = np.concatenate([ju, np.full(dim, -1), [-1]]).astype(np.int64)
+        v = np.concatenate([gram[iu, ju], s, [np.int64(len(q))]])
+        return pa.table({"i": pa.array(i), "j": pa.array(j),
+                         "sxy": pa.array(v.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    return (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby(["i", "j"]).aggregate(Sum("sxy", alias_name="sxy")))

@@ -238,3 +238,52 @@ def hll_estimate_q(regs: dict[int, int], m: int = HLL_M) -> int:
     else:
         est = raw
     return int(math.floor(est * 1000.0 + 0.5))
+
+
+def hll_grouped_distinct(docs: ray.data.Dataset, group_col: str,
+                         text_col: str = "text") -> pa.Table:
+    """Per-group HyperLogLog distinct-token estimates — the grouped form
+    of ``hll_distinct_tokens`` (e.g. vocabulary richness per source /
+    domain without a per-group DISTINCT shuffle).
+
+    Shape: each batch emits at most |groups-in-batch| x HLL_M sparse
+    (group, bucket, rho) partials (MAX-mergeable in any order), one
+    small groupby MAX co-partitions registers, and the driver folds the
+    n_groups x HLL_M table (provably small — the whole point of the
+    sketch).  Estimates use the exact-integer register sum of
+    ``hll_estimate_q``, so the value is bit-deterministic and
+    SQL-oracle-checkable like q49."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column(text_col))
+        src = batch.column(group_col).take(parent)
+        pairs = (pa.table({"g": src, "t": flat})
+                 .group_by(["g", "t"]).aggregate([]))
+        regs: dict[tuple, int] = {}
+        for gval, tok in zip(pairs.column("g").to_pylist(),
+                             pairs.column("t").to_pylist()):
+            b, r = _hll_register(tok)
+            key = (gval, b)
+            if regs.get(key, 0) < r:
+                regs[key] = r
+        keys = list(regs)
+        return pa.table({
+            group_col: pa.array([k[0] for k in keys], pa.string()),
+            "bucket": pa.array([k[1] for k in keys], pa.int64()),
+            "rho": pa.array(list(regs.values()), pa.int64()),
+        })
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "bucket"])
+            .aggregate(Max("rho", alias_name="rho"))
+            .take_all())
+    by_group: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_group.setdefault(r[group_col], {})[r["bucket"]] = r["rho"]
+    groups = sorted(by_group)
+    return pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n_est_q": pa.array([hll_estimate_q(by_group[g]) for g in groups],
+                            pa.int64()),
+    })

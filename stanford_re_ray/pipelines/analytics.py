@@ -1901,3 +1901,31 @@ def q86_ngram_repetition(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "n_ngrams", "n_distinct", "dup_ppm"]],
         preserve_index=False)
+
+
+def q87_grouped_hll(sf_dir: str) -> pa.Table:
+    """Per-source HLL distinct-token estimates
+    (``functions.sketch.hll_grouped_distinct``): sparse MAX-mergeable
+    (source, bucket, rho) partials — per-group COUNT(DISTINCT) without a
+    per-group distinct shuffle."""
+    from ..functions.sketch import hll_grouped_distinct
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return hll_grouped_distinct(docs, group_col="source")
+
+
+def q88_embedding_moments(sf_dir: str) -> pa.Table:
+    """Distributed Gram/second-moment matrix of the embedding table
+    (``functions.clustering.embedding_moments``): one int-exact combiner
+    partial per batch, associative SUM reduce — the PCA/whitening
+    building block."""
+    from ..functions.clustering import embedding_moments
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = 64
+    out = (embedding_moments(emb, dim=dim).to_pandas()
+           .sort_values(["i", "j"]).reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["i", "j", "sxy"]],
+                                preserve_index=False)
