@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q86_ngram_repetition": A.q86_ngram_repetition,
         "q87_grouped_hll": A.q87_grouped_hll,
         "q88_embedding_moments": A.q88_embedding_moments,
+        "q89_knn_join": A.q89_knn_join,
     }
 
 
@@ -2818,5 +2819,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT i, j, sxy FROM sums
             UNION ALL SELECT i, j, sxy FROM cnt
             ORDER BY i, j
+        """,
+        "q89_knn_join": """
+            -- knn_join twin: rank-checked like q12 (cross-engine float
+            -- cosines order the rows; values are not compared)
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding
+              FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding
+                  FROM embeddings WHERE vec_id >= 8),
+            d AS (
+              SELECT q.query_id, c.vec_id,
+                     list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) AS cos
+              FROM q, c),
+            r AS (
+              SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id)
+                       AS rnk
+              FROM d)
+            SELECT query_id, rnk, vec_id FROM r
+            WHERE rnk <= 3 ORDER BY query_id, rnk
         """,
     }

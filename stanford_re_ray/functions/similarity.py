@@ -15,6 +15,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -204,3 +205,76 @@ def ivf_topk(
 
     probed = embeddings.map_batches(assign_and_filter, batch_format="pyarrow")
     return brute_force_topk(probed, query_vec, k, id_col, vec_col)
+
+
+def knn_join(embeddings: ray.data.Dataset, query_ids: list[int],
+             k: int = 3, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             est_rows: int | None = None) -> ray.data.Dataset:
+    """Embedding similarity join: for EACH query vector, its cosine
+    top-k among the non-query vectors — the multi-query generalization
+    of ``brute_force_topk`` (the batch form every retrieval/dedup
+    pipeline runs, vs the single-probe form).
+
+    Scale shape: the query matrix is gathered once (|queries| rows,
+    provably small), L2-normalized, and broadcast via ``ray.put``; each
+    batch computes ONE (batch x queries) matmul and emits at most
+    k·|queries| partial rows, so the shuffle is bounded by
+    k·|queries|·n_batches regardless of corpus size; the global
+    per-query top-k is ``grouped_topk`` (partial-then-bucket, never a
+    full sort).  Ranking uses full-precision cosines computed once
+    engine-side; output carries (query_id, rank, vec_id) only — the
+    q12 oracle convention (cross-engine float cosines are rank-checked,
+    not value-compared)."""
+    from .relational import grouped_topk
+
+    qset = sorted(dict.fromkeys(int(q) for q in query_ids))
+    qarr = pa.array(qset, pa.int64())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch.column(id_col), pa.int64()),
+                        value_set=qarr)
+        return batch.filter(keep)
+
+    qtab = (embeddings.map_batches(grab, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qids = qtab[id_col].to_numpy().astype(np.int64)
+    qm = np.array(qtab[vec_col].to_list(), dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qn = (qm / qnorm[:, None]).T  # (dim, m)
+    q_ref = ray.put((qids, qn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        ids_np, qmat = fetch(q_ref)
+        cand = pc.cast(batch.column(id_col), pa.int64())
+        keep = pc.invert(pc.is_in(cand, value_set=qarr))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return empty
+        vecs = _to_matrix(batch.column(vec_col))
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vecs @ qmat) / norms[:, None]  # (n, m)
+        vid = batch.column(id_col).to_numpy().astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            order = np.lexsort((vid, -sims[:, j]))[:k]
+            out_q.append(np.full(len(order), ids_np[j], np.int64))
+            out_v.append(vid[order])
+            out_s.append(sims[order, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+    return grouped_topk(partials, key="query_id", order_by="cosine",
+                        k=k, descending=True, tiebreak=[id_col],
+                        est_rows=est_rows)

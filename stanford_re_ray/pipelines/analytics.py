@@ -1929,3 +1929,21 @@ def q88_embedding_moments(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["i", "j", "sxy"]],
                                 preserve_index=False)
+
+
+def q89_knn_join(sf_dir: str, k: int = 3) -> pa.Table:
+    """Embedding kNN similarity join (``functions.similarity.knn_join``):
+    cosine top-k per query vector over the non-query corpus — broadcast
+    query matrix, one matmul per batch, k·|queries| partial rows, global
+    ``grouped_topk``.  Rank-checked (the q12 float convention)."""
+    from ..functions.similarity import knn_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = _row_count(sf_dir, "embeddings")
+    out = (knn_join(emb, query_ids=list(range(8)), k=k, est_rows=n)
+           .to_pandas().rename(columns={"rank": "rnk"})
+           .sort_values(["query_id", "rnk"]).reset_index(drop=True))
+    for c in ("query_id", "rnk", "vec_id"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["query_id", "rnk", "vec_id"]],
+                                preserve_index=False)
