@@ -123,6 +123,9 @@ def run_bench() -> dict:
         ("q65_triangle_counts", A.q65_triangle_counts),
         ("q71_boilerplate_clean", A.q71_boilerplate_clean),
         ("q73_dedup_corpus", q73_dedup),
+        ("q79_bm25_topk", A.q79_bm25_topk),
+        ("q88_embedding_moments", A.q88_embedding_moments),
+        ("q89_knn_join", A.q89_knn_join),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 
