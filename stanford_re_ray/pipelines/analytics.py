@@ -539,8 +539,6 @@ def q27_asof_join(sf_dir: str) -> pa.Table:
     in both engines (DuckDB ASOF JOIN's pick is otherwise unspecified).
     Inner semantics: events whose user never ordered before are
     dropped."""
-    import zlib
-
     from ..functions.relational import asof_join
     from ..schema import pd_to_arrow
 
@@ -567,8 +565,7 @@ def q27_asof_join(sf_dir: str) -> pa.Table:
     def add_k_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "__bucket",
-            pa.array([zlib.crc32(str(v).encode()) % 64
-                      for v in batch.column("k").to_pylist()], pa.int32()),
+            pa.array((batch.column("k").to_numpy() % 64).astype(np.int32)),
         )
 
     def compact(g: pd.DataFrame):
@@ -710,8 +707,6 @@ def q34_running_totals(sf_dir: str) -> pa.Table:
     whole in its bucket; the same co-location contract as the joins).
     Events are pre-compacted to one row per (user_id, ts) keeping max
     event_id so ordering ties cannot differ across engines."""
-    import zlib
-
     from ..schema import pd_to_arrow
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
@@ -719,9 +714,8 @@ def q34_running_totals(sf_dir: str) -> pa.Table:
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
             "__bucket",
-            pa.array([zlib.crc32(str(v).encode()) % 64
-                      for v in batch.column("user_id").to_pylist()],
-                     pa.int32()),
+            pa.array((batch.column("user_id").to_numpy() % 64)
+                     .astype(np.int32)),
         )
 
     def running(g: pd.DataFrame):
@@ -756,8 +750,6 @@ def q74_event_deltas(sf_dir: str) -> pa.Table:
     exact integer arithmetic; boundary rows (no prev/next) take -1.
     Events are pre-compacted to one row per (user_id, ts) keeping max
     event_id so ordering ties cannot differ across engines."""
-    import zlib
-
     from ..schema import pd_to_arrow
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
@@ -769,9 +761,8 @@ def q74_event_deltas(sf_dir: str) -> pa.Table:
             "user_id": batch.column("user_id"),
             "ts_us": ts_us,
             "__bucket": pa.array(
-                [zlib.crc32(str(v).encode()) % 64
-                 for v in batch.column("user_id").to_pylist()],
-                pa.int32()),
+                (batch.column("user_id").to_numpy() % 64)
+                .astype(np.int32)),
         })
 
     def deltas(g: pd.DataFrame):
@@ -1774,8 +1765,6 @@ def q83_rolling_window(sf_dir: str) -> pa.Table:
     user's timeline lives whole in its bucket), then a vectorized
     segment-aware cumsum-difference; values ride as exact integer cents
     (the q61 policy) so the rolling sums are associative-exact."""
-    import zlib
-
     from ..schema import pd_to_arrow
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
