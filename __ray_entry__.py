@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_grouped_hll": A.q87_grouped_hll,
         "q88_embedding_moments": A.q88_embedding_moments,
         "q89_knn_join": A.q89_knn_join,
+        "q90_incremental_dedup": A.q90_incremental_dedup,
     }
 
 
@@ -2842,5 +2843,19 @@ def oracle_sql() -> dict[str, str]:
               FROM d)
             SELECT query_id, rnk, vec_id FROM r
             WHERE rnk <= 3 ORDER BY query_id, rnk
+        """,
+        "q90_incremental_dedup": """
+            -- incremental_dedup twin: new shard (odd ids) anti-joined
+            -- to the reference (even ids) on the 60-char prefix
+            -- fingerprint (the engine's bloom prefilter is exact-verified,
+            -- so its output equals the plain anti join)
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id % 2 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM documents r
+                WHERE r.doc_id % 2 = 0
+                  AND substr(r.text, 1, 60) = substr(d.text, 1, 60))
+            ORDER BY d.doc_id
         """,
     }

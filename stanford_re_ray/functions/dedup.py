@@ -1378,3 +1378,80 @@ def cdc_dedup_clean(
             .map_groups(
                 lambda g: reassemble_bucket(g.drop(columns="__bucket")),
                 batch_format="pandas"))
+
+
+def incremental_dedup(new_docs: ray.data.Dataset,
+                      ref_docs: ray.data.Dataset,
+                      key_col: str = "text",
+                      id_col: str = "doc_id",
+                      prefix: int | None = None,
+                      est_rows: int | None = None) -> ray.data.Dataset:
+    """Ingest-time dedup: keep the NEW shard's documents whose content
+    key does not already exist in the REFERENCE corpus — the
+    incremental form of ``exact_dedup`` (a 100 TB pipeline never
+    re-deduplicates the whole corpus per ingest; it probes the new
+    shard against what is already stored).
+
+    Shape: both sides reduce to (id, key_sha1) in-batch (``prefix``
+    keys on the first N characters — a cheap document fingerprint;
+    None = whole text).  A Bloom filter over the reference keys
+    (fixed-size bitmap, built from sparse DISTINCT bit partials) is
+    broadcast once; new-shard MISSES are definitely-unique and are kept
+    with ZERO shuffle — only the Bloom HITS (true dups + false
+    positives) verify through the exact distributed anti ``hash_join``.
+    At a typical ingest (mostly-novel content) the expensive exact join
+    sees a few percent of the shard.  No output error in either
+    direction: Bloom has no false negatives, and hits are verified
+    exactly."""
+    from .relational import hash_join
+    from .sketch import bloom_build, bloom_membership
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(key_col)
+        if prefix is not None:
+            col = pc.utf8_slice_codeunits(col, 0, prefix)
+        texts = col.to_pylist()
+        hashes = [hashlib.sha1((t or "").encode("utf-8", "surrogatepass"))
+                  .hexdigest() for t in texts]
+        return pa.table({id_col: batch.column(id_col),
+                         "key_sha1": pa.array(hashes, pa.string())})
+
+    new_keys = new_docs.map_batches(
+        keyed, batch_format="pyarrow").materialize()
+    ref_keys = ref_docs.map_batches(keyed, batch_format="pyarrow")
+
+    bitmap = bloom_build(ref_keys, "key_sha1")
+    ref_bm = ray.put(bitmap)
+
+    from .sketch import BLOOM_K, _bloom_bits
+
+    def misses(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        bm = fetch(ref_bm)
+        m = len(bm)
+        vals = batch.column("key_sha1").to_pylist()
+        mask = [not all(bm[b] for b in _bloom_bits(v, BLOOM_K, m))
+                for v in vals]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    kept_misses = new_keys.map_batches(misses, batch_format="pyarrow")
+    hits = bloom_membership(new_keys, bitmap, "key_sha1")
+
+    ref_distinct = (ref_keys
+                    .map_batches(lambda b: b.select(["key_sha1"]),
+                                 batch_format="pyarrow")
+                    .groupby("key_sha1").count()
+                    .map_batches(lambda b: b.select(["key_sha1"]),
+                                 batch_format="pyarrow"))
+    verified = hash_join(hits, ref_distinct, on="key_sha1", how="anti",
+                         est_rows=est_rows)
+
+    def ids_only(batch: pa.Table) -> pa.Table:
+        return batch.select([id_col])
+
+    return (kept_misses.map_batches(ids_only, batch_format="pyarrow")
+            .union(verified.map_batches(ids_only,
+                                        batch_format="pyarrow")))

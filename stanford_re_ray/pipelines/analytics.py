@@ -1936,3 +1936,27 @@ def q89_knn_join(sf_dir: str, k: int = 3) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["query_id", "rnk", "vec_id"]],
                                 preserve_index=False)
+
+
+def q90_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Ingest-time dedup (``functions.dedup.incremental_dedup``): odd-id
+    docs are the NEW shard, even-id docs the stored REFERENCE; content
+    key = 60-char prefix fingerprint.  Bloom misses keep with zero
+    shuffle; only Bloom hits verify through the exact anti join."""
+    from ..functions.dedup import incremental_dedup
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(batch: pa.Table, keep_odd: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array((ids % 2 == 1) == keep_odd))
+
+    new = docs.map_batches(lambda b: parity(b, True),
+                           batch_format="pyarrow")
+    ref = docs.map_batches(lambda b: parity(b, False),
+                           batch_format="pyarrow")
+    out = (incremental_dedup(new, ref, prefix=60, est_rows=n_docs)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id"]], preserve_index=False)

@@ -119,3 +119,54 @@ def test_embedding_neardup_broadcast_matches_join_path(ray_session):
     assert len(via_broadcast) > 0          # fixture plants true pairs
     pd.testing.assert_frame_equal(via_broadcast, via_joins,
                                   check_exact=True)
+
+
+def test_incremental_dedup_bloom_prefilter(ray_session):
+    """incremental_dedup must (a) equal the plain set-difference
+    semantics exactly and (b) actually short-circuit: the Bloom hit set
+    sent to the exact anti join must contain every true duplicate and
+    be far smaller than the shard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import incremental_dedup
+    from stanford_re_ray.functions.sketch import (BLOOM_K, _bloom_bits,
+                                                  bloom_build)
+
+    ref_texts = [f"reference document number {i} with unique tail {i*7}"
+                 for i in range(200)]
+    # 30 true dups of reference content + 170 novel docs
+    new_texts = [ref_texts[i] for i in range(30)] + [
+        f"fresh never-seen document {i} tail {i*13}" for i in range(170)]
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1200), pa.int64()),
+        "text": pa.array(new_texts)}))
+    ref = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(ref_texts)}))
+
+    kept = sorted(r["doc_id"]
+                  for r in incremental_dedup(new, ref).take_all())
+    expected = sorted(1000 + i for i, t in enumerate(new_texts)
+                      if t not in set(ref_texts))
+    assert kept == expected
+
+    # the prefilter story: true dups all hit the bloom; novel docs
+    # mostly miss (false-positive rate at 200 keys / 4096 bits / k=3
+    # is well under 5%)
+    import hashlib
+
+    def key(t):
+        return hashlib.sha1(t.encode()).hexdigest()
+
+    bm = bloom_build(
+        ref.map_batches(lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "key_sha1": pa.array([key(t) for t in
+                                  b.column("text").to_pylist()])}),
+            batch_format="pyarrow"),
+        "key_sha1")
+    hits = [t for t in new_texts
+            if all(bm[b] for b in _bloom_bits(key(t), BLOOM_K, len(bm)))]
+    assert len(hits) >= 30           # no false negatives
+    assert len(hits) <= 30 + 20      # prefilter is actually selective
