@@ -849,21 +849,10 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """GIF89a sink twin of ``_decode_gif``: palette from the image's
-    unique colors (≤256 required), non-interlaced, single frame, LZW
-    with CLEAR-on-full — generates the decoder's test vectors the same
-    way ``encode_png``/``encode_jpeg`` do for theirs."""
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape[:2]
-    flat = img.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError("encode_gif: more than 256 unique colors")
-    ct_bits = max(1, int(len(palette) - 1).bit_length())
-    n_ct = 1 << ct_bits
-    min_code = max(2, ct_bits)
-
+def _gif_lzw_encode(inverse, min_code: int) -> bytes:
+    """LZW-encode a palette-index stream (CLEAR-on-full, the decoder's
+    one-behind code-width rule).  Shared by the single-frame and
+    animated encoders."""
     clear = 1 << min_code
     end = clear + 1
     out_bits = bytearray()
@@ -908,6 +897,23 @@ def encode_gif(img: np.ndarray) -> bytes:
     emit(end, code_size)
     if nbits:
         out_bits.append(acc & 0xFF)
+    return bytes(out_bits)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """GIF89a sink twin of ``_decode_gif``: palette from the image's
+    unique colors (≤256 required), non-interlaced, single frame, LZW
+    with CLEAR-on-full — generates the decoder's test vectors the same
+    way ``encode_png``/``encode_jpeg`` do for theirs."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: more than 256 unique colors")
+    ct_bits = max(1, int(len(palette) - 1).bit_length())
+    n_ct = 1 << ct_bits
+    min_code = max(2, ct_bits)
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
@@ -918,13 +924,200 @@ def encode_gif(img: np.ndarray) -> bytes:
     out += ct.tobytes()
     out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     out.append(min_code)
-    data = bytes(out_bits)
+    data = _gif_lzw_encode(inverse, min_code)
     for i in range(0, len(data), 255):
         block = data[i:i + 255]
         out.append(len(block))
         out += block
     out += b"\x00\x3B"
     return bytes(out)
+
+
+def encode_gif_animated(frames: list[np.ndarray],
+                        delays_ms: list[int]) -> bytes:
+    """Animated GIF89a sink twin of ``decode_gif_frames``: one global
+    palette over ALL frames' colors (≤256 required), full-screen frames,
+    per-frame Graphic Control Extension carrying the delay (centisecond
+    resolution — pass multiples of 10 ms for exact round-trips),
+    disposal 'leave' — the test-vector generator for the video-style
+    frame-sampling stage."""
+    if len(frames) != len(delays_ms) or not frames:
+        raise ValueError("frames/delays length mismatch or empty")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape[:2]
+    if any(a.shape[:2] != (h, w) for a in arrs):
+        raise ValueError("all frames must share one size")
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    palette, inverse_all = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif_animated: more than 256 colors")
+    ct_bits = max(1, int(len(palette) - 1).bit_length())
+    n_ct = 1 << ct_bits
+    min_code = max(2, ct_bits)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (ct_bits - 1))
+    out += b"\x00\x00"
+    ct = np.zeros((n_ct, 3), np.uint8)
+    ct[:len(palette)] = palette
+    out += ct.tobytes()
+    per = h * w
+    for fi, delay in enumerate(delays_ms):
+        cs = max(0, int(delay) // 10)
+        out += b"\x21\xF9\x04\x00" + struct.pack("<H", cs) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(min_code)
+        data = _gif_lzw_encode(inverse_all[fi * per:(fi + 1) * per],
+                               min_code)
+        for i in range(0, len(data), 255):
+            block = data[i:i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> tuple[np.ndarray, list[int]]:
+    """All frames of a (possibly animated) GIF → ((n, h, w, 3) uint8,
+    per-frame delays in ms).  Maintains the canvas across frames with
+    disposal methods 0/1 (leave) and 2 (restore background); disposal 3
+    (restore previous) raises NotImplementedError like the other
+    unsupported format variants.  Single-frame GIFs return n = 1 with
+    delay [0] — ``_decode_gif``'s output is frame 0 of this one."""
+    if payload[:6] not in _GIF_MAGIC:
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx = payload[10], payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    bg = (gct[bg_idx] if gct is not None and bg_idx < len(gct)
+          else np.zeros(3, np.uint8))
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent, delay_ms, disposal = -1, 0, 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                         # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:
+                gc_packed = payload[pos + 1]
+                delay_ms = struct.unpack_from("<H", payload,
+                                              pos + 2)[0] * 10
+                disposal = (gc_packed >> 2) & 0x07
+                transparent = (payload[pos + 4]
+                               if gc_packed & 0x01 else -1)
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                       # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload,
+                                                 pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(payload, np.uint8, 3 * n,
+                                   pos).reshape(n, 3)
+                pos += 3 * n
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            if disposal >= 3:
+                raise NotImplementedError(
+                    "GIF disposal 'restore previous' unsupported")
+            idx = np.array(_gif_lzw_decode(b"".join(chunks), min_code),
+                           dtype=np.int32)[:h * w]
+            if idx.size < h * w:
+                idx = np.concatenate(
+                    [idx, np.full(h * w - idx.size,
+                                  bg_idx if gct is not None else 0,
+                                  np.int32)])
+            grid = idx.reshape(h, w)
+            if ipacked & 0x40:
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                deinter = np.empty_like(grid)
+                deinter[order] = grid
+                grid = deinter
+            h2 = max(0, min(h, sh - top))
+            w2 = max(0, min(w, sw - left))
+            grid = grid[:h2, :w2]
+            frame = ct[np.clip(grid, 0, len(ct) - 1)]
+            if transparent >= 0:
+                mask = grid == transparent
+                region = canvas[top:top + h2, left:left + w2]
+                frame = np.where(mask[:, :, None], region, frame)
+            canvas[top:top + h2, left:left + w2] = frame
+            frames.append(canvas.copy())
+            delays.append(delay_ms)
+            if disposal == 2:                 # restore background
+                canvas[top:top + h2, left:left + w2] = bg
+            transparent, delay_ms, disposal = -1, 0, 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), delays
+
+
+def gif_frame_sample(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
+    """REAL video-style frame sampling over animated-GIF payloads (the
+    one multi-frame container this engine decodes library-free): decode
+    all frames + delays, take the frame on display at each ``every_ms``
+    tick, emit per-sample mean-RGB features.  The decoded kernel
+    replaces ``frame_sample_stub``'s duration-metadata plumbing wherever
+    payloads are GIFs; non-GIF payloads emit ``decoded = false`` rows so
+    the stage composes with mixed media like ``ImageFeatureExtractor``."""
+    ids, ts, fidx, feats, ok = [], [], [], [], []
+    for mid, payload in zip(batch.column("media_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        try:
+            frames, delays = decode_gif_frames(payload or b"")
+            starts = np.concatenate([[0], np.cumsum(delays)])
+            total = int(starts[-1])
+            means = frames.reshape(len(frames), -1, 3).mean(axis=1)
+            for t in range(0, max(total, 1), every_ms):
+                j = int(np.searchsorted(starts, t, side="right") - 1)
+                j = min(j, len(frames) - 1)
+                ids.append(mid)
+                ts.append(t)
+                fidx.append(j)
+                feats.append([round(float(x) / 255.0, 6)
+                              for x in means[j]])
+                ok.append(True)
+        except (ValueError, NotImplementedError):
+            ids.append(mid)
+            ts.append(0)
+            fidx.append(-1)
+            feats.append([0.0, 0.0, 0.0])
+            ok.append(False)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "frame_ts_ms": pa.array(ts, pa.int64()),
+        "frame_idx": pa.array(fidx, pa.int64()),
+        "features": pa.array(feats, pa.list_(pa.float64())),
+        "decoded": pa.array(ok, pa.bool_()),
+    })
 
 
 def decode_image(payload: bytes) -> np.ndarray:
@@ -1041,9 +1234,10 @@ class ImageFeatureExtractor:
 
 
 def frame_sample_stub(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
-    """Video frame-sampling plumbing: emits (media_id, frame_ts_ms) rows for
-    each sample point based on duration metadata; the decode itself is the
-    stubbed kernel above."""
+    """Video frame-sampling plumbing for containers this engine cannot
+    decode (mp4 etc.): emits (media_id, frame_ts_ms) rows from duration
+    METADATA only.  For animated GIFs use ``gif_frame_sample`` — the
+    real decoded-pixel sampler."""
     ids, ts = [], []
     for mid, dur in zip(
         batch.column("media_id").to_pylist(),

@@ -382,3 +382,93 @@ def test_gif_frame_rect_clipped():
     out = decode_image(bytes(enc))
     assert out.shape == (2, 2, 3)
     assert (out[1, 1] == 9).all()
+
+
+def test_animated_gif_roundtrip_and_frame_sample():
+    """encode_gif_animated -> decode_gif_frames is the identity (pixels
+    and 10ms-quantized delays), _decode_gif still reads frame 0, and
+    gif_frame_sample picks the frame on display at each tick."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import (
+        _decode_gif, decode_gif_frames, encode_gif_animated,
+        gif_frame_sample)
+
+    rng = np.random.default_rng(7)
+    f0 = np.full((6, 8, 3), (255, 0, 0), np.uint8)
+    f1 = np.full((6, 8, 3), (0, 255, 0), np.uint8)
+    f2 = rng.integers(0, 4, size=(6, 8, 3), dtype=np.uint8) * 60
+    frames = [f0, f1, f2]
+    delays = [100, 200, 300]
+    payload = encode_gif_animated(frames, delays)
+
+    dec, ddelays = decode_gif_frames(payload)
+    assert dec.shape == (3, 6, 8, 3)
+    assert ddelays == delays
+    for a, b in zip(dec, frames):
+        assert np.array_equal(a, b)
+    assert np.array_equal(_decode_gif(payload), f0)
+
+    batch = pa.table({"media_id": pa.array(["m1"], pa.string()),
+                      "payload": pa.array([payload], pa.binary())})
+    out = gif_frame_sample(batch, every_ms=150)
+    # timeline: f0 [0,100), f1 [100,300), f2 [300,600)
+    assert out.column("frame_ts_ms").to_pylist() == [0, 150, 300, 450]
+    assert out.column("frame_idx").to_pylist() == [0, 1, 2, 2]
+    assert out.column("decoded").to_pylist() == [True] * 4
+    r0 = out.column("features").to_pylist()[0]
+    assert r0 == [1.0, 0.0, 0.0]
+
+    bad = pa.table({"media_id": pa.array(["x"], pa.string()),
+                    "payload": pa.array([b"not a gif"], pa.binary())})
+    fb = gif_frame_sample(bad, every_ms=100)
+    assert fb.column("decoded").to_pylist() == [False]
+    assert fb.column("frame_idx").to_pylist() == [-1]
+
+
+def test_animated_gif_disposal_restore_background():
+    """A hand-built two-frame GIF whose first frame uses disposal 2:
+    the second frame's transparent pixels must show BACKGROUND, not
+    frame 1's pixels."""
+    import struct
+
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import (_gif_lzw_encode,
+                                                      decode_gif_frames)
+
+    # palette: 0=white(bg) 1=red 2=blue 3=unused
+    w = h = 4
+    out = bytearray(b"GIF89a") + struct.pack("<HH", w, h)
+    out.append(0x80 | 1)          # GCT, 4 entries
+    out += b"\x00\x00"
+    out += bytes([255, 255, 255,  255, 0, 0,  0, 0, 255,  0, 0, 0])
+
+    def frame(indices, gce_packed, delay_cs, transparent):
+        blk = bytearray(b"\x21\xF9\x04")
+        blk.append(gce_packed)
+        blk += struct.pack("<H", delay_cs)
+        blk.append(transparent)
+        blk += b"\x00"
+        blk += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        blk.append(2)             # min code size
+        data = _gif_lzw_encode(indices, 2)
+        for i in range(0, len(data), 255):
+            b2 = data[i:i + 255]
+            blk.append(len(b2))
+            blk += b2
+        blk += b"\x00"
+        return blk
+
+    # frame 1: all red, disposal=2 (restore bg)
+    out += frame([1] * (w * h), 0x08, 10, 0)
+    # frame 2: all transparent (idx 3), transparency on
+    out += frame([3] * (w * h), 0x01, 10, 3)
+    out += b"\x3B"
+
+    frames, delays = decode_gif_frames(bytes(out))
+    assert delays == [100, 100]
+    assert (frames[0] == (255, 0, 0)).all()
+    # disposal 2 cleared the canvas to white before the transparent frame
+    assert (frames[1] == (255, 255, 255)).all()
