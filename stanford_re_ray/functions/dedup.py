@@ -1420,7 +1420,11 @@ def incremental_dedup(new_docs: ray.data.Dataset,
 
     new_keys = new_docs.map_batches(
         keyed, batch_format="pyarrow").materialize()
-    ref_keys = ref_docs.map_batches(keyed, batch_format="pyarrow")
+    # materialized: the (id, sha1) projection is consumed twice (Bloom
+    # build + exact-verify join) and is far smaller than re-hashing the
+    # reference texts
+    ref_keys = ref_docs.map_batches(
+        keyed, batch_format="pyarrow").materialize()
 
     bitmap = bloom_build(ref_keys, "key_sha1")
     ref_bm = ray.put(bitmap)
