@@ -400,3 +400,75 @@ def test_bfs_distances_matches_serial(ray_session, raw_edges, max_hops):
                     nxt.append(v)
         frontier = nxt
     assert dict(zip(out["node"], out["dist"])) == dist
+
+
+_word = st.from_regex(r"[a-z]{1,4}", fullmatch=True)
+_doc_text = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_token_entropy_matches_serial(ray_session, texts):
+    """token_entropy's in-batch kernel == a per-doc serial reference
+    (same quantize-then-sum policy)."""
+    import math
+    import re
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.corpus import token_entropy
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    df = token_entropy(rd.from_arrow(batch)).to_pandas()
+    if df.empty:  # zero-row Datasets drop their schema through to_pandas
+        df = pd.DataFrame(columns=["doc_id", "n_tokens", "n_distinct",
+                                   "entropy_q"])
+    out = df.set_index("doc_id")
+
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[0-9a-z_]+", t.lower())
+        if not toks:
+            assert i not in out.index
+            continue
+        n = len(toks)
+        from collections import Counter
+
+        ent = 0
+        for c in Counter(toks).values():
+            p = c / n
+            ent += math.floor(-(p * math.log(p)) * 1_000_000_000 + 0.5)
+        row = out.loc[i]
+        assert int(row["n_tokens"]) == n
+        assert int(row["n_distinct"]) == len(set(toks))
+        assert int(row["entropy_q"]) == ent
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=8))
+def test_ngram_repetition_matches_serial(ray_session, texts):
+    import re
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.corpus import ngram_repetition
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    df = ngram_repetition(rd.from_arrow(batch), n=3).to_pandas()
+    if df.empty:
+        df = pd.DataFrame(columns=["doc_id", "n_ngrams", "n_distinct",
+                                   "dup_ppm"])
+    out = df.set_index("doc_id")
+    for i, t in enumerate(texts):
+        toks = re.findall(r"[0-9a-z_]+", t.lower())
+        grams = [tuple(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        if not grams:
+            assert i not in out.index
+            continue
+        tot, dis = len(grams), len(set(grams))
+        row = out.loc[i]
+        assert int(row["n_ngrams"]) == tot
+        assert int(row["n_distinct"]) == dis
+        assert int(row["dup_ppm"]) == ((tot - dis) * 2_000_000 + tot) \
+            // (2 * tot)
