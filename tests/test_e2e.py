@@ -88,3 +88,37 @@ def test_coref_variants_extracted(kg_result, corpora):
     subjects = set(t.column("subj").to_pylist())
     # no bare pronouns or single surnames as subjects
     assert not any(s in ("He", "She", "It") for s in subjects)
+
+
+def test_fused_chain_task_granularity(ray_session, corpora, model):
+    """Regression gate for the round-4 2x-headline bug class:
+    ``map_batches(batch_size=N)`` doubles as Ray Data's
+    min_rows_per_bundled_input and a FUSED chain takes the max across
+    its stages, so one oversized stage silently serializes the whole
+    S1-S5 chain (observed: 4,000 pages -> 4 tasks on 32 CPUs).  Pin:
+    with 400 pages in 8 blocks and MAP_BATCH_SIZE=64, healthy bundling
+    gives ceil(400 / (64 bundled + 50-row block)) ~ 4 fused tasks; the
+    bug regime (one stage at batch_size=1024) collapses to 1.  Pin >= 3
+    — well above the failure mode, below healthy-bundling variance."""
+    import re
+
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.kg import dataset_to_table, run_kg_pipeline
+
+    train, test = corpora
+    pages = rd.from_arrow(train.pages).repartition(8)
+    res = run_kg_pipeline(pages, model, dicts=train.dicts,
+                          clusters=train.clusters)
+    dataset_to_table(res["triples"])          # consume
+    stats = res["triples"].stats()
+    fused = re.findall(
+        r"Operator \d+ ([^\n:]*MapBatches[^\n:]*): (\d+) tasks executed",
+        stats)
+    assert fused, f"no MapBatches operators in stats:\n{stats[:2000]}"
+    offenders = [(name, n) for name, n in fused
+                 if "extract" in name.lower() or "scorer" in name.lower()
+                 or "featurizer" in name.lower()]
+    checked = offenders or fused
+    bad = [(name, int(n)) for name, n in checked if int(n) < 3]
+    assert not bad, f"fused chain under-parallelized: {bad}"
