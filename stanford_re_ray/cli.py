@@ -154,6 +154,45 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_dedup_ingest(args) -> int:
+    """Ingest-time dedup: keep the NEW shard's documents whose content
+    key is absent from the stored REFERENCE corpus
+    (``dedup.incremental_dedup`` — Bloom prefilter + exact anti-join
+    verify), then write survivors as Parquet.  The steady-state shape
+    of corpus growth: the reference is only ever reduced to (id, key)
+    hashes; new content is mostly Bloom misses that never shuffle."""
+    _ensure_ray()
+    import os
+
+    import ray.data as rd
+
+    from .functions.dedup import incremental_dedup
+    from .functions.relational import hash_join
+
+    new_shards = sorted(glob.glob(args.new))
+    ref_shards = sorted(glob.glob(args.ref))
+    if not new_shards or not ref_shards:
+        print(f"no shards match --new {args.new} / --ref {args.ref}",
+              file=sys.stderr)
+        return 2
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        print(f"--out {args.out} already exists and is not empty",
+              file=sys.stderr)
+        return 2
+    new = rd.read_parquet(new_shards)
+    ref = rd.read_parquet(ref_shards, columns=["doc_id", "text"])
+    n_new = new.count()                  # Parquet metadata, no scan
+    kept = incremental_dedup(new, ref, prefix=args.prefix,
+                             est_rows=n_new)
+    survivors = hash_join(new, kept, on="doc_id", how="semi",
+                          est_rows=n_new)
+    survivors.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "docs_in": n_new,
+                      "docs_out": n_out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="stanford_re_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -193,6 +232,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="scrub emails/IPs/phone-like runs from "
                         "surviving text")
     c.set_defaults(fn=cmd_curate)
+
+    d = sub.add_parser(
+        "dedup-ingest",
+        help="keep new-shard docs absent from a reference corpus "
+             "(Bloom prefilter + exact anti-join verify)")
+    d.add_argument("--new", required=True,
+                   help="glob of new-shard parquet (doc_id, text, ...)")
+    d.add_argument("--ref", required=True,
+                   help="glob of reference-corpus parquet")
+    d.add_argument("--out", required=True, help="output directory")
+    d.add_argument("--prefix", type=int, default=None,
+                   help="fingerprint on the first N chars (default: "
+                        "whole text)")
+    d.set_defaults(fn=cmd_dedup_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -180,3 +180,37 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     assert files
     t = pq.read_table(files[0])
     assert {"doc_id", "text", "lang"} <= set(t.column_names)
+
+
+def test_cli_dedup_ingest(ray_session, tmp_path, capsys):
+    """`dedup-ingest` keeps new docs whose fingerprint is absent from
+    the reference and writes full surviving rows."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stanford_re_ray.cli import main
+
+    ref_texts = [f"stored doc {i} body {i*3}" for i in range(40)]
+    new_texts = ref_texts[:10] + [f"novel doc {i}" for i in range(15)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(ref_texts)}), tmp_path / "ref.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(100, 125), pa.int64()),
+        "text": pa.array(new_texts),
+        "lang": pa.array(["en"] * 25)}), tmp_path / "new.parquet")
+
+    rc = main(["dedup-ingest", "--new", str(tmp_path / "new.parquet"),
+               "--ref", str(tmp_path / "ref.parquet"),
+               "--out", str(tmp_path / "kept")])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats == {"out": str(tmp_path / "kept"),
+                     "docs_in": 25, "docs_out": 15}
+    files = glob.glob(str(tmp_path / "kept" / "*.parquet"))
+    t = pq.read_table(files)
+    assert sorted(t.column("doc_id").to_pylist()) == list(range(110, 125))
+    assert {"doc_id", "text", "lang"} <= set(t.column_names)
