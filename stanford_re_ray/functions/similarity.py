@@ -278,3 +278,91 @@ def knn_join(embeddings: ray.data.Dataset, query_ids: list[int],
     return grouped_topk(partials, key="query_id", order_by="cosine",
                         k=k, descending=True, tiebreak=[id_col],
                         est_rows=est_rows)
+
+
+def knn_join_ivf(embeddings: ray.data.Dataset, query_ids: list[int],
+                 k: int = 3, n_lists: int = 16, n_probe: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 centroids: "np.ndarray | None" = None,
+                 est_rows: int | None = None) -> ray.data.Dataset:
+    """IVF-pruned ``knn_join`` — the scale path for the similarity-join
+    workload: each query ranks ONLY candidates assigned to its
+    ``n_probe`` nearest inverted lists, so per-query work scales with
+    ``n_probe / n_lists`` of the corpus (and, over an ``ivf_build``
+    index, only those partitions leave storage).
+
+    With ``n_probe == n_lists`` the output is bit-identical to
+    ``knn_join`` (pytest parity gate); smaller ``n_probe`` trades
+    recall for cost exactly like ``ivf_topk`` vs ``brute_force_topk``.
+    ``centroids``: trained codebook (production) or None for the
+    deterministic md5 codebook."""
+    from .relational import grouped_topk
+
+    qset = sorted(dict.fromkeys(int(q) for q in query_ids))
+    qarr = pa.array(qset, pa.int64())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch.column(id_col), pa.int64()),
+                        value_set=qarr)
+        return batch.filter(keep)
+
+    qtab = (embeddings.map_batches(grab, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qids = qtab[id_col].to_numpy().astype(np.int64)
+    qm = np.array(qtab[vec_col].to_list(), dtype=np.float64)
+    qnorm = np.linalg.norm(qm, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qn = qm / qnorm[:, None]              # (m, dim)
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None
+             else _det_centroids(qn.shape[1], n_lists))
+    # per-query probe mask over lists: (m, n_lists) bool
+    order = np.argsort(-(qn @ cents.T), axis=1)[:, :n_probe]
+    probe = np.zeros((len(qids), n_lists), dtype=bool)
+    probe[np.arange(len(qids))[:, None], order] = True
+    q_ref = ray.put((qids, qn.T, probe, cents))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        ids_np, qmat, probe_m, cc = fetch(q_ref)
+        cand = pc.cast(batch.column(id_col), pa.int64())
+        keep = pc.invert(pc.is_in(cand, value_set=qarr))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return empty
+        vecs = _to_matrix(batch.column(vec_col))
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms[:, None]
+        lists = np.argmax(vn @ cc.T, axis=1)          # (n,)
+        # same float op order as knn_join (divide AFTER the matmul) so
+        # the full-probe path is bit-identical to the exact join
+        sims = (vecs @ qmat) / norms[:, None]         # (n, m)
+        allowed = probe_m[:, lists].T                 # (n, m)
+        vid = batch.column(id_col).to_numpy().astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            ok = allowed[:, j]
+            if not ok.any():
+                continue
+            sj, vj = sims[ok, j], vid[ok]
+            top = np.lexsort((vj, -sj))[:k]
+            out_q.append(np.full(len(top), ids_np[j], np.int64))
+            out_v.append(vj[top])
+            out_s.append(sj[top])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_v)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    partials = embeddings.map_batches(partial, batch_format="pyarrow")
+    return grouped_topk(partials, key="query_id", order_by="cosine",
+                        k=k, descending=True, tiebreak=[id_col],
+                        est_rows=est_rows)

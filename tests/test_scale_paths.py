@@ -626,3 +626,56 @@ def test_set_ops_distinct(ray_session):
     exc = except_distinct(left, right, on=["k", "s"]).to_pandas()
     got_e = sorted(map(tuple, exc[["k", "s"]].itertuples(index=False)))
     assert got_e == [(1, "a"), (4, "d")]
+
+
+def test_knn_join_ivf_parity_and_pruning(ray_session):
+    """knn_join_ivf with n_probe == n_lists is bit-identical to the
+    exact knn_join; with n_probe < n_lists each query's result equals a
+    serial brute-force restricted to its probed lists."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from stanford_re_ray.functions.similarity import (_det_centroids,
+                                                      knn_join,
+                                                      knn_join_ivf)
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qids = list(range(8))
+
+    def canon(ds):
+        return (ds.to_pandas()[["query_id", "vec_id", "cosine", "rank"]]
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    exact = canon(knn_join(emb, qids, k=3))
+    full = canon(knn_join_ivf(emb, qids, k=3, n_lists=16, n_probe=16))
+    pd.testing.assert_frame_equal(exact, full, check_exact=True)
+
+    pruned = canon(knn_join_ivf(emb, qids, k=3, n_lists=16, n_probe=4))
+
+    # serial reference for the pruned semantics
+    df = emb.to_pandas()
+    vecs = np.array(df["embedding"].to_list(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = _det_centroids(vecs.shape[1], 16)
+    lists = np.argmax(vn @ cents.T, axis=1)
+    rows = []
+    for q in qids:
+        qv = vn[ids == q][0]
+        probe = set(np.argsort(-(cents @ qv))[:4].tolist())
+        ok = np.array([i not in qids and lists[j] in probe
+                       for j, i in enumerate(ids)])
+        sims = vn[ok] @ qv
+        vid = ids[ok]
+        top = np.lexsort((vid, -sims))[:3]
+        for r, t in enumerate(top):
+            rows.append((q, int(vid[t]), float(sims[t]), r + 1))
+    expected = pd.DataFrame(rows, columns=["query_id", "vec_id",
+                                           "cosine", "rank"])
+    got = pruned.copy()
+    pd.testing.assert_frame_equal(
+        got[["query_id", "vec_id", "rank"]],
+        expected[["query_id", "vec_id", "rank"]], check_exact=True)
+    assert np.allclose(got["cosine"], expected["cosine"], atol=1e-12)
