@@ -612,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_embedding_moments": A.q88_embedding_moments,
         "q89_knn_join": A.q89_knn_join,
         "q90_incremental_dedup": A.q90_incremental_dedup,
+        "q91_fuzzy_name_pairs": A.q91_fuzzy_name_pairs,
     }
 
 
@@ -2857,5 +2858,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r.doc_id % 2 = 0
                   AND substr(r.text, 1, 60) = substr(d.text, 1, 60))
             ORDER BY d.doc_id
+        """,
+        "q91_fuzzy_name_pairs": """
+            -- edit1_pairs twin: the explicitly-quadratic levenshtein
+            -- filter over distinct names (the engine's
+            -- deletion-neighborhood blocking is exact at distance 1)
+            WITH d AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b
+            FROM d a JOIN d b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+            ORDER BY name_a, name_b
         """,
     }

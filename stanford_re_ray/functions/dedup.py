@@ -1459,3 +1459,91 @@ def incremental_dedup(new_docs: ray.data.Dataset,
     return (kept_misses.map_batches(ids_only, batch_format="pyarrow")
             .union(verified.map_batches(ids_only,
                                         batch_format="pyarrow")))
+
+
+def _ed_le_1(u: str, v: str) -> bool:
+    """Exact edit-distance <= 1 check (u != v): one substitution, or one
+    insertion/deletion.  O(len) — used only on blocked candidates."""
+    lu, lv = len(u), len(v)
+    if abs(lu - lv) > 1:
+        return False
+    if lu == lv:
+        return sum(a != b for a, b in zip(u, v)) <= 1
+    if lu > lv:
+        u, v, lu, lv = v, u, lv, lu
+    # u is shorter by one: skip exactly one char of v
+    i = 0
+    while i < lu and u[i] == v[i]:
+        i += 1
+    return u[i:] == v[i + 1:]
+
+
+def edit1_pairs(ds: ray.data.Dataset, col: str,
+                est_rows: int | None = None) -> ray.data.Dataset:
+    """Fuzzy string self-join: all DISTINCT-value pairs at edit distance
+    exactly 1 (spell variants, near-duplicate titles/names), via
+    deletion-neighborhood blocking — the classic scalable form of a
+    similarity join the naive version of which is O(n²·len).
+
+    Shape: the column first reduces to its distinct values (map-side
+    combiner + one vocab-sized groupby — the operator runs on the
+    value relation, never per row); each value then emits itself plus
+    its one-char deletions keyed by a 64-bit hash (ints shuffle, the
+    short value rides ~len+1 times — cheaper than two rehydration
+    joins for name-length strings); candidates are pairs sharing a
+    variant key (one bucketed self ``hash_join``), deduped by one
+    (a, b) groupby, and verified with the exact O(len) check — the
+    blocking has no false negatives at distance 1, so output equals
+    the quadratic oracle."""
+    from ray.data.aggregate import Count
+
+    from .hashing import stable_u64
+    from .relational import hash_join
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = pc.unique(batch.column(col).combine_chunks())
+        return pa.table({col: vals})
+
+    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby(col).count()
+                .map_batches(lambda b: b.select([col]),
+                             batch_format="pyarrow"))
+
+    def variants(batch: pa.Table, out_col: str) -> pa.Table:
+        keys, names = [], []
+        for v in batch.column(col).to_pylist():
+            if v is None:
+                continue
+            seen = dict.fromkeys(
+                [v] + [v[:i] + v[i + 1:] for i in range(len(v))])
+            for var in seen:
+                keys.append(stable_u64(var) & 0x7FFFFFFFFFFFFFFF)
+                names.append(v)
+        return pa.table({"vkey": pa.array(keys, pa.int64()),
+                         out_col: pa.array(names, pa.string())})
+
+    va = distinct.map_batches(lambda b: variants(b, "name_a"),
+                              batch_format="pyarrow")
+    vb = distinct.map_batches(lambda b: variants(b, "name_b"),
+                              batch_format="pyarrow")
+    joined = hash_join(va, vb, on="vkey", how="inner", est_rows=est_rows)
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch.column("name_a"), batch.column("name_b"))
+        return batch.filter(keep).select(["name_a", "name_b"])
+
+    cand = (joined.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["name_a", "name_b"])
+            .aggregate(Count(alias_name="__n")))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("name_a").to_pylist()
+        b = batch.column("name_b").to_pylist()
+        mask = pa.array([_ed_le_1(x, y) for x, y in zip(a, b)])
+        return batch.filter(mask).select(["name_a", "name_b"])
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -1960,3 +1960,19 @@ def q90_incremental_dedup(sf_dir: str) -> pa.Table:
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     out["doc_id"] = out["doc_id"].astype("int64")
     return pa.Table.from_pandas(out[["doc_id"]], preserve_index=False)
+
+
+def q91_fuzzy_name_pairs(sf_dir: str) -> pa.Table:
+    """Fuzzy string self-join (``functions.dedup.edit1_pairs``):
+    distinct part names at edit distance exactly 1, via
+    deletion-neighborhood blocking + exact verify (no false negatives
+    at distance 1, so output equals the quadratic levenshtein oracle)."""
+    from ..functions.dedup import edit1_pairs
+
+    n = _row_count(sf_dir, "part")
+    parts = _read(sf_dir, "part", ["p_name"])
+    out = (edit1_pairs(parts, "p_name", est_rows=n * 12)
+           .to_pandas().sort_values(["name_a", "name_b"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out[["name_a", "name_b"]],
+                                preserve_index=False)

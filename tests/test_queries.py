@@ -114,7 +114,7 @@ SQL_CHECKED = [
     "q81_event_pivot", "q82_zipf_slope", "q83_rolling_window",
     "q84_ntile", "q85_token_entropy", "q86_ngram_repetition",
     "q87_grouped_hll", "q88_embedding_moments", "q89_knn_join",
-    "q90_incremental_dedup",
+    "q90_incremental_dedup", "q91_fuzzy_name_pairs",
 ]
 
 
