@@ -613,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q89_knn_join": A.q89_knn_join,
         "q90_incremental_dedup": A.q90_incremental_dedup,
         "q91_fuzzy_name_pairs": A.q91_fuzzy_name_pairs,
+        "q92_time_window_join": A.q92_time_window_join,
     }
 
 
@@ -2868,5 +2869,19 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.p_name < b.p_name
             WHERE levenshtein(a.p_name, b.p_name) <= 1
             ORDER BY name_a, name_b
+        """,
+        "q92_time_window_join": """
+            -- time-window self-join twin: all same-user event pairs at
+            -- most 1800 s apart, (ts, event_id) total pair order
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+            SELECT a.user_id, a.event_id AS event_a,
+                   b.event_id AS event_b,
+                   CAST(b.us - a.us AS BIGINT) AS dt_us
+            FROM e a JOIN e b ON a.user_id = b.user_id
+              AND (b.us > a.us
+                   OR (b.us = a.us AND b.event_id > a.event_id))
+              AND b.us - a.us <= 1800000000
+            ORDER BY a.user_id, event_a, event_b
         """,
     }

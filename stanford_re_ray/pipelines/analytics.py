@@ -1976,3 +1976,77 @@ def q91_fuzzy_name_pairs(sf_dir: str) -> pa.Table:
            .reset_index(drop=True))
     return pa.Table.from_pandas(out[["name_a", "name_b"]],
                                 preserve_index=False)
+
+
+def q92_time_window_join(sf_dir: str, window_s: int = 1800) -> pa.Table:
+    """Interval self-join / co-occurrence: pairs of SAME-USER events at
+    most ``window_s`` apart — the stream-join primitive (asof = nearest
+    single match; this is ALL matches in the window).  One hash(user)
+    bucket shuffle co-locates each user's timeline, then a vectorized
+    two-pointer (searchsorted on the sorted timeline) emits exactly the
+    output pairs — never the per-user quadratic blow-up."""
+    from ..schema import pd_to_arrow
+
+    win_us = window_s * 1_000_000
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def pairs(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        m = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_end = np.r_[starts[1:], m]
+        seg_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, m]))
+        # within each user segment: for row i, partners are rows
+        # (i, hi) where hi = last index with ts <= ts_i + win.  ts is
+        # sorted only WITHIN segments, so search on a segment-offset key
+        # that is globally sorted: seg_id·BIG + (ts − min), BIG > any
+        # in-bucket span + window (overflow bound: users-per-bucket ×
+        # (span + win) < 2^63 — ample for epoch-us data)
+        base = ts - (ts.min() if m else 0)
+        big = (base.max() if m else 0) + win_us + 1
+        skey = seg_id * big + base
+        hi = np.searchsorted(skey, skey + win_us, side="right")
+        hi = np.minimum(hi, seg_end[seg_id])
+        # ties at equal ts: rows j in (i, hi) always satisfy the SQL
+        # (ts_j, event_id_j) > (ts_i, event_id_i) order because the
+        # frame is sorted by (user, ts, event_id)
+        counts = np.maximum(hi - np.arange(m) - 1, 0)
+        ia = np.repeat(np.arange(m), counts)
+        if len(ia):
+            grp_start = np.repeat(np.cumsum(counts) - counts, counts)
+            ib = ia + (np.arange(len(ia)) - grp_start) + 1
+        else:
+            ib = np.array([], np.int64)
+        out = pd.DataFrame({
+            "user_id": uid[ia] if len(ia) else np.array([], np.int64),
+            "event_a": eid[ia] if len(ia) else np.array([], np.int64),
+            "event_b": eid[ib] if len(ib) else np.array([], np.int64),
+            "dt_us": (ts[ib] - ts[ia]) if len(ia)
+            else np.array([], np.int64),
+        })
+        return pd_to_arrow(out)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(pairs, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["user_id", "event_a", "event_b"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "event_a", "event_b", "dt_us"]],
+        preserve_index=False)
