@@ -614,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q90_incremental_dedup": A.q90_incremental_dedup,
         "q91_fuzzy_name_pairs": A.q91_fuzzy_name_pairs,
         "q92_time_window_join": A.q92_time_window_join,
+        "q93_hdr_quantiles": A.q93_hdr_quantiles,
     }
 
 
@@ -2883,5 +2884,40 @@ def oracle_sql() -> dict[str, str]:
                    OR (b.us = a.us AND b.event_id > a.event_id))
               AND b.us - a.us <= 1800000000
             ORDER BY a.user_id, event_a, event_b
+        """,
+        "q93_hdr_quantiles": """
+            -- hdr_quantiles twin: identical integer binning
+            -- (shift = max(bitlen - 4, 0), 4-bit mantissa) and the
+            -- ceil-rank selection, all integer arithmetic
+            WITH v AS (
+              SELECT l_returnflag AS g,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS v
+              FROM lineitem),
+            b AS (
+              SELECT g, v,
+                     GREATEST(length(format('{:b}', v)) - 4, 0) AS s
+              FROM v),
+            bins AS (
+              SELECT g, s * 16 + (v >> s) AS bin,
+                     (v >> s) << s AS lb, COUNT(*) AS n
+              FROM b GROUP BY 1, 2, 3),
+            cum AS (
+              SELECT g, bin, lb,
+                     SUM(n) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY g) AS total
+              FROM bins),
+            qs AS (SELECT unnest([500, 900, 990]) AS q_ppt),
+            sel AS (
+              SELECT c.g, q.q_ppt, c.lb, c.total,
+                     ROW_NUMBER() OVER (PARTITION BY c.g, q.q_ppt
+                                        ORDER BY c.bin) AS rn
+              FROM cum c, qs q
+              WHERE c.cum >= GREATEST(
+                (q.q_ppt * c.total + 999) // 1000, 1))
+            SELECT g AS l_returnflag, CAST(q_ppt AS BIGINT) AS q_ppt,
+                   CAST(lb AS BIGINT) AS approx_q,
+                   CAST(total AS BIGINT) AS n_rows
+            FROM sel WHERE rn = 1 ORDER BY l_returnflag, q_ppt
         """,
     }

@@ -287,3 +287,76 @@ def hll_grouped_distinct(docs: ray.data.Dataset, group_col: str,
         "n_est_q": pa.array([hll_estimate_q(by_group[g]) for g in groups],
                             pa.int64()),
     })
+
+
+def hdr_bin(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """HDR-histogram-style integer binning for positive int64 values:
+    shift = max(bit_length(v) - 4, 0), bucket = v >> shift (a 4-bit
+    mantissa), bin id = shift·16 + bucket, lower bound = bucket << shift.
+    Pure integer ops — bit-replicable in SQL via
+    ``length(format('{:b}', v))`` — with relative error ≤ 1/8 per bin."""
+    v = v.astype(np.int64)
+    nbits = np.zeros_like(v)
+    x = v.copy()
+    while (x > 0).any():                 # bit_length, vectorized
+        nbits[x > 0] += 1
+        x >>= 1
+    shift = np.maximum(nbits - 4, 0)
+    bucket = v >> shift
+    return shift * 16 + bucket, bucket << shift
+
+
+def hdr_quantiles(ds: ray.data.Dataset, value_col: str, group_col: str,
+                  qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                  ) -> pa.Table:
+    """Mergeable-histogram approximate quantiles per group — p50/p99 at
+    corpus scale WITHOUT a distributed sort: each batch emits one
+    (group, bin, n) combiner row per distinct bin (≤ ~16·64 bins total,
+    Zipf-irrelevant), one small groupby SUM merges, and the quantile is
+    the lower bound of the first bin whose cumulative count reaches
+    ``ceil(q·n)`` — all integer arithmetic, so the result is
+    bit-deterministic and exactly SQL-oracle-checkable (relative error
+    ≤ 1/8 by construction).  ``value_col`` must be positive int64
+    (quantize floats to cents first, the q61 policy)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = batch.column(value_col).to_numpy().astype(np.int64)
+        g = batch.column(group_col)
+        ids, lbs = hdr_bin(v)
+        t = pa.table({group_col: g,
+                      "bin": pa.array(ids),
+                      "lb": pa.array(lbs)})
+        agg = (t.group_by([group_col, "bin", "lb"])
+               .aggregate([([], "count_all")]))
+        return pa.table({
+            group_col: agg.column(group_col),
+            "bin": agg.column("bin"),
+            "lb": agg.column("lb"),
+            "n": pc.cast(agg.column(agg.schema.names[-1]), pa.int64()),
+        })
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "bin", "lb"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())                 # groups x bins rows: tiny
+
+    rows = []
+    for gval, sub in hist.groupby(group_col, sort=True):
+        sub = sub.sort_values("bin")
+        cum = sub["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        lbs = sub["lb"].to_numpy()
+        for q in qs:
+            q_ppt = int(q * 1000)
+            rank = (q_ppt * total + 999) // 1000   # ceil, positive ints
+            idx = int(np.searchsorted(cum, max(rank, 1)))
+            rows.append((gval, int(q * 1000), int(lbs[idx]), total))
+    return pa.table({
+        group_col: pa.array([r[0] for r in rows]),
+        "q_ppt": pa.array([r[1] for r in rows], pa.int64()),
+        "approx_q": pa.array([r[2] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+    })

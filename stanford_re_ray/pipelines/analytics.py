@@ -2050,3 +2050,25 @@ def q92_time_window_join(sf_dir: str, window_s: int = 1800) -> pa.Table:
     return pa.Table.from_pandas(
         out[["user_id", "event_a", "event_b", "dt_us"]],
         preserve_index=False)
+
+
+def q93_hdr_quantiles(sf_dir: str) -> pa.Table:
+    """Mergeable-histogram quantiles (``functions.sketch.hdr_quantiles``):
+    per-returnflag approximate p50/p90/p99 of price cents WITHOUT a
+    distributed sort — integer HDR bins, combiner partials, exact
+    cross-engine agreement on the sketch result (q39's exact-quantile
+    sibling for the 100 TB regime)."""
+    from ..functions.sketch import hdr_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    out = hdr_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
+                        value_col="cents", group_col="l_returnflag")
+    return out

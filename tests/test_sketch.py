@@ -215,3 +215,29 @@ def test_pagerank_personalized(ray_session, dangling):
 
     with pytest.raises(ValueError):
         pagerank(ds, n_iter=1, seeds=[1234])
+
+
+def test_hdr_quantiles_error_bound(ray_session):
+    """The HDR sketch's p50/p90/p99 must sit within the guaranteed 1/8
+    relative error of the exact quantiles."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.sketch import hdr_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = (rng.lognormal(8, 1.2, size=20_000) * 100).astype(np.int64) + 1
+    grp = np.where(np.arange(len(vals)) % 2 == 0, "a", "b")
+    ds = rd.from_arrow(pa.table({"g": pa.array(grp),
+                                 "v": pa.array(vals)})).repartition(8)
+    out = hdr_quantiles(ds, value_col="v", group_col="g").to_pandas()
+    assert len(out) == 6
+    for gval in ("a", "b"):
+        sub = vals[grp == gval]
+        for q_ppt in (500, 900, 990):
+            exact = np.quantile(sub, q_ppt / 1000)
+            got = out[(out["g"] == gval)
+                      & (out["q_ppt"] == q_ppt)]["approx_q"].iloc[0]
+            assert got <= exact * 1.0 + 1          # lower bound of bin
+            assert got >= exact * (1 - 0.125) - 1  # 1/8 relative error
