@@ -615,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q91_fuzzy_name_pairs": A.q91_fuzzy_name_pairs,
         "q92_time_window_join": A.q92_time_window_join,
         "q93_hdr_quantiles": A.q93_hdr_quantiles,
+        "q94_prefix_jaccard": A.q94_prefix_jaccard,
     }
 
 
@@ -2919,5 +2920,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lb AS BIGINT) AS approx_q,
                    CAST(total AS BIGINT) AS n_rows
             FROM sel WHERE rn = 1 ORDER BY l_returnflag, q_ppt
+        """,
+        "q94_prefix_jaccard": """
+            -- prefix_jaccard_pairs twin: the explicitly-quadratic
+            -- 5-word-shingle Jaccard filter (prefix filtering is exact,
+            -- so the blocked engine output equals this)
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+                          WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct(list_transform(
+                                 range(1, len(w) - 3),
+                                 i -> array_to_string(w[i:i+4], ' ')))
+                     END AS s
+              FROM d)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) > 0 AND len(b.s) > 0
+              AND len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.5
+            ORDER BY doc_a, doc_b
         """,
     }

@@ -1547,3 +1547,114 @@ def edit1_pairs(ds: ray.data.Dataset, col: str,
         return batch.filter(mask).select(["name_a", "name_b"])
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
+                         k: int = 5,
+                         est_rows: int | None = None) -> ray.data.Dataset:
+    """EXACT set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the deterministic sibling of the MinHash
+    LSH path: no probabilistic recall, yet never the quadratic join.
+
+    Guarantee: order every document's shingle set by one global total
+    order; if J(A, B) ≥ t, the smallest COMMON shingle sits within the
+    first ``|S| − ⌈t·|S|⌉ + 1`` shingles of BOTH sets, so pairs sharing
+    a prefix shingle are a superset of the answer.  The total order
+    here is (stable_u64(shingle), shingle) — content-derived, so no
+    global frequency table needs broadcasting (a df-ascending order is
+    the classic selectivity optimization; the hash order trades a
+    little pruning for zero global state).
+
+    Shape: shingle sets built in-batch (``_shingle_strings``, the q23
+    definition); each doc emits only its prefix shingles keyed by the
+    64-bit hash (ints shuffle); candidates come from one bucketed self
+    ``hash_join`` + (a, b) dedupe; full sets rehydrate through two
+    key-partitioned joins (payloads move once) and the exact Jaccard
+    filter runs per candidate — output ≡ the quadratic oracle."""
+    from ray.data.aggregate import Count
+
+    from .hashing import stable_u64
+    from .relational import hash_join
+
+    t_ppm = int(round(threshold * 1_000_000))
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        sets = [sorted(_shingle_strings(t, k))
+                for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "shingles": pa.array(sets, pa.list_(pa.string())),
+        })
+
+    # consumed by the prefix pass AND two rehydration joins
+    sets_ds = ds.map_batches(shingle_sets,
+                             batch_format="pyarrow").materialize()
+
+    def prefix(batch: pa.Table) -> pa.Table:
+        ids, keys = [], []
+        for did, sh in zip(batch.column("doc_id").to_pylist(),
+                           batch.column("shingles").to_pylist()):
+            sz = len(sh)
+            if sz == 0:
+                continue
+            need = (t_ppm * sz + 999_999) // 1_000_000   # ceil(t·sz)
+            p = sz - need + 1
+            hashed = sorted((stable_u64(g) & 0x7FFFFFFFFFFFFFFF, g)
+                            for g in sh)[:p]
+            for h, _g in hashed:
+                ids.append(did)
+                keys.append(h)
+        return pa.table({"gkey": pa.array(keys, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    pa_ = sets_ds.map_batches(prefix, batch_format="pyarrow")
+    pb = pa_.map_batches(lambda b: b.rename_columns(["gkey", "doc_b"]),
+                         batch_format="pyarrow")
+    pa2 = pa_.map_batches(lambda b: b.rename_columns(["gkey", "doc_a"]),
+                          batch_format="pyarrow")
+    joined = hash_join(pa2, pb, on="gkey", how="inner", est_rows=est_rows)
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch.column("doc_a"), batch.column("doc_b"))
+        return batch.filter(keep).select(["doc_a", "doc_b"])
+
+    cand = (joined.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["doc_a", "doc_b"])
+            .aggregate(Count(alias_name="__n"))
+            .map_batches(lambda b: b.select(["doc_a", "doc_b"]),
+                         batch_format="pyarrow"))
+
+    sa = sets_ds.map_batches(
+        lambda b: b.rename_columns(["doc_a", "set_a"]),
+        batch_format="pyarrow")
+    sb = sets_ds.map_batches(
+        lambda b: b.rename_columns(["doc_b", "set_b"]),
+        batch_format="pyarrow")
+    withs = hash_join(hash_join(cand, sa, on="doc_a",
+                                est_rows=est_rows),
+                      sb, on="doc_b", est_rows=est_rows)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        rows_a, rows_b, js = [], [], []
+        for da, db, A, B in zip(batch.column("doc_a").to_pylist(),
+                                batch.column("doc_b").to_pylist(),
+                                batch.column("set_a").to_pylist(),
+                                batch.column("set_b").to_pylist()):
+            sa_, sb_ = set(A), set(B)
+            if not sa_ and not sb_:
+                j = 1.0
+            elif not sa_ or not sb_:
+                j = 0.0
+            else:
+                j = len(sa_ & sb_) / len(sa_ | sb_)
+            if j >= threshold:
+                rows_a.append(da)
+                rows_b.append(db)
+                js.append(round(j, 6))
+        return pa.table({"doc_a": pa.array(rows_a, pa.int64()),
+                         "doc_b": pa.array(rows_b, pa.int64()),
+                         "jaccard": pa.array(js, pa.float64())})
+
+    return withs.map_batches(verify, batch_format="pyarrow")

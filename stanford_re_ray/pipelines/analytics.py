@@ -2072,3 +2072,22 @@ def q93_hdr_quantiles(sf_dir: str) -> pa.Table:
     out = hdr_quantiles(ds.map_batches(cents, batch_format="pyarrow"),
                         value_col="cents", group_col="l_returnflag")
     return out
+
+
+def q94_prefix_jaccard(sf_dir: str) -> pa.Table:
+    """Exact prefix-filtered set-similarity join
+    (``functions.dedup.prefix_jaccard_pairs``): all doc pairs with
+    5-word-shingle Jaccard >= 0.5 — AllPairs/PPJoin blocking, never the
+    quadratic join, output identical to the quadratic oracle."""
+    from ..functions.dedup import prefix_jaccard_pairs
+
+    n = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (prefix_jaccard_pairs(docs, threshold=0.5, est_rows=n * 12)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    out["jaccard"] = out["jaccard"].astype("float64")
+    return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard"]],
+                                preserve_index=False)
