@@ -616,6 +616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_time_window_join": A.q92_time_window_join,
         "q93_hdr_quantiles": A.q93_hdr_quantiles,
         "q94_prefix_jaccard": A.q94_prefix_jaccard,
+        "q95_decayed_sum": A.q95_decayed_sum,
     }
 
 
@@ -2947,5 +2948,25 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(a.s || b.s)) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "q95_decayed_sum": """
+            -- decayed-sum twin: per-event half-up int quantization of
+            -- v_cents * 2^-(T-t)/tau BEFORE the per-user sum (the
+            -- engine's associative-reduce policy), tau = 1 day
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     FLOOR(value * 100.0 + 0.5) AS v_q
+              FROM events),
+            t AS (SELECT MAX(us) AS t_max FROM e),
+            terms AS (
+              SELECT user_id,
+                     CAST(FLOOR(v_q * POW(2.0,
+                       -(t.t_max - us) / 86400000000.0) + 0.5)
+                       AS BIGINT) AS term_q
+              FROM e, t)
+            SELECT user_id,
+                   CAST(SUM(term_q) AS BIGINT) AS decayed_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM terms GROUP BY user_id ORDER BY user_id
         """,
     }

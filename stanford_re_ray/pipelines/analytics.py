@@ -2091,3 +2091,36 @@ def q94_prefix_jaccard(sf_dir: str) -> pa.Table:
     out["jaccard"] = out["jaccard"].astype("float64")
     return pa.Table.from_pandas(out[["doc_a", "doc_b", "jaccard"]],
                                 preserve_index=False)
+
+
+def q95_decayed_sum(sf_dir: str, half_life_s: int = 86400) -> pa.Table:
+    """Exponentially time-decayed engagement per user — the streaming
+    feature primitive (recency-weighted counts/values for ranking):
+    ``Σ v·2^−(T−t)/τ`` with T = corpus max timestamp, τ = one day.
+    Per-event terms are quantized to int64 (half-up) BEFORE the per-user
+    reduce, so the sum is associative-exact at any parallelism; one
+    combiner'd groupby, no sort, no window."""
+    from ray.data.aggregate import Count, Sum
+
+    tau_us = float(half_life_s) * 1e6
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    t_max = int(pd.Timestamp(ds.max("ts")).value // 1000)
+
+    def terms(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        v_q = np.floor(v * 100.0 + 0.5)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        w = np.exp2(-(t_max - us) / tau_us)
+        term_q = np.floor(v_q * w + 0.5).astype(np.int64)
+        return pa.table({"user_id": batch.column("user_id"),
+                         "term_q": pa.array(term_q)})
+
+    out = (ds.map_batches(terms, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("term_q", alias_name="decayed_q"),
+                      Count(alias_name="n_events"))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "decayed_q", "n_events"]], preserve_index=False)
