@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_hdr_quantiles": A.q93_hdr_quantiles,
         "q94_prefix_jaccard": A.q94_prefix_jaccard,
         "q95_decayed_sum": A.q95_decayed_sum,
+        "q96_source_overlap": A.q96_source_overlap,
     }
 
 
@@ -2968,5 +2969,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(term_q) AS BIGINT) AS decayed_q,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM terms GROUP BY user_id ORDER BY user_id
+        """,
+        "q96_source_overlap": """
+            -- source_overlap_matrix twin: distinct vocab per source,
+            -- pairwise intersection, exact half-up integer ppm ratios
+            WITH toks AS (
+              SELECT DISTINCT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS t
+              FROM documents),
+            s AS (SELECT source, COUNT(*) AS sz FROM toks
+                  GROUP BY source),
+            inter AS (
+              SELECT a.source AS src_a, b.source AS src_b,
+                     COUNT(*) AS c
+              FROM toks a JOIN toks b
+                ON a.t = b.t AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(c AS BIGINT) AS n_common,
+                   CAST((c * 2000000 + sa.sz) // (2 * sa.sz)
+                        AS BIGINT) AS cont_a_ppm,
+                   CAST((c * 2000000 + sb.sz) // (2 * sb.sz)
+                        AS BIGINT) AS cont_b_ppm,
+                   CAST((c * 2000000 + (sa.sz + sb.sz - c))
+                        // (2 * (sa.sz + sb.sz - c))
+                        AS BIGINT) AS jaccard_ppm
+            FROM inter JOIN s sa ON sa.source = src_a
+                       JOIN s sb ON sb.source = src_b
+            ORDER BY src_a, src_b
         """,
     }

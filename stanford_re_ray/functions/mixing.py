@@ -615,3 +615,85 @@ def weighted_bottomk_sample(
 
     return (docs.map_batches(priorities, batch_format="pyarrow")
             .sort(["priority", id_col]).limit(k))
+
+
+def source_overlap_matrix(docs: ray.data.Dataset,
+                          group_col: str = "source",
+                          text_col: str = "text",
+                          est_rows: int | None = None) -> ray.data.Dataset:
+    """Pairwise source-vocabulary overlap — the set-theoretic mixing
+    diagnostic next to [[source_kl_divergence]]'s distributional one:
+    for every source pair, |A∩B| plus exact-integer ppm containment in
+    each direction and Jaccard.
+
+    Shape: the corpus reduces to DISTINCT (source, token) rows via the
+    in-batch Arrow group_by combiner (vocab x sources, never
+    occurrences); per-source set sizes are a sources-sized broadcast;
+    the intersection counts come from ONE key-partitioned self
+    ``hash_join`` on token (each token's group is at most |sources|
+    rows) and a (src_a, src_b) groupby.  All ratios are half-up integer
+    ppm — associative, oracle-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from .corpus import _tokenize_column
+    from .relational import hash_join
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column(text_col))
+        src = batch.column(group_col).take(parent)
+        g = (pa.table({group_col: src, "token": flat})
+             .group_by([group_col, "token"]).aggregate([]))
+        return g
+
+    pairs_tbl = (docs.map_batches(distinct_partial,
+                                  batch_format="pyarrow")
+                 .groupby([group_col, "token"]).count()
+                 .map_batches(lambda b: b.select([group_col, "token"]),
+                              batch_format="pyarrow")
+                 .materialize())
+
+    sizes = (pairs_tbl.groupby(group_col)
+             .aggregate(Count(alias_name="sz")).to_pandas())
+    size_map = dict(zip(sizes[group_col], sizes["sz"].astype(int)))
+    size_ref = ray.put(size_map)
+
+    sa = pairs_tbl.map_batches(
+        lambda b: b.rename_columns(["src_a", "token"]),
+        batch_format="pyarrow")
+    sb = pairs_tbl.map_batches(
+        lambda b: b.rename_columns(["src_b", "token"]),
+        batch_format="pyarrow")
+    joined = hash_join(sa, sb, on="token", how="inner",
+                       est_rows=est_rows)
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("src_a"), batch.column("src_b"))
+        return batch.filter(keep).select(["src_a", "src_b"])
+
+    inter = (joined.map_batches(ordered, batch_format="pyarrow")
+             .groupby(["src_a", "src_b"])
+             .aggregate(Count(alias_name="n_common")))
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        sm = fetch(size_ref)
+        a = batch.column("src_a").to_pylist()
+        b = batch.column("src_b").to_pylist()
+        c = batch.column("n_common").to_numpy().astype(np.int64)
+        za = np.array([sm[x] for x in a], dtype=np.int64)
+        zb = np.array([sm[x] for x in b], dtype=np.int64)
+        cont_a = (c * 2_000_000 + za) // (2 * za)
+        cont_b = (c * 2_000_000 + zb) // (2 * zb)
+        un = za + zb - c
+        jac = (c * 2_000_000 + un) // (2 * un)
+        return pa.table({
+            "src_a": batch.column("src_a"),
+            "src_b": batch.column("src_b"),
+            "n_common": pa.array(c),
+            "cont_a_ppm": pa.array(cont_a),
+            "cont_b_ppm": pa.array(cont_b),
+            "jaccard_ppm": pa.array(jac),
+        })
+
+    return inter.map_batches(ratios, batch_format="pyarrow")

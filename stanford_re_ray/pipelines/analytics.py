@@ -2124,3 +2124,20 @@ def q95_decayed_sum(sf_dir: str, half_life_s: int = 86400) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(
         out[["user_id", "decayed_q", "n_events"]], preserve_index=False)
+
+
+def q96_source_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise source-vocabulary overlap/containment/Jaccard matrix
+    (``functions.mixing.source_overlap_matrix``): DISTINCT (source,
+    token) combiner, one self hash_join on token, exact integer ppm
+    ratios — the set-theoretic mixing diagnostic beside q77's KL."""
+    from ..functions.mixing import source_overlap_matrix
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    out = (source_overlap_matrix(docs).to_pandas()
+           .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    for c in ("n_common", "cont_a_ppm", "cont_b_ppm", "jaccard_ppm"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["src_a", "src_b", "n_common", "cont_a_ppm", "cont_b_ppm",
+             "jaccard_ppm"]], preserve_index=False)
