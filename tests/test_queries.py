@@ -185,3 +185,28 @@ def test_entry_smoke(entrymod):
     df = _to_pandas(res)
     assert df is not None
     assert {"subj", "pred", "obj", "score", "doc_id"} <= set(df.columns)
+
+
+def test_queries_oracle_contract(entrymod):
+    """Every oracle key has a queries() entry, and the rows-only set
+    (no SQL twin, weaker driver check) stays pinned to the model/KG
+    family — a new query accidentally shipped without its oracle fails
+    here, not on the driver's scoreboard."""
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"oracles without queries: {sorted(o - q)}"
+    rows_only = q - o
+    assert rows_only == {
+        "kg_doc_ner_stats", "kg_edges", "kg_extract_text", "kg_nodes",
+        "kg_triples", "kg_triples_hoffmann", "kg_triples_mimlre",
+        "q53_bpe_merges",
+    }, f"unexpected rows-only queries: {sorted(rows_only)}"
+
+
+def test_sql_checked_covers_every_oracle(entrymod):
+    """SQL_CHECKED (the conformance matrix above) must list every
+    oracle-backed query — adding an oracle without its exact
+    conformance test fails here."""
+    o = set(entrymod.oracle_sql())
+    missing = o - set(SQL_CHECKED)
+    assert not missing, f"oracle queries missing from SQL_CHECKED: {sorted(missing)}"
