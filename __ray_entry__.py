@@ -618,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_prefix_jaccard": A.q94_prefix_jaccard,
         "q95_decayed_sum": A.q95_decayed_sum,
         "q96_source_overlap": A.q96_source_overlap,
+        "q97_mad_outliers": A.q97_mad_outliers,
     }
 
 
@@ -2997,5 +2998,40 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN s sa ON sa.source = src_a
                        JOIN s sb ON sb.source = src_b
             ORDER BY src_a, src_b
+        """,
+        "q97_mad_outliers": """
+            -- mad_outliers twin: lower medians at rank (n+1)//2 over
+            -- half-up integer cents, outliers beyond 3*MAD — all
+            -- integer arithmetic
+            WITH v AS (
+              SELECT l_returnflag AS g,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS c
+              FROM lineitem),
+            med AS (
+              SELECT g, c AS med FROM (
+                SELECT g, c,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY c) AS rn,
+                       COUNT(*) OVER (PARTITION BY g) AS n
+                FROM v) WHERE rn = (n + 1) // 2),
+            dev AS (
+              SELECT v.g, ABS(v.c - med.med) AS d, med.med
+              FROM v JOIN med USING (g)),
+            mad AS (
+              SELECT g, d AS mad FROM (
+                SELECT g, d,
+                       ROW_NUMBER() OVER (PARTITION BY g
+                                          ORDER BY d) AS rn,
+                       COUNT(*) OVER (PARTITION BY g) AS n
+                FROM dev) WHERE rn = (n + 1) // 2)
+            SELECT dev.g AS l_returnflag,
+                   CAST(MIN(dev.med) AS BIGINT) AS median_q,
+                   CAST(MIN(mad.mad) AS BIGINT) AS mad_q,
+                   CAST(COUNT(*) FILTER (dev.d > 3 * mad.mad)
+                        AS BIGINT) AS n_outliers,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM dev JOIN mad USING (g)
+            GROUP BY dev.g ORDER BY l_returnflag
         """,
     }

@@ -80,3 +80,85 @@ def exact_quantiles(
         return pd_to_arrow(pd.DataFrame(out))
 
     return hist.groupby(key).map_groups(walk, batch_format="pandas")
+
+
+def mad_outliers(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    scale: int = 100,
+    k_mad: int = 3,
+) -> pa.Table:
+    """Robust per-group outlier statistics: lower median, median absolute
+    deviation (MAD), and the count of rows beyond ``k_mad``·MAD — the
+    data-cleaning primitive that doesn't blow up on the outliers it is
+    hunting (unlike mean/std).
+
+    All integer arithmetic on quantized values (half-up cents), so the
+    result is bit-deterministic and exactly SQL-checkable.  Shape: two
+    histogram passes (count per (group, cents), then count per (group,
+    |cents − median|)) — each shuffles one row per DISTINCT cell, never
+    raw rows; medians are rank ``(n+1)//2`` walks over the bounded
+    histograms; the group→median map between passes is a groups-sized
+    broadcast."""
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy().astype(np.float64)
+        c = np.floor(v * float(scale) + 0.5).astype(np.int64)
+        t = pa.table({key: batch.column(key), "__c": pa.array(c)})
+        g = t.group_by([key, "__c"]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key), "__c": g.column("__c"),
+                         "n": pc.cast(g.column(g.schema.names[-1]),
+                                      pa.int64())})
+
+    hist1 = (ds.map_batches(cents, batch_format="pyarrow")
+             .groupby([key, "__c"]).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+
+    med_map: dict = {}
+    for gval, sub in hist1.groupby(key, sort=False):
+        sub = sub.sort_values("__c")
+        cum = sub["n"].cumsum().to_numpy()
+        r = (int(cum[-1]) + 1) // 2
+        med_map[gval] = int(sub["__c"].to_numpy()[
+            np.searchsorted(cum, r)])
+    med_ref = ray.put(med_map)
+
+    def devs(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        mm = fetch(med_ref)
+        v = batch.column(value_col).to_numpy().astype(np.float64)
+        c = np.floor(v * float(scale) + 0.5).astype(np.int64)
+        med = np.array([mm[g] for g in batch.column(key).to_pylist()],
+                       dtype=np.int64)
+        d = np.abs(c - med)
+        t = pa.table({key: batch.column(key), "__d": pa.array(d)})
+        g = t.group_by([key, "__d"]).aggregate([([], "count_all")])
+        return pa.table({key: g.column(key), "__d": g.column("__d"),
+                         "n": pc.cast(g.column(g.schema.names[-1]),
+                                      pa.int64())})
+
+    hist2 = (ds.map_batches(devs, batch_format="pyarrow")
+             .groupby([key, "__d"]).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+
+    rows = []
+    for gval, sub in sorted(hist2.groupby(key, sort=False),
+                            key=lambda kv: kv[0]):
+        sub = sub.sort_values("__d")
+        dv = sub["__d"].to_numpy(dtype=np.int64)
+        nn = sub["n"].to_numpy(dtype=np.int64)
+        cum = nn.cumsum()
+        total = int(cum[-1])
+        mad = int(dv[np.searchsorted(cum, (total + 1) // 2)])
+        n_out = int(nn[dv > k_mad * mad].sum())
+        rows.append((gval, med_map[gval], mad, n_out, total))
+    return pa.table({
+        key: pa.array([r[0] for r in rows]),
+        "median_q": pa.array([r[1] for r in rows], pa.int64()),
+        "mad_q": pa.array([r[2] for r in rows], pa.int64()),
+        "n_outliers": pa.array([r[3] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[4] for r in rows], pa.int64()),
+    })

@@ -2141,3 +2141,15 @@ def q96_source_overlap(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["src_a", "src_b", "n_common", "cont_a_ppm", "cont_b_ppm",
              "jaccard_ppm"]], preserve_index=False)
+
+
+def q97_mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust outlier statistics per returnflag
+    (``functions.quantiles.mad_outliers``): lower median, MAD, and the
+    count beyond 3·MAD — two bounded histogram shuffles, all integer
+    arithmetic."""
+    from ..functions.quantiles import mad_outliers
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return mad_outliers(ds, key="l_returnflag",
+                        value_col="l_extendedprice")

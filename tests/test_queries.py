@@ -116,7 +116,7 @@ SQL_CHECKED = [
     "q87_grouped_hll", "q88_embedding_moments", "q89_knn_join",
     "q90_incremental_dedup", "q91_fuzzy_name_pairs",
     "q92_time_window_join", "q93_hdr_quantiles", "q94_prefix_jaccard",
-    "q95_decayed_sum", "q96_source_overlap",
+    "q95_decayed_sum", "q96_source_overlap", "q97_mad_outliers",
 ]
 
 
