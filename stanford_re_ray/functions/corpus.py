@@ -715,6 +715,13 @@ def bm25_topk(docs: ray.data.Dataset, query_terms: list[str], n_docs: int,
 
     df_pd = (postings.groupby("token")
              .aggregate(Count(alias_name="df")).to_pandas())
+    if df_pd.empty:     # no query term occurs in the corpus
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score_q": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64())}))
     df_map = dict(zip(df_pd["token"], df_pd["df"].astype(np.int64)))
     df_arr = np.array([df_map.get(t, 0) for t in terms], dtype=np.float64)
 

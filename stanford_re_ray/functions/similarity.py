@@ -237,7 +237,14 @@ def knn_join(embeddings: ray.data.Dataset, query_ids: list[int],
         return batch.filter(keep)
 
     qtab = (embeddings.map_batches(grab, batch_format="pyarrow")
-            .to_pandas().sort_values(id_col))
+            .to_pandas())
+    if qtab.empty:      # none of the query ids exist
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64())}))
+    qtab = qtab.sort_values(id_col)
     qids = qtab[id_col].to_numpy().astype(np.int64)
     qm = np.array(qtab[vec_col].to_list(), dtype=np.float64)
     qnorm = np.linalg.norm(qm, axis=1)
