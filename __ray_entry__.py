@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_decayed_sum": A.q95_decayed_sum,
         "q96_source_overlap": A.q96_source_overlap,
         "q97_mad_outliers": A.q97_mad_outliers,
+        "q98_user_trend": A.q98_user_trend,
+        "q99_new_users_daily": A.q99_new_users_daily,
     }
 
 
@@ -3033,5 +3035,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM dev JOIN mad USING (g)
             GROUP BY dev.g ORDER BY l_returnflag
+        """,
+        "q98_user_trend": """
+            -- user-trend twin: exact HUGEINT regression sums over
+            -- (seconds-since-min, cents), one double division, same
+            -- half-up 1e-9 quantization; degenerate (all-equal-x)
+            -- users take slope 0
+            WITH e AS (
+              SELECT user_id,
+                     (epoch_us(ts) -
+                      (SELECT MIN(epoch_us(ts)) FROM events))
+                       // 1000000 AS x,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS y
+              FROM events),
+            a AS (
+              SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(x) AS HUGEINT) AS sx,
+                     CAST(SUM(y) AS HUGEINT) AS sy,
+                     CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                     CAST(SUM(x * x) AS HUGEINT) AS sxx
+              FROM e GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                        ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * 1000000000 + 0.5)
+                        END AS BIGINT) AS slope_q
+            FROM a ORDER BY user_id
+        """,
+        "q99_new_users_daily": """
+            WITH f AS (
+              SELECT user_id,
+                     MIN(epoch_us(ts)) // 86400000000 AS day
+              FROM events GROUP BY 1),
+            d AS (SELECT day, COUNT(*) AS n_new FROM f GROUP BY 1)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d ORDER BY day
         """,
     }

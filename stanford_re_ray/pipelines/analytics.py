@@ -2153,3 +2153,81 @@ def q97_mad_outliers(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
     return mad_outliers(ds, key="l_returnflag",
                         value_col="l_extendedprice")
+
+
+def q98_user_trend(sf_dir: str) -> pa.Table:
+    """Per-user least-squares trend of value over time — grouped linear
+    regression, the per-entity drift/trend primitive.  Coordinates are
+    quantized (seconds since the corpus min timestamp, integer cents) so
+    the five regression sums per user are EXACT int64 combiner partials
+    (x ≤ ~2.6e6 s, x² ≤ 7e12, well inside int64 at any corpus since
+    partials are per-user); one groupby SUM reduce, slopes from one
+    double division per user — bit-deterministic, oracle-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    t0 = int(pd.Timestamp(ds.min("ts")).value // 1000)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        x = (us - t0) // 1_000_000           # seconds, int64 exact
+        v = batch.column("value").to_numpy().astype(np.float64)
+        y = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Count(alias_name="n"))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    n = agg["n"].astype("int64")
+    # bigint-exact numerators/denominators, ONE double division
+    num = (agg["n"].astype(object) * agg["sxy"].astype(object)
+           - agg["sx"].astype(object) * agg["sy"].astype(object))
+    den = (agg["n"].astype(object) * agg["sxx"].astype(object)
+           - agg["sx"].astype(object) * agg["sx"].astype(object))
+    slope = np.array([float(a) / float(b) if b else 0.0
+                      for a, b in zip(num, den)], dtype=np.float64)
+    slope_q = np.floor(slope * 1e9 + 0.5).astype(np.int64)
+    return pa.table({
+        "user_id": pa.array(agg["user_id"].astype("int64")),
+        "n_events": pa.array(n),
+        "slope_q": pa.array(slope_q),
+    })
+
+
+def q99_new_users_daily(sf_dir: str) -> pa.Table:
+    """Running COUNT(DISTINCT) over time — daily first-seen users and the
+    cumulative user count: the growth-curve primitive.  Distinct-over-
+    time reduces to a per-user MIN (one combiner'd groupby over user
+    ids), then a days-sized count + cumulative sum (provably tiny,
+    driver-side) — never a per-day distinct shuffle."""
+    from ray.data.aggregate import Min
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    first = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("user_id").aggregate(Min("us", alias_name="first_us"))
+             .to_pandas())
+    day = (first["first_us"].to_numpy(np.int64) // day_us)
+    days, counts = np.unique(day, return_counts=True)
+    cum = counts.cumsum()
+    return pa.table({
+        "day": pa.array(days.astype(np.int64)),
+        "n_new": pa.array(counts.astype(np.int64)),
+        "cum_users": pa.array(cum.astype(np.int64)),
+    })
