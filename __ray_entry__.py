@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q97_mad_outliers": A.q97_mad_outliers,
         "q98_user_trend": A.q98_user_trend,
         "q99_new_users_daily": A.q99_new_users_daily,
+        "q100_graph_stats": A.q100_graph_stats,
     }
 
 
@@ -3074,5 +3075,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
                      AS cum_users
             FROM d ORDER BY day
+        """,
+        "q100_graph_stats": """
+            -- graph_structure_stats twin: same q51 edge derivation,
+            -- exact HUGEINT Pearson moments over (deg(src), deg(dst)),
+            -- EXISTS-based reciprocity, one sqrt/divide
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            deg AS (
+              SELECT node, COUNT(*) AS deg FROM
+                (SELECT src AS node FROM edges
+                 UNION ALL SELECT dst FROM edges)
+              GROUP BY 1),
+            wd AS (
+              SELECT a.deg AS da, b.deg AS db
+              FROM edges e JOIN deg a ON a.node = e.src
+                           JOIN deg b ON b.node = e.dst),
+            s AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(da) AS HUGEINT) AS sx,
+                     CAST(SUM(db) AS HUGEINT) AS sy,
+                     CAST(SUM(da * db) AS HUGEINT) AS sxy,
+                     CAST(SUM(da * da) AS HUGEINT) AS sxx,
+                     CAST(SUM(db * db) AS HUGEINT) AS syy
+              FROM wd),
+            rec AS (
+              SELECT COUNT(*) AS nr FROM edges e
+              WHERE EXISTS (SELECT 1 FROM edges r
+                            WHERE r.src = e.dst AND r.dst = e.src))
+            SELECT CAST(s.n AS BIGINT) AS n_edges,
+                   CAST(rec.nr AS BIGINT) AS n_reciprocal,
+                   CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                               OR (n * syy - sy * sy) = 0 THEN 0
+                        ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE))
+                             * 1000000000 + 0.5)
+                        END AS BIGINT) AS assortativity_q
+            FROM s, rec
         """,
     }

@@ -2231,3 +2231,19 @@ def q99_new_users_daily(sf_dir: str) -> pa.Table:
         "n_new": pa.array(counts.astype(np.int64)),
         "cum_users": pa.array(cum.astype(np.int64)),
     })
+
+
+def q100_graph_stats(sf_dir: str) -> pa.Table:
+    """Graph structure metrics (``graph_ops.graph_structure_stats``):
+    degree assortativity + reciprocity of the deterministic
+    event-derived edge list — six exact int64 moment sums, one SEMI
+    join against the reversed edges, one sqrt at the end."""
+    from ..pipelines.graph_ops import graph_structure_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    edge_ds = (ds.map_batches(_event_edge_batch, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: b.drop_columns(["count()"]),
+                            batch_format="pyarrow"))
+    return graph_structure_stats(edge_ds,
+                                 est_rows=_row_count(sf_dir, "events"))

@@ -973,3 +973,81 @@ def bfs_distances(
                    .repartition(n_blocks).materialize())
 
     return visited
+
+
+def graph_structure_stats(edges: ray.data.Dataset,
+                          est_rows: int | None = None) -> pa.Table:
+    """Degree assortativity + reciprocity of a directed edge list — the
+    graph-health metrics run before trusting link-based curation
+    signals (PageRank spam farms show as high reciprocity + negative
+    assortativity).
+
+    Shape: total degree per node is one combiner'd groupby over both
+    endpoints; each edge rehydrates (deg(src), deg(dst)) through two
+    key-partitioned ``hash_join``s; the Pearson moments reduce as SIX
+    exact int64 sums (degrees are small ints, products bounded), and
+    reciprocity is one SEMI join against the reversed edge list.  The
+    driver sees only the final scalar row — bit-deterministic, one
+    sqrt/divide at the end, exactly SQL-checkable."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import hash_join
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("src").combine_chunks().cast(pa.int64()),
+            batch.column("dst").combine_chunks().cast(pa.int64()),
+        ])})
+
+    deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg")))
+    da = deg.map_batches(lambda b: b.rename_columns(["src", "da"]),
+                         batch_format="pyarrow")
+    db = deg.map_batches(lambda b: b.rename_columns(["dst", "db"]),
+                         batch_format="pyarrow")
+    withdeg = hash_join(hash_join(edges, da, on="src",
+                                  est_rows=est_rows),
+                        db, on="dst", est_rows=est_rows)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("da").to_numpy().astype(np.int64)
+        y = batch.column("db").to_numpy().astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    ag = withdeg.map_batches(moments, batch_format="pyarrow")
+    cols = ("n", "sx", "sy", "sxy", "sxx", "syy")
+    row = ag.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    sums = {c: int(row[c]) for c in cols}
+
+    rev = edges.map_batches(
+        lambda b: pa.table({"src": b.column("dst"),
+                            "dst": b.column("src")}),
+        batch_format="pyarrow")
+    recip = hash_join(edges, rev, on=["src", "dst"], how="semi",
+                      est_rows=est_rows).count()
+
+    n, sx, sy = sums["n"], sums["sx"], sums["sy"]
+    num = n * sums["sxy"] - sx * sy
+    dx = n * sums["sxx"] - sx * sx
+    dy = n * sums["syy"] - sy * sy
+    if dx == 0 or dy == 0:
+        r = 0.0
+    else:
+        import math
+
+        r = float(num) / math.sqrt(float(dx) * float(dy))
+    r_q = int(np.floor(r * 1e9 + 0.5))
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "n_reciprocal": pa.array([int(recip)], pa.int64()),
+        "assortativity_q": pa.array([r_q], pa.int64()),
+    })
