@@ -995,6 +995,13 @@ def graph_structure_stats(edges: ray.data.Dataset,
 
     from ..functions.relational import hash_join
 
+    # edges feed FOUR consumers (degree, two rehydration joins, the
+    # reversed-edge semi join) — materialize once, in few blocks, or the
+    # whole upstream derivation re-executes per consumer and its tiny
+    # output blocks poison every downstream shuffle (CLAUDE.md gotcha)
+    n_blocks = max(4, (est_rows or 0) // 250_000 + 1)
+    edges = edges.repartition(n_blocks).materialize()
+
     def endpoints(batch: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([
             batch.column("src").combine_chunks().cast(pa.int64()),
