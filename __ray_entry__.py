@@ -622,6 +622,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_user_trend": A.q98_user_trend,
         "q99_new_users_daily": A.q99_new_users_daily,
         "q100_graph_stats": A.q100_graph_stats,
+        "q101_zscore_normalize": A.q101_zscore_normalize,
+        "q102_dense_daily_counts": A.q102_dense_daily_counts,
     }
 
 
@@ -3119,5 +3121,52 @@ def oracle_sql() -> dict[str, str]:
                              * 1000000000 + 0.5)
                         END AS BIGINT) AS assortativity_q
             FROM s, rec
+        """,
+        "q101_zscore_normalize": """
+            -- zscore twin: exact int cent sums per user, identical
+            -- double expression (sample variance), half-up 1e-6; z = 0
+            -- for single-event or zero-variance users
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+            s AS (
+              SELECT user_id, CAST(SUM(c) AS BIGINT) AS sc,
+                     CAST(SUM(c * c) AS BIGINT) AS sc2,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM e GROUP BY 1)
+            SELECT e.event_id, e.user_id,
+                   CAST(CASE WHEN s.n <= 1
+                               OR s.n * s.sc2 - s.sc * s.sc <= 0 THEN 0
+                        ELSE FLOOR(
+                          (CAST(e.c AS DOUBLE)
+                           - CAST(s.sc AS DOUBLE) / CAST(s.n AS DOUBLE))
+                          / SQRT((CAST(s.n AS DOUBLE)
+                                    * CAST(s.sc2 AS DOUBLE)
+                                  - CAST(s.sc AS DOUBLE)
+                                    * CAST(s.sc AS DOUBLE))
+                                 / (CAST(s.n AS DOUBLE)
+                                    * (CAST(s.n AS DOUBLE) - 1.0)))
+                          * 1000000 + 0.5)
+                        END AS BIGINT) AS z_q
+            FROM e JOIN s USING (user_id)
+            ORDER BY e.event_id
+        """,
+        "q102_dense_daily_counts": """
+            WITH e AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, event_type
+              FROM events),
+            c AS (SELECT day, event_type, COUNT(*) AS n
+                  FROM e GROUP BY 1, 2),
+            grid AS (
+              SELECT g.day, t.event_type
+              FROM (SELECT unnest(generate_series(
+                      (SELECT MIN(day) FROM c),
+                      (SELECT MAX(day) FROM c))) AS day) g,
+                   (SELECT DISTINCT event_type FROM e) t)
+            SELECT CAST(grid.day AS BIGINT) AS day, grid.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM grid LEFT JOIN c USING (day, event_type)
+            ORDER BY day, event_type
         """,
     }

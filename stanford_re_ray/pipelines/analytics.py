@@ -2247,3 +2247,95 @@ def q100_graph_stats(sf_dir: str) -> pa.Table:
                             batch_format="pyarrow"))
     return graph_structure_stats(edge_ds,
                                  est_rows=_row_count(sf_dir, "events"))
+
+
+def q101_zscore_normalize(sf_dir: str) -> pa.Table:
+    """Per-entity feature normalization: each event's value as a z-score
+    against its user's own mean/std — the standard ML-prep transform.
+    User statistics reduce from exact int64 cent sums (n, Σv, Σv²) via
+    one combiner'd groupby, then rehydrate onto events through the
+    key-partitioned ``hash_join`` (the stats table at web scale is
+    entity-sized — too big to broadcast); sample variance and the final
+    z use one double expression written identically in the oracle,
+    quantized half-up to 1e-6.  Single-event users take z = 0."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import hash_join
+
+    n_events = _row_count(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "c": pa.array(c),
+                         "c2": pa.array(c * c)})
+
+    cents_ds = ds.map_batches(cents,
+                              batch_format="pyarrow").materialize()
+    stats = (cents_ds.groupby("user_id")
+             .aggregate(Sum("c", alias_name="sc"),
+                        Sum("c2", alias_name="sc2"),
+                        Count(alias_name="n")))
+    joined = hash_join(
+        cents_ds.map_batches(lambda b: b.drop_columns(["c2"]),
+                             batch_format="pyarrow"),
+        stats, on="user_id", est_rows=n_events)
+
+    def zscore(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy().astype(np.float64)
+        sc = batch.column("sc").to_numpy().astype(np.float64)
+        sc2 = batch.column("sc2").to_numpy().astype(np.float64)
+        n = batch.column("n").to_numpy().astype(np.float64)
+        var = (n * sc2 - sc * sc) / (n * (n - 1.0))
+        ok = (n > 1.0) & (var > 0.0)
+        z = np.zeros(len(c))
+        z[ok] = (c[ok] - sc[ok] / n[ok]) / np.sqrt(var[ok])
+        zq = np.floor(z * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "user_id": batch.column("user_id"),
+                         "z_q": pa.array(zq)})
+
+    out = (joined.map_batches(zscore, batch_format="pyarrow")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["event_id", "user_id", "z_q"]],
+                                preserve_index=False)
+
+
+def q102_dense_daily_counts(sf_dir: str) -> pa.Table:
+    """Gap-filled dense time series: events per (day, event_type) with
+    ZERO rows for missing combinations — the grid-fill primitive every
+    monitoring/training-curve pipeline needs.  Counts reduce via one
+    combiner'd groupby; the dense (day x type) grid is generated
+    driver-side from the min/max day (provably tiny) and LEFT-joined
+    against the counts (``hash_join`` left + fill)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        return pa.table({"day": pa.array(us // day_us),
+                         "event_type": batch.column("event_type")})
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Count(alias_name="n")).to_pandas())
+    lo, hi = int(counts["day"].min()), int(counts["day"].max())
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [range(lo, hi + 1), types], names=["day", "event_type"]
+    ).to_frame(index=False)
+    out = grid.merge(counts, on=["day", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["day"] = out["day"].astype("int64")
+    out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["day", "event_type", "n"]],
+                                preserve_index=False)

@@ -118,6 +118,7 @@ SQL_CHECKED = [
     "q92_time_window_join", "q93_hdr_quantiles", "q94_prefix_jaccard",
     "q95_decayed_sum", "q96_source_overlap", "q97_mad_outliers",
     "q98_user_trend", "q99_new_users_daily", "q100_graph_stats",
+    "q101_zscore_normalize", "q102_dense_daily_counts",
 ]
 
 
