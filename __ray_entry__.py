@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_graph_stats": A.q100_graph_stats,
         "q101_zscore_normalize": A.q101_zscore_normalize,
         "q102_dense_daily_counts": A.q102_dense_daily_counts,
+        "q103_type_drift": A.q103_type_drift,
+        "q104_event_transitions": A.q104_event_transitions,
     }
 
 
@@ -3168,5 +3170,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
             FROM grid LEFT JOIN c USING (day, event_type)
             ORDER BY day, event_type
+        """,
+        "q103_type_drift": """
+            -- chi-square drift twin: per-type terms quantized BEFORE
+            -- the sum (order-immune), split at event_id >= n // 2
+            WITH e AS (
+              SELECT event_type,
+                     CASE WHEN event_id >=
+                       (SELECT COUNT(*) FROM events) // 2
+                     THEN 1 ELSE 0 END AS late
+              FROM events),
+            cont AS (
+              SELECT event_type,
+                     CAST(COUNT(*) FILTER (late = 0) AS DOUBLE) AS oe,
+                     CAST(COUNT(*) FILTER (late = 1) AS DOUBLE) AS ol
+              FROM e GROUP BY 1),
+            tot AS (
+              SELECT SUM(oe) AS n_e, SUM(ol) AS n_l,
+                     SUM(oe) + SUM(ol) AS total
+              FROM cont),
+            terms AS (
+              SELECT CAST(FLOOR(
+                ((oe - (oe + ol) * n_e / total)
+                 * (oe - (oe + ol) * n_e / total)
+                 / ((oe + ol) * n_e / total)
+                 + (ol - (oe + ol) * n_l / total)
+                   * (ol - (oe + ol) * n_l / total)
+                   / ((oe + ol) * n_l / total))
+                * 1000000 + 0.5) AS BIGINT) AS term_q
+              FROM cont, tot)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cont)
+                     AS n_types,
+                   (SELECT CAST(n_e AS BIGINT) FROM tot) AS n_early,
+                   (SELECT CAST(n_l AS BIGINT) FROM tot) AS n_late,
+                   CAST(SUM(term_q) AS BIGINT) AS chi2_q
+            FROM terms
+        """,
+        "q104_event_transitions": """
+            -- Markov-transition twin: lead() over the (ts, event_id)
+            -- total order per user, q42's quantized conditional
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+              FROM events),
+            seq AS (
+              SELECT event_type AS cur,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us, event_id) AS nxt
+              FROM e),
+            c AS (
+              SELECT cur, nxt, COUNT(*) AS n
+              FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM c GROUP BY 1)
+            SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+                   CAST(FLOOR(CAST(c.n AS DOUBLE) * 1000000.0 / t.tot
+                              + 0.5) AS BIGINT) AS p_q
+            FROM c JOIN t USING (cur)
+            ORDER BY cur, nxt
         """,
     }

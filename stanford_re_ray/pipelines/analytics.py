@@ -2339,3 +2339,108 @@ def q102_dense_daily_counts(sf_dir: str) -> pa.Table:
     out = out.sort_values(["day", "event_type"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["day", "event_type", "n"]],
                                 preserve_index=False)
+
+
+def q103_type_drift(sf_dir: str) -> pa.Table:
+    """Distribution-shift monitor: chi-square statistic between the
+    event-type mix of the first and second half of the stream (split at
+    the median event_id) — exact integer contingency counts via one
+    combiner'd groupby, one quantized double expression for the
+    statistic.  The drift alarm every production data pipeline runs."""
+    from ray.data.aggregate import Count
+
+    n_events = _row_count(sf_dir, "events")
+    half = n_events // 2
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "late": pa.array((eid >= half).astype(np.int64)),
+        })
+
+    cont = (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby(["event_type", "late"])
+            .aggregate(Count(alias_name="n")).to_pandas())
+    pivot = (cont.pivot_table(index="event_type", columns="late",
+                              values="n", fill_value=0, aggfunc="sum")
+             .reindex(columns=[0, 1], fill_value=0))
+    o_early = pivot[0].to_numpy(np.float64)
+    o_late = pivot[1].to_numpy(np.float64)
+    row = o_early + o_late
+    n_e, n_l = float(o_early.sum()), float(o_late.sum())
+    total = n_e + n_l
+    # per-type terms quantized BEFORE the sum (the associative-reduce
+    # policy — a float chi2 accumulation would be summation-order
+    # dependent across engines)
+    ee = row * n_e / total
+    el = row * n_l / total
+    term = ((o_early - ee) * (o_early - ee) / ee
+            + (o_late - el) * (o_late - el) / el)
+    term_q = np.floor(term * 1e6 + 0.5).astype(np.int64)
+    return pa.table({
+        "n_types": pa.array([len(row)], pa.int64()),
+        "n_early": pa.array([int(n_e)], pa.int64()),
+        "n_late": pa.array([int(n_l)], pa.int64()),
+        "chi2_q": pa.array([int(term_q.sum())], pa.int64()),
+    })
+
+
+def q104_event_transitions(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition (Markov) matrix: counts of
+    consecutive (cur → next) pairs ordered by time, with the quantized
+    conditional probability P(next | cur) — the funnel/behavior-model
+    primitive.  One hash(user) bucket shuffle co-locates timelines;
+    transitions pair adjacent rows vectorized within user segments;
+    counts reduce via an associative groupby, the denominator re-derives
+    from the transition table itself (the q42 bigram-LM shape over
+    events instead of tokens)."""
+    from ray.data.aggregate import Sum
+
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                      "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def transitions(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        cur = et[np.flatnonzero(same) - 1]
+        nxt = et[same]
+        out = (pd.DataFrame({"cur": cur, "nxt": nxt})
+               .groupby(["cur", "nxt"], sort=False)
+               .size().reset_index(name="n"))
+        if out.empty:
+            out = pd.DataFrame({"cur": pd.Series([], dtype="object"),
+                                "nxt": pd.Series([], dtype="object"),
+                                "n": pd.Series([], dtype="int64")})
+        return pd_to_arrow(out)
+
+    c = (events.map_batches(prep, batch_format="pyarrow")
+         .groupby("__bucket").map_groups(transitions,
+                                         batch_format="pandas")
+         .groupby(["cur", "nxt"]).aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    tot = c.groupby("cur")["n"].transform("sum").to_numpy(np.float64)
+    nn = c["n"].to_numpy(np.float64)
+    c["p_q"] = np.floor(nn * 1e6 / tot + 0.5).astype(np.int64)
+    c["n"] = c["n"].astype("int64")
+    c = c.sort_values(["cur", "nxt"]).reset_index(drop=True)
+    return pa.Table.from_pandas(c[["cur", "nxt", "n", "p_q"]],
+                                preserve_index=False)

@@ -119,6 +119,7 @@ SQL_CHECKED = [
     "q95_decayed_sum", "q96_source_overlap", "q97_mad_outliers",
     "q98_user_trend", "q99_new_users_daily", "q100_graph_stats",
     "q101_zscore_normalize", "q102_dense_daily_counts",
+    "q103_type_drift", "q104_event_transitions",
 ]
 
 
