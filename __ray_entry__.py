@@ -626,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_dense_daily_counts": A.q102_dense_daily_counts,
         "q103_type_drift": A.q103_type_drift,
         "q104_event_transitions": A.q104_event_transitions,
+        "q105_percent_rank": A.q105_percent_rank,
+        "q106_retention_cohorts": A.q106_retention_cohorts,
     }
 
 
@@ -3228,5 +3230,31 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5) AS BIGINT) AS p_q
             FROM c JOIN t USING (cur)
             ORDER BY cur, nxt
+        """,
+        "q105_percent_rank": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_q
+              FROM events)
+            SELECT event_id, user_id, v_q,
+                   CAST(FLOOR(PERCENT_RANK() OVER (
+                          PARTITION BY user_id ORDER BY v_q)
+                        * 1000000 + 0.5) AS BIGINT) AS pr_q
+            FROM e ORDER BY event_id
+        """,
+        "q106_retention_cohorts": """
+            WITH w AS (
+              SELECT user_id,
+                     epoch_us(ts) // 604800000000 AS week
+              FROM events),
+            cohort AS (
+              SELECT user_id, MIN(week) AS cohort_week
+              FROM w GROUP BY 1),
+            active AS (SELECT DISTINCT user_id, week FROM w)
+            SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+                   CAST(week - cohort_week AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM active JOIN cohort USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_week, week_offset
         """,
     }

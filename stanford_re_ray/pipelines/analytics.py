@@ -2444,3 +2444,100 @@ def q104_event_transitions(sf_dir: str) -> pa.Table:
     c = c.sort_values(["cur", "nxt"]).reset_index(drop=True)
     return pa.Table.from_pandas(c[["cur", "nxt", "n", "p_q"]],
                                 preserve_index=False)
+
+
+def q105_percent_rank(sf_dir: str) -> pa.Table:
+    """Continuous rank normalization: PERCENT_RANK() of each event's
+    value within its user — quantized ``(rank−1)/(n−1)`` over the
+    (v_q, event_id) total order; the rank sibling of q84's NTILE and
+    q101's z-score.  Same one-bucket-shuffle shape; single-row groups
+    take 0 (SQL PERCENT_RANK convention)."""
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "v_q": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def ranks(g: pd.DataFrame):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["user_id", "v_q", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        vq = g["v_q"].to_numpy(np.int64)
+        m = len(g)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        seg_len = np.diff(np.r_[starts, m])
+        seg_id = np.repeat(np.arange(len(starts)), seg_len)
+        # tie-aware SQL RANK: rows with equal (user, v_q) share the rank
+        # of their run's first row
+        change = np.r_[True, (uid[1:] != uid[:-1]) | (vq[1:] != vq[:-1])]
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(m), -1))
+        rank0 = (run_start - starts[seg_id]).astype(np.float64)
+        n = seg_len[seg_id].astype(np.float64)
+        pr = np.where(n > 1, rank0 / np.maximum(n - 1.0, 1.0), 0.0)
+        g["pr_q"] = np.floor(pr * 1e6 + 0.5).astype(np.int64)
+        return pd_to_arrow(g)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(ranks, batch_format="pandas")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["event_id", "user_id", "v_q", "pr_q"]],
+        preserve_index=False)
+
+
+def q106_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Retention cohort matrix: users cohorted by first-seen WEEK, then
+    the count of cohort members active in each later week — the
+    engagement-analytics staple.  Per-user first week is one combiner'd
+    MIN groupby; distinct (user, week) activity is an in-set groupby;
+    the cohort⋈activity rehydration is the key-partitioned hash_join
+    (user-sized tables never broadcast at scale); output is the tiny
+    (cohort, offset) matrix."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.relational import hash_join
+
+    week_us = 7 * 86_400_000_000
+    n_events = _row_count(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        return pa.table({"user_id": batch.column("user_id"),
+                         "week": pa.array(us // week_us)})
+
+    weeks = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    cohort = weeks.groupby("user_id").aggregate(
+        Min("week", alias_name="cohort_week"))
+    active = (weeks.groupby(["user_id", "week"]).count()
+              .map_batches(lambda b: b.select(["user_id", "week"]),
+                           batch_format="pyarrow"))
+    j = hash_join(active, cohort, on="user_id", est_rows=n_events)
+
+    def offset(batch: pa.Table) -> pa.Table:
+        w = batch.column("week").to_numpy().astype(np.int64)
+        cw = batch.column("cohort_week").to_numpy().astype(np.int64)
+        return pa.table({"cohort_week": batch.column("cohort_week"),
+                         "week_offset": pa.array(w - cw)})
+
+    out = (j.map_batches(offset, batch_format="pyarrow")
+           .groupby(["cohort_week", "week_offset"])
+           .aggregate(Count(alias_name="n_active"))
+           .to_pandas().sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["cohort_week", "week_offset", "n_active"]],
+        preserve_index=False)

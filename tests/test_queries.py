@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "q98_user_trend", "q99_new_users_daily", "q100_graph_stats",
     "q101_zscore_normalize", "q102_dense_daily_counts",
     "q103_type_drift", "q104_event_transitions",
+    "q105_percent_rank", "q106_retention_cohorts",
 ]
 
 
