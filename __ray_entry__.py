@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_event_transitions": A.q104_event_transitions,
         "q105_percent_rank": A.q105_percent_rank,
         "q106_retention_cohorts": A.q106_retention_cohorts,
+        "q107_shuffled_dedup": A.q107_shuffled_dedup,
     }
 
 
@@ -3256,5 +3257,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_active
             FROM active JOIN cohort USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+        """,
+        "q107_shuffled_dedup": """
+            -- shuffled_dup_groups twin: sorted-token-multiset
+            -- fingerprint over docs + deterministic reversed-token
+            -- twins (every 50th doc, id + 100000)
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000,
+                     array_to_string(list_reverse(list_filter(
+                       string_split_regex(text, '\\s+'),
+                       x -> x <> '')), ' ')
+              FROM documents WHERE doc_id % 50 = 0)
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM aug
+            GROUP BY md5(array_to_string(list_sort(
+              regexp_extract_all(lower(text), '[0-9A-Za-z_]+')), ' '))
+            ORDER BY doc_id
         """,
     }

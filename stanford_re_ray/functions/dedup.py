@@ -1658,3 +1658,37 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
                          "jaccard": pa.array(js, pa.float64())})
 
     return withs.map_batches(verify, batch_format="pyarrow")
+
+
+def shuffled_dup_groups(ds: ray.data.Dataset, text_col: str = "text",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Word-order-invariant exact dedup: documents that are token-multiset
+    permutations of each other (template spam / shuffled scrapes that
+    defeat plain exact dedup but are byte-identical after sorting the
+    token stream).  Fingerprint = sha1 of the lexicographically sorted
+    token list; one (id, digest) groupby — the exact_dedup shape with a
+    canonicalizing key."""
+    from ray.data.aggregate import Count, Min
+
+    def fp(batch: pa.Table) -> pa.Table:
+        from .corpus import _tokenize_column
+
+        parent, flat = _tokenize_column(batch.column(text_col))
+        p = np.asarray(parent, dtype=np.int64)
+        toks = flat.to_pylist()
+        by_doc: dict[int, list] = {}
+        for i, t in zip(p, toks):
+            by_doc.setdefault(int(i), []).append(t)
+        ids = batch.column(id_col).to_pylist()
+        digests = []
+        for row in range(batch.num_rows):
+            words = sorted(by_doc.get(row, []))
+            digests.append(hashlib.sha1(
+                " ".join(words).encode()).hexdigest())
+        return pa.table({id_col: batch.column(id_col),
+                         "fp": pa.array(digests, pa.string())})
+
+    return (ds.map_batches(fp, batch_format="pyarrow")
+            .groupby("fp")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_copies")))

@@ -2541,3 +2541,35 @@ def q106_retention_cohorts(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["cohort_week", "week_offset", "n_active"]],
         preserve_index=False)
+
+
+def q107_shuffled_dedup(sf_dir: str) -> pa.Table:
+    """Word-order-invariant dedup (``functions.dedup.shuffled_dup_groups``):
+    groups of documents that are token-multiset permutations.  Fixture
+    documents are all distinct, so every 50th document is augmented with
+    a REVERSED-token twin (id + 100000), identically in both engines —
+    plain exact dedup misses these; the sorted-token fingerprint groups
+    them."""
+    from ..functions.dedup import shuffled_dup_groups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        sel = ids % 50 == 0
+        twin_ids = [int(i) + 100000 for i, s in zip(ids, sel) if s]
+        twin_txt = [" ".join(reversed(t.split()))
+                    for t, s in zip(texts, sel) if s]
+        return pa.table({
+            "doc_id": pa.array(list(ids) + twin_ids, pa.int64()),
+            "text": pa.array(texts + twin_txt, pa.string()),
+        })
+
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    out = (shuffled_dup_groups(aug).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in ("doc_id", "n_copies"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "n_copies"]],
+                                preserve_index=False)
