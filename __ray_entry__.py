@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_percent_rank": A.q105_percent_rank,
         "q106_retention_cohorts": A.q106_retention_cohorts,
         "q107_shuffled_dedup": A.q107_shuffled_dedup,
+        "q108_curation_v2": A.q108_curation_v2,
     }
 
 
@@ -3276,5 +3277,88 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(array_to_string(list_sort(
               regexp_extract_all(lower(text), '[0-9A-Za-z_]+')), ' '))
             ORDER BY doc_id
+        """,
+        "q108_curation_v2": """
+            -- curation-v2 twin: entropy floor -> dup-3-gram ceiling ->
+            -- order-invariant dedup (min id per sorted-token multiset)
+            -- -> 4-gram decontamination + eval-id drop, CTE-chained
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, CAST(SUM(tf) AS DOUBLE) AS dl
+                   FROM tf GROUP BY 1),
+            ent AS (
+              SELECT tf.doc_id,
+                     SUM(CAST(FLOOR(
+                       -((CAST(tf.tf AS DOUBLE) / dl.dl)
+                         * LN(CAST(tf.tf AS DOUBLE) / dl.dl))
+                       * 1000000000 + 0.5) AS BIGINT)) AS eq
+              FROM tf JOIN dl USING (doc_id) GROUP BY 1),
+            lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            postoks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            tri AS (
+              SELECT doc_id, w AS w0,
+                     lead(w, 1) OVER win AS w1,
+                     lead(w, 2) OVER win AS w2
+              FROM postoks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            rep AS (
+              SELECT doc_id,
+                     (COUNT(*) - COUNT(DISTINCT (w0, w1, w2)))
+                       * 2000000 + COUNT(*) AS num,
+                     2 * COUNT(*) AS den
+              FROM tri WHERE w2 IS NOT NULL GROUP BY 1),
+            q1 AS (
+              SELECT d.doc_id, d.source, d.text
+              FROM documents d
+              JOIN ent ON ent.doc_id = d.doc_id
+                      AND ent.eq >= 2800000000
+              JOIN rep ON rep.doc_id = d.doc_id
+                      AND rep.num // rep.den <= 20000),
+            q2 AS (
+              SELECT doc_id, source, text FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY md5(array_to_string(list_sort(
+                    regexp_extract_all(lower(text),
+                                       '[0-9A-Za-z_]+')), ' '))
+                  ORDER BY doc_id) AS rn
+                FROM q1) WHERE rn = 1),
+            qtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM q2),
+            qpos AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM qtoks),
+            gg AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win
+                       || ' ' || lead(w, 3) OVER win AS ng
+              FROM qpos
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            ev AS (
+              SELECT DISTINCT ng FROM gg
+              WHERE doc_id % 97 = 0 AND ng IS NOT NULL),
+            dirty AS (
+              SELECT DISTINCT gg.doc_id FROM gg JOIN ev USING (ng)
+              WHERE gg.doc_id % 97 <> 0)
+            SELECT q2.doc_id, q2.source FROM q2
+            WHERE q2.doc_id % 97 <> 0
+              AND q2.doc_id NOT IN (SELECT doc_id FROM dirty)
+            ORDER BY q2.doc_id
         """,
     }

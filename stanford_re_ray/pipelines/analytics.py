@@ -2573,3 +2573,58 @@ def q107_shuffled_dedup(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["doc_id", "n_copies"]],
                                 preserve_index=False)
+
+
+def q108_curation_v2(sf_dir: str,
+                     min_entropy_q: int = 2_800_000_000,
+                     max_dup_ppm: int = 20_000) -> pa.Table:
+    """Composed curation v2 — the round-4 signals chained end to end:
+    token-entropy floor → duplicate-3-gram ceiling → word-order-
+    invariant dedup (keep min id per token-multiset) → benchmark
+    decontamination (drop eval ids and 4-gram hits).  Every stage is a
+    combiner'd operator from this round's family; surviving ids flow
+    between stages as key-partitioned SEMI joins (id sets are
+    corpus-sized at scale — never broadcast).  One CTE-chained oracle
+    value-checks the whole composition, q54-style."""
+    from ..functions.corpus import ngram_repetition, token_entropy
+    from ..functions.dedup import shuffled_dup_groups
+    from ..functions.mixing import decontaminate
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "text"]).materialize()
+
+    ent_ids = (token_entropy(docs)
+               .map_batches(lambda b, _e=min_entropy_q: b.filter(
+                   pc.greater_equal(b.column("entropy_q"), _e))
+                   .select(["doc_id"]), batch_format="pyarrow"))
+    rep_ids = (ngram_repetition(docs, n=3)
+               .map_batches(lambda b, _d=max_dup_ppm: b.filter(
+                   pc.less_equal(b.column("dup_ppm"), _d))
+                   .select(["doc_id"]), batch_format="pyarrow"))
+    q1 = hash_join(hash_join(docs, ent_ids, on="doc_id", how="semi",
+                             est_rows=n_docs),
+                   rep_ids, on="doc_id", how="semi",
+                   est_rows=n_docs).materialize()
+
+    reps = (shuffled_dup_groups(q1)
+            .map_batches(lambda b: b.select(["doc_id"]),
+                         batch_format="pyarrow"))
+    q2 = hash_join(q1, reps, on="doc_id", how="semi",
+                   est_rows=n_docs).materialize()
+
+    cont = decontaminate(q2).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    kept = hash_join(q2, cont, on="doc_id", how="anti",
+                     est_rows=n_docs)
+
+    def drop_eval(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % 97 != 0))
+
+    out = (kept.map_batches(drop_eval, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "source"]],
+                                preserve_index=False)

@@ -121,7 +121,7 @@ SQL_CHECKED = [
     "q101_zscore_normalize", "q102_dense_daily_counts",
     "q103_type_drift", "q104_event_transitions",
     "q105_percent_rank", "q106_retention_cohorts",
-    "q107_shuffled_dedup",
+    "q107_shuffled_dedup", "q108_curation_v2",
 ]
 
 
