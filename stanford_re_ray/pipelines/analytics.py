@@ -2592,30 +2592,41 @@ def q108_curation_v2(sf_dir: str,
     from ..functions.relational import hash_join
 
     n_docs = _row_count(sf_dir, "documents")
+    # every inter-stage relation here is small (id sets / survivor
+    # rows); joins and groupbys pay by BLOCK COUNT, so each one is
+    # repartitioned to a size-derived handful of blocks before reuse
+    # (the CLAUDE.md tiny-block gotcha)
+    nb = max(4, n_docs // 250_000 + 1)
     docs = _read(sf_dir, "documents",
                  ["doc_id", "source", "text"]).materialize()
 
     ent_ids = (token_entropy(docs)
                .map_batches(lambda b, _e=min_entropy_q: b.filter(
                    pc.greater_equal(b.column("entropy_q"), _e))
-                   .select(["doc_id"]), batch_format="pyarrow"))
+                   .select(["doc_id"]), batch_format="pyarrow")
+               .repartition(nb).materialize())
     rep_ids = (ngram_repetition(docs, n=3)
                .map_batches(lambda b, _d=max_dup_ppm: b.filter(
                    pc.less_equal(b.column("dup_ppm"), _d))
-                   .select(["doc_id"]), batch_format="pyarrow"))
-    q1 = hash_join(hash_join(docs, ent_ids, on="doc_id", how="semi",
-                             est_rows=n_docs),
-                   rep_ids, on="doc_id", how="semi",
-                   est_rows=n_docs).materialize()
+                   .select(["doc_id"]), batch_format="pyarrow")
+               .repartition(nb).materialize())
+    q1 = (hash_join(hash_join(docs, ent_ids, on="doc_id", how="semi",
+                              est_rows=n_docs),
+                    rep_ids, on="doc_id", how="semi",
+                    est_rows=n_docs)
+          .repartition(nb).materialize())
 
     reps = (shuffled_dup_groups(q1)
             .map_batches(lambda b: b.select(["doc_id"]),
-                         batch_format="pyarrow"))
-    q2 = hash_join(q1, reps, on="doc_id", how="semi",
-                   est_rows=n_docs).materialize()
+                         batch_format="pyarrow")
+            .repartition(nb).materialize())
+    q2 = (hash_join(q1, reps, on="doc_id", how="semi",
+                    est_rows=n_docs)
+          .repartition(nb).materialize())
 
-    cont = decontaminate(q2).map_batches(
+    cont = (decontaminate(q2).map_batches(
         lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+        .repartition(nb).materialize())
     kept = hash_join(q2, cont, on="doc_id", how="anti",
                      est_rows=n_docs)
 
