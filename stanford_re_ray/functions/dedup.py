@@ -1607,7 +1607,12 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
         return pa.table({"gkey": pa.array(keys, pa.int64()),
                          "doc_id": pa.array(ids, pa.int64())})
 
-    pa_ = sets_ds.map_batches(prefix, batch_format="pyarrow")
+    nb = max(4, (est_rows or 0) // 250_000 + 1)
+    # materialized: consumed by both join sides (else the prefix pass
+    # runs twice); repartitioned so the self-join doesn't pay the
+    # tiny-block sort tax
+    pa_ = (sets_ds.map_batches(prefix, batch_format="pyarrow")
+           .repartition(nb).materialize())
     pb = pa_.map_batches(lambda b: b.rename_columns(["gkey", "doc_b"]),
                          batch_format="pyarrow")
     pa2 = pa_.map_batches(lambda b: b.rename_columns(["gkey", "doc_a"]),
@@ -1620,11 +1625,14 @@ def prefix_jaccard_pairs(ds: ray.data.Dataset, threshold: float = 0.5,
         keep = pc.less(batch.column("doc_a"), batch.column("doc_b"))
         return batch.filter(keep).select(["doc_a", "doc_b"])
 
+    # candidates are LSH-bounded tiny; the groupby dedupe emits them in
+    # many near-empty blocks — repartition before the rehydration joins
     cand = (joined.map_batches(ordered, batch_format="pyarrow")
             .groupby(["doc_a", "doc_b"])
             .aggregate(Count(alias_name="__n"))
             .map_batches(lambda b: b.select(["doc_a", "doc_b"]),
-                         batch_format="pyarrow"))
+                         batch_format="pyarrow")
+            .repartition(nb).materialize())
 
     sa = sets_ds.map_batches(
         lambda b: b.rename_columns(["doc_a", "set_a"]),
