@@ -773,15 +773,18 @@ def pmi_topk(docs: ray.data.Dataset, top_n: int = 50, min_count: int = 5,
 
     from .relational import hash_join
 
+    nb = max(4, (est_rows or 0) // 250_000 + 1)
+    # groupby outputs arrive in many near-empty blocks; the joins below
+    # pay by block count — repartition before materializing
     uni = (docs.map_batches(
                lambda bt: term_count_partial(bt, text_col),
                batch_format="pyarrow")
            .groupby("token").aggregate(Sum("n", alias_name="c"))
-           .materialize())
+           .repartition(nb).materialize())
     c12 = (_doc_bigram_counts(docs, None, "doc_id", text_col,
                               per_doc=False)
            .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12"))
-           .materialize())
+           .repartition(nb).materialize())
 
     total_uni = float(int(uni.sum("c")))
     total_big = float(int(c12.sum("c12")))
