@@ -1266,3 +1266,67 @@ def media_content_hash(batch: pa.Table) -> pa.Table:
             "payload_sha1": pa.array(hashes, pa.string()),
         }
     )
+
+
+def spectral_features_batch(batch: pa.Table, frame: int = 1024,
+                            hop: int = 512) -> pa.Table:
+    """Spectral audio features over WAV payloads — the DSP step up from
+    ``audio_features_batch``'s time-domain stats: per-file mean spectral
+    CENTROID and BANDWIDTH (Hz) plus spectral FLATNESS over framed
+    power spectra (hand-rolled STFT: Hann window + numpy rFFT — no
+    audio library).  Frames are ``frame`` samples with ``hop`` overlap;
+    per-frame features are power-weighted then averaged, matching the
+    common MIR definitions; silent/too-short files emit zeros with
+    ``decoded = true``; non-WAV payloads emit ``decoded = false``."""
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    ids, cent, bw, flat, ok = [], [], [], [], []
+    for mid, payload in zip(batch.column("media_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        ids.append(mid)
+        try:
+            samples, rate = decode_wav(payload or b"")
+        except Exception:
+            cent.append(0.0)
+            bw.append(0.0)
+            flat.append(0.0)
+            ok.append(False)
+            continue
+        x = samples.astype(np.float64).mean(axis=1) / 32768.0
+        n_frames = max((len(x) - frame) // hop + 1, 0)
+        if n_frames == 0:
+            cent.append(0.0)
+            bw.append(0.0)
+            flat.append(0.0)
+            ok.append(True)
+            continue
+        idx = (np.arange(n_frames)[:, None] * hop
+               + np.arange(frame)[None, :])
+        spec = np.abs(np.fft.rfft(x[idx] * win, axis=1)) ** 2
+        freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+        power = spec.sum(axis=1)
+        live = power > 0
+        if not live.any():
+            cent.append(0.0)
+            bw.append(0.0)
+            flat.append(0.0)
+            ok.append(True)
+            continue
+        sp = spec[live]
+        pw = power[live]
+        c = (sp * freqs).sum(axis=1) / pw
+        b = np.sqrt((sp * (freqs[None, :] - c[:, None]) ** 2
+                     ).sum(axis=1) / pw)
+        # flatness: geometric / arithmetic mean of the power spectrum
+        nz = sp + 1e-30
+        f = np.exp(np.log(nz).mean(axis=1)) / nz.mean(axis=1)
+        cent.append(round(float(c.mean()), 3))
+        bw.append(round(float(b.mean()), 3))
+        flat.append(round(float(f.mean()), 6))
+        ok.append(True)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "spectral_centroid_hz": pa.array(cent, pa.float64()),
+        "spectral_bandwidth_hz": pa.array(bw, pa.float64()),
+        "spectral_flatness": pa.array(flat, pa.float64()),
+        "decoded": pa.array(ok, pa.bool_()),
+    })

@@ -472,3 +472,46 @@ def test_animated_gif_disposal_restore_background():
     assert (frames[0] == (255, 0, 0)).all()
     # disposal 2 cleared the canvas to white before the transparent frame
     assert (frames[1] == (255, 255, 255)).all()
+
+
+def test_spectral_features_analytic_signals():
+    """Spectral features against analytic signals: a pure 1 kHz sine
+    must center at ~1 kHz with narrow bandwidth and near-zero flatness;
+    deterministic uniform noise must be broadband and much flatter."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import spectral_features_batch
+
+    rate, n = 16000, 16000
+
+    def wav(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes((x * 20000).astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    t = np.arange(n) / rate
+    sine = wav(np.sin(2 * np.pi * 1000.0 * t))
+    rng = np.random.default_rng(11)
+    noise = wav(rng.uniform(-1, 1, n))
+
+    out = spectral_features_batch(pa.table({
+        "media_id": ["sine", "noise", "bad"],
+        "payload": [sine, noise, b"xx"],
+    })).to_pylist()
+    s, z, bad = out
+    assert s["decoded"] and z["decoded"] and not bad["decoded"]
+    assert abs(s["spectral_centroid_hz"] - 1000.0) < 30.0
+    assert s["spectral_bandwidth_hz"] < 120.0
+    assert s["spectral_flatness"] < 0.01
+    # white noise: centroid near rate/4, broad, much flatter
+    assert abs(z["spectral_centroid_hz"] - rate / 4) < 600.0
+    assert z["spectral_bandwidth_hz"] > 1500.0
+    assert z["spectral_flatness"] > 0.3
