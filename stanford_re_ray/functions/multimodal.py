@@ -1330,3 +1330,63 @@ def spectral_features_batch(batch: pa.Table, frame: int = 1024,
         "spectral_flatness": pa.array(flat, pa.float64()),
         "decoded": pa.array(ok, pa.bool_()),
     })
+
+
+def image_dhash(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): grayscale → 9×8 nearest resize →
+    horizontal gradient sign bits.  The standard perceptual fingerprint:
+    stable under re-encoding/resize/small noise, so exact-matching (or
+    small-Hamming banding, the SimHash machinery) finds visual
+    near-duplicates that byte hashes miss."""
+    g = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    small = g[ys][:, xs]
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def image_dhash_batch(batch: pa.Table) -> pa.Table:
+    """Actor-pool stage: decode → dHash per image payload; undecodable
+    payloads emit hash 0 with ``decoded = false``.  Downstream: group on
+    the hash for exact visual dedup, or band the 64 bits through the
+    SimHash pair machinery for Hamming-tolerant near-dup."""
+    ids, hashes, ok = [], [], []
+    for mid, payload in zip(batch.column("media_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        ids.append(mid)
+        try:
+            img = decode_image(payload or b"")
+            hashes.append(image_dhash(img))
+            ok.append(True)
+        except Exception:
+            hashes.append(0)
+            ok.append(False)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "dhash": pa.array(np.array(hashes, dtype=np.uint64)),
+        "decoded": pa.array(ok, pa.bool_()),
+    })
+
+
+def gif_keyframes(payload: bytes, threshold: float = 8.0
+                  ) -> list[tuple[int, int]]:
+    """Scene-cut / keyframe detection over an animated GIF: frame 0 plus
+    every frame whose mean absolute pixel difference from its
+    predecessor exceeds ``threshold`` (0–255 scale) → [(frame_idx,
+    start_ms)].  The video-pipeline primitive that decides WHICH frames
+    feed the (expensive) image featurizer — sample keyframes, not every
+    tick."""
+    frames, delays = decode_gif_frames(payload)
+    starts = np.concatenate([[0], np.cumsum(delays)])[:len(frames)]
+    keep = [(0, int(starts[0]))]
+    for i in range(1, len(frames)):
+        diff = np.abs(frames[i].astype(np.int32)
+                      - frames[i - 1].astype(np.int32)).mean()
+        if diff > threshold:
+            keep.append((i, int(starts[i])))
+    return keep

@@ -515,3 +515,45 @@ def test_spectral_features_analytic_signals():
     assert abs(z["spectral_centroid_hz"] - rate / 4) < 600.0
     assert z["spectral_bandwidth_hz"] > 1500.0
     assert z["spectral_flatness"] > 0.3
+
+
+def test_image_dhash_near_dup_and_keyframes():
+    """dHash must be identical for an image and its lightly-perturbed
+    copy but differ for unrelated images; gif_keyframes must pick
+    exactly the scene cuts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import (encode_gif_animated,
+                                                      encode_png,
+                                                      gif_keyframes,
+                                                      image_dhash_batch)
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    # gentle noise: +-2 levels, gradient signs at 9x8 scale survive
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-2, 3, size=base.shape), 0, 255
+                    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    out = image_dhash_batch(pa.table({
+        "media_id": ["a", "a2", "b", "bad"],
+        "payload": [encode_png(base), encode_png(noisy),
+                    encode_png(other), b"junk"],
+    })).to_pylist()
+    ha, ha2, hb, bad = out
+    assert ha["decoded"] and ha2["decoded"] and hb["decoded"]
+    assert not bad["decoded"]
+    ham_near = bin(ha["dhash"] ^ ha2["dhash"]).count("1")
+    ham_far = bin(ha["dhash"] ^ hb["dhash"]).count("1")
+    assert ham_near <= 6 < ham_far
+
+    # three scenes: solid red x2 frames, solid green x2, solid blue
+    r = np.full((8, 8, 3), (200, 0, 0), np.uint8)
+    g = np.full((8, 8, 3), (0, 200, 0), np.uint8)
+    b2 = np.full((8, 8, 3), (0, 0, 200), np.uint8)
+    gif = encode_gif_animated([r, r, g, g, b2],
+                              [100, 100, 100, 100, 100])
+    keys = gif_keyframes(gif, threshold=8.0)
+    assert keys == [(0, 0), (2, 200), (4, 400)]
