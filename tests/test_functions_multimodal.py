@@ -557,3 +557,98 @@ def test_image_dhash_near_dup_and_keyframes():
                               [100, 100, 100, 100, 100])
     keys = gif_keyframes(gif, threshold=8.0)
     assert keys == [(0, 0), (2, 200), (4, 400)]
+
+
+def test_multimodal_dataset_pipeline_end_to_end(ray_session):
+    """The Ray-side plumbing, end to end over one mixed-media Dataset:
+    binary payload column + typed metadata → exact content-hash dedup →
+    ACTOR-POOL image featurizer (callable class, concurrency + small
+    batch_size for binary payloads) → dHash near-dup grouping →
+    GIF frame sampling → audio time-domain + spectral features."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import (
+        ImageFeatureExtractor, audio_features_batch, encode_gif_animated,
+        encode_png, gif_frame_sample, image_dhash_batch,
+        media_content_hash, spectral_features_batch)
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-2, 3, size=base.shape),
+                    0, 255).astype(np.uint8)
+    png_a = encode_png(base)
+    png_b = encode_png(noisy)          # visual near-dup, different bytes
+    gif = encode_gif_animated(
+        [np.full((8, 8, 3), c, np.uint8)
+         for c in ((200, 0, 0), (0, 200, 0))], [100, 100])
+
+    def wav(freq):
+        t = np.arange(8000) / 8000
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes((np.sin(2 * np.pi * freq * t) * 20000)
+                          .astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    rows = [
+        ("img1", "image", png_a), ("img1_copy", "image", png_a),
+        ("img2", "image", png_b), ("anim", "video", gif),
+        ("snd1", "audio", wav(500)), ("snd2", "audio", wav(1500)),
+        ("junk", "image", b"not media"),
+    ]
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+    })).repartition(3)
+
+    # 1. exact dedup on content hash
+    hashes = media.map_batches(media_content_hash,
+                               batch_format="pyarrow").to_pandas()
+    groups = hashes.groupby("payload_sha1")["media_id"].apply(sorted)
+    assert ["img1", "img1_copy"] in groups.to_list()
+
+    # 2. actor-pool image featurizer (stateful class, small batches)
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    feats = imgs.map_batches(ImageFeatureExtractor,
+                             batch_format="pyarrow", batch_size=4,
+                             concurrency=2).to_pandas()
+    byid = feats.set_index("media_id")
+    assert bool(byid.loc["img1", "decoded"])
+    assert not bool(byid.loc["junk", "decoded"])
+    assert (list(byid.loc["img1", "features"])
+            == list(byid.loc["img1_copy", "features"]))
+
+    # 3. dHash near-dup: img1/img2 visually close, not byte-equal
+    dh = (media.filter(lambda r: r["kind"] == "image")
+          .map_batches(image_dhash_batch, batch_format="pyarrow")
+          .to_pandas().set_index("media_id"))
+    ham = bin(int(dh.loc["img1", "dhash"])
+              ^ int(dh.loc["img2", "dhash"])).count("1")
+    assert dh.loc["img2", "decoded"] and ham <= 6
+
+    # 4. GIF frame sampling over the video row
+    fs = (media.filter(lambda r: r["kind"] == "video")
+          .map_batches(gif_frame_sample, batch_format="pyarrow")
+          .to_pandas())
+    assert list(fs["frame_idx"]) == [0] and fs["decoded"].all()
+
+    # 5. audio: time-domain + spectral
+    aud = media.filter(lambda r: r["kind"] == "audio")
+    td = (aud.map_batches(audio_features_batch, batch_format="pyarrow")
+          .to_pandas().set_index("media_id"))
+    sp = (aud.map_batches(spectral_features_batch,
+                          batch_format="pyarrow")
+          .to_pandas().set_index("media_id"))
+    assert td.loc["snd1", "duration_ms"] == 1000
+    assert (sp.loc["snd2", "spectral_centroid_hz"]
+            > sp.loc["snd1", "spectral_centroid_hz"] + 500)
