@@ -126,6 +126,9 @@ def run_bench() -> dict:
         ("q79_bm25_topk", A.q79_bm25_topk),
         ("q88_embedding_moments", A.q88_embedding_moments),
         ("q89_knn_join", A.q89_knn_join),
+        ("q93_hdr_quantiles", A.q93_hdr_quantiles),
+        ("q100_graph_stats", A.q100_graph_stats),
+        ("q108_curation_v2", A.q108_curation_v2),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 
