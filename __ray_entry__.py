@@ -471,6 +471,23 @@ def _ivf_full_topk(sf_dir: str):
     return pa.table({"vec_id": out.column("vec_id")})
 
 
+def _bpe_encode_counts(sf_dir: str):
+    """Tokenizer APPLICATION: train the q53 merge table, then encode the
+    corpus with the actor-pool ``BpeEncoder`` — per-doc subword counts
+    plus a pinnable subword-stream digest.  Iterative train + greedy
+    merge application are not SQL-expressible, so this is rows-only
+    like q53 (pytest pins it against a serial reference encode)."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.corpus import bpe_encode, bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=6)
+    return (bpe_encode(docs, merges).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -630,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q106_retention_cohorts": A.q106_retention_cohorts,
         "q107_shuffled_dedup": A.q107_shuffled_dedup,
         "q108_curation_v2": A.q108_curation_v2,
+        "q109_bpe_encode": _bpe_encode_counts,
     }
 
 

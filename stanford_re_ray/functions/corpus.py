@@ -911,3 +911,83 @@ def ngram_repetition(docs: ray.data.Dataset, n: int = 3,
                          "dup_ppm": pa.array(ppm)})
 
     return docs.map_batches(per_batch, batch_format="pyarrow")
+
+
+class BpeEncoder:
+    """Actor-pool tokenization stage: APPLY a trained BPE merge table to
+    the corpus — the step a training pipeline actually runs at 100 TB
+    once ``bpe_train`` has produced the merges.
+
+    Stateful-stage shape: the merge-rank dict builds ONCE per actor in
+    ``__init__`` (pass the (rank, left, right) table from
+    ``bpe_train``); ``__call__`` encodes a batch with a per-worker
+    word→subwords memo (Zipf: steady-state cost is a dict probe per
+    token, not a merge loop).  Output per doc: subword count, distinct
+    subword count, and the sha1 of the space-joined subword stream (a
+    pinnable digest — full id sequences would be the same plumbing with
+    a vocab table).  Encoding is the standard greedy lowest-rank-first
+    merge, bit-deterministic."""
+
+    def __init__(self, merges: "pa.Table | list[tuple[str, str]]"):
+        if isinstance(merges, pa.Table):
+            pairs = list(zip(merges.column("left").to_pylist(),
+                             merges.column("right").to_pylist()))
+        else:
+            pairs = list(merges)
+        self.rank = {tuple(p): i for i, p in enumerate(pairs)}
+        self._memo: dict[str, list[str]] = {}
+
+    def _encode_word(self, word: str) -> list[str]:
+        out = self._memo.get(word)
+        if out is not None:
+            return out
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        if len(self._memo) > (1 << 20):
+            self._memo.clear()
+        self._memo[word] = syms
+        return syms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        p = np.asarray(parent, dtype=np.int64)
+        toks = flat.to_pylist()
+        per_doc: dict[int, list[str]] = {}
+        for i, w in zip(p, toks):
+            per_doc.setdefault(int(i), []).extend(self._encode_word(w))
+        ids = batch.column("doc_id").to_pylist()
+        n_sub, n_dist, digests = [], [], []
+        for row in range(batch.num_rows):
+            subs = per_doc.get(row, [])
+            n_sub.append(len(subs))
+            n_dist.append(len(dict.fromkeys(subs)))
+            digests.append(hashlib.sha1(
+                " ".join(subs).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+            "n_distinct_subwords": pa.array(n_dist, pa.int64()),
+            "subword_sha1": pa.array(digests, pa.string()),
+        })
+
+
+def bpe_encode(docs: ray.data.Dataset, merges: pa.Table,
+               concurrency: "int | tuple[int, int]" = (1, 8),
+               batch_size: int = 64) -> ray.data.Dataset:
+    """Corpus tokenization with a trained BPE table: ``bpe_train`` →
+    ``bpe_encode`` is the full train-then-apply tokenizer loop.  The
+    encoder is an ACTOR POOL (merge table + word memo built once per
+    actor); cap the pool below cluster size or pass an instance for a
+    task pool (the MinHasher lesson)."""
+    return docs.map_batches(BpeEncoder, fn_constructor_args=(merges,),
+                            batch_format="pyarrow",
+                            concurrency=concurrency,
+                            batch_size=batch_size)

@@ -226,3 +226,53 @@ def test_bpe_train_matches_serial_reference(ray_session, blocks):
     got = list(out.itertuples(index=False, name=None))
     assert got == ref
     assert len(got) == 6          # corpus is rich enough for 6 merges
+
+
+def test_bpe_encode_applies_trained_merges(ray_session):
+    """bpe_train -> bpe_encode round-trip: the actor-pool encoder's
+    output matches an independent serial greedy-merge reference on
+    every document, and merges actually fire (multi-char subwords)."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.corpus import bpe_encode, bpe_train
+
+    texts = ["the cat sat on the mat", "the cats sat", "a cat catalog",
+             "mat cat the the the", "catalog of cats on a mat"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)}))
+    merges = bpe_train(docs, n_merges=6)
+    out = (bpe_encode(docs, merges, concurrency=2, batch_size=2)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    rank = {(l, r): i for i, (l, r) in enumerate(
+        zip(merges.column("left").to_pylist(),
+            merges.column("right").to_pylist()))}
+
+    def ref_encode(word):
+        syms = list(word)
+        while len(syms) > 1:
+            cands = [(rank[(syms[i], syms[i + 1])], i)
+                     for i in range(len(syms) - 1)
+                     if (syms[i], syms[i + 1]) in rank]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    saw_merge = False
+    for i, t in enumerate(texts):
+        subs = []
+        for w in re.findall(r"[0-9a-z_]+", t.lower()):
+            subs.extend(ref_encode(w))
+        assert out.loc[i, "n_subwords"] == len(subs)
+        assert out.loc[i, "n_distinct_subwords"] == len(dict.fromkeys(subs))
+        assert out.loc[i, "subword_sha1"] == hashlib.sha1(
+            " ".join(subs).encode()).hexdigest()
+        saw_merge |= any(len(s) > 1 for s in subs)
+    assert saw_merge
