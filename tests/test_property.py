@@ -472,3 +472,42 @@ def test_ngram_repetition_matches_serial(ray_session, texts):
         assert int(row["n_distinct"]) == dis
         assert int(row["dup_ppm"]) == ((tot - dis) * 2_000_000 + tot) \
             // (2 * tot)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc", max_size=6), st.text(alphabet="abc", max_size=6))
+def test_ed_le_1_matches_dp(u, v):
+    """The blocked fuzzy join's O(len) edit-distance-<=1 check equals a
+    full DP Levenshtein."""
+    from stanford_re_ray.functions.dedup import _ed_le_1
+
+    m, n = len(u), len(v)
+    dp = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(m + 1):
+        dp[i][0] = i
+    for j in range(n + 1):
+        dp[0][j] = j
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                           dp[i - 1][j - 1] + (u[i - 1] != v[j - 1]))
+    if u != v:
+        assert _ed_le_1(u, v) == (dp[m][n] <= 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=1 << 40),
+                min_size=1, max_size=50))
+def test_hdr_bin_invariants(vals):
+    """HDR binning: lower bound <= v < lb + lb/8-ish (relative error
+    <= 1/8), ids monotone in v within a shift level, and lb
+    reconstructable from the id."""
+    from stanford_re_ray.functions.sketch import hdr_bin
+
+    v = np.array(vals, dtype=np.int64)
+    ids, lbs = hdr_bin(v)
+    for x, i, lb in zip(v.tolist(), ids.tolist(), lbs.tolist()):
+        assert lb <= x
+        assert x - lb <= max(lb // 8, 0) + (1 if lb < 16 else 0)
+        s, b = divmod(i, 16)
+        assert (b << s) == lb
