@@ -679,3 +679,34 @@ def test_knn_join_ivf_parity_and_pruning(ray_session):
         got[["query_id", "vec_id", "rank"]],
         expected[["query_id", "vec_id", "rank"]], check_exact=True)
     assert np.allclose(got["cosine"], expected["cosine"], atol=1e-12)
+
+
+def test_knn_join_ivf_trained_centroids(ray_session):
+    """The production path: knn_join_ivf over a kmeans_fit codebook —
+    full probe over trained centroids must still equal the exact join
+    (pruning structure changes, the guarantee doesn't)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from stanford_re_ray.functions.clustering import kmeans_fit
+    from stanford_re_ray.functions.similarity import knn_join, knn_join_ivf
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(emb, k=8, n_iter=1)
+    qids = list(range(6))
+
+    def canon(ds):
+        return (ds.to_pandas()[["query_id", "vec_id", "rank"]]
+                .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+    exact = canon(knn_join(emb, qids, k=3))
+    full = canon(knn_join_ivf(emb, qids, k=3, n_lists=8, n_probe=8,
+                              centroids=cents))
+    pd.testing.assert_frame_equal(exact, full, check_exact=True)
+
+    pruned = canon(knn_join_ivf(emb, qids, k=3, n_lists=8, n_probe=2,
+                                centroids=cents))
+    # pruned output keeps the per-query structure: <= k ranked rows
+    assert set(pruned["query_id"]) <= set(qids)
+    assert (pruned.groupby("query_id")["rank"].max() <= 3).all()
