@@ -648,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_shuffled_dedup": A.q107_shuffled_dedup,
         "q108_curation_v2": A.q108_curation_v2,
         "q109_bpe_encode": _bpe_encode_counts,
+        "q110_itemset_pairs": A.q110_itemset_pairs,
     }
 
 
@@ -3378,5 +3379,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE q2.doc_id % 97 <> 0
               AND q2.doc_id NOT IN (SELECT doc_id FROM dirty)
             ORDER BY q2.doc_id
+        """,
+        "q110_itemset_pairs": """
+            -- itemset-pairs twin: distinct (order, part), self-join on
+            -- the order key, pair support, deterministic bounded top-k
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+            SELECT part_a, part_b, COUNT(*) AS n_orders
+            FROM p GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 40
         """,
     }

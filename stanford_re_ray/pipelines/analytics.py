@@ -2639,3 +2639,52 @@ def q108_curation_v2(sf_dir: str,
     out["doc_id"] = out["doc_id"].astype("int64")
     return pa.Table.from_pandas(out[["doc_id", "source"]],
                                 preserve_index=False)
+
+
+def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
+    """Market-basket pair mining: distinct part pairs co-occurring in the
+    same order, ranked by support — the frequent-itemset primitive
+    (Apriori's k=2 pass) a curation pipeline uses for co-occurrence
+    statistics.  Shape: DISTINCT (order, part) combiner'd groupby → one
+    bucketed self ``hash_join`` on the order key (both sides large; a
+    pathological mega-order is exactly hash_join's salting case) →
+    pair-key groupby with map-side partials → bounded global top-k.
+    Pairs per order are C(|order|, 2) with |order| small and bounded in
+    order-shaped data, so the join output is ~constant × input, never
+    quadratic in the table."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    n_li = _row_count(sf_dir, "lineitem")
+    op = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+          .groupby(["l_orderkey", "l_partkey"])
+          .aggregate(Count()))
+
+    def side(name):
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": batch.column("l_orderkey"),
+                name: batch.column("l_partkey"),
+            })
+        return rename
+
+    left = op.map_batches(side("part_a"), batch_format="pyarrow")
+    right = op.map_batches(side("part_b"), batch_format="pyarrow")
+    joined = hash_join(left, right, on="l_orderkey", est_rows=n_li)
+
+    def upper(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch.column("part_a"), batch.column("part_b"))
+        return batch.filter(keep).select(["part_a", "part_b"])
+
+    out = (joined.map_batches(upper, batch_format="pyarrow")
+           .groupby(["part_a", "part_b"])
+           .aggregate(Count(alias_name="n_orders"))
+           .sort(["n_orders", "part_a", "part_b"],
+                 descending=[True, False, False])
+           .limit(top_n)
+           .to_pandas())
+    for c in ("part_a", "part_b", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["part_a", "part_b", "n_orders"]],
+                                preserve_index=False)
