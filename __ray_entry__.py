@@ -649,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_curation_v2": A.q108_curation_v2,
         "q109_bpe_encode": _bpe_encode_counts,
         "q110_itemset_pairs": A.q110_itemset_pairs,
+        "q111_skyline": A.q111_skyline,
     }
 
 
@@ -3394,5 +3395,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY 1, 2
             ORDER BY n_orders DESC, part_a, part_b
             LIMIT 40
+        """,
+        "q111_skyline": """
+            -- skyline twin: textbook NOT-EXISTS dominance
+            -- (minimize p_retailprice, maximize p_size)
+            SELECT q.p_partkey, q.p_size,
+                   ROUND(q.p_retailprice, 2) AS price
+            FROM part q
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part p
+              WHERE p.p_retailprice <= q.p_retailprice
+                AND p.p_size >= q.p_size
+                AND (p.p_retailprice < q.p_retailprice
+                     OR p.p_size > q.p_size))
+            ORDER BY q.p_partkey
         """,
     }

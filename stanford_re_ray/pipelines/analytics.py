@@ -2688,3 +2688,54 @@ def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["part_a", "part_b", "n_orders"]],
                                 preserve_index=False)
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D skyline (minimize price, maximize
+    size); dominance requires >= on both dims and strict on one.  One
+    lexsort + grouped prefix-max, no pairwise loop."""
+    n = len(price)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-size, price))          # price asc, size desc
+    p_s, s_s = price[order], size[order]
+    cummax = np.maximum.accumulate(s_s)
+    new_grp = np.concatenate(([True], p_s[1:] != p_s[:-1]))
+    grp_idx = np.cumsum(new_grp) - 1
+    grp_start = np.flatnonzero(new_grp)
+    # max size among STRICTLY cheaper rows (-inf for the cheapest group)
+    prev_end = grp_start[grp_idx] - 1
+    prev_max = np.where(prev_end >= 0, cummax[np.maximum(prev_end, 0)],
+                        -np.inf)
+    grp_max = s_s[grp_start[grp_idx]]           # max size at SAME price
+    dominated = (prev_max >= s_s) | (grp_max > s_s)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def q111_skyline(sf_dir: str) -> pa.Table:
+    """Pareto/skyline query over part (cheapest price vs largest size):
+    the multi-objective frontier primitive.  Skyline is algebraic —
+    local pruning can only drop globally-dominated rows — so each batch
+    emits its own frontier vectorized, and the union of frontiers (tiny
+    relative to the input: O(distinct prices on the hull)) takes one
+    final exact pass.  No quadratic NOT-EXISTS scan, no global sort of
+    the full table."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            batch.column("p_retailprice").to_numpy().astype(np.float64),
+            batch.column("p_size").to_numpy().astype(np.float64))
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    keep = _skyline_mask(cand["p_retailprice"].to_numpy(),
+                         cand["p_size"].to_numpy().astype(np.float64))
+    out = cand[keep].sort_values("p_partkey").reset_index(drop=True)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "p_partkey": out["p_partkey"].astype("int64"),
+        "p_size": out["p_size"].astype("int64"),
+        "price": np.round(out["p_retailprice"], 2),
+    }), preserve_index=False)
