@@ -650,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_bpe_encode": _bpe_encode_counts,
         "q110_itemset_pairs": A.q110_itemset_pairs,
         "q111_skyline": A.q111_skyline,
+        "q112_profile": A.q112_profile,
     }
 
 
@@ -3409,5 +3410,53 @@ def oracle_sql() -> dict[str, str]:
                 AND (p.p_retailprice < q.p_retailprice
                      OR p.p_size > q.p_size))
             ORDER BY q.p_partkey
+        """,
+        "q112_profile": """
+            -- profiler twin: one UNION ALL arm per events column
+            SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS min_num,
+                   ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   ROUND(CAST(MIN(user_id) AS DOUBLE), 6),
+                   ROUND(CAST(MAX(user_id) AS DOUBLE), 6),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+                   CAST(COUNT(DISTINCT ts) AS BIGINT),
+                   ROUND(CAST(epoch_us(MIN(ts)) AS DOUBLE), 6),
+                   ROUND(CAST(epoch_us(MAX(ts)) AS DOUBLE), 6),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   NULL, NULL, MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT),
+                   ROUND(CAST(MIN(value) AS DOUBLE), 6),
+                   ROUND(CAST(MAX(value) AS DOUBLE), 6),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   NULL, NULL, MIN(props), MAX(props)
+            FROM events
+            ORDER BY col_name
         """,
     }

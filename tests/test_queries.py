@@ -122,7 +122,7 @@ SQL_CHECKED = [
     "q103_type_drift", "q104_event_transitions",
     "q105_percent_rank", "q106_retention_cohorts",
     "q107_shuffled_dedup", "q108_curation_v2",
-    "q110_itemset_pairs", "q111_skyline",
+    "q110_itemset_pairs", "q111_skyline", "q112_profile",
 ]
 
 
