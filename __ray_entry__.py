@@ -651,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_itemset_pairs": A.q110_itemset_pairs,
         "q111_skyline": A.q111_skyline,
         "q112_profile": A.q112_profile,
+        "q113_mode_per_user": A.q113_mode_per_user,
     }
 
 
@@ -3458,5 +3459,19 @@ def oracle_sql() -> dict[str, str]:
                    NULL, NULL, MIN(props), MAX(props)
             FROM events
             ORDER BY col_name
+        """,
+        "q113_mode_per_user": """
+            -- mode-per-group twin: count + row_number window
+            WITH c AS (
+              SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, event_type AS mode_type, cnt
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id
+                ORDER BY cnt DESC, event_type) AS rn
+              FROM c)
+            WHERE rn = 1
+            ORDER BY user_id
         """,
     }

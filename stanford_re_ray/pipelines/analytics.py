@@ -2835,3 +2835,25 @@ def q112_profile(sf_dir: str) -> pa.Table:
         "min_str": out["min_str"],
         "max_str": out["max_str"],
     }), preserve_index=False)
+
+
+def q113_mode_per_user(sf_dir: str) -> pa.Table:
+    """Per-group mode (most frequent event_type per user, ties broken
+    lexicographically): one combiner'd (user, type) count groupby, then
+    ``grouped_topk`` k=1 — the distributed argmax-by-count, never a
+    per-group collect."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import grouped_topk
+
+    counts = (_read(sf_dir, "events", ["user_id", "event_type"])
+              .groupby(["user_id", "event_type"])
+              .aggregate(Count(alias_name="cnt")))
+    out = (grouped_topk(counts, key="user_id", order_by="cnt", k=1,
+                        descending=True, tiebreak=["event_type"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "user_id": out["user_id"].astype("int64"),
+        "mode_type": out["event_type"],
+        "cnt": out["cnt"].astype("int64"),
+    }), preserve_index=False)
