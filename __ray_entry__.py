@@ -652,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_skyline": A.q111_skyline,
         "q112_profile": A.q112_profile,
         "q113_mode_per_user": A.q113_mode_per_user,
+        "q114_corr_matrix": A.q114_corr_matrix,
     }
 
 
@@ -3473,5 +3474,50 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             WHERE rn = 1
             ORDER BY user_id
+        """,
+        "q114_corr_matrix": """
+            -- corr-matrix twin: identical integer hundredth-quantized
+            -- moment sums (HUGEINT-exact), same float formula, 6 dp
+            WITH v AS (
+              SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+                     CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                     CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS t
+              FROM lineitem),
+            s AS (
+              SELECT COUNT(*) AS n,
+                     SUM(q) AS sq, SUM(p) AS sp,
+                     SUM(d) AS sd, SUM(t) AS st,
+                     SUM(q*q) AS sqq, SUM(p*p) AS spp,
+                     SUM(d*d) AS sdd, SUM(t*t) AS stt,
+                     SUM(q*p) AS sqp, SUM(q*d) AS sqd,
+                     SUM(q*t) AS sqt, SUM(p*d) AS spd,
+                     SUM(p*t) AS spt, SUM(d*t) AS sdt
+              FROM v)
+            SELECT col_a, col_b,
+                   ROUND(CAST(num AS DOUBLE)
+                         / SQRT(CAST(dena AS DOUBLE)
+                                * CAST(denb AS DOUBLE)), 6) AS corr
+            FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     n*sqp - sq*sp AS num,
+                     n*sqq - sq*sq AS dena, n*spp - sp*sp AS denb
+              FROM s
+              UNION ALL
+              SELECT 'l_quantity', 'l_discount',
+                     n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM s
+              UNION ALL
+              SELECT 'l_quantity', 'l_tax',
+                     n*sqt - sq*st, n*sqq - sq*sq, n*stt - st*st FROM s
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_discount',
+                     n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd FROM s
+              UNION ALL
+              SELECT 'l_extendedprice', 'l_tax',
+                     n*spt - sp*st, n*spp - sp*sp, n*stt - st*st FROM s
+              UNION ALL
+              SELECT 'l_discount', 'l_tax',
+                     n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM s)
+            ORDER BY col_a, col_b
         """,
     }

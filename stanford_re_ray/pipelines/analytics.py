@@ -2857,3 +2857,67 @@ def q113_mode_per_user(sf_dir: str) -> pa.Table:
         "mode_type": out["event_type"],
         "cnt": out["cnt"].astype("int64"),
     }), preserve_index=False)
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q114_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pearson correlation matrix over lineitem's numeric columns in ONE
+    streaming pass: values quantize to integer hundredths (corr is
+    scale-invariant), each batch emits exact integer moment sums (n, Σx,
+    Σx², Σxy) — accumulated per 4096-row sub-chunk into Python bigints
+    so no int64 product can overflow, shipped as decimal strings — and
+    the driver folds the O(blocks) partials exactly before one float
+    division per pair.  No shuffle at all; the reduction is associative
+    by construction (integer adds)."""
+    import math
+    from itertools import combinations
+
+    ds = _read(sf_dir, "lineitem", _CORR_COLS)
+    k = len(_CORR_COLS)
+    pairs = list(combinations(range(k), 2))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = [np.floor(batch.column(c).to_numpy().astype(np.float64)
+                         * 100.0 + 0.5).astype(np.int64)
+                for c in _CORR_COLS]
+        n = batch.num_rows
+        s = [0] * k
+        ss = [0] * k
+        sxy = [0] * len(pairs)
+        for lo in range(0, n, 4096):
+            hi = min(lo + 4096, n)
+            ch = [c[lo:hi] for c in cols]
+            for i in range(k):
+                s[i] += int(ch[i].sum())
+                ss[i] += int((ch[i] * ch[i]).sum())
+            for j, (a, b) in enumerate(pairs):
+                sxy[j] += int((ch[a] * ch[b]).sum())
+        row = {"n": pa.array([n], pa.int64())}
+        for i in range(k):
+            row[f"s{i}"] = pa.array([str(s[i])], pa.string())
+            row[f"ss{i}"] = pa.array([str(ss[i])], pa.string())
+        for j in range(len(pairs)):
+            row[f"sxy{j}"] = pa.array([str(sxy[j])], pa.string())
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    S = [sum(int(v) for v in parts[f"s{i}"]) for i in range(k)]
+    SS = [sum(int(v) for v in parts[f"ss{i}"]) for i in range(k)]
+    SXY = [sum(int(v) for v in parts[f"sxy{j}"])
+           for j in range(len(pairs))]
+
+    rows = []
+    for j, (a, b) in enumerate(pairs):
+        num = n * SXY[j] - S[a] * S[b]
+        den_a = n * SS[a] - S[a] * S[a]
+        den_b = n * SS[b] - S[b] * S[b]
+        corr = float(num) / math.sqrt(float(den_a) * float(den_b))
+        rows.append((_CORR_COLS[a], _CORR_COLS[b],
+                     float(np.round(corr, 6))))
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "corr"])
+    return pa.Table.from_pandas(out.sort_values(["col_a", "col_b"])
+                                .reset_index(drop=True),
+                                preserve_index=False)
