@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q112_profile": A.q112_profile,
         "q113_mode_per_user": A.q113_mode_per_user,
         "q114_corr_matrix": A.q114_corr_matrix,
+        "q115_melt": A.q115_melt,
     }
 
 
@@ -3519,5 +3520,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'l_discount', 'l_tax',
                      n*sdt - sd*st, n*sdd - sd*sd, n*stt - st*st FROM s)
             ORDER BY col_a, col_b
+        """,
+        "q115_melt": """
+            -- melt twin: one UNION ALL arm per attribute
+            SELECT p_partkey, 'p_size' AS attr,
+                   ROUND(CAST(p_size AS DOUBLE), 2) AS val
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice',
+                   ROUND(p_retailprice, 2)
+            FROM part
+            ORDER BY p_partkey, attr
         """,
     }

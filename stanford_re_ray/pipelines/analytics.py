@@ -2921,3 +2921,34 @@ def q114_corr_matrix(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.sort_values(["col_a", "col_b"])
                                 .reset_index(drop=True),
                                 preserve_index=False)
+
+
+def q115_melt(sf_dir: str) -> pa.Table:
+    """UNPIVOT/melt of part's numeric attributes to long form — the
+    inverse of q81's pivot.  Pure per-batch restructure: each input row
+    emits one (key, attr, val) row per attribute, vectorized with Arrow
+    concat; no shuffle, no driver loop."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    attrs = [("p_size", "p_size"), ("p_retailprice", "p_retailprice")]
+
+    def melt(batch: pa.Table) -> pa.Table:
+        keys, names, vals = [], [], []
+        for col, name in attrs:
+            k = batch.column("p_partkey").combine_chunks()
+            keys.append(k if isinstance(k, pa.Int64Array)
+                        else pc.cast(k, pa.int64()))
+            names.append(pa.array([name] * batch.num_rows, pa.string()))
+            v = pc.cast(batch.column(col), pa.float64()).combine_chunks()
+            vals.append(v)
+        return pa.table({
+            "p_partkey": pa.concat_arrays(keys),
+            "attr": pa.concat_arrays(names),
+            "val": pc.round(pa.concat_arrays(vals), 2),
+        })
+
+    out = (ds.map_batches(melt, batch_format="pyarrow")
+           .to_pandas().sort_values(["p_partkey", "attr"])
+           .reset_index(drop=True))
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["val"] = out["val"].astype("float64")
+    return pa.Table.from_pandas(out, preserve_index=False)
