@@ -654,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q113_mode_per_user": A.q113_mode_per_user,
         "q114_corr_matrix": A.q114_corr_matrix,
         "q115_melt": A.q115_melt,
+        "q116_sssp": A.q116_sssp,
     }
 
 
@@ -726,6 +727,37 @@ def _bfs_oracle_sql(max_hops: int = 8) -> str:
     return (
         "WITH " + ",\n".join(parts) + "\n"
         f"SELECT node, CAST(dist AS BIGINT) AS dist FROM d{max_hops} "
+        "ORDER BY node"
+    )
+
+
+def _sssp_oracle_sql(max_hops: int = 6) -> str:
+    """Unrolled min-plus weighted SSSP — the SQL twin of
+    ``graph_ops.sssp_weighted`` + ``analytics.q116_sssp`` (q70's event
+    graph made directed, weights ``1 + (src·31 + dst·17) mod 9``,
+    source node 0).  Round r holds the exact min cost over paths of
+    ≤ r edges, so both sides agree at any unroll depth."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 10 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS src,
+                 (event_id + 11 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn)
+                   AS dst
+          FROM events WHERE event_id % 7 = 0)""",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst, "
+        "1 + (src * 31 + dst * 17) % 9 AS w FROM g WHERE src <> dst)",
+        "d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        "CAST(0 AS BIGINT) AS cost)",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, MIN(cost) AS cost FROM ("
+            f"SELECT node, cost FROM d{r-1} "
+            f"UNION ALL SELECT e.dst AS node, d.cost + e.w AS cost "
+            f"FROM d{r-1} d JOIN e ON e.src = d.node) GROUP BY node)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, CAST(cost AS BIGINT) AS cost FROM d{max_hops} "
         "ORDER BY node"
     )
 
@@ -3532,4 +3564,5 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             ORDER BY p_partkey, attr
         """,
+        "q116_sssp": _sssp_oracle_sql(max_hops=6),
     }

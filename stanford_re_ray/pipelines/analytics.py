@@ -2952,3 +2952,48 @@ def q115_melt(sf_dir: str) -> pa.Table:
     out["p_partkey"] = out["p_partkey"].astype("int64")
     out["val"] = out["val"].astype("float64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q116_sssp(sf_dir: str, max_hops: int = 6) -> pa.Table:
+    """Weighted single-source shortest paths
+    (``graph_ops.sssp_weighted``) from node 0 over q70's scale-adaptive
+    event graph made directed, with deterministic integer weights
+    ``w = 1 + (src·31 + dst·17) mod 9``.  Hop-bounded round-synchronous
+    Bellman-Ford: the oracle unrolls the same min-plus relaxation to
+    the same round count, so both sides agree even short of
+    convergence."""
+    from ..pipelines.graph_ops import sssp_weighted
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({"src": pa.array(src[ok], pa.int64()),
+                         "dst": pa.array(dst[ok], pa.int64())})
+
+    edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: pa.table({
+                   "src": b.column("src"),
+                   "dst": b.column("dst"),
+                   "w": pa.array(
+                       1 + (b.column("src").to_numpy() * 31
+                            + b.column("dst").to_numpy() * 17) % 9,
+                       pa.int64()),
+               }), batch_format="pyarrow"))
+
+    out = (sssp_weighted(edge_ds, source=0, max_hops=max_hops,
+                         est_rows=n_events)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in ("node", "cost"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "cost"]],
+                                preserve_index=False)

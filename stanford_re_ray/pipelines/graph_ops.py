@@ -1058,3 +1058,147 @@ def graph_structure_stats(edges: ray.data.Dataset,
         "n_reciprocal": pa.array([int(recip)], pa.int64()),
         "assortativity_q": pa.array([r_q], pa.int64()),
     })
+
+
+def sssp_weighted(
+    edges: ray.data.Dataset,
+    source: int,
+    max_hops: int = 6,
+    est_rows: int | None = None,
+    broadcast_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Hop-bounded single-source shortest paths over a DIRECTED weighted
+    edge list ``(src, dst, w)`` — round-synchronous Bellman-Ford with
+    the changed-nodes-only frontier optimization: after R rounds the
+    result holds, for every node reachable in ≤ R edges, the exact
+    minimum path cost using ≤ R edges (so an oracle unrolled to the
+    same R agrees whether or not the relaxation has converged —
+    ``bfs_distances``' contract, generalized to weights).
+
+    Distributed shape (mirrors ``bfs_distances``): edges materialize
+    ONCE; each round relaxes out-edges of the previous round's improved
+    nodes — a zero-shuffle broadcast ``searchsorted`` probe while the
+    frontier fits ``broadcast_limit``, else one key-partitioned inner
+    ``hash_join`` — then one combiner'd MIN groupby (integer min is
+    associative) and a size-gated improvement filter against the best
+    known costs.  Only counts reach the driver; per-round materialize +
+    size-derived repartition is the iterative-lineage rule (see
+    ``kcore``)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from ..functions.relational import hash_join
+    from ..state import broadcast
+
+    n_blocks = max(4, (est_rows or 0) // 250_000 + 1)
+    edges = edges.repartition(n_blocks).materialize()
+
+    visited = ray.data.from_arrow(pa.table({
+        "node": pa.array([source], pa.int64()),
+        "cost": pa.array([0], pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for _ in range(max_hops):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier <= broadcast_limit:
+            fp = frontier.to_pandas().sort_values("node")
+            ref = broadcast.put((fp["node"].to_numpy().astype(np.int64),
+                                 fp["cost"].to_numpy().astype(np.int64)))
+
+            def relax(batch: pa.Table, _ref=ref) -> pa.Table:
+                fnodes, fcosts = broadcast.fetch(_ref)
+                s = batch.column("src").to_numpy(zero_copy_only=False)
+                d = batch.column("dst").to_numpy(zero_copy_only=False)
+                w = batch.column("w").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(fnodes, s)
+                idx = np.minimum(idx, len(fnodes) - 1)
+                hit = fnodes[idx] == s
+                return pa.table({
+                    "node": pa.array(d[hit], pa.int64()),
+                    "cost": pa.array(fcosts[idx[hit]] + w[hit],
+                                     pa.int64()),
+                })
+
+            cand = edges.map_batches(relax, batch_format="pyarrow")
+        else:
+            fr = frontier.map_batches(
+                lambda t: pa.table({"src": t.column("node"),
+                                    "fcost": t.column("cost")}),
+                batch_format="pyarrow")
+            cand = hash_join(edges, fr, on="src", how="inner",
+                             est_rows=est_rows).map_batches(
+                lambda t: pa.table({
+                    # hash_join's null-padded union may promote ints to
+                    # float64; values stay exact, so a SAFE cast back to
+                    # int64 restores the dtype or errors loudly
+                    "node": pc.cast(t.column("dst"), pa.int64(),
+                                    safe=True),
+                    "cost": pc.cast(pc.add(t.column("fcost"),
+                                           t.column("w")),
+                                    pa.int64(), safe=True),
+                }), batch_format="pyarrow")
+
+        cand = cand.groupby("node").aggregate(
+            Min("cost", alias_name="cost"))
+
+        n_seen = visited.count()
+        if n_seen <= broadcast_limit:
+            vp = visited.to_pandas().sort_values("node")
+            vref = broadcast.put((vp["node"].to_numpy().astype(np.int64),
+                                  vp["cost"].to_numpy().astype(np.int64)))
+
+            def improved(batch: pa.Table, _ref=vref) -> pa.Table:
+                vnodes, vcosts = broadcast.fetch(_ref)
+                n = batch.column("node").to_numpy(zero_copy_only=False)
+                c = batch.column("cost").to_numpy(zero_copy_only=False)
+                idx = np.minimum(np.searchsorted(vnodes, n),
+                                 len(vnodes) - 1)
+                known = vnodes[idx] == n
+                better = ~known | (c < vcosts[idx])
+                return batch.filter(pa.array(better))
+
+            fresh = cand.map_batches(improved, batch_format="pyarrow")
+        else:
+            old = visited.map_batches(
+                lambda t: pa.table({"node": t.column("node"),
+                                    "old_cost": t.column("cost")}),
+                batch_format="pyarrow")
+            fresh = hash_join(cand, old, on="node", how="left",
+                              est_rows=est_rows).map_batches(
+                lambda t: t.filter(pc.or_kleene(
+                    pc.is_null(t.column("old_cost")),
+                    pc.less(t.column("cost"), t.column("old_cost"))))
+                .select(["node", "cost"]), batch_format="pyarrow")
+
+        frontier = fresh.repartition(n_blocks).materialize()
+        if frontier.count() == 0:
+            break
+
+        imp = frontier.to_pandas() if frontier.count() <= broadcast_limit \
+            else None
+        if imp is not None:
+            iref = broadcast.put(np.sort(
+                imp["node"].to_numpy().astype(np.int64)))
+
+            def drop_updated(batch: pa.Table, _ref=iref) -> pa.Table:
+                nodes = broadcast.fetch(_ref)
+                n = batch.column("node").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(~np.isin(n, nodes)))
+
+            kept = visited.map_batches(drop_updated,
+                                       batch_format="pyarrow")
+        else:
+            kept = hash_join(
+                visited,
+                frontier.map_batches(
+                    lambda t: pa.table({"node": t.column("node")}),
+                    batch_format="pyarrow"),
+                on="node", how="anti", est_rows=est_rows)
+        visited = (kept.union(frontier)
+                   .repartition(n_blocks).materialize())
+
+    return visited
