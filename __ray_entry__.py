@@ -655,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q114_corr_matrix": A.q114_corr_matrix,
         "q115_melt": A.q115_melt,
         "q116_sssp": A.q116_sssp,
+        "q117_two_hop_reach": A.q117_two_hop_reach,
     }
 
 
@@ -3565,4 +3566,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p_partkey, attr
         """,
         "q116_sssp": _sssp_oracle_sql(max_hops=6),
+        "q117_two_hop_reach": """
+            -- two-hop-reach twin: distinct ≤2-edge reachability,
+            -- self excluded (q70's sparse directed event graph)
+            WITH nn AS (SELECT count(*) // 10 AS n FROM events),
+            g AS (SELECT event_id % (SELECT n FROM nn) AS src,
+                         (event_id + 11 * CAST(regexp_extract(props,
+                            '"k": (\\d+)', 1) AS BIGINT))
+                           % (SELECT n FROM nn) AS dst
+                  FROM events WHERE event_id % 7 = 0),
+            e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+            reach AS (
+              SELECT src AS node, dst AS nb FROM e
+              UNION
+              SELECT e1.src AS node, e2.dst AS nb
+              FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reach
+            FROM reach WHERE nb <> node
+            GROUP BY node ORDER BY node
+        """,
     }

@@ -2997,3 +2997,66 @@ def q116_sssp(sf_dir: str, max_hops: int = 6) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "cost"]],
                                 preserve_index=False)
+
+
+def q117_two_hop_reach(sf_dir: str) -> pa.Table:
+    """Two-hop reach per node (distinct nodes reachable in ≤ 2 directed
+    edges, self excluded) over q70's sparse event graph — the
+    friends-of-friends primitive.  One bucketed self ``hash_join`` on
+    the middle node produces the 2-hop pairs; a combiner'd DISTINCT
+    (node, nb) groupby dedups path multiplicity before the per-node
+    count, so multiplicity never inflates the shuffle beyond the
+    distinct pair set."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({"src": pa.array(src[ok], pa.int64()),
+                         "dst": pa.array(dst[ok], pa.int64())})
+
+    nb = max(4, n_events // 250_000 + 1)
+    e = (ds.map_batches(edges, batch_format="pyarrow")
+         .groupby(["src", "dst"]).count()
+         .map_batches(lambda b: b.drop_columns(["count()"]),
+                      batch_format="pyarrow")
+         .repartition(nb).materialize())
+
+    lhs = e.map_batches(lambda t: pa.table({
+        "mid": t.column("dst"), "node": t.column("src")}),
+        batch_format="pyarrow")
+    rhs = e.map_batches(lambda t: pa.table({
+        "mid": t.column("src"), "nb": t.column("dst")}),
+        batch_format="pyarrow")
+    two = hash_join(lhs, rhs, on="mid",
+                    est_rows=n_events).map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t.column("node"), pa.int64(), safe=True),
+            "nb": pc.cast(t.column("nb"), pa.int64(), safe=True)}),
+        batch_format="pyarrow")
+    one = e.map_batches(lambda t: pa.table({
+        "node": t.column("src"), "nb": t.column("dst")}),
+        batch_format="pyarrow")
+
+    out = (one.union(two)
+           .map_batches(lambda t: t.filter(
+               pc.not_equal(t.column("node"), t.column("nb"))),
+               batch_format="pyarrow")
+           .groupby(["node", "nb"]).count()
+           .groupby("node").aggregate(Count(alias_name="n_reach"))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in ("node", "n_reach"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "n_reach"]],
+                                preserve_index=False)
