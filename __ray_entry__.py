@@ -656,6 +656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_melt": A.q115_melt,
         "q116_sssp": A.q116_sssp,
         "q117_two_hop_reach": A.q117_two_hop_reach,
+        "q118_latest_snapshot": A.q118_latest_snapshot,
     }
 
 
@@ -3584,5 +3585,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reach
             FROM reach WHERE nb <> node
             GROUP BY node ORDER BY node
+        """,
+        "q118_latest_snapshot": """
+            -- latest-snapshot twin: row_number window, ts DESC with the
+            -- event_id ASC tiebreak grouped_topk uses
+            SELECT user_id, event_type, ts, event_id,
+                   ROUND(value, 2) AS value
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id) AS rn
+              FROM events)
+            WHERE rn = 1
+            ORDER BY user_id, event_type
         """,
     }

@@ -3060,3 +3060,28 @@ def q117_two_hop_reach(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "n_reach"]],
                                 preserve_index=False)
+
+
+def q118_latest_snapshot(sf_dir: str) -> pa.Table:
+    """Snapshot compaction / upsert-merge primitive: the LATEST event
+    per (user, event_type) — ``row_number() OVER (PARTITION BY ...
+    ORDER BY ts DESC, event_id) = 1`` as the distributed
+    ``grouped_topk`` k=1 (map-side per-key partial keeps one row per
+    key per batch, so at most |keys| rows per block enter the
+    shuffle)."""
+    from ..functions.relational import grouped_topk
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id", "value"])
+    out = (grouped_topk(ds, key=["user_id", "event_type"],
+                        order_by="ts", k=1, descending=True,
+                        tiebreak=["event_id"])
+           .to_pandas().sort_values(["user_id", "event_type"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "user_id": out["user_id"].astype("int64"),
+        "event_type": out["event_type"],
+        "ts": out["ts"],
+        "event_id": out["event_id"].astype("int64"),
+        "value": np.round(out["value"], 2),
+    }), preserve_index=False)
