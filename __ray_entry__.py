@@ -657,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q116_sssp": A.q116_sssp,
         "q117_two_hop_reach": A.q117_two_hop_reach,
         "q118_latest_snapshot": A.q118_latest_snapshot,
+        "q119_sliding_distinct": A.q119_sliding_distinct,
     }
 
 
@@ -3598,5 +3599,20 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q119_sliding_distinct": """
+            -- sliding-distinct twin: identical contribution expansion
+            -- (each distinct day-user feeds days d..d+6)
+            WITH du AS (
+              SELECT DISTINCT
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     user_id
+              FROM events),
+            em AS (
+              SELECT du.day + t.i AS wday, du.user_id
+              FROM du CROSS JOIN range(0, 7) t(i))
+            SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS n_users
+            FROM em GROUP BY wday ORDER BY wday
         """,
     }

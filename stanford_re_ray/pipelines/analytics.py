@@ -3085,3 +3085,49 @@ def q118_latest_snapshot(sf_dir: str) -> pa.Table:
         "event_id": out["event_id"].astype("int64"),
         "value": np.round(out["value"], 2),
     }), preserve_index=False)
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+def q119_sliding_distinct(sf_dir: str) -> pa.Table:
+    """Trailing 7-day distinct active users, per day — the sliding
+    COUNT(DISTINCT) OVER RANGE window SQL engines refuse.  Bounded-
+    window trick: dedup (day, user) first (one combiner'd groupby, so
+    the amplification applies to the DISTINCT set, not raw events),
+    then each (day, user) emits its 7 contribution days vectorized, and
+    a second distinct-then-count groupby folds them — shuffle volume is
+    7 × |distinct day-user|, independent of window semantics."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        return pa.table({
+            "day": pa.array(us // _DAY_US, pa.int64()),
+            "user_id": batch.column("user_id"),
+        })
+
+    du = (ds.map_batches(day_user, batch_format="pyarrow")
+          .groupby(["day", "user_id"]).count()
+          .map_batches(lambda b: b.drop_columns(["count()"]),
+                       batch_format="pyarrow"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy()
+        usr = batch.column("user_id").to_numpy()
+        offs = np.arange(7, dtype=np.int64)
+        return pa.table({
+            "wday": pa.array((day[:, None] + offs).ravel(), pa.int64()),
+            "user_id": pa.array(np.repeat(usr, 7), pa.int64()),
+        })
+
+    out = (du.map_batches(expand, batch_format="pyarrow")
+           .groupby(["wday", "user_id"]).count()
+           .groupby("wday").aggregate(Count(alias_name="n_users"))
+           .to_pandas().sort_values("wday").reset_index(drop=True))
+    for c in ("wday", "n_users"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["wday", "n_users"]],
+                                preserve_index=False)
