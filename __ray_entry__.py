@@ -488,6 +488,28 @@ def _bpe_encode_counts(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _pq_encode(sf_dir: str):
+    """Product quantization end to end: per-subspace distributed
+    k-means codebooks (``clustering.pq_train``) then the streaming
+    encoder (``clustering.pq_encode``) — 64-dim floats compressed to 4
+    codebook indices + a quantized reconstruction error.  Iterative
+    Lloyd training is not SQL-expressible (q41 pins one unrolled
+    iteration; the multi-subspace composition is not worth a 4× copy of
+    that oracle), so rows-only — pytest pins the distributed encode
+    bit-for-bit against a serial numpy reference and across block
+    counts."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.clustering import pq_encode, pq_train
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cb = pq_train(emb, m=4, k=16, n_iter=1)
+    out = (pq_encode(emb, cb).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    return out
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -658,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q117_two_hop_reach": A.q117_two_hop_reach,
         "q118_latest_snapshot": A.q118_latest_snapshot,
         "q119_sliding_distinct": A.q119_sliding_distinct,
+        "q120_pq_encode": _pq_encode,
     }
 
 

@@ -279,3 +279,80 @@ def embedding_moments(emb: ray.data.Dataset, dim: int,
 
     return (emb.map_batches(partial, batch_format="pyarrow")
             .groupby(["i", "j"]).aggregate(Sum("sxy", alias_name="sxy")))
+
+
+def pq_train(
+    embeddings: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors and run the distributed ``kmeans_fit`` on
+    each subspace independently — returns ``(m, k, dim // m)``
+    centroids.  Training cost is m sweeps of the k-means combiner
+    (each itself shuffle-free: ≤ k partial rows per batch); production
+    practice trains codebooks on a sample, encodes the full corpus —
+    the encode side (``pq_encode``) is the one that must stream.
+    Determinism: inherits kmeans_fit's (Forgy min-id init, fixed
+    reduce order)."""
+    subs = []
+    for j in range(m):
+
+        def slice_j(batch: pa.Table, _j=j) -> pa.Table:
+            vecs = _to_matrix(batch.column(vec_col))
+            dsub = vecs.shape[1] // m if vecs.size else 0
+            part = vecs[:, _j * dsub:(_j + 1) * dsub]
+            return pa.table({
+                id_col: batch.column(id_col),
+                vec_col: pa.array(list(part), pa.list_(pa.float64())),
+            })
+
+        sub_ds = embeddings.map_batches(slice_j, batch_format="pyarrow")
+        cents, _ = kmeans_fit(sub_ds, k=k, n_iter=n_iter,
+                              id_col=id_col, vec_col=vec_col)
+        subs.append(cents)
+    return np.stack(subs)
+
+
+def pq_encode(
+    embeddings: ray.data.Dataset,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    err_scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Encode each vector as ``m`` codebook indices (one per subspace,
+    nearest centroid by squared L2, ties → lowest code) plus the total
+    squared reconstruction error quantized to ``err_scale`` — the
+    16-byte-per-vector compressed form an IVF-PQ index scans instead of
+    raw floats.  One broadcast of the ``(m, k, dsub)`` codebooks
+    (``ray.put`` once, fetched per worker), one matmul-shaped distance
+    per subspace per batch, zero shuffles; output columns ``code_0 ..
+    code_{m-1}`` ride per-row so a later exact re-rank can rehydrate.
+    """
+    ref = ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
+    m = codebooks.shape[0]
+
+    def encode(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        cb = fetch(_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        n = vecs.shape[0]
+        dsub = cb.shape[2]
+        cols = {id_col: batch.column(id_col)}
+        err = np.zeros(n, dtype=np.float64)
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)
+            err += d2[np.arange(n), code]
+            cols[f"code_{j}"] = pa.array(code.astype(np.int64))
+        cols["err_q"] = pa.array(
+            np.floor(err * err_scale + 0.5).astype(np.int64))
+        return pa.table(cols)
+
+    return embeddings.map_batches(encode, batch_format="pyarrow")

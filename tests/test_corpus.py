@@ -276,3 +276,40 @@ def test_bpe_encode_applies_trained_merges(ray_session):
             " ".join(subs).encode()).hexdigest()
         saw_merge |= any(len(s) > 1 for s in subs)
     assert saw_merge
+
+
+def test_pq_encode_matches_serial(ray_session):
+    import numpy as np
+
+    from stanford_re_ray.functions.clustering import pq_encode, pq_train
+
+    # integer-valued floats: partial sums are EXACT in float64, so the
+    # codebooks are bit-identical at any block count (the same reason
+    # test_kmeans_matches_numpy_lloyd uses integral data — non-exact
+    # values would let summation order flip assignment near-ties)
+    vals = [[float((i * 5 + j * 3) % 17 - 8) for j in range(8)]
+            for i in range(60)]
+    tbl = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(vals, pa.list_(pa.float64()))})
+    outs = []
+    for blocks in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        cb = pq_train(ds, m=2, k=4, n_iter=2)
+        assert cb.shape == (2, 4, 4)
+        enc = (pq_encode(ds, cb).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        outs.append((cb, enc))
+        # serial numpy reference encode over the SAME codebooks
+        X = np.array(vals)
+        err = np.zeros(len(vals))
+        for j in range(2):
+            sub = X[:, j * 4:(j + 1) * 4]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)
+            err += d2[np.arange(len(vals)), code]
+            assert (enc[f"code_{j}"].to_numpy() == code).all()
+        assert (enc["err_q"].to_numpy()
+                == np.floor(err * 1_000_000 + 0.5).astype(np.int64)).all()
+    # block-count invariance: codebooks and codes bit-identical
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])

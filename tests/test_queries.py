@@ -150,6 +150,7 @@ def test_sql_checked_query(entrymod, duck, sf_dir, name):
 ROWS_ONLY = [
     "q53_bpe_merges",
     "q109_bpe_encode",
+    "q120_pq_encode",
 ]
 
 
@@ -209,7 +210,7 @@ def test_queries_oracle_contract(entrymod):
     assert rows_only == {
         "kg_doc_ner_stats", "kg_edges", "kg_extract_text", "kg_nodes",
         "kg_triples", "kg_triples_hoffmann", "kg_triples_mimlre",
-        "q53_bpe_merges", "q109_bpe_encode",
+        "q53_bpe_merges", "q109_bpe_encode", "q120_pq_encode",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
