@@ -510,6 +510,34 @@ def _pq_encode(sf_dir: str):
     return out
 
 
+def _pq_topk(sf_dir: str):
+    """PQ-ADC approximate nearest neighbors: codebooks + codes from the
+    q120 path, then ``clustering.pq_topk`` — per-query distance lookup
+    tables broadcast once, m adds per coded row, grouped_topk merge.
+    Rows-only (trained-codebook dependence, like q120); pytest pins the
+    distributed scan against a serial ADC reference."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.clustering import (pq_encode, pq_topk,
+                                                      pq_train)
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cb = pq_train(emb, m=4, k=16, n_iter=1)
+    codes = pq_encode(emb, cb)
+    import numpy as np
+    import pyarrow.compute as pc
+
+    q = np.asarray(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), 3)),
+            batch_format="pyarrow").to_pandas()
+        .sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    out = (pq_topk(codes, cb, q, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    return out
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -681,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_latest_snapshot": A.q118_latest_snapshot,
         "q119_sliding_distinct": A.q119_sliding_distinct,
         "q120_pq_encode": _pq_encode,
+        "q121_pq_topk": _pq_topk,
     }
 
 

@@ -356,3 +356,67 @@ def pq_encode(
         return pa.table(cols)
 
     return embeddings.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    dist_scale: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: each
+    query precomputes an ``(m, k_cent)`` lookup table of subspace
+    distances to every centroid ONCE; scanning a coded vector is then m
+    table lookups + adds — no float vector math per row.  The LUT stack
+    broadcasts via ``ray.put``; each batch emits ≤ k partial rows per
+    query; one ``grouped_topk`` folds the partials.  Determinism: the
+    m-term sum runs in fixed subspace order, ties break on the id
+    column; distances ship quantized to ``dist_scale``."""
+    from .relational import grouped_topk
+
+    m, _, dsub = codebooks.shape
+    q = np.asarray(query_vecs, dtype=np.float64)
+    lut = np.stack([
+        ((q[:, j * dsub:(j + 1) * dsub][:, None, :]
+          - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)
+    ], axis=1)                                # (nq, m, k_cent)
+    ref = ray.put(lut)
+    nq = lut.shape[0]
+
+    def scan(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        lt = fetch(_ref)
+        n = batch.num_rows
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        code_mat = np.stack([
+            batch.column(f"code_{j}").to_numpy(zero_copy_only=False)
+            for j in range(m)
+        ], axis=1)                            # (n, m)
+        out_q, out_v, out_d = [], [], []
+        for qi in range(nq):
+            dist = np.zeros(n, dtype=np.float64)
+            for j in range(m):                # fixed order: deterministic
+                dist += lt[qi, j][code_mat[:, j]]
+            # quantize BEFORE the partial selection and order by
+            # (dist_q, id) — the same total order grouped_topk applies
+            # globally, so a sub-quantum float tie at the rank-k
+            # boundary can't make a batch drop the row the global
+            # tie-break would have kept
+            dq = np.floor(dist * dist_scale + 0.5).astype(np.int64)
+            take = np.lexsort((ids, dq))[:k]
+            out_q.append(np.full(len(take), qi, np.int64))
+            out_v.append(ids[take])
+            out_d.append(dq[take])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_v), pa.int64()),
+            "dist_q": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    partials = codes.map_batches(scan, batch_format="pyarrow")
+    return grouped_topk(partials, key="query_id", order_by="dist_q",
+                        k=k, descending=False, tiebreak=[id_col])

@@ -313,3 +313,40 @@ def test_pq_encode_matches_serial(ray_session):
     # block-count invariance: codebooks and codes bit-identical
     np.testing.assert_array_equal(outs[0][0], outs[1][0])
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
+def test_pq_topk_matches_serial_adc(ray_session):
+    import numpy as np
+
+    from stanford_re_ray.functions.clustering import (pq_encode, pq_topk,
+                                                      pq_train)
+
+    vals = [[float((i * 5 + j * 3) % 17 - 8) for j in range(8)]
+            for i in range(60)]
+    tbl = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(vals, pa.list_(pa.float64()))})
+    q = np.array(vals[:3])
+    outs = []
+    for blocks in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        cb = pq_train(ds, m=2, k=4, n_iter=2)
+        codes = pq_encode(ds, cb)
+        top = (pq_topk(codes, cb, q, k=5).to_pandas()
+               .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        outs.append(top)
+        # serial ADC reference: same codebooks, same (dist_q, id) order
+        X = np.array(vals)
+        for qi in range(3):
+            dist = np.zeros(len(vals))
+            for j in range(2):
+                sub = X[:, j * 4:(j + 1) * 4]
+                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                code = np.argmin(d2, axis=1)
+                dist += ((q[qi, j * 4:(j + 1) * 4][None, :]
+                          - cb[j][code]) ** 2).sum(axis=1)
+            dq = np.floor(dist * 1_000_000 + 0.5).astype(np.int64)
+            order = np.lexsort((np.arange(len(vals)), dq))[:5]
+            got = top[top["query_id"] == qi]
+            assert got["vec_id"].tolist() == list(order)
+            assert got["dist_q"].tolist() == list(dq[order])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
