@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_sliding_distinct": A.q119_sliding_distinct,
         "q120_pq_encode": _pq_encode,
         "q121_pq_topk": _pq_topk,
+        "q122_user_paths": A.q122_user_paths,
     }
 
 
@@ -3651,6 +3652,15 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q122_user_paths": """
+            -- user-paths twin: ordered string_agg, (ts, event_id)
+            -- total order
+            SELECT user_id,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "q119_sliding_distinct": """
             -- sliding-distinct twin: identical contribution expansion

@@ -3131,3 +3131,41 @@ def q119_sliding_distinct(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["wday", "n_users"]],
                                 preserve_index=False)
+
+
+def q122_user_paths(sf_dir: str) -> pa.Table:
+    """Ordered per-user event path (``string_agg(event_type, '>' ORDER
+    BY ts, event_id)``) — the sequence-export primitive feeding session
+    mining / Markov tooling.  One hash(user) bucket shuffle co-locates
+    timelines (q104's shape); the concat is vectorized per bucket and
+    the canonical (ts, event_id) sort makes the output a total order."""
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                      "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def paths(g: pd.DataFrame):
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        out = (g.groupby("user_id", sort=True)["event_type"]
+               .agg([("path", ">".join), ("n_steps", "size")])
+               .reset_index())
+        out["n_steps"] = out["n_steps"].astype("int64")
+        return pd_to_arrow(out)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(paths, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out[["user_id", "path", "n_steps"]],
+                                preserve_index=False)
