@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q120_pq_encode": _pq_encode,
         "q121_pq_topk": _pq_topk,
         "q122_user_paths": A.q122_user_paths,
+        "q123_histogram": A.q123_histogram,
     }
 
 
@@ -3652,6 +3653,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q123_histogram": """
+            -- histogram twin: identical integer-cent equi-width binning
+            WITH v AS (
+              SELECT l_returnflag AS f,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS c
+              FROM lineitem),
+            mm AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM v)
+            SELECT f AS l_returnflag,
+                   CAST((c - mn) * 10 // (mx - mn + 1) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM v, mm GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q122_user_paths": """
             -- user-paths twin: ordered string_agg, (ts, event_id)

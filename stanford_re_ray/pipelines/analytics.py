@@ -3169,3 +3169,50 @@ def q122_user_paths(sf_dir: str) -> pa.Table:
     out["user_id"] = out["user_id"].astype("int64")
     return pa.Table.from_pandas(out[["user_id", "path", "n_steps"]],
                                 preserve_index=False)
+
+
+def q123_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Equi-width histogram of price per returnflag: pass 1 reduces
+    global integer-cent min/max from per-batch partials (O(blocks) rows
+    to the driver); pass 2 bins each row with PURE INTEGER arithmetic —
+    ``bin = (c - min) * n_bins // (max - min + 1)`` — so bucket edges
+    can't float-drift between engines, then one combiner'd groupby."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice"]).materialize()
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        return pa.table({
+            "f": batch.column("l_returnflag"),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow")
+
+    def mm(batch: pa.Table) -> pa.Table:
+        s = pc.min_max(batch.column("c"))
+        return pa.table({"mn": pa.array([s["min"].as_py()], pa.int64()),
+                         "mx": pa.array([s["max"].as_py()], pa.int64())})
+
+    mmp = cds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    mn, mx = int(mmp["mn"].min()), int(mmp["mx"].max())
+    width_den = mx - mn + 1
+
+    def binit(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        return pa.table({
+            "l_returnflag": batch.column("f"),
+            "bin": pa.array((c - mn) * n_bins // width_den, pa.int64()),
+        })
+
+    out = (cds.map_batches(binit, batch_format="pyarrow")
+           .groupby(["l_returnflag", "bin"])
+           .aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values(["l_returnflag", "bin"])
+           .reset_index(drop=True))
+    for c in ("bin", "n"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["l_returnflag", "bin", "n"]],
+                                preserve_index=False)
