@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_pq_topk": _pq_topk,
         "q122_user_paths": A.q122_user_paths,
         "q123_histogram": A.q123_histogram,
+        "q124_fk_audit": A.q124_fk_audit,
     }
 
 
@@ -3653,6 +3654,46 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q124_fk_audit": """
+            -- fk-audit twin: NOT EXISTS orphan counts per foreign key
+            SELECT 'customer.c_nationkey->nation' AS chk,
+                   CAST((SELECT COUNT(*) FROM customer c
+                         WHERE NOT EXISTS (SELECT 1 FROM nation n
+                           WHERE n.n_nationkey = c.c_nationkey))
+                        AS BIGINT) AS n_orphan_rows,
+                   CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+                     AS n_child_rows
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_orderkey->orders[degraded]',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey % 13 <> 0
+                             AND o.o_orderkey = l.l_orderkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                         WHERE NOT EXISTS (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+                        AS BIGINT),
+                   CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+            ORDER BY chk
         """,
         "q123_histogram": """
             -- histogram twin: identical integer-cent equi-width binning

@@ -3216,3 +3216,52 @@ def q123_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["l_returnflag", "bin", "n"]],
                                 preserve_index=False)
+
+
+def q124_fk_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit: orphan-row counts for every foreign
+    key in the star schema, each as one distributed ANTI ``hash_join``
+    (child keys against parent keys — both sides stream; no driver-side
+    key sets).  The last check runs against a deliberately degraded
+    parent (orders minus keys ≡ 0 mod 13) so the audit demonstrably
+    detects breakage, not just reports zeros on clean data."""
+    from ..functions.relational import hash_join
+
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey", None),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey", None),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey", None),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey", None),
+        ("lineitem.l_orderkey->orders[degraded]", "lineitem",
+         "l_orderkey", "orders", "o_orderkey", 13),
+    ]
+    rows = []
+    for name, child, fk, parent, pk, degrade_mod in checks:
+        n_child = _row_count(sf_dir, child)
+        ck = _read(sf_dir, child, [fk]).map_batches(
+            lambda b, _fk=fk: pa.table({
+                "key": pc.cast(b.column(_fk), pa.int64())}),
+            batch_format="pyarrow")
+        pk_ds = _read(sf_dir, parent, [pk]).map_batches(
+            lambda b, _pk=pk: pa.table({
+                "key": pc.cast(b.column(_pk), pa.int64())}),
+            batch_format="pyarrow")
+        if degrade_mod is not None:
+            pk_ds = pk_ds.map_batches(
+                lambda b, _m=degrade_mod: b.filter(pa.array(
+                    b.column("key").to_numpy(zero_copy_only=False)
+                    % _m != 0)),
+                batch_format="pyarrow")
+        orphans = hash_join(ck, pk_ds, on="key", how="anti",
+                            est_rows=n_child).count()
+        rows.append((name, int(orphans), n_child))
+    out = pd.DataFrame(rows, columns=["chk", "n_orphan_rows",
+                                      "n_child_rows"])
+    out = out.sort_values("chk").reset_index(drop=True)
+    for c in ("n_orphan_rows", "n_child_rows"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
