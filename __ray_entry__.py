@@ -713,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_user_paths": A.q122_user_paths,
         "q123_histogram": A.q123_histogram,
         "q124_fk_audit": A.q124_fk_audit,
+        "q125_hot_keys": A.q125_hot_keys,
     }
 
 
@@ -3654,6 +3655,27 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q125_hot_keys": """
+            -- hot-keys twin: per-column top-10 by (cnt DESC, key),
+            -- exact integer ppm shares
+            WITH k AS (
+              SELECT 'user_id' AS col_name,
+                     CAST(user_id AS VARCHAR) AS key_str FROM events
+              UNION ALL
+              SELECT 'event_type', event_type FROM events),
+            c AS (SELECT col_name, key_str, COUNT(*) AS cnt
+                  FROM k GROUP BY 1, 2),
+            t AS (SELECT COUNT(*) AS tot FROM events),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY col_name
+                    ORDER BY cnt DESC, key_str) AS rn
+                  FROM c)
+            SELECT col_name, CAST(rn AS BIGINT) AS rnk, key_str,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   CAST(cnt * 1000000 // tot AS BIGINT) AS share_ppm
+            FROM r, t WHERE rn <= 10
+            ORDER BY col_name, rnk
         """,
         "q124_fk_audit": """
             -- fk-audit twin: NOT EXISTS orphan counts per foreign key

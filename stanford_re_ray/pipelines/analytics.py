@@ -3265,3 +3265,46 @@ def q124_fk_audit(sf_dir: str) -> pa.Table:
     for c in ("n_orphan_rows", "n_child_rows"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q125_hot_keys(sf_dir: str, k: int = 10) -> pa.Table:
+    """Hot-key skew detector: the top-k heaviest keys per candidate
+    partition column with their row share in exact ppm — the audit run
+    BEFORE choosing a shuffle key (this repo's hash_join salting wants
+    exactly this table; cf. ``relational.detect_hot_keys``'s sampled
+    in-flight variant).  All columns share one emit pass and one
+    combiner'd count groupby (keys canonicalized to strings), then
+    ``grouped_topk`` per column."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import grouped_topk
+
+    n_events = _row_count(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch.column("user_id"), pa.string()).combine_chunks()
+        e = batch.column("event_type").combine_chunks()
+        return pa.table({
+            "col_name": pa.concat_arrays([
+                pa.array(["user_id"] * batch.num_rows, pa.string()),
+                pa.array(["event_type"] * batch.num_rows, pa.string()),
+            ]),
+            "key_str": pa.concat_arrays([u, e]),
+        })
+
+    counts = (ds.map_batches(emit, batch_format="pyarrow")
+              .groupby(["col_name", "key_str"])
+              .aggregate(Count(alias_name="cnt")))
+    out = (grouped_topk(counts, key="col_name", order_by="cnt", k=k,
+                        descending=True, tiebreak=["key_str"])
+           .to_pandas().sort_values(["col_name", "rank"])
+           .reset_index(drop=True))
+    cnt = out["cnt"].to_numpy(np.int64)
+    return pa.Table.from_pandas(pd.DataFrame({
+        "col_name": out["col_name"],
+        "rnk": out["rank"].astype("int64"),
+        "key_str": out["key_str"],
+        "cnt": cnt,
+        "share_ppm": cnt * 1_000_000 // n_events,
+    }), preserve_index=False)
