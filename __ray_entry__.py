@@ -714,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_histogram": A.q123_histogram,
         "q124_fk_audit": A.q124_fk_audit,
         "q125_hot_keys": A.q125_hot_keys,
+        "q126_join_size": A.q126_join_size,
     }
 
 
@@ -3655,6 +3656,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q126_join_size": """
+            -- join-size twin: Σ n_a·n_b over matched keys
+            WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT o_orderkey AS k, COUNT(*) AS n
+                  FROM orders GROUP BY 1),
+            j AS (SELECT a.n * b.n AS nn FROM a JOIN b USING (k))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(nn) AS BIGINT) AS join_rows
+            FROM j
         """,
         "q125_hot_keys": """
             -- hot-keys twin: per-column top-10 by (cnt DESC, key),

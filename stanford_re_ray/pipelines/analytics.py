@@ -3308,3 +3308,40 @@ def q125_hot_keys(sf_dir: str, k: int = 10) -> pa.Table:
         "cnt": cnt,
         "share_ppm": cnt * 1_000_000 // n_events,
     }), preserve_index=False)
+
+
+def q126_join_size(sf_dir: str) -> pa.Table:
+    """Join-size computation WITHOUT materializing the join: per-key
+    row counts on each side (two combiner'd groupbys — only distinct
+    keys shuffle), one key-partitioned inner ``hash_join`` of the count
+    tables, then an associative int64 Σ nₐ·n_b — the planner's exact
+    cardinality probe for choosing broadcast vs shuffle (this repo's
+    BROADCAST_DIM_LIMIT gates want exactly this number; the sketch
+    version at 100 TB is a CMS dot product, cf. q47)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import hash_join
+
+    n_li = _row_count(sf_dir, "lineitem")
+    a = (_read(sf_dir, "lineitem", ["l_orderkey"])
+         .groupby("l_orderkey").aggregate(Count(alias_name="n_a"))
+         .map_batches(lambda b: pa.table({
+             "k": b.column("l_orderkey"), "n_a": b.column("n_a")}),
+             batch_format="pyarrow"))
+    b = (_read(sf_dir, "orders", ["o_orderkey"])
+         .groupby("o_orderkey").aggregate(Count(alias_name="n_b"))
+         .map_batches(lambda t: pa.table({
+             "k": t.column("o_orderkey"), "n_b": t.column("n_b")}),
+             batch_format="pyarrow"))
+    j = hash_join(a, b, on="k", est_rows=n_li).map_batches(
+        lambda t: pa.table({
+            "nn": pc.multiply(
+                pc.cast(t.column("n_a"), pa.int64(), safe=True),
+                pc.cast(t.column("n_b"), pa.int64(), safe=True)),
+        }), batch_format="pyarrow")
+    agg = j.aggregate(Count(alias_name="n_keys"),
+                      Sum("nn", alias_name="join_rows"))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "n_keys": [int(agg["n_keys"])],
+        "join_rows": [int(agg["join_rows"])],
+    }), preserve_index=False)
