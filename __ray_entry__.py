@@ -715,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q124_fk_audit": A.q124_fk_audit,
         "q125_hot_keys": A.q125_hot_keys,
         "q126_join_size": A.q126_join_size,
+        "q127_regional_revenue": A.q127_regional_revenue,
     }
 
 
@@ -3656,6 +3657,21 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q127_regional_revenue": """
+            -- regional-revenue twin: same 3-hop star, same per-row
+            -- integer-cent quantization before the sum
+            SELECT r.r_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS rev_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n   ON n.n_nationkey = c.c_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name ORDER BY r.r_name
         """,
         "q126_join_size": """
             -- join-size twin: Σ n_a·n_b over matched keys

@@ -3345,3 +3345,76 @@ def q126_join_size(sf_dir: str) -> pa.Table:
         "n_keys": [int(agg["n_keys"])],
         "join_rows": [int(agg["join_rows"])],
     }), preserve_index=False)
+
+
+def q127_regional_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-shaped 3-hop star join: lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, discounted revenue per region.  The dimension
+    chain (region→nation→customer) folds driver-side while it fits
+    ``BROADCAST_DIM_LIMIT`` (tiny pandas merges, shipped once via
+    ray.put) and falls back to distributed hash joins beyond; the two
+    fact hops (orders, then lineitem) are key-partitioned
+    ``hash_join``s sized by Parquet-footer row counts.  Revenue
+    quantizes to integer cents per row BEFORE the shuffle reduce
+    (associative-exact at any parallelism)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import broadcast_join, hash_join
+
+    n_li = _row_count(sf_dir, "lineitem")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    nr = nation.merge(region, left_on="n_regionkey",
+                      right_on="r_regionkey")[["n_nationkey", "r_name"]]
+
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if _row_count(sf_dir, "customer") > BROADCAST_DIM_LIMIT:
+        dim_ds = broadcast_join(
+            cust_ds, nr.rename(columns={"n_nationkey": "c_nationkey"}),
+            on="c_nationkey",
+        ).map_batches(
+            lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                                "r_name": b.column("r_name")}),
+            batch_format="pyarrow")
+        o_dim = hash_join(orders, dim_ds, on="o_custkey",
+                          est_rows=_row_count(sf_dir, "orders"))
+    else:
+        cust = cust_ds.to_pandas()
+        dim = (cust.merge(nr, left_on="c_nationkey",
+                          right_on="n_nationkey")
+               [["c_custkey", "r_name"]]
+               .rename(columns={"c_custkey": "o_custkey"}))
+        o_dim = broadcast_join(orders, dim, on="o_custkey")
+
+    o_dim = o_dim.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": pc.cast(b.column("o_orderkey"), pa.int64(),
+                                  safe=True),
+            "r_name": b.column("r_name")}),
+        batch_format="pyarrow")
+
+    def rev(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy()
+        d = batch.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "rev_c": pa.array(np.floor(p * (1 - d) * 100 + 0.5)
+                              .astype(np.int64)),
+        })
+
+    joined = hash_join(li.map_batches(rev, batch_format="pyarrow"),
+                       o_dim, on="l_orderkey", est_rows=n_li)
+    out = (joined.groupby("r_name")
+           .aggregate(Sum("rev_c", alias_name="rev_c"),
+                      Count(alias_name="n_lines"))
+           .to_pandas().sort_values("r_name").reset_index(drop=True))
+    for c in ("rev_c", "n_lines"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["r_name", "rev_c", "n_lines"]],
+                                preserve_index=False)
