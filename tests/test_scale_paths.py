@@ -710,3 +710,43 @@ def test_knn_join_ivf_trained_centroids(ray_session):
     # pruned output keeps the per-query structure: <= k ranked rows
     assert set(pruned["query_id"]) <= set(qids)
     assert (pruned.groupby("query_id")["rank"].max() <= 3).all()
+
+
+def test_sssp_weighted_broadcast_matches_join_path(ray_session):
+    """sssp_weighted's broadcast searchsorted relax and the distributed
+    hash_join path (forced with broadcast_limit=0) must produce
+    identical (node, cost) tables; both must match a serial hop-bounded
+    Bellman-Ford."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import sssp_weighted
+
+    # diamond with a cheap long way round + a separate cycle; node 9
+    # reachable only through the cycle, node 40 unreachable
+    src = [0, 0, 1, 2, 3, 3, 4, 5, 9]
+    dst = [1, 2, 3, 3, 4, 5, 9, 9, 0]
+    w = [1, 5, 1, 1, 10, 1, 1, 1, 7]
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "w": pa.array(w, pa.int64())})
+    max_hops = 5
+
+    # serial round-synchronous Bellman-Ford (≤ max_hops edges)
+    INF = 10 ** 9
+    dist = {0: 0}
+    for _ in range(max_hops):
+        upd = {}
+        for a, b, ww in zip(src, dst, w):
+            if a in dist and dist[a] + ww < min(dist.get(b, INF),
+                                                upd.get(b, INF)):
+                upd[b] = dist[a] + ww
+        for node, c in upd.items():
+            if c < dist.get(node, INF):
+                dist[node] = c
+
+    for limit in (5_000_000, 0):
+        out = sssp_weighted(
+            rd.from_arrow(edges).repartition(3), source=0,
+            max_hops=max_hops, broadcast_limit=limit).to_pandas()
+        got = dict(zip(out["node"], out["cost"]))
+        assert got == dist, (limit, got, dist)
