@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q125_hot_keys": A.q125_hot_keys,
         "q126_join_size": A.q126_join_size,
         "q127_regional_revenue": A.q127_regional_revenue,
+        "q128_cusum": A.q128_cusum,
     }
 
 
@@ -3657,6 +3658,34 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q128_cusum": """
+            -- cusum twin: integer cross-multiplied statistic, earliest
+            -- index on ties
+            WITH v AS (
+              SELECT user_id, ts, event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+            w AS (
+              SELECT user_id,
+                     ROW_NUMBER() OVER win AS i,
+                     SUM(c) OVER win AS cum,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     SUM(c) OVER (PARTITION BY user_id) AS tot
+              FROM v
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)),
+            s AS (
+              SELECT user_id, i, ABS(cum * n - i * tot) AS stat
+              FROM w WHERE i < n)
+            SELECT user_id, CAST(i AS BIGINT) AS cut_idx,
+                   CAST(stat AS BIGINT) AS stat
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY stat DESC, i) AS rn
+              FROM s)
+            WHERE rn = 1
+            ORDER BY user_id
         """,
         "q127_regional_revenue": """
             -- regional-revenue twin: same 3-hop star, same per-row

@@ -129,6 +129,10 @@ def run_bench() -> dict:
         ("q93_hdr_quantiles", A.q93_hdr_quantiles),
         ("q100_graph_stats", A.q100_graph_stats),
         ("q108_curation_v2", A.q108_curation_v2),
+        ("q110_itemset_pairs", A.q110_itemset_pairs),
+        ("q114_corr_matrix", A.q114_corr_matrix),
+        ("q116_sssp", A.q116_sssp),
+        ("q127_regional_revenue", A.q127_regional_revenue),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 

@@ -3418,3 +3418,61 @@ def q127_regional_revenue(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["r_name", "rev_c", "n_lines"]],
                                 preserve_index=False)
+
+
+def q128_cusum(sf_dir: str) -> pa.Table:
+    """Per-user CUSUM change-point: the split index maximizing
+    ``|cum_i·n − i·total|`` over the (ts, event_id)-ordered value
+    series — drift detection for per-entity telemetry.  All integer:
+    values quantize to cents and the statistic cross-multiplies instead
+    of dividing, so both engines agree bit-for-bit; ties break to the
+    earliest index.  One hash(user) bucket shuffle co-locates
+    timelines; everything inside is vectorized prefix math."""
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def cusum(g: pd.DataFrame):
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], uid[1:] != uid[:-1])))
+        ends = np.append(starts[1:], len(uid))
+        rows_u, rows_i, rows_s = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            seg = c[s:e]
+            cum = np.cumsum(seg)[:-1]           # splits after i=1..n-1
+            i = np.arange(1, n, dtype=np.int64)
+            stat = np.abs(cum * n - i * int(seg.sum()))
+            j = int(np.argmax(stat))            # first max = earliest i
+            rows_u.append(int(uid[s]))
+            rows_i.append(int(i[j]))
+            rows_s.append(int(stat[j]))
+        return pd_to_arrow(pd.DataFrame({
+            "user_id": pd.Series(rows_u, dtype="int64"),
+            "cut_idx": pd.Series(rows_i, dtype="int64"),
+            "stat": pd.Series(rows_s, dtype="int64"),
+        }))
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(cusum, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out[["user_id", "cut_idx", "stat"]],
+                                preserve_index=False)
