@@ -193,6 +193,38 @@ def cmd_dedup_ingest(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Table audit: per-column stats (``profiling.profile_table``) and,
+    with ``--hot-keys``, the top-k heaviest keys per named column
+    (``profiling.hot_keys``) — the pre-flight run before picking
+    partition/shuffle keys on a new corpus.  Prints one JSON line per
+    profiled column, then one per hot key."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .functions.profiling import hot_keys, infer_spec, profile_table
+
+    shards = sorted(glob.glob(args.table))
+    if not shards:
+        print(f"no shards match --table {args.table}", file=sys.stderr)
+        return 2
+    ds = rd.read_parquet(shards)
+    spec = infer_spec(ds.schema().base_schema)
+    if not spec:
+        print("no scalar columns to profile", file=sys.stderr)
+        return 2
+    prof = profile_table(ds, spec).to_pylist()
+    for row in prof:
+        print(json.dumps({"kind": "column", **row}))
+    if args.hot_keys:
+        total = prof[0]["n_rows"] if prof else 0
+        cols = [c.strip() for c in args.hot_keys.split(",") if c.strip()]
+        for row in hot_keys(ds, cols, total_rows=max(total, 1),
+                            k=args.k).to_pylist():
+            print(json.dumps({"kind": "hot_key", **row}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="stanford_re_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +278,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="fingerprint on the first N chars (default: "
                         "whole text)")
     d.set_defaults(fn=cmd_dedup_ingest)
+
+    pr = sub.add_parser(
+        "profile",
+        help="per-column stats + optional hot-key audit of a Parquet "
+             "table (JSON lines)")
+    pr.add_argument("--table", required=True,
+                    help="parquet path or glob to profile")
+    pr.add_argument("--hot-keys", default=None,
+                    help="comma-separated columns for the top-k "
+                         "hot-key audit")
+    pr.add_argument("-k", type=int, default=10,
+                    help="hot keys per column (default 10)")
+    pr.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -2742,100 +2742,21 @@ def q111_skyline(sf_dir: str) -> pa.Table:
 
 
 def q112_profile(sf_dir: str) -> pa.Table:
-    """Distributed table profiler over events — per-column row count,
-    null count, EXACT distinct count, numeric min/max (timestamps as
-    epoch-µs) and lexicographic string min/max.  Two passes: (1) a
-    streaming map_batches that emits one tiny partial row per (block,
-    column) — only O(blocks × columns) rows ever reach the driver; (2)
-    one combiner'd (column, value) groupby for the exact distinct
-    counts, canonicalizing values through Arrow's injective
-    value→string cast so every column shares a single shuffle.  At
-    100 TB swap pass 2 for the HLL sketch (q49/q87) — exact distinct is
-    the small-table / audit mode."""
-    from ray.data.aggregate import Count
+    """Distributed table profiler over events (delegates to
+    ``functions.profiling.profile_table``) — per-column row count, null
+    count, EXACT distinct count, numeric min/max (timestamps as
+    epoch-µs) and lexicographic string min/max.  Two passes: streaming
+    per-(block, column) partials to the driver, plus ONE shared
+    (column, value) groupby for every exact distinct count
+    (Arrow's injective value→string cast unifies the columns).  At
+    100 TB swap pass 2 for the HLL sketch (q49/q87)."""
+    from ..functions.profiling import profile_table
 
     spec = [("event_id", "num"), ("user_id", "num"), ("ts", "ts"),
             ("event_type", "str"), ("value", "num"), ("props", "str")]
     ds = _read(sf_dir, "events",
                [c for c, _ in spec]).materialize()
-
-    def partial(batch: pa.Table) -> pa.Table:
-        rows = {"col_name": [], "n": [], "n_null": [], "min_num": [],
-                "max_num": [], "min_str": [], "max_str": []}
-        for c, kind in spec:
-            arr = batch.column(c)
-            rows["col_name"].append(c)
-            rows["n"].append(batch.num_rows)
-            rows["n_null"].append(arr.null_count)
-            if kind == "ts":
-                arr = pc.cast(arr, pa.int64())
-            if kind in ("num", "ts"):
-                mm = pc.min_max(arr)
-                rows["min_num"].append(
-                    None if mm["min"].as_py() is None
-                    else float(mm["min"].as_py()))
-                rows["max_num"].append(
-                    None if mm["max"].as_py() is None
-                    else float(mm["max"].as_py()))
-                rows["min_str"].append(None)
-                rows["max_str"].append(None)
-            else:
-                mm = pc.min_max(arr)
-                rows["min_num"].append(None)
-                rows["max_num"].append(None)
-                rows["min_str"].append(mm["min"].as_py())
-                rows["max_str"].append(mm["max"].as_py())
-        return pa.table({
-            "col_name": pa.array(rows["col_name"], pa.string()),
-            "n": pa.array(rows["n"], pa.int64()),
-            "n_null": pa.array(rows["n_null"], pa.int64()),
-            "min_num": pa.array(rows["min_num"], pa.float64()),
-            "max_num": pa.array(rows["max_num"], pa.float64()),
-            "min_str": pa.array(rows["min_str"], pa.string()),
-            "max_str": pa.array(rows["max_str"], pa.string()),
-        })
-
-    parts = (ds.map_batches(partial, batch_format="pyarrow")
-             .to_pandas())
-    agg = parts.groupby("col_name").agg(
-        n_rows=("n", "sum"), n_null=("n_null", "sum"),
-        min_num=("min_num", "min"), max_num=("max_num", "max"),
-        min_str=("min_str", "min"), max_str=("max_str", "max"),
-    ).reset_index()
-
-    def emit_vals(batch: pa.Table) -> pa.Table:
-        names, vals = [], []
-        for c, kind in spec:
-            arr = batch.column(c)
-            if kind == "ts":
-                arr = pc.cast(arr, pa.int64())
-            s = pc.cast(arr, pa.string())
-            s = s.drop_null() if s.null_count else s
-            names.append(pa.array([c] * len(s), pa.string()))
-            vals.append(s.combine_chunks()
-                        if isinstance(s, pa.ChunkedArray) else s)
-        return pa.table({
-            "col_name": pa.concat_arrays(names),
-            "sval": pa.concat_arrays(vals),
-        })
-
-    nd = (ds.map_batches(emit_vals, batch_format="pyarrow")
-          .groupby(["col_name", "sval"]).aggregate(Count())
-          .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
-          .to_pandas())
-
-    out = agg.merge(nd, on="col_name").sort_values("col_name")
-    return pa.Table.from_pandas(pd.DataFrame({
-        "col_name": out["col_name"],
-        "n_rows": out["n_rows"].astype("int64"),
-        "n_null": out["n_null"].astype("int64"),
-        "n_distinct": out["n_distinct"].astype("int64"),
-        "min_num": np.round(out["min_num"].astype("float64"), 6),
-        "max_num": np.round(out["max_num"].astype("float64"), 6),
-        "min_str": out["min_str"],
-        "max_str": out["max_str"],
-    }), preserve_index=False)
-
+    return profile_table(ds, spec)
 
 def q113_mode_per_user(sf_dir: str) -> pa.Table:
     """Per-group mode (most frequent event_type per user, ties broken
@@ -3268,47 +3189,17 @@ def q124_fk_audit(sf_dir: str) -> pa.Table:
 
 
 def q125_hot_keys(sf_dir: str, k: int = 10) -> pa.Table:
-    """Hot-key skew detector: the top-k heaviest keys per candidate
-    partition column with their row share in exact ppm — the audit run
-    BEFORE choosing a shuffle key (this repo's hash_join salting wants
-    exactly this table; cf. ``relational.detect_hot_keys``'s sampled
-    in-flight variant).  All columns share one emit pass and one
-    combiner'd count groupby (keys canonicalized to strings), then
-    ``grouped_topk`` per column."""
-    from ray.data.aggregate import Count
-
-    from ..functions.relational import grouped_topk
+    """Hot-key skew detector (delegates to
+    ``functions.profiling.hot_keys``): the top-k heaviest keys per
+    candidate partition column with exact ppm row shares — the audit
+    run BEFORE choosing a shuffle key (this repo's hash_join salting
+    wants exactly this table; cf. ``relational.detect_hot_keys`` for
+    the sampled in-flight variant)."""
+    from ..functions.profiling import hot_keys
 
     n_events = _row_count(sf_dir, "events")
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-
-    def emit(batch: pa.Table) -> pa.Table:
-        u = pc.cast(batch.column("user_id"), pa.string()).combine_chunks()
-        e = batch.column("event_type").combine_chunks()
-        return pa.table({
-            "col_name": pa.concat_arrays([
-                pa.array(["user_id"] * batch.num_rows, pa.string()),
-                pa.array(["event_type"] * batch.num_rows, pa.string()),
-            ]),
-            "key_str": pa.concat_arrays([u, e]),
-        })
-
-    counts = (ds.map_batches(emit, batch_format="pyarrow")
-              .groupby(["col_name", "key_str"])
-              .aggregate(Count(alias_name="cnt")))
-    out = (grouped_topk(counts, key="col_name", order_by="cnt", k=k,
-                        descending=True, tiebreak=["key_str"])
-           .to_pandas().sort_values(["col_name", "rank"])
-           .reset_index(drop=True))
-    cnt = out["cnt"].to_numpy(np.int64)
-    return pa.Table.from_pandas(pd.DataFrame({
-        "col_name": out["col_name"],
-        "rnk": out["rank"].astype("int64"),
-        "key_str": out["key_str"],
-        "cnt": cnt,
-        "share_ppm": cnt * 1_000_000 // n_events,
-    }), preserve_index=False)
-
+    return hot_keys(ds, ["user_id", "event_type"], n_events, k=k)
 
 def q126_join_size(sf_dir: str) -> pa.Table:
     """Join-size computation WITHOUT materializing the join: per-key

@@ -214,3 +214,44 @@ def test_cli_dedup_ingest(ray_session, tmp_path, capsys):
     t = pq.read_table(files)
     assert sorted(t.column("doc_id").to_pylist()) == list(range(110, 125))
     assert {"doc_id", "text", "lang"} <= set(t.column_names)
+
+
+def test_cli_profile(ray_session, tmp_path, capsys):
+    """`profile` prints one JSON line per scalar column (exact distinct,
+    null counts, min/max) plus hot-key lines for the named columns."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stanford_re_ray.cli import main
+
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "grp": pa.array(["a", "a", "a", "b", "c", None], pa.string()),
+        "score": pa.array([0.5, 0.5, 1.5, None, 2.5, 2.5], pa.float64()),
+        "payload": pa.array([[1], [2], [3], [4], [5], [6]],
+                            pa.list_(pa.int64())),   # skipped: nested
+    })
+    pq.write_table(tbl, str(tmp_path / "t.parquet"))
+    rc = main(["profile", "--table", str(tmp_path / "t.parquet"),
+               "--hot-keys", "grp", "-k", "2"])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    cols = {r["col_name"]: r for r in lines if r["kind"] == "column"}
+    assert set(cols) == {"id", "grp", "score"}      # payload skipped
+    assert cols["id"]["n_rows"] == 6
+    assert cols["id"]["n_distinct"] == 6
+    assert cols["grp"]["n_null"] == 1
+    assert cols["grp"]["n_distinct"] == 3
+    assert cols["grp"]["min_str"] == "a"
+    assert cols["grp"]["max_str"] == "c"
+    assert cols["score"]["n_null"] == 1
+    assert cols["score"]["n_distinct"] == 3
+    assert cols["score"]["min_num"] == 0.5
+    assert cols["score"]["max_num"] == 2.5
+    hot = [r for r in lines if r["kind"] == "hot_key"]
+    assert [(r["col_name"], r["rnk"], r["key_str"], r["cnt"])
+            for r in hot] == [("grp", 1, "a", 3), ("grp", 2, "b", 1)]
+    assert hot[0]["share_ppm"] == 3 * 1_000_000 // 6
