@@ -2657,9 +2657,14 @@ def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
     from ..functions.relational import hash_join
 
     n_li = _row_count(sf_dir, "lineitem")
+    # the DISTINCT groupby emits hundreds of tiny blocks; the self-join
+    # shuffle pays by BLOCK COUNT, so re-bound the block count first
+    # (CLAUDE.md tiny-block gotcha — measured 15 s → 2 s at sf0.01)
+    nb = max(4, n_li // 250_000 + 1)
     op = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
           .groupby(["l_orderkey", "l_partkey"])
-          .aggregate(Count()))
+          .aggregate(Count())
+          .repartition(nb).materialize())
 
     def side(name):
         def rename(batch: pa.Table) -> pa.Table:
@@ -2677,13 +2682,26 @@ def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
         keep = pc.less(batch.column("part_a"), batch.column("part_b"))
         return batch.filter(keep).select(["part_a", "part_b"])
 
-    out = (joined.map_batches(upper, batch_format="pyarrow")
-           .groupby(["part_a", "part_b"])
-           .aggregate(Count(alias_name="n_orders"))
-           .sort(["n_orders", "part_a", "part_b"],
-                 descending=[True, False, False])
-           .limit(top_n)
-           .to_pandas())
+    pairs = (joined.map_batches(upper, batch_format="pyarrow")
+             .groupby(["part_a", "part_b"])
+             .aggregate(Count(alias_name="n_orders")))
+
+    # global top-N without an all-to-all sort: the pair-count groupby is
+    # already keyed, so each block's own top-N (by the same total order
+    # the final ranking uses) is a superset of its global-top-N members;
+    # only N × blocks rows reach the driver
+    def partial_top(batch: pa.Table, _n=top_n) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["n_orders", "part_a", "part_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (pairs.map_batches(partial_top, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n_orders", "part_a", "part_b"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(top_n).reset_index(drop=True))
     for c in ("part_a", "part_b", "n_orders"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["part_a", "part_b", "n_orders"]],
@@ -3214,16 +3232,21 @@ def q126_join_size(sf_dir: str) -> pa.Table:
     from ..functions.relational import hash_join
 
     n_li = _row_count(sf_dir, "lineitem")
+    # count tables are groupby outputs (many tiny blocks) feeding a
+    # join — re-bound block counts first (CLAUDE.md tiny-block gotcha)
+    nb = max(4, n_li // 250_000 + 1)
     a = (_read(sf_dir, "lineitem", ["l_orderkey"])
          .groupby("l_orderkey").aggregate(Count(alias_name="n_a"))
          .map_batches(lambda b: pa.table({
              "k": b.column("l_orderkey"), "n_a": b.column("n_a")}),
-             batch_format="pyarrow"))
+             batch_format="pyarrow")
+         .repartition(nb).materialize())
     b = (_read(sf_dir, "orders", ["o_orderkey"])
          .groupby("o_orderkey").aggregate(Count(alias_name="n_b"))
          .map_batches(lambda t: pa.table({
              "k": t.column("o_orderkey"), "n_b": t.column("n_b")}),
-             batch_format="pyarrow"))
+             batch_format="pyarrow")
+         .repartition(nb).materialize())
     j = hash_join(a, b, on="k", est_rows=n_li).map_batches(
         lambda t: pa.table({
             "nn": pc.multiply(
