@@ -717,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q126_join_size": A.q126_join_size,
         "q127_regional_revenue": A.q127_regional_revenue,
         "q128_cusum": A.q128_cusum,
+        "q129_containment_pairs": A.q129_containment_pairs,
     }
 
 
@@ -3658,6 +3659,45 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q129_containment_pairs": """
+            -- containment twin: distinct 3-shingles, same max_df=20
+            -- blocking cap, integer cross-multiplied |A∩B|/|A| >= 0.5
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            postoks AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS w
+              FROM lx),
+            tri AS (
+              SELECT DISTINCT doc_id,
+                     w || ' ' || lead(w, 1) OVER win
+                       || ' ' || lead(w, 2) OVER win AS sh
+              FROM postoks
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+            dsh AS (SELECT doc_id, sh FROM tri WHERE sh IS NOT NULL),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh
+                      GROUP BY doc_id),
+            capped AS (
+              SELECT doc_id, sh FROM dsh
+              WHERE sh IN (SELECT sh FROM dsh GROUP BY sh
+                           HAVING COUNT(*) <= 20)),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_common
+              FROM capped a JOIN capped b
+                ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT c.doc_a, c.doc_b,
+                   CAST(c.n_common AS BIGINT) AS n_common,
+                   CAST(c.n_common * 1000000 // s.sz AS BIGINT)
+                     AS cont_ppm
+            FROM common c JOIN sizes s ON s.doc_id = c.doc_a
+            WHERE c.n_common * 1000000 >= 500000 * s.sz
+            ORDER BY c.doc_a, c.doc_b
         """,
         "q128_cusum": """
             -- cusum twin: integer cross-multiplied statistic, earliest

@@ -3390,3 +3390,99 @@ def q128_cusum(sf_dir: str) -> pa.Table:
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     return pa.Table.from_pandas(out[["user_id", "cut_idx", "stat"]],
                                 preserve_index=False)
+
+
+def q129_containment_pairs(sf_dir: str, threshold_ppm: int = 500_000,
+                           max_df: int = 20) -> pa.Table:
+    """ASYMMETRIC set-containment join over 3-word shingles:
+    ``|A ∩ B| / |A| ≥ 0.5`` — finds documents substantially CONTAINED
+    in another (quotes, excerpts, supersets), which symmetric Jaccard
+    (q15/q94) misses by construction.  Inverted-index shape: DISTINCT
+    (doc, shingle) rows self-join per shingle (one bucketed
+    ``hash_join``), with shingles above ``max_df`` dropped first — the
+    standard blocking cap that bounds per-shingle fan-out at df²; the
+    oracle applies the SAME cap, so the comparison is exact.
+    Containment tests integer-cross-multiplied (common·1e6 ≥ t·|A|).
+    At 100 TB the shingle string in the shuffle key becomes a 128-bit
+    digest (the q56 note)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    nb = max(4, n_docs // 250_000 + 1)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        import re as _re
+
+        tok_re = _re.compile(r"[0-9A-Za-z_]+")
+        for did, txt in zip(ids, texts):
+            ws = tok_re.findall(txt.lower())
+            if len(ws) < 3:
+                continue
+            shs = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+            ids_out.extend([int(did)] * len(shs))
+            sh_out.extend(sorted(shs))
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "sh": pa.array(sh_out, pa.string())})
+
+    dsh = (docs.map_batches(shingles, batch_format="pyarrow")
+           .repartition(nb).materialize())
+
+    sizes = dsh.groupby("doc_id").aggregate(Count(alias_name="sz")) \
+        .repartition(nb).materialize()
+
+    keep_sh = (dsh.groupby("sh").aggregate(Count(alias_name="df"))
+               .map_batches(lambda b, _m=max_df: b.filter(
+                   pc.less_equal(b.column("df"), _m)).select(["sh"]),
+                   batch_format="pyarrow")
+               .repartition(nb).materialize())
+    capped = hash_join(dsh, keep_sh, on="sh", how="semi",
+                       est_rows=n_docs * 50).repartition(nb).materialize()
+
+    left = capped.map_batches(lambda t: pa.table({
+        "sh": t.column("sh"), "doc_a": t.column("doc_id")}),
+        batch_format="pyarrow")
+    right = capped.map_batches(lambda t: pa.table({
+        "sh": t.column("sh"), "doc_b": t.column("doc_id")}),
+        batch_format="pyarrow")
+    common = (hash_join(left, right, on="sh", est_rows=n_docs * 50)
+              .map_batches(lambda t: t.filter(pc.not_equal(
+                  t.column("doc_a"), t.column("doc_b")))
+                  .select(["doc_a", "doc_b"]), batch_format="pyarrow")
+              .groupby(["doc_a", "doc_b"])
+              .aggregate(Count(alias_name="n_common"))
+              .repartition(nb).materialize())
+
+    sz_a = sizes.map_batches(lambda t: pa.table({
+        "doc_a": t.column("doc_id"), "sz_a": t.column("sz")}),
+        batch_format="pyarrow")
+    out = (hash_join(common, sz_a, on="doc_a", est_rows=n_docs * 12)
+           .map_batches(lambda t, _t=threshold_ppm: pa.table({
+               "doc_a": pc.cast(t.column("doc_a"), pa.int64(),
+                                safe=True),
+               "doc_b": pc.cast(t.column("doc_b"), pa.int64(),
+                                safe=True),
+               "n_common": pc.cast(t.column("n_common"), pa.int64(),
+                                   safe=True),
+               "cont_ppm": pa.array(
+                   t.column("n_common").to_numpy(zero_copy_only=False)
+                   .astype(np.int64) * 1_000_000
+                   // t.column("sz_a").to_numpy(zero_copy_only=False)
+                   .astype(np.int64), pa.int64()),
+           }).filter(pa.array(
+               t.column("n_common").to_numpy(zero_copy_only=False)
+               .astype(np.int64) * 1_000_000
+               >= _t * t.column("sz_a").to_numpy(zero_copy_only=False)
+               .astype(np.int64))), batch_format="pyarrow")
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_a", "doc_b", "n_common", "cont_ppm"]],
+        preserve_index=False)

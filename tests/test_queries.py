@@ -127,7 +127,7 @@ SQL_CHECKED = [
     "q116_sssp", "q117_two_hop_reach", "q118_latest_snapshot",
     "q119_sliding_distinct", "q122_user_paths", "q123_histogram",
     "q124_fk_audit", "q125_hot_keys", "q126_join_size",
-    "q127_regional_revenue", "q128_cusum",
+    "q127_regional_revenue", "q128_cusum", "q129_containment_pairs",
 ]
 
 
