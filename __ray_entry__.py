@@ -718,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q127_regional_revenue": A.q127_regional_revenue,
         "q128_cusum": A.q128_cusum,
         "q129_containment_pairs": A.q129_containment_pairs,
+        "q130_snapshot_diff": A.q130_snapshot_diff,
     }
 
 
@@ -3659,6 +3660,31 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q130_snapshot_diff": """
+            -- snapshot-diff twin: same derived old snapshot, FULL
+            -- OUTER JOIN, CASE classification over integer cents
+            WITH new AS (
+              SELECT event_id AS k,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+              FROM events),
+            old AS (
+              SELECT event_id AS k,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END
+                       AS v
+              FROM events WHERE event_id % 5 <> 0
+              UNION ALL
+              SELECT -event_id - 1,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              FROM events WHERE event_id % 11 = 0)
+            SELECT CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        WHEN n.v <> o.v THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM new n FULL OUTER JOIN old o ON n.k = o.k
+            GROUP BY 1 ORDER BY 1
         """,
         "q129_containment_pairs": """
             -- containment twin: distinct 3-shingles, same max_df=20

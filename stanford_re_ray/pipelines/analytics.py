@@ -3486,3 +3486,68 @@ def q129_containment_pairs(sf_dir: str, threshold_ppm: int = 500_000,
     return pa.Table.from_pandas(
         out[["doc_a", "doc_b", "n_common", "cont_ppm"]],
         preserve_index=False)
+
+
+def q130_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Keyed snapshot diff (change-data-capture counts): FULL OUTER
+    ``hash_join`` of the current events table against a deterministic
+    prior snapshot (every 5th row absent → ADDED, values bumped on
+    multiples of 7 → CHANGED, a shifted clone of multiples of 11
+    present only in the old snapshot → REMOVED), classified vectorized
+    into added/removed/changed/unchanged counts.  Values compare as
+    integer cents; the outer join's null sides are the classification
+    signal, so the whole diff is one shuffle + one tiny groupby."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+
+    n_events = _row_count(sf_dir, "events")
+    ds = _read(sf_dir, "events", ["event_id", "value"]).materialize()
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table({
+            "k": pc.cast(batch.column("event_id"), pa.int64()),
+            "v_new": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    def old_side(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        keep = eid % 5 != 0
+        k1 = eid[keep]
+        c1 = c[keep] + (k1 % 7 == 0)          # bumped → CHANGED in new
+        rem = eid % 11 == 0
+        k2 = -eid[rem] - 1                    # only-in-old → REMOVED
+        c2 = c[rem]
+        return pa.table({
+            "k": pa.array(np.concatenate([k1, k2]), pa.int64()),
+            "v_old": pa.array(np.concatenate([c1, c2]), pa.int64()),
+        })
+
+    new = ds.map_batches(new_side, batch_format="pyarrow")
+    old = ds.map_batches(old_side, batch_format="pyarrow")
+    j = hash_join(new, old, on="k", how="outer", est_rows=n_events,
+                  left_schema=pa.schema([("k", pa.int64()),
+                                         ("v_new", pa.int64())]),
+                  right_schema=pa.schema([("k", pa.int64()),
+                                          ("v_old", pa.int64())]))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        vn = batch.column("v_new").to_numpy(zero_copy_only=False)
+        vo = batch.column("v_old").to_numpy(zero_copy_only=False)
+        n_null = pd.isna(vn)
+        o_null = pd.isna(vo)
+        status = np.where(o_null, "added",
+                          np.where(n_null, "removed",
+                                   np.where(vn != vo, "changed",
+                                            "unchanged")))
+        return pa.table({"status": pa.array(status, pa.string())})
+
+    out = (j.map_batches(classify, batch_format="pyarrow")
+           .groupby("status").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values("status").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["status", "n"]],
+                                preserve_index=False)
