@@ -1390,3 +1390,81 @@ def gif_keyframes(payload: bytes, threshold: float = 8.0
         if diff > threshold:
             keep.append((i, int(starts[i])))
     return keep
+
+
+def image_resize(img: np.ndarray, th: int, tw: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Pure-numpy image resize: ``nearest`` (index sampling) or
+    ``bilinear`` (half-pixel-center sampling, the standard
+    align_corners=False convention), rounding half-up to uint8 — fully
+    vectorized, deterministic across processes.  The resize step of a
+    production thumbnail/feature pipeline; heavyweight codecs stay at
+    the decode boundary (``decode_image``)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    if th <= 0 or tw <= 0:
+        raise ValueError(f"bad target {(th, tw)}")
+    if method == "nearest":
+        ys = (np.arange(th) * h // th).clip(0, h - 1)
+        xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+        out = img[ys][:, xs]
+        return out if out.shape[2] > 1 else out[:, :, 0]
+    if method != "bilinear":
+        raise ValueError(f"unknown method {method!r}")
+    fy = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = img.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.floor(out + 0.5).clip(0, 255).astype(np.uint8)
+    return out if out.shape[2] > 1 else out[:, :, 0]
+
+
+class ImageResizer:
+    """Actor-pool stage: decode → ``image_resize`` → re-encode PNG —
+    the thumbnail-generation step of a media ingest pipeline.  Payloads
+    the decoder cannot handle pass through with ``decoded=false`` and a
+    null payload rather than poisoning the batch (the multimodal
+    error-row convention)."""
+
+    def __init__(self, target: tuple[int, int] = (32, 32),
+                 method: str = "bilinear"):
+        self.target = target
+        self.method = method
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, tw = self.target
+        ids, payloads, ws, hs, ok = [], [], [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            ids.append(mid)
+            try:
+                img = decode_image(payload)
+                small = image_resize(img, th, tw, method=self.method)
+                payloads.append(encode_png(
+                    small if small.ndim == 3 else small[:, :, None]))
+                hs.append(th)
+                ws.append(tw)
+                ok.append(True)
+            except (NotImplementedError, ValueError):
+                payloads.append(None)
+                hs.append(0)
+                ws.append(0)
+                ok.append(False)
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "decoded": pa.array(ok, pa.bool_()),
+        })

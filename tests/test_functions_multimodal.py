@@ -652,3 +652,63 @@ def test_multimodal_dataset_pipeline_end_to_end(ray_session):
     assert td.loc["snd1", "duration_ms"] == 1000
     assert (sp.loc["snd2", "spectral_centroid_hz"]
             > sp.loc["snd1", "spectral_centroid_hz"] + 500)
+
+
+def test_image_resize_kernels():
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import image_resize
+
+    # nearest: 2x2 checker upsampled 2x replicates blocks
+    img = np.array([[[0], [255]], [[255], [0]]], np.uint8)
+    up = image_resize(img, 4, 4, method="nearest")
+    assert up.shape == (4, 4)
+    assert up[0, 0] == 0 and up[0, 3] == 255
+    assert (up[:2, :2] == 0).all() and (up[2:, 2:] == 0).all()
+
+    # bilinear on a horizontal ramp: half-pixel centers land between
+    # the two source columns at 25%/75% → 64 and 191 (half-up)
+    ramp = np.array([[[0], [255]]], np.uint8)          # 1x2
+    out = image_resize(ramp, 1, 4, method="bilinear")
+    assert out.tolist() == [[0, 64, 191, 255]]
+
+    # identity resize is exact for both kernels
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    for m in ("nearest", "bilinear"):
+        np.testing.assert_array_equal(image_resize(rgb, 2, 3, method=m),
+                                      rgb)
+
+
+def test_image_resizer_stage(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import (ImageResizer,
+                                                      decode_image,
+                                                      encode_fake_image)
+
+    rows = [("a", encode_fake_image(24, 16, seed=1)),
+            ("b", encode_fake_image(9, 9, seed=2)),
+            ("junk", b"\x00\x01not an image")]
+    tbl = pa.table({"media_id": pa.array([r[0] for r in rows]),
+                    "payload": pa.array([r[1] for r in rows],
+                                        pa.binary())})
+    outs = []
+    for blocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        out = (ds.map_batches(ImageResizer,
+                              fn_constructor_kwargs={"target": (8, 8)},
+                              batch_format="pyarrow",
+                              batch_size=2, concurrency=(1, 2))
+               .to_pandas().sort_values("media_id")
+               .reset_index(drop=True))
+        outs.append(out)
+        byid = out.set_index("media_id")
+        assert bool(byid.loc["a", "decoded"])
+        assert not bool(byid.loc["junk", "decoded"])
+        thumb = decode_image(byid.loc["a", "payload"])
+        assert thumb.shape[:2] == (8, 8)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
