@@ -538,6 +538,24 @@ def _pq_topk(sf_dir: str):
     return out
 
 
+def _mmr_select(sf_dir: str):
+    """Diverse top-k via Maximal Marginal Relevance
+    (``similarity.mmr_select``): greedy λ·relevance −
+    (1−λ)·max-sim-to-selected over integer-quantized cosines.
+    Iterative greedy selection is not SQL-expressible → rows-only;
+    pytest pins the distributed rounds against a serial reference and
+    across block counts."""
+    import numpy as np
+    import ray.data as rd
+
+    from stanford_re_ray.functions.similarity import mmr_select
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+    return mmr_select(emb, q, k=8).to_pandas()
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -719,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_cusum": A.q128_cusum,
         "q129_containment_pairs": A.q129_containment_pairs,
         "q130_snapshot_diff": A.q130_snapshot_diff,
+        "q131_mmr_select": _mmr_select,
     }
 
 

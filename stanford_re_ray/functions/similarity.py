@@ -373,3 +373,118 @@ def knn_join_ivf(embeddings: ray.data.Dataset, query_ids: list[int],
     return grouped_topk(partials, key="query_id", order_by="cosine",
                         k=k, descending=True, tiebreak=[id_col],
                         est_rows=est_rows)
+
+
+def mmr_select(
+    embeddings: ray.data.Dataset,
+    query_vec: np.ndarray,
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Maximal-Marginal-Relevance top-k: greedily pick the item
+    maximizing ``λ·rel − (1−λ)·max_sim_to_selected`` — the diverse-
+    selection step after retrieval (dedup-aware sampling for curation /
+    eval-set building).  λ = lam_num/lam_den stays rational and both
+    relevance and pairwise cosines quantize to 1e-6 ints BEFORE any
+    comparison, so the greedy argmax (ties → lowest id) is
+    bit-deterministic at any parallelism.
+
+    Distributed shape: relevance is one streaming pass; each of the k
+    rounds broadcasts ONLY the newly selected vector, updates each
+    candidate's running max-similarity in place (map_batches), and
+    reduces a per-batch partial argmax — the driver sees k rows per
+    block per round, never the table.  k passes over the candidate pool
+    is the documented cost: run it on the retrieval output (thousands),
+    not the corpus."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+    mu = lam_den - lam_num
+
+    def prep(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        qv = fetch(q_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            rel = np.zeros(0)
+        else:
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            rel = (vecs @ qv) / norms
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "rel_q": pa.array(np.floor(rel * 1e6 + 0.5).astype(np.int64)),
+            "max_sim_q": pa.array(np.zeros(len(rel), np.int64)),
+        })
+
+    cand = embeddings.map_batches(prep, batch_format="pyarrow") \
+        .repartition(4).materialize()
+
+    out_rows = []
+    for rank in range(k):
+        def partial_best(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 vec_col: batch.column(vec_col),
+                                 "rel_q": pa.array([], pa.int64()),
+                                 "mmr_q": pa.array([], pa.int64())})
+            rel = batch.column("rel_q").to_numpy()
+            ms = batch.column("max_sim_q").to_numpy()
+            ids = batch.column(id_col).to_numpy()
+            mmr = lam_num * rel - mu * ms
+            j = np.lexsort((ids, -mmr))[0]
+            return pa.table({
+                id_col: pa.array([ids[j]], pa.int64()),
+                vec_col: batch.column(vec_col).slice(int(j), 1),
+                "rel_q": pa.array([rel[j]], pa.int64()),
+                "mmr_q": pa.array([mmr[j]], pa.int64()),
+            })
+
+        parts = (cand.map_batches(partial_best, batch_format="pyarrow")
+                 .to_pandas())
+        if parts.empty:
+            break
+        parts = parts.sort_values(["mmr_q", id_col],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        best = parts.iloc[0]
+        out_rows.append((rank, int(best[id_col]), int(best["rel_q"]),
+                         int(best["mmr_q"])))
+        bvec = np.asarray(best[vec_col], dtype=np.float64)
+        bn = bvec / (np.linalg.norm(bvec) or 1.0)
+        b_ref = ray.put((int(best[id_col]), bn))
+
+        def update(batch: pa.Table, _ref=b_ref) -> pa.Table:
+            from ..state.broadcast import fetch
+
+            bid, bv = fetch(_ref)
+            ids = batch.column(id_col).to_numpy()
+            keep = ids != bid
+            batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                return batch
+            vecs = _to_matrix(batch.column(vec_col))
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            sim_q = np.floor((vecs @ bv) / norms * 1e6 + 0.5) \
+                .astype(np.int64)
+            ms = np.maximum(batch.column("max_sim_q").to_numpy(), sim_q)
+            return batch.set_column(
+                batch.schema.get_field_index("max_sim_q"),
+                "max_sim_q", pa.array(ms, pa.int64()))
+
+        cand = cand.map_batches(update, batch_format="pyarrow") \
+            .materialize()
+
+    return pa.table({
+        "rank": pa.array([r for r, *_ in out_rows], pa.int64()),
+        id_col: pa.array([i for _, i, *_ in out_rows], pa.int64()),
+        "rel_q": pa.array([x for _, _, x, _ in out_rows], pa.int64()),
+        "mmr_q": pa.array([m for *_, m in out_rows], pa.int64()),
+    })

@@ -350,3 +350,45 @@ def test_pq_topk_matches_serial_adc(ray_session):
             assert got["vec_id"].tolist() == list(order)
             assert got["dist_q"].tolist() == list(dq[order])
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_mmr_select_matches_serial(ray_session):
+    import numpy as np
+
+    from stanford_re_ray.functions.similarity import mmr_select
+
+    vals = [[float((i * 5 + j * 3) % 17 - 8) for j in range(8)]
+            for i in range(40)]
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(vals, pa.list_(pa.float64()))})
+    q = np.array(vals[0])
+    outs = []
+    for blocks in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        outs.append(mmr_select(ds, q, k=6).to_pandas())
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    # serial greedy with identical integer quantization + tie rules
+    X = np.array(vals)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    qn = q / (np.linalg.norm(q) or 1.0)
+    rel_q = np.floor((X @ qn) / norms * 1e6 + 0.5).astype(np.int64)
+    max_sim = np.zeros(40, np.int64)
+    alive = np.ones(40, bool)
+    want = []
+    for rank in range(6):
+        mmr = 7 * rel_q - 3 * max_sim
+        # sentinel must survive negation inside lexsort (−int64.min
+        # wraps back to int64.min and would sort FIRST)
+        mmr_alive = np.where(alive, mmr, np.iinfo(np.int64).min // 2)
+        order = np.lexsort((np.arange(40), -mmr_alive))
+        j = order[0]
+        want.append((rank, j, int(rel_q[j]), int(mmr[j])))
+        alive[j] = False
+        bv = X[j] / (np.linalg.norm(X[j]) or 1.0)
+        sim_q = np.floor((X @ bv) / norms * 1e6 + 0.5).astype(np.int64)
+        max_sim = np.maximum(max_sim, sim_q)
+    got = [tuple(int(v) for v in row)
+           for row in outs[0].itertuples(index=False)]
+    assert got == want
