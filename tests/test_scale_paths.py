@@ -750,3 +750,25 @@ def test_sssp_weighted_broadcast_matches_join_path(ray_session):
             max_hops=max_hops, broadcast_limit=limit).to_pandas()
         got = dict(zip(out["node"], out["cost"]))
         assert got == dist, (limit, got, dist)
+
+
+def test_q127_hashjoin_path_matches_broadcast(ray_session):
+    """q127's dimension chain folds driver-side under
+    BROADCAST_DIM_LIMIT and becomes broadcast_join + hash_join beyond;
+    both paths must produce identical regional revenue."""
+    from stanford_re_ray.pipelines import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(t):
+        df = t.to_pandas()
+        return df.sort_values("r_name").reset_index(drop=True)
+
+    bcast = norm(A.q127_regional_revenue(sf))
+    old = A.BROADCAST_DIM_LIMIT
+    try:
+        A.BROADCAST_DIM_LIMIT = 0
+        dist = norm(A.q127_regional_revenue(sf))
+    finally:
+        A.BROADCAST_DIM_LIMIT = old
+    assert bcast.equals(dist)
