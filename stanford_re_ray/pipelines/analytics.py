@@ -2644,60 +2644,73 @@ def q108_curation_v2(sf_dir: str,
 def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
     """Market-basket pair mining: distinct part pairs co-occurring in the
     same order, ranked by support — the frequent-itemset primitive
-    (Apriori's k=2 pass) a curation pipeline uses for co-occurrence
-    statistics.  Shape: DISTINCT (order, part) combiner'd groupby → one
-    bucketed self ``hash_join`` on the order key (both sides large; a
-    pathological mega-order is exactly hash_join's salting case) →
-    pair-key groupby with map-side partials → bounded global top-k.
-    Pairs per order are C(|order|, 2) with |order| small and bounded in
-    order-shaped data, so the join output is ~constant × input, never
-    quadratic in the table."""
-    from ray.data.aggregate import Count
+    (Apriori's k=2 pass).  Both high-cardinality aggregations run as
+    hash-BUCKET shuffles with vectorized pandas reducers (the repo's
+    standard for million-key groupbys — Ray's sort-based aggregate pays
+    per distinct key; measured 3x on this query at sf0.1):
 
-    from ..functions.relational import hash_join
+    1. bucket by hash(order): per-bucket DISTINCT + self-merge +
+       ``a < b`` + local pair counts — an order's lines co-locate, so
+       pair generation completes bucket-locally;
+    2. bucket by hash(pair): per-bucket exact totals + LOCAL top-N
+       under the final (n DESC, a, b) total order — a pair's partials
+       co-locate, so only N × buckets rows ever reach the driver.
+
+    Pairs per order are C(|order|, 2) with |order| small and bounded in
+    order-shaped data, never quadratic in the table."""
+    from ..schema import pd_to_arrow
 
     n_li = _row_count(sf_dir, "lineitem")
-    # the DISTINCT groupby emits hundreds of tiny blocks; the self-join
-    # shuffle pays by BLOCK COUNT, so re-bound the block count first
-    # (CLAUDE.md tiny-block gotcha — measured 15 s → 2 s at sf0.01)
-    nb = max(4, n_li // 250_000 + 1)
-    op = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-          .groupby(["l_orderkey", "l_partkey"])
-          .aggregate(Count())
-          .repartition(nb).materialize())
+    nb = int(max(16, min(4096, n_li // 100_000 + 1)))
 
-    def side(name):
-        def rename(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "l_orderkey": batch.column("l_orderkey"),
-                name: batch.column("l_partkey"),
-            })
-        return rename
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(nb)
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
 
-    left = op.map_batches(side("part_a"), batch_format="pyarrow")
-    right = op.map_batches(side("part_b"), batch_format="pyarrow")
-    joined = hash_join(left, right, on="l_orderkey", est_rows=n_li)
+    def bucket_pairs(g: pd.DataFrame):
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().reset_index(name="n"))
+        out.columns = ["part_a", "part_b", "n"]
+        if out.empty:
+            out = pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                "part_b": pd.Series([], dtype="int64"),
+                                "n": pd.Series([], dtype="int64")})
+        return pd_to_arrow(out)
 
-    def upper(batch: pa.Table) -> pa.Table:
-        keep = pc.less(batch.column("part_a"), batch.column("part_b"))
-        return batch.filter(keep).select(["part_a", "part_b"])
+    partials = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+                .map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(bucket_pairs, batch_format="pandas"))
 
-    pairs = (joined.map_batches(upper, batch_format="pyarrow")
-             .groupby(["part_a", "part_b"])
-             .aggregate(Count(alias_name="n_orders")))
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy().astype(np.uint64)
+        b = batch.column("part_b").to_numpy().astype(np.uint64)
+        k = a * np.uint64(2654435761) + b * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "__b2", pa.array(((k >> np.uint64(16))
+                              % np.uint64(nb)).astype(np.int32)))
 
-    # global top-N without an all-to-all sort: the pair-count groupby is
-    # already keyed, so each block's own top-N (by the same total order
-    # the final ranking uses) is a superset of its global-top-N members;
-    # only N × blocks rows reach the driver
-    def partial_top(batch: pa.Table, _n=top_n) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(["n_orders", "part_a", "part_b"],
-                            ascending=[False, True, True],
-                            kind="mergesort").head(_n)
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def bucket_top(g: pd.DataFrame, _n=top_n):
+        tot = (g.groupby(["part_a", "part_b"], sort=False)["n"]
+               .sum().reset_index(name="n_orders"))
+        tot = tot.sort_values(["n_orders", "part_a", "part_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(_n)
+        tot["n_orders"] = tot["n_orders"].astype("int64")
+        if tot.empty:
+            tot = pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                "part_b": pd.Series([], dtype="int64"),
+                                "n_orders": pd.Series([], dtype="int64")})
+        return pd_to_arrow(tot[["part_a", "part_b", "n_orders"]])
 
-    out = (pairs.map_batches(partial_top, batch_format="pyarrow")
+    out = (partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+           .groupby("__b2")
+           .map_groups(bucket_top, batch_format="pandas")
            .to_pandas()
            .sort_values(["n_orders", "part_a", "part_b"],
                         ascending=[False, True, True], kind="mergesort")
@@ -2706,7 +2719,6 @@ def q110_itemset_pairs(sf_dir: str, top_n: int = 40) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["part_a", "part_b", "n_orders"]],
                                 preserve_index=False)
-
 
 def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
     """Boolean keep-mask of the 2-D skyline (minimize price, maximize
