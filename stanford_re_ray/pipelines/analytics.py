@@ -3409,88 +3409,99 @@ def q129_containment_pairs(sf_dir: str, threshold_ppm: int = 500_000,
     """ASYMMETRIC set-containment join over 3-word shingles:
     ``|A ∩ B| / |A| ≥ 0.5`` — finds documents substantially CONTAINED
     in another (quotes, excerpts, supersets), which symmetric Jaccard
-    (q15/q94) misses by construction.  Inverted-index shape: DISTINCT
-    (doc, shingle) rows self-join per shingle (one bucketed
-    ``hash_join``), with shingles above ``max_df`` dropped first — the
-    standard blocking cap that bounds per-shingle fan-out at df²; the
-    oracle applies the SAME cap, so the comparison is exact.
-    Containment tests integer-cross-multiplied (common·1e6 ≥ t·|A|).
-    At 100 TB the shingle string in the shuffle key becomes a 128-bit
-    digest (the q56 note)."""
-    from ray.data.aggregate import Count
+    (q15/q94) misses by construction.
 
-    from ..functions.relational import hash_join
+    Scale shape — two hash-bucket shuffles, zero joins, no strings in
+    any shuffle key: each doc emits its DISTINCT shingles once as
+    128-bit md5 digests (two int64 columns, collision-proof for the
+    exact-oracle comparison) with the doc's shingle-set size riding
+    per row; bucketing by shingle co-locates every holder of a
+    shingle, so df capping (``max_df``, the standard blocking bound on
+    per-shingle df² fan-out — the oracle applies the SAME cap) and
+    pair generation complete bucket-locally; bucketing by pair makes
+    the totals exact.  Containment tests integer-cross-multiplied.
+    (First cut used string shuffles + three sort-based groupbys + two
+    hash joins: 49 s at sf0.1; this form is ~8x.)"""
+    import hashlib
+
+    from ..schema import pd_to_arrow
 
     n_docs = _row_count(sf_dir, "documents")
-    nb = max(4, n_docs // 250_000 + 1)
+    nb = int(max(16, min(4096, n_docs * 200 // 250_000 + 1)))
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def shingles(batch: pa.Table) -> pa.Table:
-        ids_out, sh_out = [], []
-        ids = batch.column("doc_id").to_numpy()
-        texts = batch.column("text").to_pylist()
         import re as _re
 
         tok_re = _re.compile(r"[0-9A-Za-z_]+")
-        for did, txt in zip(ids, texts):
+        ids_out, lo_out, hi_out, sz_out = [], [], [], []
+        ids = batch.column("doc_id").to_numpy()
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
             ws = tok_re.findall(txt.lower())
             if len(ws) < 3:
                 continue
-            shs = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
-            ids_out.extend([int(did)] * len(shs))
-            sh_out.extend(sorted(shs))
+            shs = dict.fromkeys(" ".join(ws[i:i + 3])
+                                for i in range(len(ws) - 2))
+            sz = len(shs)
+            for s in shs:
+                d = hashlib.md5(s.encode()).digest()
+                lo_out.append(int.from_bytes(d[:8], "little")
+                              & 0x7FFFFFFFFFFFFFFF)
+                hi_out.append(int.from_bytes(d[8:], "little")
+                              & 0x7FFFFFFFFFFFFFFF)
+                ids_out.append(int(did))
+                sz_out.append(sz)
         return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
-                         "sh": pa.array(sh_out, pa.string())})
+                         "lo": pa.array(lo_out, pa.int64()),
+                         "hi": pa.array(hi_out, pa.int64()),
+                         "sz": pa.array(sz_out, pa.int64()),
+                         "__bucket": pa.array(
+                             [v % nb for v in lo_out], pa.int32())})
 
-    dsh = (docs.map_batches(shingles, batch_format="pyarrow")
-           .repartition(nb).materialize())
+    def bucket_pairs(g: pd.DataFrame):
+        df = g.groupby(["lo", "hi"], sort=False)["doc_id"].transform("size")
+        g = g[df <= max_df]
+        m = g.merge(g, on=["lo", "hi"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+        out = (m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+               .agg(n=("sz_a", "size"), sz_a=("sz_a", "first"))
+               .reset_index())
+        out.columns = ["doc_a", "doc_b", "n", "sz_a"]
+        if out.empty:
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in ("doc_a", "doc_b", "n", "sz_a")})
+        return pd_to_arrow(out)
 
-    sizes = dsh.groupby("doc_id").aggregate(Count(alias_name="sz")) \
-        .repartition(nb).materialize()
+    partials = (docs.map_batches(shingles, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(bucket_pairs, batch_format="pandas"))
 
-    keep_sh = (dsh.groupby("sh").aggregate(Count(alias_name="df"))
-               .map_batches(lambda b, _m=max_df: b.filter(
-                   pc.less_equal(b.column("df"), _m)).select(["sh"]),
-                   batch_format="pyarrow")
-               .repartition(nb).materialize())
-    capped = hash_join(dsh, keep_sh, on="sh", how="semi",
-                       est_rows=n_docs * 50).repartition(nb).materialize()
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy().astype(np.uint64)
+        b = batch.column("doc_b").to_numpy().astype(np.uint64)
+        k = a * np.uint64(2654435761) + b * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "__b2", pa.array(((k >> np.uint64(16))
+                              % np.uint64(nb)).astype(np.int32)))
 
-    left = capped.map_batches(lambda t: pa.table({
-        "sh": t.column("sh"), "doc_a": t.column("doc_id")}),
-        batch_format="pyarrow")
-    right = capped.map_batches(lambda t: pa.table({
-        "sh": t.column("sh"), "doc_b": t.column("doc_id")}),
-        batch_format="pyarrow")
-    common = (hash_join(left, right, on="sh", est_rows=n_docs * 50)
-              .map_batches(lambda t: t.filter(pc.not_equal(
-                  t.column("doc_a"), t.column("doc_b")))
-                  .select(["doc_a", "doc_b"]), batch_format="pyarrow")
-              .groupby(["doc_a", "doc_b"])
-              .aggregate(Count(alias_name="n_common"))
-              .repartition(nb).materialize())
+    def bucket_total(g: pd.DataFrame, _t=threshold_ppm):
+        tot = (g.groupby(["doc_a", "doc_b"], sort=False)
+               .agg(n_common=("n", "sum"), sz_a=("sz_a", "first"))
+               .reset_index())
+        keep = tot["n_common"] * 1_000_000 >= _t * tot["sz_a"]
+        tot = tot[keep]
+        tot["cont_ppm"] = (tot["n_common"] * 1_000_000
+                           // tot["sz_a"]).astype("int64")
+        tot["n_common"] = tot["n_common"].astype("int64")
+        out = tot[["doc_a", "doc_b", "n_common", "cont_ppm"]]
+        if out.empty:
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in out.columns})
+        return pd_to_arrow(out)
 
-    sz_a = sizes.map_batches(lambda t: pa.table({
-        "doc_a": t.column("doc_id"), "sz_a": t.column("sz")}),
-        batch_format="pyarrow")
-    out = (hash_join(common, sz_a, on="doc_a", est_rows=n_docs * 12)
-           .map_batches(lambda t, _t=threshold_ppm: pa.table({
-               "doc_a": pc.cast(t.column("doc_a"), pa.int64(),
-                                safe=True),
-               "doc_b": pc.cast(t.column("doc_b"), pa.int64(),
-                                safe=True),
-               "n_common": pc.cast(t.column("n_common"), pa.int64(),
-                                   safe=True),
-               "cont_ppm": pa.array(
-                   t.column("n_common").to_numpy(zero_copy_only=False)
-                   .astype(np.int64) * 1_000_000
-                   // t.column("sz_a").to_numpy(zero_copy_only=False)
-                   .astype(np.int64), pa.int64()),
-           }).filter(pa.array(
-               t.column("n_common").to_numpy(zero_copy_only=False)
-               .astype(np.int64) * 1_000_000
-               >= _t * t.column("sz_a").to_numpy(zero_copy_only=False)
-               .astype(np.int64))), batch_format="pyarrow")
+    out = (partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+           .groupby("__b2")
+           .map_groups(bucket_total, batch_format="pandas")
            .to_pandas().sort_values(["doc_a", "doc_b"])
            .reset_index(drop=True))
     for c in out.columns:
@@ -3498,7 +3509,6 @@ def q129_containment_pairs(sf_dir: str, threshold_ppm: int = 500_000,
     return pa.Table.from_pandas(
         out[["doc_a", "doc_b", "n_common", "cont_ppm"]],
         preserve_index=False)
-
 
 def q130_snapshot_diff(sf_dir: str) -> pa.Table:
     """Keyed snapshot diff (change-data-capture counts): FULL OUTER
