@@ -3232,46 +3232,53 @@ def q125_hot_keys(sf_dir: str, k: int = 10) -> pa.Table:
     return hot_keys(ds, ["user_id", "event_type"], n_events, k=k)
 
 def q126_join_size(sf_dir: str) -> pa.Table:
-    """Join-size computation WITHOUT materializing the join: per-key
-    row counts on each side (two combiner'd groupbys — only distinct
-    keys shuffle), one key-partitioned inner ``hash_join`` of the count
-    tables, then an associative int64 Σ nₐ·n_b — the planner's exact
-    cardinality probe for choosing broadcast vs shuffle (this repo's
-    BROADCAST_DIM_LIMIT gates want exactly this number; the sketch
-    version at 100 TB is a CMS dot product, cf. q47)."""
-    from ray.data.aggregate import Count, Sum
-
-    from ..functions.relational import hash_join
+    """Join-size computation WITHOUT materializing the join: both key
+    columns ship tagged through ONE hash-bucket shuffle; inside each
+    bucket (which holds every row of its keys from both sides) a
+    vectorized count-merge yields Σ nₐ·n_b and the matched-key count
+    as one partial row per bucket — the driver folds O(buckets) rows.
+    The planner's exact cardinality probe for broadcast-vs-shuffle
+    decisions (the sketch version at 100 TB is a CMS dot product,
+    cf. q47).  No sort-based groupby, no join operator at all."""
+    from ..schema import pd_to_arrow
 
     n_li = _row_count(sf_dir, "lineitem")
-    # count tables are groupby outputs (many tiny blocks) feeding a
-    # join — re-bound block counts first (CLAUDE.md tiny-block gotcha)
-    nb = max(4, n_li // 250_000 + 1)
-    a = (_read(sf_dir, "lineitem", ["l_orderkey"])
-         .groupby("l_orderkey").aggregate(Count(alias_name="n_a"))
-         .map_batches(lambda b: pa.table({
-             "k": b.column("l_orderkey"), "n_a": b.column("n_a")}),
-             batch_format="pyarrow")
-         .repartition(nb).materialize())
-    b = (_read(sf_dir, "orders", ["o_orderkey"])
-         .groupby("o_orderkey").aggregate(Count(alias_name="n_b"))
-         .map_batches(lambda t: pa.table({
-             "k": t.column("o_orderkey"), "n_b": t.column("n_b")}),
-             batch_format="pyarrow")
-         .repartition(nb).materialize())
-    j = hash_join(a, b, on="k", est_rows=n_li).map_batches(
-        lambda t: pa.table({
-            "nn": pc.multiply(
-                pc.cast(t.column("n_a"), pa.int64(), safe=True),
-                pc.cast(t.column("n_b"), pa.int64(), safe=True)),
-        }), batch_format="pyarrow")
-    agg = j.aggregate(Count(alias_name="n_keys"),
-                      Sum("nn", alias_name="join_rows"))
-    return pa.Table.from_pandas(pd.DataFrame({
-        "n_keys": [int(agg["n_keys"])],
-        "join_rows": [int(agg["join_rows"])],
-    }), preserve_index=False)
+    nb = int(max(16, min(4096, n_li // 100_000 + 1)))
 
+    def tag(col, side):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy().astype(np.uint64)
+            b = ((k * np.uint64(2654435761)) >> np.uint64(16)) \
+                % np.uint64(nb)
+            return pa.table({
+                "k": pc.cast(batch.column(col), pa.int64()),
+                "side": pa.array([side] * batch.num_rows, pa.string()),
+                "__bucket": pa.array(b.astype(np.int32)),
+            })
+        return f
+
+    a = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        tag("l_orderkey", "a"), batch_format="pyarrow")
+    b = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        tag("o_orderkey", "b"), batch_format="pyarrow")
+
+    def bucket_probe(g: pd.DataFrame):
+        va = g[g["side"] == "a"]["k"].value_counts()
+        vb = g[g["side"] == "b"]["k"].value_counts()
+        common = va.index.intersection(vb.index)
+        return pd_to_arrow(pd.DataFrame({
+            "n_keys": pd.Series([len(common)], dtype="int64"),
+            "join_rows": pd.Series(
+                [int((va[common] * vb[common]).sum())], dtype="int64"),
+        }))
+
+    parts = (a.union(b).groupby("__bucket")
+             .map_groups(bucket_probe, batch_format="pandas")
+             .to_pandas())
+    return pa.Table.from_pandas(pd.DataFrame({
+        "n_keys": [int(parts["n_keys"].sum())],
+        "join_rows": [int(parts["join_rows"].sum())],
+    }), preserve_index=False)
 
 def q127_regional_revenue(sf_dir: str) -> pa.Table:
     """TPC-H-Q5-shaped 3-hop star join: lineitem ⋈ orders ⋈ customer ⋈
