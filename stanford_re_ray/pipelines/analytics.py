@@ -3171,61 +3171,73 @@ def q123_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
 
 def q124_fk_audit(sf_dir: str) -> pa.Table:
     """Referential-integrity audit: orphan-row counts for every foreign
-    key in the star schema.  ALL five checks ride ONE hash-bucket
-    shuffle: each check's child and parent key columns ship tagged
-    (check id, side, key), bucketing by (check, key) co-locates every
-    row of a key with its parent row (if any), and a vectorized
-    per-bucket anti count emits tiny partials the driver sums — five
-    sequential anti ``hash_join``s (the first cut) paid five shuffles
-    for the same answer (8 s → ~2 s at sf0.1; the standalone anti-join
-    operator remains q08/q20's oracle-checked path).  The last check
-    runs against a deliberately degraded parent (orders minus keys ≡ 0
-    mod 13) so the audit demonstrably detects breakage."""
+    key in the star schema, ALL checks through ONE hash-bucket shuffle.
+    Each table is read ONCE and emits every (check, role) key stream it
+    participates in from a single map_batches (tagging per stream paid
+    640 union blocks at sf0.1 — sort-shuffle cost scales with BLOCK
+    COUNT, the CLAUDE.md gotcha); bucketing by (check, key) co-locates
+    a key's child rows with its parent row, so a vectorized per-bucket
+    anti count emits tiny partials the driver sums.  The degraded
+    check (orders minus keys ≡ 0 mod 13) proves the audit detects
+    breakage; the standalone anti-join operator remains q08/q20's
+    oracle-checked path."""
     from ..schema import pd_to_arrow
 
-    checks = [
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey", None),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
-         "part", "p_partkey", None),
-        ("orders.o_custkey->customer", "orders", "o_custkey",
-         "customer", "c_custkey", None),
-        ("customer.c_nationkey->nation", "customer", "c_nationkey",
-         "nation", "n_nationkey", None),
-        ("lineitem.l_orderkey->orders[degraded]", "lineitem",
-         "l_orderkey", "orders", "o_orderkey", 13),
+    CHECK_NAMES = [
+        "lineitem.l_orderkey->orders",
+        "lineitem.l_partkey->part",
+        "orders.o_custkey->customer",
+        "customer.c_nationkey->nation",
+        "lineitem.l_orderkey->orders[degraded]",
     ]
+    #: table -> [(check id, side, key column, degrade mod)]
+    ROLES = {
+        "lineitem": [(0, "c", "l_orderkey", None),
+                     (1, "c", "l_partkey", None),
+                     (4, "c", "l_orderkey", None)],
+        "orders":   [(0, "p", "o_orderkey", None),
+                     (2, "c", "o_custkey", None),
+                     (4, "p", "o_orderkey", 13)],
+        "customer": [(2, "p", "c_custkey", None),
+                     (3, "c", "c_nationkey", None)],
+        "part":     [(1, "p", "p_partkey", None)],
+        "nation":   [(3, "p", "n_nationkey", None)],
+    }
+    CHILD_TABLE = ["lineitem", "lineitem", "orders", "customer",
+                   "lineitem"]
     nb = int(max(16, min(4096,
                          _row_count(sf_dir, "lineitem") // 100_000 + 1)))
 
-    def tag(cid, col, side, degrade_mod=None):
+    def emit(roles):
         def f(batch: pa.Table) -> pa.Table:
-            k = batch.column(col).to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            if degrade_mod is not None:
-                k = k[k % degrade_mod != 0]
+            cids, sides, ks = [], [], []
+            for cid, side, col, degrade in roles:
+                k = batch.column(col).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                if degrade is not None:
+                    k = k[k % degrade != 0]
+                cids.append(np.full(len(k), cid, np.int64))
+                sides.append(np.full(len(k), side == "c", np.bool_))
+                ks.append(k)
+            cid = np.concatenate(cids)
+            k = np.concatenate(ks)
             b = ((k.astype(np.uint64) * np.uint64(2654435761)
-                  + np.uint64(cid) * np.uint64(0x9E3779B97F4A7C15))
+                  + cid.astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15))
                  >> np.uint64(16)) % np.uint64(nb)
-            n = len(k)
             return pa.table({
-                "cid": pa.array(np.full(n, cid, np.int64)),
-                "side": pa.array([side] * n, pa.string()),
+                "cid": pa.array(cid),
+                "is_child": pa.array(np.concatenate(sides)),
                 "k": pa.array(k, pa.int64()),
                 "__bucket": pa.array(b.astype(np.int32)),
             })
         return f
 
-    streams = []
-    n_child = {}
-    for cid, (name, child, fk, parent, pk, degrade) in enumerate(checks):
-        n_child[cid] = _row_count(sf_dir, child)
-        streams.append(_read(sf_dir, child, [fk]).map_batches(
-            tag(cid, fk, "c"), batch_format="pyarrow"))
-        streams.append(_read(sf_dir, parent, [pk]).map_batches(
-            tag(cid, pk, "p", degrade_mod=degrade),
-            batch_format="pyarrow"))
-
+    streams = [
+        _read(sf_dir, t, sorted({c for _, _, c, _ in roles}))
+        .map_batches(emit(roles), batch_format="pyarrow")
+        for t, roles in ROLES.items()
+    ]
     uni = streams[0]
     for s in streams[1:]:
         uni = uni.union(s)
@@ -3233,8 +3245,8 @@ def q124_fk_audit(sf_dir: str) -> pa.Table:
     def bucket_orphans(g: pd.DataFrame):
         rows = []
         for cid, sub in g.groupby("cid", sort=False):
-            parents = sub.loc[sub["side"] == "p", "k"]
-            child = sub.loc[sub["side"] == "c", "k"]
+            child = sub.loc[sub["is_child"], "k"]
+            parents = sub.loc[~sub["is_child"], "k"]
             rows.append((int(cid),
                          int((~child.isin(parents)).sum())))
         out = pd.DataFrame(rows, columns=["cid", "n_orphans"])
@@ -3249,8 +3261,9 @@ def q124_fk_audit(sf_dir: str) -> pa.Table:
              .map_groups(bucket_orphans, batch_format="pandas")
              .to_pandas().groupby("cid")["n_orphans"].sum())
 
-    rows = [(checks[cid][0], int(parts.get(cid, 0)), n_child[cid])
-            for cid in range(len(checks))]
+    rows = [(CHECK_NAMES[cid], int(parts.get(cid, 0)),
+             _row_count(sf_dir, CHILD_TABLE[cid]))
+            for cid in range(len(CHECK_NAMES))]
     out = pd.DataFrame(rows, columns=["chk", "n_orphan_rows",
                                       "n_child_rows"])
     out = out.sort_values("chk").reset_index(drop=True)
