@@ -738,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q129_containment_pairs": A.q129_containment_pairs,
         "q130_snapshot_diff": A.q130_snapshot_diff,
         "q131_mmr_select": _mmr_select,
+        "q132_watermark_late": A.q132_watermark_late,
     }
 
 
@@ -3679,6 +3680,27 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q132_watermark_late": """
+            -- watermark twin: same deterministic arrival delay,
+            -- 1-hour windows, 300 s watermark, 600 s drop bound
+            WITH c AS (
+              SELECT epoch_us(ts) // 3600000000 AS win,
+                     epoch_us(ts) + (event_id % 97) * 1000000
+                       AS arrival,
+                     (epoch_us(ts) // 3600000000 + 1) * 3600000000
+                       AS win_end
+              FROM events)
+            SELECT CAST(win AS BIGINT) AS win,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN arrival > win_end + 300000000
+                                  AND arrival <= win_end + 600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_late,
+                   CAST(SUM(CASE WHEN arrival > win_end + 600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM c GROUP BY win ORDER BY win
         """,
         "q130_snapshot_diff": """
             -- snapshot-diff twin: same derived old snapshot, FULL

@@ -3633,3 +3633,45 @@ def q130_snapshot_diff(sf_dir: str) -> pa.Table:
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out[["status", "n"]],
                                 preserve_index=False)
+
+
+def q132_watermark_late(sf_dir: str, watermark_s: int = 300) -> pa.Table:
+    """Streaming watermark semantics over a batch table: each event's
+    ARRIVAL time is its timestamp plus a deterministic per-event delay
+    (``event_id mod 97`` seconds); an event is LATE for its 1-hour
+    tumbling window iff it arrives after window end + watermark.  The
+    on-time/late/dropped accounting a streaming ingest pipeline
+    reports, expressed as one vectorized map + combiner'd groupby —
+    batch and streaming agree because the classification is a pure
+    function of (ts, arrival, window).  ``dropped`` uses 2× the
+    watermark as the allowed-lateness bound."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        arrival = us + (eid % 97) * 1_000_000
+        win = us // _HOUR_US
+        win_end = (win + 1) * _HOUR_US
+        late = arrival > win_end + watermark_s * 1_000_000
+        dropped = arrival > win_end + 2 * watermark_s * 1_000_000
+        return pa.table({
+            "win": pa.array(win, pa.int64()),
+            "n_late": pa.array(
+                (late & ~dropped).astype(np.int64)),
+            "n_dropped": pa.array(dropped.astype(np.int64)),
+        })
+
+    out = (ds.map_batches(classify, batch_format="pyarrow")
+           .groupby("win")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late"),
+                      Sum("n_dropped", alias_name="n_dropped"))
+           .to_pandas().sort_values("win").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["win", "n_events", "n_late", "n_dropped"]],
+        preserve_index=False)
