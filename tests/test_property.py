@@ -511,3 +511,29 @@ def test_hdr_bin_invariants(vals):
         assert x - lb <= max(lb // 8, 0) + (1 if lb < 16 else 0)
         s, b = divmod(i, 16)
         assert (b << s) == lb
+
+
+# --- _skyline_mask ≡ quadratic dominance reference ---------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=8),
+                          st.integers(min_value=0, max_value=8)),
+                min_size=0, max_size=40))
+def test_skyline_mask_matches_bruteforce(points):
+    import numpy as np
+
+    from stanford_re_ray.pipelines.analytics import _skyline_mask
+
+    price = np.array([p for p, _ in points], dtype=np.float64)
+    size = np.array([s for _, s in points], dtype=np.float64)
+    got = _skyline_mask(price, size)
+    for i in range(len(points)):
+        dominated = any(
+            price[j] <= price[i] and size[j] >= size[i]
+            and (price[j] < price[i] or size[j] > size[i])
+            for j in range(len(points)))
+        assert got[i] == (not dominated), (i, points)
+    # algebraic property: skyline of the skyline is itself
+    if got.any():
+        again = _skyline_mask(price[got], size[got])
+        assert again.all()
