@@ -130,9 +130,11 @@ def run_bench() -> dict:
         ("q100_graph_stats", A.q100_graph_stats),
         ("q108_curation_v2", A.q108_curation_v2),
         ("q110_itemset_pairs", A.q110_itemset_pairs),
+        ("q112_profile", A.q112_profile),
         ("q114_corr_matrix", A.q114_corr_matrix),
         ("q116_sssp", A.q116_sssp),
         ("q127_regional_revenue", A.q127_regional_revenue),
+        ("q129_containment_pairs", A.q129_containment_pairs),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 
