@@ -739,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q130_snapshot_diff": A.q130_snapshot_diff,
         "q131_mmr_select": _mmr_select,
         "q132_watermark_late": A.q132_watermark_late,
+        "q133_topk_with_ties": A.q133_topk_with_ties,
     }
 
 
@@ -3680,6 +3681,23 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q133_topk_with_ties": """
+            -- top-k-with-ties twin: RANK() <= 3 keeps boundary ties
+            WITH v AS (
+              SELECT l_returnflag, l_orderkey,
+                     CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                     CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+              FROM lineitem)
+            SELECT l_returnflag, l_orderkey, l_linenumber, qty,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT *, RANK() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY qty DESC) AS rnk
+              FROM v)
+            WHERE rnk <= 3
+            ORDER BY l_returnflag, rnk, l_orderkey, l_linenumber
         """,
         "q132_watermark_late": """
             -- watermark twin: same deterministic arrival delay,

@@ -3675,3 +3675,79 @@ def q132_watermark_late(sf_dir: str, watermark_s: int = 300) -> pa.Table:
     return pa.Table.from_pandas(
         out[["win", "n_events", "n_late", "n_dropped"]],
         preserve_index=False)
+
+
+def q133_topk_with_ties(sf_dir: str, k: int = 3) -> pa.Table:
+    """Grouped top-k WITH TIES — ``RANK() OVER (PARTITION BY flag ORDER
+    BY qty DESC) <= k`` keeps every row tied at the boundary, the
+    contract exact-k ``grouped_topk`` (q29) cannot express.  Scale
+    shape: the (group, value) DISTINCT+count table is tiny after one
+    combiner'd groupby (≤ |groups| × |distinct values|), so the driver
+    derives each group's rank function (rank of a value = 1 + rows
+    strictly greater) and boundary value, broadcasts the map, and one
+    vectorized filter pass emits qualifying rows with their ranks — no
+    per-group co-location of the fact table, immune to group skew."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_orderkey", "l_linenumber",
+                "l_quantity"]).materialize()
+
+    def q_int(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy().astype(np.float64)
+        return pa.table({
+            "f": batch.column("l_returnflag"),
+            "q": pa.array(np.floor(q + 0.5).astype(np.int64)),
+        })
+
+    counts = (ds.map_batches(q_int, batch_format="pyarrow")
+              .groupby(["f", "q"]).aggregate(Count(alias_name="n"))
+              .to_pandas())
+    rank_map: dict[tuple, int] = {}
+    thresh: dict[str, int] = {}
+    for f, sub in counts.groupby("f"):
+        sub = sub.sort_values("q", ascending=False)
+        rank, kept = 1, None
+        for qv, n in zip(sub["q"], sub["n"]):
+            if rank > k:
+                break
+            rank_map[(f, int(qv))] = rank
+            kept = int(qv)
+            rank += int(n)
+        thresh[f] = kept
+    t_ref = ray.put((rank_map, thresh))
+
+    def pick(batch: pa.Table, _ref=t_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        rmap, th = fetch(_ref)
+        f = batch.column("l_returnflag").to_pylist()
+        q = np.floor(batch.column("l_quantity").to_numpy()
+                     .astype(np.float64) + 0.5).astype(np.int64)
+        keep = np.array([qq >= th.get(ff, np.iinfo(np.int64).max)
+                         for ff, qq in zip(f, q)])
+        sel = batch.filter(pa.array(keep))
+        fs = sel.column("l_returnflag").to_pylist()
+        qs = np.floor(sel.column("l_quantity").to_numpy()
+                      .astype(np.float64) + 0.5).astype(np.int64)
+        rnk = pa.array([rmap[(ff, int(qq))]
+                        for ff, qq in zip(fs, qs)], pa.int64())
+        return pa.table({
+            "l_returnflag": sel.column("l_returnflag"),
+            "l_orderkey": sel.column("l_orderkey"),
+            "l_linenumber": pc.cast(sel.column("l_linenumber"),
+                                    pa.int64()),
+            "qty": pa.array(qs),
+            "rnk": rnk,
+        })
+
+    out = (ds.map_batches(pick, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["l_returnflag", "rnk", "l_orderkey",
+                         "l_linenumber"])
+           .reset_index(drop=True))
+    for c in ("l_orderkey", "l_linenumber", "qty", "rnk"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "l_orderkey", "l_linenumber", "qty",
+             "rnk"]], preserve_index=False)
