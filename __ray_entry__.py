@@ -740,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q131_mmr_select": _mmr_select,
         "q132_watermark_late": A.q132_watermark_late,
         "q133_topk_with_ties": A.q133_topk_with_ties,
+        "q134_exact_n_sample": A.q134_exact_n_sample,
     }
 
 
@@ -3681,6 +3682,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q134_exact_n_sample": """
+            -- exact-n sample twin: same md5 content-hash rank
+            SELECT lang, CAST(rn AS BIGINT) AS rnk, doc_id
+            FROM (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 20
+            ORDER BY lang, rnk
         """,
         "q133_topk_with_ties": """
             -- top-k-with-ties twin: RANK() <= 3 keeps boundary ties

@@ -3751,3 +3751,40 @@ def q133_topk_with_ties(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(
         out[["l_returnflag", "l_orderkey", "l_linenumber", "qty",
              "rnk"]], preserve_index=False)
+
+
+def q134_exact_n_sample(sf_dir: str, n: int = 20) -> pa.Table:
+    """EXACT-n-per-stratum deterministic sample: the smallest-md5-rank n
+    documents per language — eval-set construction wants exact counts
+    and run-to-run stability, which q45's Bernoulli hash sampling (size
+    only in expectation) can't give.  Content-hash rank makes the
+    choice a pure function of the data; the two-stage ``grouped_topk``
+    keeps at most n rows per (block, stratum) in the shuffle.  The
+    oracle ranks by the same md5 text, so the comparison is exact."""
+    import hashlib
+
+    from ..functions.relational import grouped_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def rank_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        hx = [hashlib.md5(str(int(i)).encode()).hexdigest()
+              for i in ids]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "hkey": pa.array(hx, pa.string()),
+        })
+
+    out = (grouped_topk(docs.map_batches(rank_key,
+                                         batch_format="pyarrow"),
+                        key="lang", order_by="hkey", k=n,
+                        descending=False, tiebreak=["doc_id"])
+           .to_pandas().sort_values(["lang", "rank"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(pd.DataFrame({
+        "lang": out["lang"],
+        "rnk": out["rank"].astype("int64"),
+        "doc_id": out["doc_id"].astype("int64"),
+    }), preserve_index=False)

@@ -129,7 +129,7 @@ SQL_CHECKED = [
     "q124_fk_audit", "q125_hot_keys", "q126_join_size",
     "q127_regional_revenue", "q128_cusum", "q129_containment_pairs",
     "q130_snapshot_diff", "q132_watermark_late",
-    "q133_topk_with_ties",
+    "q133_topk_with_ties", "q134_exact_n_sample",
 ]
 
 
