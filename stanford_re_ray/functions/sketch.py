@@ -360,3 +360,59 @@ def hdr_quantiles(ds: ray.data.Dataset, value_col: str, group_col: str,
         "approx_q": pa.array([r[2] for r in rows], pa.int64()),
         "n_rows": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def cms_build_keys(ds: ray.data.Dataset, key_col: str,
+                   width: int = CMS_WIDTH,
+                   depth: int = CMS_DEPTH) -> np.ndarray:
+    """Count-min sketch over an integer KEY column — the join-side
+    input to ``cms_join_size``.  Same combiner shape as ``cms_build``
+    (per-batch distinct-key counts → depth × vocab partial rows → one
+    (row, slot) groupby SUM); hashing is the shared vectorized FNV-1a
+    mix with a per-row salt, so two sketches built from different
+    tables are slot-compatible by construction."""
+    from ray.data.aggregate import Sum
+
+    from .hashing import fnv1a_u64_vec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(k) == 0:
+            return pa.table({"j": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        uniq, counts = np.unique(k, return_counts=True)
+        js, slots, ns = [], [], []
+        for j in range(depth):
+            salt = np.uint64((0x9E3779B97F4A7C15 * (j + 1))
+                             & 0xFFFFFFFFFFFFFFFF)
+            h = fnv1a_u64_vec(uniq.astype(np.uint64) ^ salt)
+            js.append(np.full(len(uniq), j, np.int64))
+            slots.append((h % np.uint64(width)).astype(np.int64))
+            ns.append(counts.astype(np.int64))
+        return pa.table({"j": pa.array(np.concatenate(js)),
+                         "slot": pa.array(np.concatenate(slots)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["j", "slot"]).aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    sketch[rows["j"].to_numpy(np.int64),
+           rows["slot"].to_numpy(np.int64)] = rows["n"].to_numpy(np.int64)
+    return sketch
+
+
+def cms_join_size(sketch_a: np.ndarray, sketch_b: np.ndarray) -> int:
+    """Inner-product join-cardinality estimate: ``min_j Σ_s a[j,s]·b[j,s]``
+    — an upper bound on ``|A ⋈ B|`` that is exact when no two keys
+    collide in some row, with the classic ε·|A|·|B| overestimate bound.
+    The sketch-mode sibling of ``analytics.q126_join_size``'s exact
+    probe: at 100 TB each side's sketch is a few MB built with one
+    combiner pass, and the estimate is a driver-side dot product."""
+    if sketch_a.shape != sketch_b.shape:
+        raise ValueError(f"shape mismatch {sketch_a.shape} "
+                         f"vs {sketch_b.shape}")
+    return int(min(int(np.dot(ra, rb))
+                   for ra, rb in zip(sketch_a, sketch_b)))

@@ -241,3 +241,33 @@ def test_hdr_quantiles_error_bound(ray_session):
                       & (out["q_ppt"] == q_ppt)]["approx_q"].iloc[0]
             assert got <= exact * 1.0 + 1          # lower bound of bin
             assert got >= exact * (1 - 0.125) - 1  # 1/8 relative error
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_cms_join_size_bounds_and_exactness(ray_session, blocks):
+    import numpy as np
+
+    from stanford_re_ray.functions.sketch import (cms_build_keys,
+                                                  cms_join_size)
+
+    a_keys = [1, 1, 1, 2, 2, 3, 5, 5, 5, 5]
+    b_keys = [1, 2, 2, 2, 3, 3, 4]
+    exact = sum(a_keys.count(k) * b_keys.count(k) for k in set(a_keys))
+    ta = pa.table({"k": pa.array(a_keys, pa.int64())})
+    tb = pa.table({"k": pa.array(b_keys, pa.int64())})
+    sa = cms_build_keys(rd.from_arrow(ta).repartition(blocks), "k",
+                        width=64, depth=4)
+    sb = cms_build_keys(rd.from_arrow(tb).repartition(blocks), "k",
+                        width=64, depth=4)
+    est = cms_join_size(sa, sb)
+    # CMS inner product never underestimates; at width 64 with 5 keys
+    # a collision-free row exists, so the estimate is exact
+    assert est == exact
+    # degenerate width forces collisions: still an upper bound
+    sa1 = cms_build_keys(rd.from_arrow(ta), "k", width=2, depth=2)
+    sb1 = cms_build_keys(rd.from_arrow(tb), "k", width=2, depth=2)
+    assert cms_join_size(sa1, sb1) >= exact
+    # partition invariance
+    sa2 = cms_build_keys(rd.from_arrow(ta).repartition(3), "k",
+                         width=64, depth=4)
+    np.testing.assert_array_equal(sa, sa2)
