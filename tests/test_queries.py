@@ -157,6 +157,7 @@ ROWS_ONLY = [
     "q120_pq_encode",
     "q121_pq_topk",
     "q131_mmr_select",
+    "q135_media_pipeline",
 ]
 
 
@@ -217,7 +218,7 @@ def test_queries_oracle_contract(entrymod):
         "kg_doc_ner_stats", "kg_edges", "kg_extract_text", "kg_nodes",
         "kg_triples", "kg_triples_hoffmann", "kg_triples_mimlre",
         "q53_bpe_merges", "q109_bpe_encode", "q120_pq_encode",
-        "q121_pq_topk", "q131_mmr_select",
+        "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
