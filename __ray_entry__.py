@@ -815,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q133_topk_with_ties": A.q133_topk_with_ties,
         "q134_exact_n_sample": A.q134_exact_n_sample,
         "q135_media_pipeline": _media_pipeline,
+        "q136_vector_quantiles": A.q136_vector_quantiles,
     }
 
 
@@ -3756,6 +3757,41 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q136_vector_quantiles": """
+            -- vector-quantiles twin: per-dimension HDR binning with
+            -- the same +2e6 positive shift, q93's selection logic
+            WITH v AS (
+              SELECT generate_subscripts(embedding, 1) AS dim,
+                     CAST(FLOOR(unnest(embedding) * 1000000.0 + 0.5)
+                          AS BIGINT) + 2000000 AS v
+              FROM embeddings),
+            b AS (
+              SELECT dim, v,
+                     GREATEST(length(format('{:b}', v)) - 4, 0) AS s
+              FROM v),
+            bins AS (
+              SELECT dim, s * 16 + (v >> s) AS bin,
+                     (v >> s) << s AS lb, COUNT(*) AS n
+              FROM b GROUP BY 1, 2, 3),
+            cum AS (
+              SELECT dim, bin, lb,
+                     SUM(n) OVER (PARTITION BY dim ORDER BY bin) AS cum,
+                     SUM(n) OVER (PARTITION BY dim) AS total
+              FROM bins),
+            qs AS (SELECT unnest([500, 900, 990]) AS q_ppt),
+            sel AS (
+              SELECT c.dim, q.q_ppt, c.lb, c.total,
+                     ROW_NUMBER() OVER (PARTITION BY c.dim, q.q_ppt
+                                        ORDER BY c.bin) AS rn
+              FROM cum c, qs q
+              WHERE c.cum >= GREATEST(
+                (q.q_ppt * c.total + 999) // 1000, 1))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(q_ppt AS BIGINT) AS q_ppt,
+                   CAST(lb - 2000000 AS BIGINT) AS approx_q,
+                   CAST(total AS BIGINT) AS n_rows
+            FROM sel WHERE rn = 1 ORDER BY dim, q_ppt
         """,
         "q134_exact_n_sample": """
             -- exact-n sample twin: same md5 content-hash rank

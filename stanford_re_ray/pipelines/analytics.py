@@ -3788,3 +3788,40 @@ def q134_exact_n_sample(sf_dir: str, n: int = 20) -> pa.Table:
         "rnk": out["rank"].astype("int64"),
         "doc_id": out["doc_id"].astype("int64"),
     }), preserve_index=False)
+
+
+_VQ_OFFSET = 2_000_000
+
+
+def q136_vector_quantiles(sf_dir: str) -> pa.Table:
+    """Per-DIMENSION embedding quantiles (p50/p90/p99 for each of the 64
+    vector components) — the vector-column profiling step before
+    choosing PQ/IVF quantization ranges.  Components explode to (dim,
+    value) rows vectorized; values shift to positive ints (±2.0 range →
+    +2e6 at 1e-6 quantization) and flow through the mergeable HDR
+    sketch (q93's machinery): one combiner'd (dim, bin) groupby, no
+    sort, exact cross-engine agreement on the sketch result."""
+    from ..functions.sketch import hdr_quantiles
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = batch.column("embedding").to_pylist()
+        if not rows:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "vq": pa.array([], pa.int64())})
+        M = np.asarray(rows, dtype=np.float64)
+        n, d = M.shape
+        vq = np.floor(M * 1e6 + 0.5).astype(np.int64) + _VQ_OFFSET
+        dims = np.tile(np.arange(1, d + 1, dtype=np.int64), n)
+        return pa.table({"dim": pa.array(dims),
+                         "vq": pa.array(vq.ravel())})
+
+    out = hdr_quantiles(emb.map_batches(explode, batch_format="pyarrow"),
+                        value_col="vq", group_col="dim").to_pandas()
+    out["approx_q"] = out["approx_q"].astype("int64") - _VQ_OFFSET
+    out = out.sort_values(["dim", "q_ppt"]).reset_index(drop=True)
+    for c in ("dim", "q_ppt", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["dim", "q_ppt", "approx_q",
+                                     "n_rows"]], preserve_index=False)
