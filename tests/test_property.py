@@ -537,3 +537,54 @@ def test_skyline_mask_matches_bruteforce(points):
     if got.any():
         again = _skyline_mask(price[got], size[got])
         assert again.all()
+
+
+# --- q114 integer-moment correlation ≡ numpy corrcoef ------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 500),
+                          st.integers(0, 10), st.integers(0, 8)),
+                min_size=3, max_size=60))
+def test_corr_moments_match_numpy(rows):
+    """The exact-integer-moment Pearson formula must agree with numpy's
+    corrcoef (up to float display rounding) whenever variances are
+    nonzero — the cross-engine float contract of q114."""
+    import math
+
+    import numpy as np
+
+    cols = np.array(rows, dtype=np.int64).T      # already integer units
+    n = cols.shape[1]
+    for a in range(4):
+        for b in range(a + 1, 4):
+            x, y = cols[a], cols[b]
+            num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+            dena = n * int((x * x).sum()) - int(x.sum()) ** 2
+            denb = n * int((y * y).sum()) - int(y.sum()) ** 2
+            if dena == 0 or denb == 0:
+                continue
+            got = float(num) / math.sqrt(float(dena) * float(denb))
+            want = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+            assert abs(got - want) < 1e-9
+
+
+# --- q128 CUSUM argmax ≡ brute force -----------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(-100, 100), min_size=2, max_size=40))
+def test_cusum_argmax_matches_bruteforce(vals):
+    import numpy as np
+
+    c = np.asarray(vals, dtype=np.int64)
+    n = len(c)
+    cum = np.cumsum(c)[:-1]
+    i = np.arange(1, n, dtype=np.int64)
+    stat = np.abs(cum * n - i * int(c.sum()))
+    j = int(np.argmax(stat))
+    # brute force: earliest split maximizing |n·cum_i − i·total|
+    best_i, best_s = None, -1
+    for ii in range(1, n):
+        s = abs(n * int(c[:ii].sum()) - ii * int(c.sum()))
+        if s > best_s:
+            best_i, best_s = ii, s
+    assert (int(i[j]), int(stat[j])) == (best_i, best_s)
