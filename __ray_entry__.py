@@ -816,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_exact_n_sample": A.q134_exact_n_sample,
         "q135_media_pipeline": _media_pipeline,
         "q136_vector_quantiles": A.q136_vector_quantiles,
+        "q137_pair_lift": A.q137_pair_lift,
     }
 
 
@@ -3757,6 +3758,33 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q137_pair_lift": """
+            -- pair-lift twin: distinct baskets, supports, exact
+            -- integer ppm lift, min_support 2, bounded top-40
+            WITH op AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n
+                   FROM lineitem),
+            item AS (SELECT l_partkey, COUNT(*) AS n_i
+                     FROM op GROUP BY 1),
+            p AS (
+              SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+            pc2 AS (
+              SELECT part_a, part_b, COUNT(*) AS n_ab
+              FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(n_ab * nn.n * 1000000
+                        // (ia.n_i * ib.n_i) AS BIGINT) AS lift_ppm
+            FROM pc2
+            CROSS JOIN nn
+            JOIN item ia ON ia.l_partkey = part_a
+            JOIN item ib ON ib.l_partkey = part_b
+            ORDER BY lift_ppm DESC, part_a, part_b
+            LIMIT 40
         """,
         "q136_vector_quantiles": """
             -- vector-quantiles twin: per-dimension HDR binning with

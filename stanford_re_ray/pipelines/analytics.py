@@ -3825,3 +3825,113 @@ def q136_vector_quantiles(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["dim", "q_ppt", "approx_q",
                                      "n_rows"]], preserve_index=False)
+
+
+def q137_pair_lift(sf_dir: str, min_support: int = 2,
+                   top_n: int = 40) -> pa.Table:
+    """Association LIFT for co-occurring part pairs —
+    ``P(a,b) / (P(a)·P(b))`` in exact integer ppm — the statistical
+    layer over q110's raw supports that separates popular-with-
+    everything items from genuinely associated ones.  Same bucketed
+    shape as q110 (order-hash buckets make DISTINCT + pair generation
+    bucket-local; pair-hash buckets make totals exact); item supports
+    and the distinct-order total reduce through one combiner'd groupby
+    whose output is dimension-sized, so the lift join is a broadcast
+    dict, and the final top-N never sorts globally."""
+    from ..schema import pd_to_arrow
+
+    n_li = _row_count(sf_dir, "lineitem")
+    nb = int(max(16, min(4096, n_li // 100_000 + 1)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy().astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(nb)
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    base = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+            .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def bucket_pairs(g: pd.DataFrame):
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = (m.groupby(["l_partkey_a", "l_partkey_b"], sort=False)
+               .size().reset_index(name="n"))
+        out.columns = ["part_a", "part_b", "n"]
+        if out.empty:
+            out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in ("part_a", "part_b", "n")})
+        return pd_to_arrow(out)
+
+    def bucket_supports(g: pd.DataFrame):
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = (g.groupby("l_partkey", sort=False)
+               .size().reset_index(name="n"))
+        out.columns = ["part", "n"]
+        # sentinel row: this bucket's distinct-order count (orders are
+        # bucket-exclusive, so the global N is the plain sum)
+        out = pd.concat([out, pd.DataFrame(
+            {"part": [-1], "n": [g["l_orderkey"].nunique()]})],
+            ignore_index=True)
+        out["part"] = out["part"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return pd_to_arrow(out)
+
+    from ray.data.aggregate import Sum
+
+    supports = (base.groupby("__bucket")
+                .map_groups(bucket_supports, batch_format="pandas")
+                .groupby("part").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+    sup = dict(zip(supports["part"].astype(int),
+                   supports["n"].astype(int)))
+    n_orders = sup.pop(-1)
+    s_ref = ray.put((sup, n_orders))
+
+    partials = (base.groupby("__bucket")
+                .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("part_a").to_numpy().astype(np.uint64)
+        b = batch.column("part_b").to_numpy().astype(np.uint64)
+        k = a * np.uint64(2654435761) + b * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "__b2", pa.array(((k >> np.uint64(16))
+                              % np.uint64(nb)).astype(np.int32)))
+
+    def bucket_lift(g: pd.DataFrame, _ref=s_ref, _ms=min_support,
+                    _n=top_n):
+        from ..state.broadcast import fetch
+
+        supd, N = fetch(_ref)
+        tot = (g.groupby(["part_a", "part_b"], sort=False)["n"]
+               .sum().reset_index(name="n_ab"))
+        tot = tot[tot["n_ab"] >= _ms]
+        if tot.empty:
+            return pd_to_arrow(pd.DataFrame(
+                {c: pd.Series([], dtype="int64")
+                 for c in ("part_a", "part_b", "n_ab", "lift_ppm")}))
+        na = tot["part_a"].map(supd).astype("int64")
+        nbb = tot["part_b"].map(supd).astype("int64")
+        tot["lift_ppm"] = (tot["n_ab"].astype("int64") * N * 1_000_000
+                           // (na * nbb))
+        tot = tot.sort_values(["lift_ppm", "part_a", "part_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(_n)
+        for c in tot.columns:
+            tot[c] = tot[c].astype("int64")
+        return pd_to_arrow(tot[["part_a", "part_b", "n_ab",
+                                "lift_ppm"]])
+
+    out = (partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+           .groupby("__b2")
+           .map_groups(bucket_lift, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["lift_ppm", "part_a", "part_b"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(top_n).reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["part_a", "part_b", "n_ab",
+                                     "lift_ppm"]], preserve_index=False)
