@@ -817,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_media_pipeline": _media_pipeline,
         "q136_vector_quantiles": A.q136_vector_quantiles,
         "q137_pair_lift": A.q137_pair_lift,
+        "q138_longest_streak": A.q138_longest_streak,
     }
 
 
@@ -3758,6 +3759,25 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q138_longest_streak": """
+            -- longest-streak twin: the day - ROW_NUMBER() island trick
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events),
+            r AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day) AS grp
+              FROM du),
+            s AS (
+              SELECT user_id, COUNT(*) AS len
+              FROM r GROUP BY user_id, grp)
+            SELECT user_id,
+                   CAST(MAX(len) AS BIGINT) AS longest_streak,
+                   CAST(SUM(len) AS BIGINT) AS n_active_days
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         "q137_pair_lift": """
             -- pair-lift twin: distinct baskets, supports, exact

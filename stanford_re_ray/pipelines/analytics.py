@@ -3935,3 +3935,60 @@ def q137_pair_lift(sf_dir: str, min_support: int = 2,
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["part_a", "part_b", "n_ab",
                                      "lift_ppm"]], preserve_index=False)
+
+
+def q138_longest_streak(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days plus their total active days — the retention/engagement streak
+    metric, SQL's ``day − ROW_NUMBER()`` island trick as vectorized
+    per-timeline numpy.  One combiner'd DISTINCT (user, day) groupby
+    shrinks events to at most |users|×|days| rows, then one hash(user)
+    bucket shuffle co-locates timelines; runs split on day-diff > 1."""
+    from ..schema import pd_to_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "day": pa.array(us // _DAY_US, pa.int64()),
+        })
+
+    du = (ds.map_batches(day_user, batch_format="pyarrow")
+          .groupby(["user_id", "day"]).count()
+          .map_batches(lambda b: pa.table({
+              "user_id": b.column("user_id"),
+              "day": b.column("day"),
+              "__bucket": pa.array(
+                  (b.column("user_id").to_numpy() % 64)
+                  .astype(np.int32)),
+          }), batch_format="pyarrow"))
+
+    def streaks(g: pd.DataFrame):
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        new_run = np.concatenate(([True],
+                                  (uid[1:] != uid[:-1])
+                                  | (day[1:] != day[:-1] + 1)))
+        run_id = np.cumsum(new_run)
+        runs = (pd.DataFrame({"user_id": uid, "run": run_id})
+                .groupby(["user_id", "run"], sort=False)
+                .size().reset_index(name="len"))
+        out = (runs.groupby("user_id", sort=True)
+               .agg(longest_streak=("len", "max"),
+                    n_active_days=("len", "sum"))
+               .reset_index())
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pd_to_arrow(out)
+
+    out = (du.groupby("__bucket")
+           .map_groups(streaks, batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "longest_streak", "n_active_days"]],
+        preserve_index=False)
