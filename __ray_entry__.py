@@ -818,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_vector_quantiles": A.q136_vector_quantiles,
         "q137_pair_lift": A.q137_pair_lift,
         "q138_longest_streak": A.q138_longest_streak,
+        "q139_revenue_share": A.q139_revenue_share,
     }
 
 
@@ -3759,6 +3760,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q139_revenue_share": """
+            -- revenue-share twin: integer-cent region shares in ppm
+            WITH rev AS (
+              SELECT r.r_name, n.n_name,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS rev_c
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n   ON n.n_nationkey = c.c_nationkey
+              JOIN region r   ON r.r_regionkey = n.n_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name, rev_c,
+                   CAST(rev_c * 1000000 // SUM(rev_c) OVER (
+                     PARTITION BY r_name) AS BIGINT) AS share_ppm
+            FROM rev ORDER BY r_name, n_name
         """,
         "q138_longest_streak": """
             -- longest-streak twin: the day - ROW_NUMBER() island trick

@@ -3992,3 +3992,67 @@ def q138_longest_streak(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["user_id", "longest_streak", "n_active_days"]],
         preserve_index=False)
+
+
+def q139_revenue_share(sf_dir: str) -> pa.Table:
+    """Ratio-to-report: each nation's share of its REGION's revenue in
+    exact ppm — ``SUM() OVER (PARTITION BY region)`` without a window:
+    the (nation, region) revenue table is one combiner'd groupby
+    (integer cents), region totals fold from that SAME small table
+    driver-side, and the share is an integer division — no second pass
+    over the fact table, no window shuffle.  The customer dimension
+    broadcasts under ``BROADCAST_DIM_LIMIT`` and falls back to the
+    key-partitioned ``hash_join`` beyond (q02/q127's gate)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    nr = (nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")
+          [["n_nationkey", "n_name", "r_name"]])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy().astype(np.float64)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "c": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+        })
+
+    fact = orders.map_batches(cents, batch_format="pyarrow")
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if _row_count(sf_dir, "customer") > BROADCAST_DIM_LIMIT:
+        dim_ds = broadcast_join(
+            cust_ds, nr.rename(columns={"n_nationkey": "c_nationkey"}),
+            on="c_nationkey",
+        ).map_batches(
+            lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                                "n_name": b.column("n_name"),
+                                "r_name": b.column("r_name")}),
+            batch_format="pyarrow")
+        joined = hash_join(fact, dim_ds, on="o_custkey",
+                           est_rows=_row_count(sf_dir, "orders"))
+    else:
+        dim = (cust_ds.to_pandas()
+               .merge(nr, left_on="c_nationkey",
+                      right_on="n_nationkey")
+               [["c_custkey", "n_name", "r_name"]]
+               .rename(columns={"c_custkey": "o_custkey"}))
+        joined = broadcast_join(fact, dim, on="o_custkey")
+
+    out = (joined
+           .groupby(["r_name", "n_name"])
+           .aggregate(Sum("c", alias_name="rev_c"))
+           .to_pandas())
+    out["rev_c"] = out["rev_c"].astype("int64")
+    tot = out.groupby("r_name")["rev_c"].transform("sum")
+    out["share_ppm"] = (out["rev_c"] * 1_000_000
+                        // tot).astype("int64")
+    out = out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["r_name", "n_name", "rev_c", "share_ppm"]],
+        preserve_index=False)

@@ -772,3 +772,19 @@ def test_q127_hashjoin_path_matches_broadcast(ray_session):
     finally:
         A.BROADCAST_DIM_LIMIT = old
     assert bcast.equals(dist)
+
+
+def test_q139_hashjoin_path_matches_broadcast(ray_session):
+    """q139's customer dimension broadcasts under BROADCAST_DIM_LIMIT
+    and hash-joins beyond; identical shares either way."""
+    from stanford_re_ray.pipelines import analytics as A
+
+    sf = "/root/testdata/sf0.001"
+    bcast = A.q139_revenue_share(sf).to_pandas()
+    old = A.BROADCAST_DIM_LIMIT
+    try:
+        A.BROADCAST_DIM_LIMIT = 0
+        dist = A.q139_revenue_share(sf).to_pandas()
+    finally:
+        A.BROADCAST_DIM_LIMIT = old
+    assert bcast.equals(dist)
