@@ -819,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q137_pair_lift": A.q137_pair_lift,
         "q138_longest_streak": A.q138_longest_streak,
         "q139_revenue_share": A.q139_revenue_share,
+        "q140_debounce": A.q140_debounce,
     }
 
 
@@ -3760,6 +3761,18 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q140_debounce": """
+            -- debounce twin: LAG gap per (user, type) over the
+            -- (ts, event_id) total order, 3600 s window
+            SELECT event_id FROM (
+              SELECT event_id,
+                     epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap
+              FROM events)
+            WHERE gap IS NULL OR gap > 3600000000
+            ORDER BY event_id
         """,
         "q139_revenue_share": """
             -- revenue-share twin: integer-cent region shares in ppm

@@ -4056,3 +4056,57 @@ def q139_revenue_share(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["r_name", "n_name", "rev_c", "share_ppm"]],
         preserve_index=False)
+
+
+def q140_debounce(sf_dir: str, window_s: int = 3600) -> pa.Table:
+    """Debounce / dedup-by-recency: drop any event repeating the same
+    (user, event_type) within ``window_s`` of its PREVIOUS occurrence —
+    the streaming noise-suppression filter (double-fires, retry storms).
+    LAG semantics over hash(user)-bucket co-located timelines (q74's
+    machinery): one shuffle, vectorized gap computation on the
+    (user, type, ts, event_id) total order, emits surviving event ids."""
+    from ..schema import pd_to_arrow
+
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    win_us = window_s * 1_000_000
+
+    def debounce(g: pd.DataFrame):
+        g = g.sort_values(["user_id", "event_type", "ts_us",
+                           "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap = np.empty(len(g), np.int64)
+        gap[0] = 0
+        if len(g) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        keep = ~same | (gap > win_us)
+        out = pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64)[keep]})
+        if out.empty:
+            out = pd.DataFrame({"event_id": pd.Series([],
+                                                      dtype="int64")})
+        return pd_to_arrow(out)
+
+    out = (events.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(debounce, batch_format="pandas")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    out["event_id"] = out["event_id"].astype("int64")
+    return pa.Table.from_pandas(out[["event_id"]],
+                                preserve_index=False)
