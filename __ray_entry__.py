@@ -820,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_longest_streak": A.q138_longest_streak,
         "q139_revenue_share": A.q139_revenue_share,
         "q140_debounce": A.q140_debounce,
+        "q141_dup_size_histogram": A.q141_dup_size_histogram,
     }
 
 
@@ -3761,6 +3762,22 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q141_dup_size_histogram": """
+            -- dup-size-histogram twin: same augmentation (every 10th
+            -- doc one copy, every 50th two), exact-dup group sizes
+            WITH aug AS (
+              SELECT text FROM documents
+              UNION ALL
+              SELECT text FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT text FROM documents WHERE doc_id % 50 = 0),
+            g AS (
+              SELECT COUNT(*) AS group_size
+              FROM aug GROUP BY md5(text))
+            SELECT CAST(group_size AS BIGINT) AS group_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM g GROUP BY 1 ORDER BY 1
         """,
         "q140_debounce": """
             -- debounce twin: LAG gap per (user, type) over the

@@ -4110,3 +4110,49 @@ def q140_debounce(sf_dir: str, window_s: int = 3600) -> pa.Table:
     out["event_id"] = out["event_id"].astype("int64")
     return pa.Table.from_pandas(out[["event_id"]],
                                 preserve_index=False)
+
+
+def q141_dup_size_histogram(sf_dir: str) -> pa.Table:
+    """Duplicate-cluster size distribution: how many exact-dup groups
+    have 1, 2, 3… members — the dedup health report run BEFORE deciding
+    aggressiveness (a fat tail means boilerplate mills, all-singletons
+    means dedup is wasted work).  The synthetic corpus is all-unique,
+    so the q71/q107 augmentation convention applies: every 10th doc
+    gains one shifted-id copy and every 50th two (both engines build
+    the same corpus).  Rides q09's exact_dedup (hash-partitioned group
+    reps with ``n_copies``) plus one tiny combiner'd histogram groupby
+    over group REPRESENTATIVES — cluster count, not corpus size."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        parts = [batch]
+        for mod, shift in ((10, 10_000_000), (50, 20_000_000)):
+            keep = ids % mod == 0
+            if keep.any():
+                sel = batch.filter(pa.array(keep))
+                parts.append(pa.table({
+                    "doc_id": pa.array(
+                        sel.column("doc_id").to_numpy()
+                        .astype(np.int64) + shift),
+                    "text": sel.column("text"),
+                }))
+        return pa.concat_tables(parts)
+
+    out = (exact_dedup(docs.map_batches(augment,
+                                        batch_format="pyarrow"))
+           .map_batches(lambda b: pa.table({
+               "group_size": pc.cast(b.column("n_copies"), pa.int64())}),
+               batch_format="pyarrow")
+           .groupby("group_size")
+           .aggregate(Count(alias_name="n_groups"))
+           .to_pandas().sort_values("group_size")
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["group_size", "n_groups"]],
+                                preserve_index=False)

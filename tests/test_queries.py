@@ -131,7 +131,7 @@ SQL_CHECKED = [
     "q130_snapshot_diff", "q132_watermark_late",
     "q133_topk_with_ties", "q134_exact_n_sample",
     "q136_vector_quantiles", "q137_pair_lift", "q138_longest_streak",
-    "q139_revenue_share", "q140_debounce",
+    "q139_revenue_share", "q140_debounce", "q141_dup_size_histogram",
 ]
 
 
