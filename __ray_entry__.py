@@ -629,6 +629,67 @@ def _media_pipeline(sf_dir: str):
     })
 
 
+def _image_neardup_media(n_img: int) -> "Any":
+    """Deterministic synthetic image corpus for q142: base PNGs, a
+    brightness-shifted re-encode every 3rd image (identical dHash,
+    different bytes — the copy byte hashes miss), a one-sampled-cell
+    edit every 5th image (Hamming ≤ 2), and one undecodable payload.
+    Pixel values stay ≤ 205 so the +6 brightness shift never saturates
+    (saturation would change gradient signs and the hash)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import encode_png
+
+    def img(seed: int) -> np.ndarray:
+        y, x = np.mgrid[0:12, 0:12]
+        px = ((y * 31 + x * 17 + seed * 7) % 199).astype(np.uint8)
+        return np.stack([px, (px * 3) % 199, (px * 7) % 199], axis=2)
+
+    rows = []
+    for i in range(n_img):
+        base = img(i)
+        rows.append((f"img{i:05d}", encode_png(base)))
+        if i % 3 == 0:
+            rows.append((f"img{i:05d}_bright",
+                         encode_png(base + np.uint8(6))))
+        if i % 5 == 0:
+            edit = base.copy()
+            # (ys[4], xs[4]) = (6, 5) is on the dHash 9×8 sample grid:
+            # the edit flips at most the two gradient bits comparing
+            # that cell to its row neighbors
+            edit[6, 5, :] = 180
+            rows.append((f"img{i:05d}_edit", encode_png(edit)))
+    rows.append(("junk0", b"not an image"))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array(["image"] * len(rows), pa.string()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })
+
+
+def _image_neardup(sf_dir: str):
+    """q142: visual near-duplicate image pairs — decode → 64-bit dHash →
+    4×16-bit banded-Hamming blocking → exact verify
+    (``multimodal.image_neardup_pairs`` over ``dedup.hash_neardup_pairs``).
+    Corpus sized by the sf documents count.  Rows-only: image codecs are
+    outside SQL; tests pin the identical construction against a serial
+    quadratic all-pairs reference at the driver's scales."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import image_neardup_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    media = rd.from_arrow(_image_neardup_media(max(12, n_docs // 40))) \
+        .repartition(4)
+    out = dataset_to_table(image_neardup_pairs(media, max_hamming=3))
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["hamming"] = df["hamming"].astype("int64")
+    return df
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -821,6 +882,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q139_revenue_share": A.q139_revenue_share,
         "q140_debounce": A.q140_debounce,
         "q141_dup_size_histogram": A.q141_dup_size_histogram,
+        "q142_image_neardup": _image_neardup,
+        "q143_clustering_coefficient": A.q143_clustering_coefficient,
     }
 
 
@@ -3762,6 +3825,43 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             WHERE rn = 1
             ORDER BY user_id, event_type
+        """,
+        "q143_clustering_coefficient": """
+            -- clustering_coefficients twin: q65's triangle CTE + a
+            -- degree CTE over the same distinct undirected edges; cc
+            -- quantized to ppm with the engine's exact floor division
+            WITH edges AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                           GREATEST(src, dst) AS b
+                    FROM edges),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+                      (SELECT a AS node FROM und
+                       UNION ALL SELECT b FROM und)
+                    GROUP BY node),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1
+                    JOIN und e2 ON e2.a = e1.b
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT x AS node FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                   GROUP BY node)
+            SELECT d.node, d.deg,
+                   CAST(COALESCE(tn.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CAST(2 * COALESCE(tn.n_triangles, 0) * 1000000
+                        // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_ppm
+            FROM deg d LEFT JOIN tn ON tn.node = d.node
+            WHERE d.deg >= 2
+            ORDER BY d.node
         """,
         "q141_dup_size_histogram": """
             -- dup-size-histogram twin: same augmentation (every 10th

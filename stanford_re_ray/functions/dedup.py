@@ -382,9 +382,12 @@ def ngram_jaccard_pairs(
         import pyarrow.compute as pc
 
         # the null-padded union inside hash_join promotes doc_b to float;
-        # restore int64 so the second join keys/buckets match
+        # restore int64 so the second join keys/buckets match.  safe=True:
+        # a doc id that would round-trip lossily (> 2^53) must error
+        # loudly, not corrupt join keys (same contract as
+        # embedding_neardup_pairs' vec_b restore).
         return pa.table({"doc_id": pc.cast(batch.column("doc_b"), pa.int64(),
-                                           safe=False),
+                                           safe=True),
                          "doc_a": batch.column("doc_id"),
                          "text_a": batch.column("text_a")})
 
@@ -1700,3 +1703,102 @@ def shuffled_dup_groups(ds: ray.data.Dataset, text_col: str = "text",
             .groupby("fp")
             .aggregate(Min(id_col, alias_name=id_col),
                        Count(alias_name="n_copies")))
+
+
+# --- generic banded-Hamming near-dup over a 64-bit hash column ---------------
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for a uint64 array (numpy < 2.0 has no
+    ``bitwise_count``): view as uint8 and sum unpacked bits per 8-byte
+    word."""
+    b = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+    return b.sum(axis=1).astype(np.int64)
+
+
+def hash_neardup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    hash_col: str = "hash",
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Near-dup pairs over ANY 64-bit fingerprint column (dHash, pHash,
+    audio fingerprints, SimHash …): 4×16-bit band blocking, then exact
+    Hamming verification inside band buckets.  By pigeonhole over the 4
+    disjoint bands, recall is GUARANTEED for distance ≤ 3 (the standard
+    perceptual-hash near-dup radius); larger ``max_hamming`` warns and
+    is approximate, exactly like ``simhash_neardup_pairs``.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b (any orderable id
+    type).  Scale shape: only (id, band, band value, hash) rows shuffle
+    — one int64-keyed groupby over 4×n rows, payloads never move; a
+    band bucket with g members does g² work, so adversarially-common
+    fingerprints (e.g. the all-black thumbnail) should be pre-filtered
+    by an exact-dup pass (``exact_dedup`` / ``media_content_hash``)."""
+    from ray.data.aggregate import Min
+
+    from ..schema import pd_to_arrow
+
+    if max_hamming > 3:
+        import warnings
+
+        warnings.warn(
+            f"hash_neardup_pairs: max_hamming={max_hamming} > 3 — 4-band "
+            "blocking only guarantees recall for distance <= 3; results "
+            "are approximate", stacklevel=2)
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    target = pa.schema([("id_a", id_type), ("id_b", id_type),
+                        ("hamming", pa.int64())])
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        n = len(h)
+        ids = batch.column(id_col)
+        # 4 bands × 16 bits, fully vectorized; bucket = splitmix64-style
+        # mix of (band, value) so band-0 values don't collide with
+        # band-1 values in the bucket space
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        band = np.tile(np.arange(4, dtype=np.uint64), n)
+        val = (np.repeat(h, 4) >> (band * np.uint64(16))) & np.uint64(0xFFFF)
+        key = (band << np.uint64(16)) | val
+        mix = key * np.uint64(0x9E3779B97F4A7C15)
+        mix ^= mix >> np.uint64(31)
+        return pa.table({
+            "id": ids.take(idx),
+            "bkey": pa.array(key.astype(np.int64)),
+            "h": pa.array(np.repeat(h, 4)),
+            "__bucket": pa.array((mix % np.uint64(n_buckets))
+                                 .astype(np.int32)),
+        })
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        df = df.sort_values(["bkey", "id"], kind="mergesort")
+        for _, g in df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy()
+            hs = g["h"].to_numpy().astype(np.uint64)
+            iu, ju = np.triu_indices(len(g), k=1)
+            d = _popcount64(hs[iu] ^ hs[ju])
+            keep = (d <= max_hamming) & (ids[iu] != ids[ju])
+            a, b = ids[iu[keep]], ids[ju[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_d.append(d[keep])
+        if not out_a:
+            return target.empty_table()
+        out = pd.DataFrame({"id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "hamming": np.concatenate(out_d)})
+        return pd_to_arrow(out).cast(target)
+
+    pairs = (ds.map_batches(explode_bands, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(lambda g: verify(g.drop(columns=["__bucket"])),
+                         batch_format="pandas"))
+    # a pair found via multiple shared bands appears once per band
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))

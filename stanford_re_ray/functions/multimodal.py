@@ -1468,3 +1468,30 @@ class ImageResizer:
             "width": pa.array(ws, pa.int32()),
             "decoded": pa.array(ok, pa.bool_()),
         })
+
+
+def image_neardup_pairs(media, max_hamming: int = 3):
+    """Visual near-duplicate image pairs: decode → 64-bit dHash
+    (``image_dhash_batch``) → generic 4×16-bit banded-Hamming blocking +
+    exact verification (``dedup.hash_neardup_pairs``).  Finds re-encoded
+    / brightness-shifted / lightly-edited copies that byte hashes miss;
+    recall guaranteed for Hamming ≤ 3 by band pigeonhole.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, decode failures
+    excluded.  Scale shape: payloads are touched ONCE in the hashing
+    map stage; only (media_id, band, hash) rows shuffle — the dedup
+    contract that keeps 100 TB of images viable.  Run an exact
+    byte-hash dedup (``media_content_hash``) first so identical files
+    don't form quadratic band buckets."""
+    import pyarrow.compute as pc
+
+    from .dedup import hash_neardup_pairs
+
+    def drop_failed(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("decoded"), True))
+        return keep.drop_columns(["decoded"])
+
+    hashed = (media.map_batches(image_dhash_batch, batch_format="pyarrow")
+              .map_batches(drop_failed, batch_format="pyarrow"))
+    return hash_neardup_pairs(hashed, id_col="media_id", hash_col="dhash",
+                              max_hamming=max_hamming)

@@ -4156,3 +4156,24 @@ def q141_dup_size_histogram(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["group_size", "n_groups"]],
                                 preserve_index=False)
+
+
+def q143_clustering_coefficient(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient per node
+    (``graph_ops.clustering_coefficients``) over the shared q51/q65
+    event-derived edge list: deg from one map-side-combined count over
+    the distinct undirected edges, T from the wedge-join triangle count,
+    cc quantized to integer ppm so the SQL twin (triangle CTE + degree
+    CTE + the same floor arithmetic) matches bit-for-bit."""
+    from ..pipelines.graph_ops import clustering_coefficients
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    edge_ds = ds.map_batches(_event_edge_batch, batch_format="pyarrow")
+    out = (clustering_coefficients(
+        edge_ds, est_rows=_row_count(sf_dir, "events"))
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["node", "deg", "n_triangles", "cc_ppm"]],
+        preserve_index=False)

@@ -1202,3 +1202,70 @@ def sssp_weighted(
                    .repartition(n_blocks).materialize())
 
     return visited
+
+
+def clustering_coefficients(
+    edges: ray.data.Dataset,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Local clustering coefficient per node: cc = 2·T(v) / (d(v)·(d(v)−1))
+    over the distinct undirected simple graph, quantized to integer ppm
+    (``cc_ppm = floor(2·T·10⁶ / (d·(d−1)))``) so the SQL oracle is exact.
+
+    Returns (node, deg, n_triangles, cc_ppm) for every node with
+    deg ≥ 2 (cc is undefined below; such nodes are omitted, matching the
+    oracle's WHERE).  Distributed shape: ``triangle_counts`` (three
+    key-partitioned joins) for T, one map-side-combined ``node_count``
+    over the exploded distinct edges for d, and one LEFT join
+    (nodes with no triangles get T = 0) — nothing on the driver."""
+    from ..functions.relational import hash_join
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow")
+           .materialize())
+    n_und = und.count()
+    und = und.repartition(max(4, n_und // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = 2 * n_und
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b])})
+
+    deg = node_count(und.map_batches(explode, batch_format="pyarrow"),
+                     alias="deg")
+    tri = triangle_counts(und.map_batches(
+        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"),
+        est_rows=est_rows)
+    joined = hash_join(deg, tri, on="node", how="left", est_rows=est_rows)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = batch.column("deg").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pc.fill_null(pc.cast(batch.column("n_triangles"), pa.int64(),
+                                 safe=False), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        node = batch.column("node").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        cc = (2 * t * 1_000_000) // (d * (d - 1))
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "deg": pa.array(d, pa.int64()),
+                         "n_triangles": pa.array(t, pa.int64()),
+                         "cc_ppm": pa.array(cc, pa.int64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
