@@ -712,3 +712,95 @@ def test_image_resizer_stage(ray_session):
         thumb = decode_image(byid.loc["a", "payload"])
         assert thumb.shape[:2] == (8, 8)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_hash_neardup_pairs_pigeonhole_and_ids(ray_session):
+    """Generic banded-Hamming near-dup: recall GUARANTEED at distance
+    <= 3 (any 3 flipped bits leave one of the 4 disjoint 16-bit bands
+    intact), id ordering and multi-band dedup correct for both string
+    and int64 ids, distance-4 spread across all 4 bands correctly
+    missed (the documented approximation boundary)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import hash_neardup_pairs
+
+    base = 0x0123456789ABCDEF
+    flip3 = base ^ 0b111                       # 3 bits, one band
+    spread3 = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32)   # 3 bits, 3 bands
+    spread4 = base ^ (1 << 0) ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)
+    far = base ^ ((1 << 40) - 1)
+    tbl = pa.table({
+        "media_id": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        "hash": pa.array(
+            np.array([base, flip3, spread3, spread4, far], np.uint64)),
+    })
+    out = (hash_neardup_pairs(rd.from_arrow(tbl).repartition(3),
+                              id_col="media_id", hash_col="hash",
+                              max_hamming=3)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    got = set(zip(out["id_a"], out["id_b"], out["hamming"]))
+    # a-b (3 bits one band), a-c (3 bits across 3 of 4 bands: band 3
+    # intact), b-c (6 bits) excluded, a-d (4 bits, all four bands
+    # touched) MISSED by design even though <= hamming would pass
+    assert ("a", "b", 3) in got
+    assert ("a", "c", 3) in got
+    assert all(p[:2] != ("a", "d") for p in got)
+    assert all(h <= 3 for *_, h in got)
+    # int64 ids round-trip with the same pairs
+    tbl_i = pa.table({
+        "doc_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        "hash": tbl.column("hash"),
+    })
+    out_i = (hash_neardup_pairs(rd.from_arrow(tbl_i).repartition(2),
+                                id_col="doc_id", hash_col="hash",
+                                max_hamming=3)
+             .to_pandas())
+    got_i = set(zip(out_i["id_a"], out_i["id_b"], out_i["hamming"]))
+    assert ("a", "b", 3) in got and (10, 20, 3) in got_i
+    assert (10, 30, 3) in got_i
+    assert pd.api.types.is_integer_dtype(out_i["id_a"])
+
+
+def test_image_neardup_pairs_vs_serial_reference(ray_session):
+    """q142's engine path == a serial quadratic all-pairs dHash sweep on
+    the identical synthetic corpus (brightness twins at Hamming 0, edit
+    twins <= 2, junk excluded), at the driver's own construction."""
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from stanford_re_ray.functions.multimodal import (decode_image,
+                                                      image_dhash,
+                                                      image_neardup_pairs)
+
+    media = entrymod._image_neardup_media(12)
+    recs = []
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        try:
+            recs.append((mid, image_dhash(decode_image(payload))))
+        except Exception:
+            pass
+    assert len(recs) == media.num_rows - 1      # junk excluded
+    exp = sorted(
+        (*sorted((a, b)), bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(recs)
+        for b, hb in recs[i + 1:]
+        if bin(ha ^ hb).count("1") <= 3
+    )
+    out = (image_neardup_pairs(rd.from_arrow(media).repartition(4),
+                               max_hamming=3)
+           .to_pandas())
+    got = sorted(zip(out["id_a"], out["id_b"], out["hamming"]))
+    assert got == exp
+    # the corpus exercises both twin kinds
+    assert any(a.endswith("_bright") or b.endswith("_bright")
+               for a, b, _ in got)
+    assert any((a.endswith("_edit") or b.endswith("_edit")) and h > 0
+               for a, b, h in got)

@@ -132,6 +132,7 @@ SQL_CHECKED = [
     "q133_topk_with_ties", "q134_exact_n_sample",
     "q136_vector_quantiles", "q137_pair_lift", "q138_longest_streak",
     "q139_revenue_share", "q140_debounce", "q141_dup_size_histogram",
+    "q143_clustering_coefficient",
 ]
 
 
@@ -160,6 +161,7 @@ ROWS_ONLY = [
     "q121_pq_topk",
     "q131_mmr_select",
     "q135_media_pipeline",
+    "q142_image_neardup",
 ]
 
 
@@ -221,6 +223,7 @@ def test_queries_oracle_contract(entrymod):
         "kg_triples", "kg_triples_hoffmann", "kg_triples_mimlre",
         "q53_bpe_merges", "q109_bpe_encode", "q120_pq_encode",
         "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
+        "q142_image_neardup",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
