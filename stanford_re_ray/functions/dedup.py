@@ -1747,7 +1747,17 @@ def hash_neardup_pairs(
             "blocking only guarantees recall for distance <= 3; results "
             "are approximate", stacklevel=2)
 
-    id_type = ds.schema().base_schema.field(id_col).type
+    schema = ds.schema()
+    if schema is None:
+        # a fully-empty dataset downstream of a transform has no
+        # inferable schema (Ray drops it); no rows → no pairs.  Id type
+        # is unknowable here, so the empty result defaults to int64 ids
+        # — the same documented degenerate-schema convention as
+        # hash_join's escape hatches.
+        return ray.data.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("hamming", pa.int64())]).empty_table())
+    id_type = schema.base_schema.field(id_col).type
     target = pa.schema([("id_a", id_type), ("id_b", id_type),
                         ("hamming", pa.int64())])
 

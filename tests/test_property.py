@@ -588,3 +588,37 @@ def test_cusum_argmax_matches_bruteforce(vals):
         if s > best_s:
             best_i, best_s = ii, s
     assert (int(i[j]), int(stat[j])) == (best_i, best_s)
+
+
+# --- banded-Hamming near-dup ≡ quadratic reference ---------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                min_size=0, max_size=30),
+       st.integers(min_value=0, max_value=3))
+def test_hash_neardup_pairs_matches_reference(ray_session, hashes, maxh):
+    """hash_neardup_pairs == quadratic all-pairs popcount filter for any
+    hash multiset at max_hamming <= 3 (the pigeonhole-complete regime),
+    including empty input, all-identical hashes (dense buckets), and
+    ids carried through multi-band dedup."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import hash_neardup_pairs
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(hashes)), pa.int64()),
+        "hash": pa.array(np.array(hashes, dtype=np.uint64)),
+    })
+    out = hash_neardup_pairs(rd.from_arrow(tbl).repartition(3),
+                             id_col="doc_id", hash_col="hash",
+                             max_hamming=maxh)
+    got = sorted(zip(*[out.to_pandas()[c] for c in
+                       ("id_a", "id_b", "hamming")])) \
+        if out.count() else []
+    exp = sorted(
+        (i, j, bin(hashes[i] ^ hashes[j]).count("1"))
+        for i in range(len(hashes))
+        for j in range(i + 1, len(hashes))
+        if bin(hashes[i] ^ hashes[j]).count("1") <= maxh
+    )
+    assert got == exp
