@@ -690,6 +690,78 @@ def _image_neardup(sf_dir: str):
     return df
 
 
+def _audio_neardup_media(n_clips: int) -> "Any":
+    """Deterministic synthetic WAV corpus for q144: broadband seeded
+    noise × a time-varying envelope (energy in every linear band — the
+    regime where the fingerprint's delta signs are stable), samples
+    forced EVEN so the half-volume twin ``x // 2`` is an exact 0.5×
+    gain (fingerprint-identical).  Twins: every 3rd clip a half-volume
+    re-encode (Hamming 0), every 5th a mono→stereo re-encode (identical
+    mixdown, Hamming 0), every 7th a lightly-noised copy (small
+    Hamming), plus one undecodable payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import encode_wav
+
+    rate, n = 8000, 16000
+
+    def clip(seed: int) -> np.ndarray:
+        rng = np.random.RandomState(seed * 7 + 1)
+        w = rng.normal(0, 1, n)
+        k = 3 + (seed % 5) * 2
+        w = np.convolve(w, np.ones(k) / k, mode="same")
+        t = np.arange(n) / rate
+        env = 0.3 + 0.7 * np.abs(
+            np.sin(2 * np.pi * t * (0.9 + (seed % 7) * 0.45) + seed))
+        x = w * env
+        x = x / np.abs(x).max() * 11000
+        return (2 * np.round(x / 2)).astype(np.int16)
+
+    rows = []
+    for i in range(n_clips):
+        base = clip(i)
+        rows.append((f"aud{i:05d}", encode_wav(base, rate)))
+        if i % 3 == 0:
+            rows.append((f"aud{i:05d}_half",
+                         encode_wav((base // 2).astype(np.int16), rate)))
+        if i % 5 == 0:
+            rows.append((f"aud{i:05d}_stereo",
+                         encode_wav(np.stack([base, base], axis=1), rate)))
+        if i % 7 == 0:
+            rng = np.random.RandomState(10_000 + i)
+            noisy = (base + rng.normal(0, 40, n)).astype(np.int16)
+            rows.append((f"aud{i:05d}_noise", encode_wav(noisy, rate)))
+    rows.append(("junk0", b"not a wav"))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array(["audio"] * len(rows), pa.string()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })
+
+
+def _audio_neardup(sf_dir: str):
+    """q144: perceptual audio near-duplicate pairs — WAV decode → 64-bit
+    spectral fingerprint (8 linear bands × 9 time segments, delta
+    signs) → the same generic banded-Hamming blocking as q142
+    (``multimodal.audio_neardup_pairs``).  Rows-only: audio codecs and
+    FFTs are outside SQL; tests pin the identical construction against
+    a serial quadratic fingerprint sweep."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import audio_neardup_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    media = rd.from_arrow(_audio_neardup_media(max(10, n_docs // 50))) \
+        .repartition(4)
+    out = dataset_to_table(audio_neardup_pairs(media, max_hamming=3))
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["hamming"] = df["hamming"].astype("int64")
+    return df
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -884,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q141_dup_size_histogram": A.q141_dup_size_histogram,
         "q142_image_neardup": _image_neardup,
         "q143_clustering_coefficient": A.q143_clustering_coefficient,
+        "q144_audio_neardup": _audio_neardup,
     }
 
 

@@ -804,3 +804,81 @@ def test_image_neardup_pairs_vs_serial_reference(ray_session):
                for a, b, _ in got)
     assert any((a.endswith("_edit") or b.endswith("_edit")) and h > 0
                for a, b, h in got)
+
+
+def test_audio_fingerprint_invariances():
+    """Gain (exact half on even samples) and mono→stereo re-encode leave
+    the fingerprint bit-identical; mild noise flips ≤ 4 bits; distinct
+    broadband clips stay ≥ 12 bits apart (the near-dup radius 3 never
+    false-positives across these)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from stanford_re_ray.functions.multimodal import (audio_fingerprint,
+                                                      decode_wav)
+
+    media = entrymod._audio_neardup_media(8)
+    fps = {}
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        if mid == "junk0":
+            continue
+        samples, rate = decode_wav(payload)
+        fps[mid] = audio_fingerprint(samples, rate)
+    for i in range(8):
+        base = fps[f"aud{i:05d}"]
+        if i % 3 == 0:
+            assert fps[f"aud{i:05d}_half"] == base
+        if i % 5 == 0:
+            assert fps[f"aud{i:05d}_stereo"] == base
+        if i % 7 == 0:
+            ham = bin(fps[f"aud{i:05d}_noise"] ^ base).count("1")
+            assert ham <= 4, f"noise twin of {i} flipped {ham} bits"
+    bases = [fps[f"aud{i:05d}"] for i in range(8)]
+    cross = [bin(a ^ b).count("1")
+             for i, a in enumerate(bases) for b in bases[i + 1:]]
+    assert min(cross) >= 12
+
+
+def test_audio_neardup_pairs_vs_serial_reference(ray_session):
+    """q144's engine path == a serial quadratic fingerprint sweep on the
+    identical synthetic corpus (half-volume and stereo twins at
+    Hamming 0, junk excluded)."""
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from stanford_re_ray.functions.multimodal import (audio_fingerprint,
+                                                      audio_neardup_pairs,
+                                                      decode_wav)
+
+    media = entrymod._audio_neardup_media(10)
+    recs = []
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        try:
+            samples, rate = decode_wav(payload)
+            recs.append((mid, audio_fingerprint(samples, rate)))
+        except Exception:
+            pass
+    assert len(recs) == media.num_rows - 1
+    exp = sorted(
+        (*sorted((a, b)), bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(recs)
+        for b, hb in recs[i + 1:]
+        if bin(ha ^ hb).count("1") <= 3
+    )
+    out = (audio_neardup_pairs(rd.from_arrow(media).repartition(4),
+                               max_hamming=3)
+           .to_pandas())
+    got = sorted(zip(out["id_a"], out["id_b"], out["hamming"]))
+    assert got == exp
+    assert any(a.endswith("_half") or b.endswith("_half")
+               for a, b, _ in got)
+    assert any(a.endswith("_stereo") or b.endswith("_stereo")
+               for a, b, _ in got)

@@ -162,6 +162,7 @@ ROWS_ONLY = [
     "q131_mmr_select",
     "q135_media_pipeline",
     "q142_image_neardup",
+    "q144_audio_neardup",
 ]
 
 
@@ -223,7 +224,7 @@ def test_queries_oracle_contract(entrymod):
         "kg_triples", "kg_triples_hoffmann", "kg_triples_mimlre",
         "q53_bpe_merges", "q109_bpe_encode", "q120_pq_encode",
         "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
-        "q142_image_neardup",
+        "q142_image_neardup", "q144_audio_neardup",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
