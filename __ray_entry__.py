@@ -762,6 +762,76 @@ def _audio_neardup(sf_dir: str):
     return df
 
 
+def _video_neardup_media(n_vids: int) -> "Any":
+    """Deterministic synthetic animated-GIF corpus for q145: 5-frame
+    clips over a shared ≤8-color palette (`encode_gif_animated` requires
+    ≤256 colors across all frames).  Twins: every 3rd clip a
+    duration-re-encode (same frames, doubled delays — byte-different,
+    fingerprint-identical), every 5th a brightness shift (+6 on every
+    frame: per-frame dHash gradient signs unchanged), every 7th a
+    frame-ORDER shuffle (majority vote is order-invariant — Hamming 0),
+    plus one undecodable payload."""
+    import numpy as np
+    import pyarrow as pa
+
+    from stanford_re_ray.functions.multimodal import encode_gif_animated
+
+    def frame(seed: int, t: int) -> np.ndarray:
+        # seeded random 8-level cell field (linear/modular patterns
+        # produce periodic dHashes whose majority votes collide across
+        # seeds); frames of one clip are label rotations of the same
+        # field, so the clip animates while staying self-similar
+        base = np.random.RandomState(seed * 31 + 7).randint(
+            0, 8, (12, 12))
+        lv = (((base + t * 3) % 8) * 24 + 40).astype(np.uint8)
+        return np.stack([lv, (lv + 48) % 216, (lv * 2) % 216],
+                        axis=2).astype(np.uint8)
+
+    rows = []
+    for i in range(n_vids):
+        frames = [frame(i, t) for t in range(5)]
+        delays = [100] * 5
+        rows.append((f"vid{i:05d}", encode_gif_animated(frames, delays)))
+        if i % 3 == 0:
+            rows.append((f"vid{i:05d}_slow",
+                         encode_gif_animated(frames, [200] * 5)))
+        if i % 5 == 0:
+            bright = [(f + np.uint8(6)) for f in frames]
+            rows.append((f"vid{i:05d}_bright",
+                         encode_gif_animated(bright, delays)))
+        if i % 7 == 0:
+            rows.append((f"vid{i:05d}_shuf",
+                         encode_gif_animated(frames[::-1], delays)))
+    rows.append(("junk0", b"not a gif"))
+    return pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "kind": pa.array(["video"] * len(rows), pa.string()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })
+
+
+def _video_neardup(sf_dir: str):
+    """q145: perceptual video near-duplicate pairs — animated-GIF decode
+    → per-frame dHash → per-bit majority-vote 64-bit fingerprint → the
+    q142/q144 generic banded-Hamming blocking
+    (``multimodal.video_neardup_pairs``).  Rows-only: video codecs are
+    outside SQL; tests pin the identical construction against a serial
+    quadratic fingerprint sweep."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import video_neardup_pairs
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    media = rd.from_arrow(_video_neardup_media(max(10, n_docs // 50))) \
+        .repartition(4)
+    out = dataset_to_table(video_neardup_pairs(media, max_hamming=3))
+    df = out.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    df["hamming"] = df["hamming"].astype("int64")
+    return df
+
+
 def _ngram_exact_pairs(sf_dir: str):
     import ray.data as rd
 
@@ -957,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q142_image_neardup": _image_neardup,
         "q143_clustering_coefficient": A.q143_clustering_coefficient,
         "q144_audio_neardup": _audio_neardup,
+        "q145_video_neardup": _video_neardup,
     }
 
 

@@ -1606,3 +1606,64 @@ def audio_neardup_pairs(media, max_hamming: int = 3):
               .map_batches(drop_failed, batch_format="pyarrow"))
     return hash_neardup_pairs(hashed, id_col="media_id", hash_col="afp",
                               max_hamming=max_hamming)
+
+
+def video_fingerprint(payload: bytes) -> int:
+    """64-bit perceptual video fingerprint over an animated GIF: per-frame
+    ``image_dhash``, folded by PER-BIT MAJORITY VOTE across frames
+    (strict > half; ties → 0).  Majority folding is invariant to frame
+    ORDER and duration metadata and degrades gracefully under dropped /
+    duplicated frames — the re-encode transformations a byte hash
+    can't see.  Single-frame payloads reduce to the still-image dHash."""
+    frames, _ = decode_gif_frames(payload)
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)
+    cnt = np.zeros(64, dtype=np.int64)
+    for f in frames:
+        h = np.uint64(image_dhash(f))
+        cnt += ((h >> shifts) & np.uint64(1)).astype(np.int64)
+    maj = cnt * 2 > len(frames)
+    out = 0
+    for b in maj:
+        out = (out << 1) | int(b)
+    return out
+
+
+def video_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Map stage: GIF decode → ``video_fingerprint`` per payload;
+    undecodable payloads emit hash 0 with ``decoded = false``."""
+    ids, fps, ok = [], [], []
+    for mid, payload in zip(batch.column("media_id").to_pylist(),
+                            batch.column("payload").to_pylist()):
+        ids.append(mid)
+        try:
+            fps.append(video_fingerprint(payload or b""))
+            ok.append(True)
+        except Exception:
+            fps.append(0)
+            ok.append(False)
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "vfp": pa.array(np.array(fps, dtype=np.uint64)),
+        "decoded": pa.array(ok, pa.bool_()),
+    })
+
+
+def video_neardup_pairs(media, max_hamming: int = 3):
+    """Perceptual video near-duplicate pairs: GIF decode → majority-vote
+    frame-dHash fingerprint → the generic banded-Hamming blocking
+    (``dedup.hash_neardup_pairs``) — duration-re-encoded,
+    frame-reordered and brightness-shifted copies found without
+    shuffling payloads; completes the q142/q144 image/audio family."""
+    import pyarrow.compute as pc
+
+    from .dedup import hash_neardup_pairs
+
+    def drop_failed(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch.column("decoded"), True))
+        return keep.drop_columns(["decoded"])
+
+    hashed = (media.map_batches(video_fingerprint_batch,
+                                batch_format="pyarrow")
+              .map_batches(drop_failed, batch_format="pyarrow"))
+    return hash_neardup_pairs(hashed, id_col="media_id", hash_col="vfp",
+                              max_hamming=max_hamming)

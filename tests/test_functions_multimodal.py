@@ -882,3 +882,49 @@ def test_audio_neardup_pairs_vs_serial_reference(ray_session):
                for a, b, _ in got)
     assert any(a.endswith("_stereo") or b.endswith("_stereo")
                for a, b, _ in got)
+
+
+def test_video_fingerprint_invariances_and_neardup(ray_session):
+    """Duration re-encode, +6 brightness, and frame-order shuffle leave
+    the majority-vote video fingerprint bit-identical; distinct clips
+    stay far apart; and the distributed pair finder equals a serial
+    quadratic sweep on the identical q145 corpus."""
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    from stanford_re_ray.functions.multimodal import (video_fingerprint,
+                                                      video_neardup_pairs)
+
+    media = entrymod._video_neardup_media(10)
+    fps = {}
+    for mid, payload in zip(media.column("media_id").to_pylist(),
+                            media.column("payload").to_pylist()):
+        if mid == "junk0":
+            continue
+        fps[mid] = video_fingerprint(payload)
+    for m, h in fps.items():
+        if "_" in m:
+            assert h == fps[m.split("_")[0]], m
+    bases = [h for m, h in fps.items() if "_" not in m]
+    cross = [bin(a ^ b).count("1")
+             for i, a in enumerate(bases) for b in bases[i + 1:]]
+    assert min(cross) > 3
+    exp = sorted(
+        (*sorted((a, b)), bin(ha ^ hb).count("1"))
+        for i, (a, ha) in enumerate(sorted(fps.items()))
+        for b, hb in sorted(fps.items())[i + 1:]
+        if bin(ha ^ hb).count("1") <= 3
+    )
+    out = (video_neardup_pairs(rd.from_arrow(media).repartition(4),
+                               max_hamming=3)
+           .to_pandas())
+    got = sorted(zip(out["id_a"], out["id_b"], out["hamming"]))
+    assert got == exp and len(got) > 0
+    assert any(a.endswith("_slow") or b.endswith("_slow")
+               for a, b, _ in got)
+    assert any(a.endswith("_shuf") or b.endswith("_shuf")
+               for a, b, _ in got)
