@@ -1720,7 +1720,8 @@ def hash_neardup_pairs(
     id_col: str = "doc_id",
     hash_col: str = "hash",
     max_hamming: int = 3,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
+    est_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Near-dup pairs over ANY 64-bit fingerprint column (dHash, pHash,
     audio fingerprints, SimHash …): 4×16-bit band blocking, then exact
@@ -1734,10 +1735,16 @@ def hash_neardup_pairs(
     — one int64-keyed groupby over 4×n rows, payloads never move; a
     band bucket with g members does g² work, so adversarially-common
     fingerprints (e.g. the all-black thumbnail) should be pre-filtered
-    by an exact-dup pass (``exact_dedup`` / ``media_content_hash``)."""
+    by an exact-dup pass (``exact_dedup`` / ``media_content_hash``).
+
+    Pass ``est_rows`` (input row estimate) at scale: the verify shuffle
+    gets a size-derived bucket count (``resolve_n_buckets`` over the 4×
+    band rows) instead of the 64-bucket default, which under-parallelizes
+    beyond ~16M fingerprints."""
     from ray.data.aggregate import Min
 
     from ..schema import pd_to_arrow
+    from .relational import resolve_n_buckets
 
     if max_hamming > 3:
         import warnings
@@ -1757,6 +1764,8 @@ def hash_neardup_pairs(
         return ray.data.from_arrow(pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()),
              ("hamming", pa.int64())]).empty_table())
+    n_buckets = resolve_n_buckets(
+        n_buckets, 4 * est_rows if est_rows is not None else None)
     id_type = schema.base_schema.field(id_col).type
     target = pa.schema([("id_a", id_type), ("id_b", id_type),
                         ("hamming", pa.int64())])
