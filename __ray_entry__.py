@@ -1028,6 +1028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_clustering_coefficient": A.q143_clustering_coefficient,
         "q144_audio_neardup": _audio_neardup,
         "q145_video_neardup": _video_neardup,
+        "q146_grouping_sets": A.q146_grouping_sets,
+        "q147_interval_coverage": A.q147_interval_coverage,
     }
 
 
@@ -4006,6 +4008,52 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q146_grouping_sets": """
+            -- grouping_sets_sum twin: the engine's three sets unioned;
+            -- (priority) deliberately absent (not a rollup, not a cube)
+            SELECT o_orderstatus, o_orderpriority,
+                   round(SUM(o_totalprice), 2) AS sum_value,
+                   COUNT(*) AS n_rows
+            FROM orders GROUP BY 1, 2
+            UNION ALL
+            SELECT o_orderstatus, 'ALL',
+                   round(SUM(o_totalprice), 2), COUNT(*)
+            FROM orders GROUP BY 1
+            UNION ALL
+            SELECT 'ALL', 'ALL', round(SUM(o_totalprice), 2), COUNT(*)
+            FROM orders
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "q147_interval_coverage": """
+            -- interval-union coverage twin: MAX(b) OVER preceding rows
+            -- finds island starts; both engines sort by (a, b) so ties
+            -- resolve identically; all-integer microseconds
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS a,
+                     epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS b
+              FROM events),
+            o AS (
+              SELECT user_id, a, b,
+                     MAX(b) OVER (PARTITION BY user_id ORDER BY a, b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prev_max
+              FROM iv),
+            isl AS (
+              SELECT user_id, a, b,
+                     SUM(CASE WHEN prev_max IS NULL OR a > prev_max
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY a, b
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM o),
+            g AS (
+              SELECT user_id, island,
+                     MAX(b) - MIN(a) AS len
+              FROM isl GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(len) AS BIGINT) AS covered_us
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "q141_dup_size_histogram": """
             -- dup-size-histogram twin: same augmentation (every 10th

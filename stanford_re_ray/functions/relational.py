@@ -644,6 +644,37 @@ def cube_sum(
     return _grouping_sets_sum(ds, keys, value_col, sets, all_token, scale)
 
 
+def grouping_sets_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    sets: list[tuple[str, ...]] | list[list[str]],
+    all_token: str = "ALL",
+    scale: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS(...): sums and counts at an ARBITRARY list
+    of grouping sets (each a subset of ``keys``), rolled-up columns
+    masked with ``all_token`` — the general form behind ``rollup_sum``
+    (prefixes) and ``cube_sum`` (all subsets).  Same scale shape and
+    determinism contract: the per-batch combiner collapses each batch to
+    its distinct full-key rows, the |sets|× explosion happens on those
+    tiny partials, one groupby finishes; pass ``scale`` to quantize the
+    value to integer units so the shuffle Sum is associative.
+
+    Duplicate sets are rejected: two identical sets produce identical
+    mask patterns, and the single final groupby would silently merge
+    them into doubled sums (SQL emits two result rows instead)."""
+    norm = [tuple(s) for s in sets]
+    for st in norm:
+        unknown = set(st) - set(keys)
+        if unknown:
+            raise ValueError(f"grouping set {st} has non-key columns "
+                             f"{sorted(unknown)}")
+    if len(set(norm)) != len(norm):
+        raise ValueError("duplicate grouping sets")
+    return _grouping_sets_sum(ds, keys, value_col, norm, all_token, scale)
+
+
 def _grouping_sets_sum(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -4177,3 +4177,84 @@ def q143_clustering_coefficient(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["node", "deg", "n_triangles", "cc_ppm"]],
         preserve_index=False)
+
+
+def q146_grouping_sets(sf_dir: str) -> pa.Table:
+    """Arbitrary GROUPING SETS (``relational.grouping_sets_sum``): order
+    totals at (status, priority), (status), and grand-total levels —
+    deliberately NOT a rollup prefix chain or a full cube (the
+    (priority) set is skipped), exercising the general engine.  Cents
+    are quantized integers so the shuffle Sum is associative and the
+    oracle exact."""
+    from ..functions.relational import grouping_sets_sum
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = (grouping_sets_sum(
+        orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice",
+        sets=[("o_orderstatus", "o_orderpriority"),
+              ("o_orderstatus",), ()],
+        scale=100)
+        .to_pandas()
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True))
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["o_orderstatus", "o_orderpriority", "sum_value", "n_rows"]],
+        preserve_index=False)
+
+
+def q147_interval_coverage(sf_dir: str) -> pa.Table:
+    """Per-user interval-union coverage: each event opens an interval
+    [ts, ts + (event_id mod 7 + 1) minutes); overlapping intervals merge
+    into islands and the covered time sums — the classic
+    merge-overlapping-intervals operator (session stitching, on-call
+    coverage, GPU-occupancy accounting).  One hash(user) bucket shuffle
+    co-locates timelines; islands split where an interval starts after
+    the running max end (vectorized per-bucket cummax, ties resolved by
+    the (a, b) sort both engines share).  All-integer microseconds."""
+    from ..schema import pd_to_arrow
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "a": pa.array(us, pa.int64()),
+            "b": pa.array(us + (eid % 7 + 1) * 60_000_000, pa.int64()),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def cover(g: pd.DataFrame):
+        g = (g.sort_values(["user_id", "a", "b"], kind="mergesort")
+             .reset_index(drop=True))
+        prev_max = g.groupby("user_id", sort=False)["b"].cummax() \
+            .groupby(g["user_id"], sort=False).shift(1)
+        new_island = prev_max.isna() | (g["a"] > prev_max)
+        g = g.assign(island=np.cumsum(new_island.to_numpy()))
+        isl = (g.groupby(["user_id", "island"], sort=False)
+               .agg(a_min=("a", "min"), b_max=("b", "max"))
+               .reset_index())
+        isl["len"] = isl["b_max"] - isl["a_min"]
+        out = (isl.groupby("user_id", sort=True)
+               .agg(n_islands=("island", "size"),
+                    covered_us=("len", "sum"))
+               .reset_index())
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pd_to_arrow(out[["user_id", "n_islands", "covered_us"]])
+
+    out = (ds.map_batches(iv, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: cover(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "n_islands", "covered_us"]],
+        preserve_index=False)

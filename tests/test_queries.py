@@ -132,7 +132,8 @@ SQL_CHECKED = [
     "q133_topk_with_ties", "q134_exact_n_sample",
     "q136_vector_quantiles", "q137_pair_lift", "q138_longest_streak",
     "q139_revenue_share", "q140_debounce", "q141_dup_size_histogram",
-    "q143_clustering_coefficient",
+    "q143_clustering_coefficient", "q146_grouping_sets",
+    "q147_interval_coverage",
 ]
 
 
