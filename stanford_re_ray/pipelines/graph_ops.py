@@ -692,6 +692,17 @@ def triangle_counts(
     und = und.repartition(max(4, n_und // 250_000 + 1)).materialize()
     if est_rows is None:
         est_rows = 2 * n_und
+    return _triangles_from_und(und, est_rows)
+
+
+def _triangles_from_und(und: ray.data.Dataset,
+                        est_rows: int) -> ray.data.Dataset:
+    """Wedge-join triangle core over an ALREADY canonical distinct a<b
+    edge set (materialized, block-bounded) — shared by
+    ``triangle_counts`` and ``clustering_coefficients`` so callers that
+    already hold ``und`` don't pay the canonicalize+distinct shuffle of
+    the raw edge list twice."""
+    from ..functions.relational import hash_join
 
     e1 = und.map_batches(lambda t: t.rename_columns(["u", "k"]),
                          batch_format="pyarrow")
@@ -1245,9 +1256,7 @@ def clustering_coefficients(
 
     deg = node_count(und.map_batches(explode, batch_format="pyarrow"),
                      alias="deg")
-    tri = triangle_counts(und.map_batches(
-        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow"),
-        est_rows=est_rows)
+    tri = _triangles_from_und(und, est_rows)
     joined = hash_join(deg, tri, on="node", how="left", est_rows=est_rows)
 
     def finish(batch: pa.Table) -> pa.Table:
