@@ -1030,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_video_neardup": _video_neardup,
         "q146_grouping_sets": A.q146_grouping_sets,
         "q147_interval_coverage": A.q147_interval_coverage,
+        "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
     }
 
 
@@ -4008,6 +4009,17 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q148_fuzzy_edit2_pairs": """
+            -- edit_pairs_qgram twin: quadratic distinct self-join with
+            -- DuckDB's exact levenshtein (the engine's banded DP)
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                     AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY 1, 2
         """,
         "q146_grouping_sets": """
             -- grouping_sets_sum twin: the engine's three sets unioned;

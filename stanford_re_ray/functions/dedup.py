@@ -1821,3 +1821,165 @@ def hash_neardup_pairs(
     # a pair found via multiple shared bands appears once per band
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+# --- bounded edit-distance similarity join (k >= 2) ---------------------------
+
+def _ed_le_k(a: str, b: str, k: int) -> int:
+    """Banded Levenshtein: the exact distance if it is ≤ k, else k + 1 —
+    O(k·len) cells instead of the full len² DP (cells outside the ±k
+    band can never lie on a ≤ k path)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb) if max(la, lb) <= k else k + 1
+    big = k + 1
+    prev = [j if j <= k else big for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        row_min = cur[0]
+        ca = a[i - 1]
+        for j in range(max(1, i - k), min(lb, i + k) + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            v = prev[j - 1] + cost
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            cur[j] = v if v < big else big
+            if cur[j] < row_min:
+                row_min = cur[j]
+        if row_min >= big:
+            return big
+        prev = cur
+    return prev[lb] if prev[lb] <= k else big
+
+
+def edit_pairs_qgram(
+    ds: ray.data.Dataset,
+    col: str,
+    max_dist: int = 2,
+    q: int = 3,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Fuzzy string self-join at edit distance ≤ ``max_dist`` via q-gram
+    PREFIX FILTERING — the k ≥ 2 generalization of ``edit1_pairs``'s
+    deletion neighborhoods (whose variant count explodes as lenᵏ).
+
+    Completeness argument: one edit destroys ≤ q of a string's q-grams,
+    so two strings within k edits share ≥ L_max − q + 1 − k·q grams;
+    ordering every value's grams by GLOBAL RARITY (one combiner'd gram
+    frequency groupby, broadcast — gram vocab of a name-like column is
+    tiny) and emitting only each value's first k·q + 1 grams still
+    guarantees a shared emitted gram for any qualifying pair with
+    L_max ≥ q·(k + 1) (the prefix-filter theorem), while pruning the
+    hot-gram buckets that make naive q-gram blocking quadratic.
+    Values shorter than q·(k + 1) ALSO share one "__short__" block
+    (below that length the count bound can hit zero — e.g. "abc"/"xbc"
+    at distance 1 share no 3-gram); short×short is quadratic by design,
+    fine for name-like data, so pre-bucket by length if a column is
+    dominated by very short strings.
+
+    Shape: distinct values first (the operator runs on the value
+    relation), ≤ k·q + 1 small (gram hash, value) rows shuffle per
+    value, one bucketed self ``hash_join``, pair dedup, then the exact
+    banded O(k·len) verify.  Returns (name_a, name_b, dist),
+    name_a < name_b, dist the exact edit distance."""
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import stable_u64
+    from .relational import hash_join
+    from ..state import broadcast
+
+    prefix_budget = max_dist * q + 1
+    short_len = q * (max_dist + 1)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vals = pc.unique(batch.column(col).combine_chunks())
+        return pa.table({col: vals})
+
+    distinct = (ds.map_batches(distinct_partial, batch_format="pyarrow")
+                .groupby(col).count()
+                .map_batches(lambda b: b.select([col]),
+                             batch_format="pyarrow")
+                .materialize())
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for v in batch.column(col).to_pylist():
+            if v is None:
+                continue
+            for i in range(len(v) - q + 1):
+                g = v[i:i + q]
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table({"gram": pa.array(list(counts), pa.string()),
+                         "__c": pa.array(list(counts.values()), pa.int64())})
+
+    from ..pipelines.kg import dataset_to_table
+
+    freq_tbl = dataset_to_table(
+        distinct.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram").aggregate(Sum("__c", alias_name="freq")))
+    # every value shorter than q ⇒ zero grams anywhere ⇒ the groupby
+    # yields a schema-less empty table; the short block below still
+    # pairs such values
+    freq = (dict(zip(freq_tbl.column("gram").to_pylist(),
+                     freq_tbl.column("freq").to_pylist()))
+            if "gram" in freq_tbl.column_names else {})
+    freq_ref = broadcast.put(freq)
+
+    def emit(batch: pa.Table, out_col: str) -> pa.Table:
+        fr = broadcast.fetch(freq_ref)
+        keys, names = [], []
+        for v in batch.column(col).to_pylist():
+            if v is None:
+                continue
+            grams = dict.fromkeys(v[i:i + q]
+                                  for i in range(len(v) - q + 1))
+            # rarity order, gram tie-break: deterministic prefix
+            pick = sorted(grams, key=lambda g: (fr[g], g))[:prefix_budget]
+            for g in pick:
+                keys.append(stable_u64(g) & 0x7FFFFFFFFFFFFFFF)
+                names.append(v)
+            if len(v) < short_len:
+                keys.append(stable_u64("\x00__short__") &
+                            0x7FFFFFFFFFFFFFFF)
+                names.append(v)
+        return pa.table({"vkey": pa.array(keys, pa.int64()),
+                         out_col: pa.array(names, pa.string())})
+
+    va = distinct.map_batches(lambda b: emit(b, "name_a"),
+                              batch_format="pyarrow")
+    vb = distinct.map_batches(lambda b: emit(b, "name_b"),
+                              batch_format="pyarrow")
+    joined = hash_join(va, vb, on="vkey", how="inner", est_rows=est_rows)
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch.column("name_a"), batch.column("name_b"))
+        return batch.filter(keep).select(["name_a", "name_b"])
+
+    cand = (joined.map_batches(ordered, batch_format="pyarrow")
+            .groupby(["name_a", "name_b"])
+            .aggregate(Count(alias_name="__n")))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("name_a").to_pylist()
+        b = batch.column("name_b").to_pylist()
+        dist = [_ed_le_k(x, y, max_dist) for x, y in zip(a, b)]
+        out = pa.table({
+            "name_a": batch.column("name_a"),
+            "name_b": batch.column("name_b"),
+            "dist": pa.array(dist, pa.int64()),
+        })
+        import pyarrow.compute as pc
+
+        return out.filter(pc.less_equal(out.column("dist"), max_dist))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -4258,3 +4258,22 @@ def q147_interval_coverage(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["user_id", "n_islands", "covered_us"]],
         preserve_index=False)
+
+
+def q148_fuzzy_edit2_pairs(sf_dir: str) -> pa.Table:
+    """Bounded edit-distance similarity join
+    (``dedup.edit_pairs_qgram``): all distinct part-name pairs within
+    Levenshtein distance 2, with the exact distance — q-gram PREFIX
+    filtering (global-rarity gram order, k·q+1 grams per value) plus the
+    dedicated short-string block (part names span 7-12 chars, so BOTH
+    sides of the q·(k+1) = 9 length threshold are exercised).  Oracle:
+    DuckDB's levenshtein over the quadratic distinct self-join."""
+    from ..functions.dedup import edit_pairs_qgram
+
+    part = _read(sf_dir, "part", ["p_name"])
+    out = (edit_pairs_qgram(part, "p_name", max_dist=2, q=3)
+           .to_pandas().sort_values(["name_a", "name_b"])
+           .reset_index(drop=True))
+    out["dist"] = out["dist"].astype("int64")
+    return pa.Table.from_pandas(out[["name_a", "name_b", "dist"]],
+                                preserve_index=False)

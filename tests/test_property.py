@@ -622,3 +622,49 @@ def test_hash_neardup_pairs_matches_reference(ray_session, hashes, maxh):
         if bin(hashes[i] ^ hashes[j]).count("1") <= maxh
     )
     assert got == exp
+
+
+# --- q-gram-blocked edit-distance join ≡ quadratic reference ------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.text(alphabet="abcx", min_size=0, max_size=14),
+                min_size=0, max_size=25),
+       st.integers(min_value=1, max_value=2))
+def test_edit_pairs_qgram_matches_reference(ray_session, words, k):
+    """edit_pairs_qgram == quadratic Levenshtein over distinct values —
+    mixed short (< q·(k+1)) and long strings, both blocking paths."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import _ed_le_k, edit_pairs_qgram
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    vals = sorted(set(words))
+    # the banded verify itself must agree with the full DP
+    for a in vals[:8]:
+        for b in vals[:8]:
+            d = lev(a, b)
+            got = _ed_le_k(a, b, k)
+            assert got == (d if d <= k else k + 1), (a, b, k)
+    if not vals:
+        return
+    tbl = pa.table({"p_name": pa.array(vals, pa.string())})
+    out = edit_pairs_qgram(rd.from_arrow(tbl).repartition(3), "p_name",
+                           max_dist=k)
+    n = out.count()
+    got = sorted(zip(*[out.to_pandas()[c]
+                       for c in ("name_a", "name_b", "dist")])) if n else []
+    exp = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(vals) for b in vals[i + 1:]
+        if lev(a, b) <= k
+    )
+    assert got == exp

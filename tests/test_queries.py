@@ -133,7 +133,7 @@ SQL_CHECKED = [
     "q136_vector_quantiles", "q137_pair_lift", "q138_longest_streak",
     "q139_revenue_share", "q140_debounce", "q141_dup_size_histogram",
     "q143_clustering_coefficient", "q146_grouping_sets",
-    "q147_interval_coverage",
+    "q147_interval_coverage", "q148_fuzzy_edit2_pairs",
 ]
 
 
