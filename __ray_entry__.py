@@ -1031,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_grouping_sets": A.q146_grouping_sets,
         "q147_interval_coverage": A.q147_interval_coverage,
         "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
+        "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
     }
 
 
@@ -4009,6 +4010,18 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q149_sorted_neighborhood": """
+            -- sorted_neighborhood_pairs twin: ROW_NUMBER self-join,
+            -- window 3 => rank gaps 1 and 2
+            WITH r AS (
+              SELECT c_name,
+                     ROW_NUMBER() OVER (ORDER BY c_name) AS rn
+              FROM customer)
+            SELECT a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 3
+            ORDER BY 1, 3
         """,
         "q148_fuzzy_edit2_pairs": """
             -- edit_pairs_qgram twin: quadratic distinct self-join with

@@ -1983,3 +1983,90 @@ def edit_pairs_qgram(
         return out.filter(pc.less_equal(out.column("dist"), max_dist))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    key_col: str,
+    rank_col: str,
+    window: int = 3,
+    n_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking (the classic entity-resolution
+    alternative to hash blocking): every pair of rows within ``window``
+    positions of each other in ``key_col`` sort order — candidates for
+    records that hash/q-gram blocks miss because their keys are
+    GLOBALLY close rather than locally similar.
+
+    Partitioning assumption (documented like ``sequence_packing``'s
+    dense-id): ``rank_col`` is a numeric column whose RANGE buckets
+    preserve ``key_col`` order (e.g. a dense surrogate key assigned in
+    key order; at open scale, substitute sampled range boundaries of
+    ``key_col`` itself).  Each row lands in its own range bucket and is
+    ALSO carried into the next one; within a bucket group the local
+    (key, rank) sort equals the global order for every pair closer than
+    the bucket span, and a pair is emitted only where its RIGHT member
+    is bucket-own — complete (all between-keys of a qualifying pair lie
+    in the two adjacent buckets) and duplicate-free (carry×carry pairs
+    belong to the previous group) without a dedup shuffle.
+
+    Returns (name_a, name_b, gap): name_a before name_b in sort order,
+    gap their rank distance in [1, window)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..schema import pd_to_arrow
+
+    bounds = ds.aggregate(Min(rank_col), Max(rank_col))
+    lo, hi = bounds[f"min({rank_col})"], bounds[f"max({rank_col})"]
+    if lo is None:
+        return ray.data.from_arrow(pa.table({
+            "name_a": pa.array([], pa.string()),
+            "name_b": pa.array([], pa.string()),
+            "gap": pa.array([], pa.int64())}))
+    if n_buckets is None:
+        n_buckets = 64
+    span = max(window, -(-(int(hi) - int(lo) + 1) // n_buckets))
+
+    def route(batch: pa.Table) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = (r - int(lo)) // span
+        k = batch.column(key_col)
+        n = batch.num_rows
+        return pa.table({
+            "key": pa.concat_arrays([k.combine_chunks(),
+                                     k.combine_chunks()]),
+            "rank": pa.array(np.concatenate([r, r])),
+            "own": pa.array(np.concatenate([np.ones(n, bool),
+                                            np.zeros(n, bool)])),
+            "__bucket": pa.array(np.concatenate([b, b + 1])
+                                 .astype(np.int32)),
+        })
+
+    target = pa.schema([("name_a", pa.string()), ("name_b", pa.string()),
+                        ("gap", pa.int64())])
+
+    def pairs(g: pd.DataFrame):
+        g = (g.sort_values(["key", "rank"], kind="mergesort")
+             .reset_index(drop=True))
+        key = g["key"].to_numpy()
+        own = g["own"].to_numpy(bool)
+        out_a, out_b, out_gap = [], [], []
+        for off in range(1, window):
+            if off >= len(g):
+                break
+            right_own = own[off:]
+            out_a.append(key[:-off][right_own])
+            out_b.append(key[off:][right_own])
+            out_gap.append(np.full(int(right_own.sum()), off, np.int64))
+        if not out_a:
+            return target.empty_table()
+        return pd_to_arrow(pd.DataFrame({
+            "name_a": np.concatenate(out_a),
+            "name_b": np.concatenate(out_b),
+            "gap": np.concatenate(out_gap)})).cast(target)
+
+    return (ds.map_batches(route, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: pairs(g.drop(columns="__bucket")),
+                        batch_format="pandas"))

@@ -4277,3 +4277,23 @@ def q148_fuzzy_edit2_pairs(sf_dir: str) -> pa.Table:
     out["dist"] = out["dist"].astype("int64")
     return pa.Table.from_pandas(out[["name_a", "name_b", "dist"]],
                                 preserve_index=False)
+
+
+def q149_sorted_neighborhood(sf_dir: str) -> pa.Table:
+    """Sorted-neighborhood blocking (``dedup.sorted_neighborhood_pairs``)
+    over customer names with window 3: pairs within 2 positions of each
+    other in name order — the global-sort ER blocking that catches what
+    hash/q-gram blocks miss.  c_custkey's range buckets preserve
+    c_name's zero-padded lexicographic order (the operator's documented
+    partitioning assumption); boundary pairs ride the carry copies.
+    Oracle: ROW_NUMBER self-join."""
+    from ..functions.dedup import sorted_neighborhood_pairs
+
+    cust = _read(sf_dir, "customer", ["c_name", "c_custkey"])
+    out = (sorted_neighborhood_pairs(cust, "c_name", "c_custkey",
+                                     window=3)
+           .to_pandas().sort_values(["name_a", "gap"])
+           .reset_index(drop=True))
+    out["gap"] = out["gap"].astype("int64")
+    return pa.Table.from_pandas(out[["name_a", "name_b", "gap"]],
+                                preserve_index=False)

@@ -668,3 +668,36 @@ def test_edit_pairs_qgram_matches_reference(ray_session, words, k):
         if lev(a, b) <= k
     )
     assert got == exp
+
+
+# --- sorted-neighborhood pairs ≡ rank self-join reference ---------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.sets(st.text(alphabet="abcd", min_size=1, max_size=6),
+               min_size=0, max_size=40),
+       st.integers(min_value=2, max_value=5))
+def test_sorted_neighborhood_matches_reference(ray_session, keys, window):
+    """sorted_neighborhood_pairs == the quadratic rank self-join when
+    rank order matches key order (the documented partitioning
+    assumption), across bucket boundaries (n_buckets=7 forces carries)."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.dedup import sorted_neighborhood_pairs
+
+    vals = sorted(keys)
+    tbl = pa.table({
+        "name": pa.array(vals, pa.string()),
+        "rk": pa.array(range(len(vals)), pa.int64()),
+    })
+    out = sorted_neighborhood_pairs(
+        rd.from_arrow(tbl).repartition(3), "name", "rk",
+        window=window, n_buckets=7)
+    n = out.count()
+    got = sorted(zip(*[out.to_pandas()[c]
+                       for c in ("name_a", "name_b", "gap")])) if n else []
+    exp = sorted(
+        (vals[i], vals[j], j - i)
+        for i in range(len(vals))
+        for j in range(i + 1, min(i + window, len(vals)))
+    )
+    assert got == exp
