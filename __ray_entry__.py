@@ -1032,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q147_interval_coverage": A.q147_interval_coverage,
         "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
         "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
+        "q150_temporal_reach": A.q150_temporal_reach,
     }
 
 
@@ -4010,6 +4011,55 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q150_temporal_reach": """
+            -- temporal_reachability twin: the same 4 synchronous
+            -- min-arrival relaxations unrolled (kcore/q51 pattern);
+            -- an edge is traversable only at ts >= current arrival
+            WITH edges AS (
+              SELECT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst,
+                     epoch_us(ts) AS ts
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            r0 AS (SELECT 0 AS node, CAST(0 AS BIGINT) AS arrival),
+            r1 AS (
+              SELECT node, MIN(arrival) AS arrival FROM (
+                SELECT node, arrival FROM r0
+                UNION ALL
+                SELECT e.dst AS node, e.ts AS arrival
+                FROM edges e JOIN r0 l
+                  ON l.node = e.src AND e.ts >= l.arrival)
+              GROUP BY node),
+            r2 AS (
+              SELECT node, MIN(arrival) AS arrival FROM (
+                SELECT node, arrival FROM r1
+                UNION ALL
+                SELECT e.dst AS node, e.ts AS arrival
+                FROM edges e JOIN r1 l
+                  ON l.node = e.src AND e.ts >= l.arrival)
+              GROUP BY node),
+            r3 AS (
+              SELECT node, MIN(arrival) AS arrival FROM (
+                SELECT node, arrival FROM r2
+                UNION ALL
+                SELECT e.dst AS node, e.ts AS arrival
+                FROM edges e JOIN r2 l
+                  ON l.node = e.src AND e.ts >= l.arrival)
+              GROUP BY node),
+            r4 AS (
+              SELECT node, MIN(arrival) AS arrival FROM (
+                SELECT node, arrival FROM r3
+                UNION ALL
+                SELECT e.dst AS node, e.ts AS arrival
+                FROM edges e JOIN r3 l
+                  ON l.node = e.src AND e.ts >= l.arrival)
+              GROUP BY node)
+            SELECT node, CAST(arrival AS BIGINT) AS arrival
+            FROM r4 ORDER BY node
         """,
         "q149_sorted_neighborhood": """
             -- sorted_neighborhood_pairs twin: ROW_NUMBER self-join,

@@ -4297,3 +4297,36 @@ def q149_sorted_neighborhood(sf_dir: str) -> pa.Table:
     out["gap"] = out["gap"].astype("int64")
     return pa.Table.from_pandas(out[["name_a", "name_b", "gap"]],
                                 preserve_index=False)
+
+
+def q150_temporal_reach(sf_dir: str, rounds: int = 4) -> pa.Table:
+    """Time-respecting earliest arrival (``graph_ops.
+    temporal_reachability``) from node 0 over the event-derived graph
+    with each edge stamped by its event's epoch-microsecond timestamp —
+    cascade reachability where paths cannot ride an edge into the past.
+    Round-synchronous, so the SQL twin unrolls the identical ``rounds``
+    relaxations and matches exactly even short of fixpoint."""
+    from ..pipelines.graph_ops import temporal_reachability
+
+    ds = _read(sf_dir, "events", ["event_id", "props", "ts"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep]),
+                         "ts": pa.array(us[keep], pa.int64())})
+
+    out = (temporal_reachability(
+        ds.map_batches(edges, batch_format="pyarrow"), seed=0, start=0,
+        max_rounds=rounds, est_rows=_row_count(sf_dir, "events"))
+        .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "arrival"]],
+                                preserve_index=False)

@@ -1278,3 +1278,74 @@ def clustering_coefficients(
                          "cc_ppm": pa.array(cc, pa.int64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def temporal_reachability(
+    edges: ray.data.Dataset,
+    seed: int,
+    start: int = 0,
+    max_rounds: int = 4,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Time-respecting earliest arrival from ``seed``: an edge
+    (src, dst, ts) is traversable only at its own timestamp, and a
+    temporal path's timestamps must be nondecreasing — reachability in
+    interaction networks (message/retweet/transaction cascades) where
+    static reachability overcounts (you cannot ride an edge into the
+    past).  Returns (node, arrival): the earliest time one can BE at
+    each reached node, ``start`` at the seed.
+
+    Round-synchronous relaxation (the kcore/q51 oracle pattern):
+    arrival_{r+1}(v) = min(arrival_r(v), min{ts : edge (u,v,ts),
+    ts ≥ arrival_r(u)}) — Min is associative so every shuffle reduce is
+    deterministic, and an oracle unrolled to the SAME ``max_rounds`` is
+    exact whether or not the fixpoint has been reached.  Rounds needed =
+    max temporal-path hop count.  One key-partitioned join + one
+    groupby-Min per round; the label table is materialized and
+    block-bounded each round (the iterative-loop lesson)."""
+    from ray.data.aggregate import Min
+
+    from ..functions.relational import hash_join
+
+    labels = ray.data.from_arrow(pa.table({
+        "node": pa.array([seed], pa.int64()),
+        "arrival": pa.array([start], pa.int64())})).materialize()
+    if est_rows is None:
+        est_rows = edges.count()
+    by_src = edges.map_batches(
+        lambda t: pa.table({"node": t.column("src"),
+                            "dst": t.column("dst"),
+                            "ts": t.column("ts")}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_rounds):
+        msgs = hash_join(by_src, labels, on="node", est_rows=est_rows)
+
+        def relax(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ok = batch.filter(pc.greater_equal(batch.column("ts"),
+                                               batch.column("arrival")))
+            return pa.table({"node": ok.column("dst"),
+                             "arrival": pc.cast(ok.column("ts"),
+                                                pa.int64())})
+
+        cand = msgs.map_batches(relax, batch_format="pyarrow")
+
+        def min_combine(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            a = batch.column("arrival").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            uniq, inv = np.unique(n, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(best, inv, a)
+            return pa.table({"node": pa.array(uniq),
+                             "arrival": pa.array(best)})
+
+        labels = (labels.union(
+            cand.map_batches(min_combine, batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("arrival",
+                                           alias_name="arrival"))
+            .repartition(4).materialize())
+    return labels

@@ -134,7 +134,7 @@ SQL_CHECKED = [
     "q139_revenue_share", "q140_debounce", "q141_dup_size_histogram",
     "q143_clustering_coefficient", "q146_grouping_sets",
     "q147_interval_coverage", "q148_fuzzy_edit2_pairs",
-    "q149_sorted_neighborhood",
+    "q149_sorted_neighborhood", "q150_temporal_reach",
 ]
 
 
