@@ -1280,6 +1280,9 @@ def clustering_coefficients(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+_I64MAX = np.iinfo(np.int64).max
+
+
 def temporal_reachability(
     edges: ray.data.Dataset,
     seed: int,
@@ -1317,20 +1320,54 @@ def temporal_reachability(
                             "dst": t.column("dst"),
                             "ts": t.column("ts")}),
         batch_format="pyarrow").materialize()
+    broadcast_limit = 5_000_000
 
     for _ in range(max_rounds):
-        msgs = hash_join(by_src, labels, on="node", est_rows=est_rows)
+        n_labels = labels.count()
+        if n_labels <= broadcast_limit:
+            # the label table is tiny vs the edge list (≤ |V| rows);
+            # broadcast it and relax map-side instead of shuffling the
+            # FULL edge list through a join every round (kcore's
+            # broadcast-vs-anti-join gate; one ray.put, fetched once
+            # per worker)
+            from ..pipelines.kg import dataset_to_table
+            from ..state import broadcast
 
-        def relax(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+            lt = dataset_to_table(labels)
+            ln = lt.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            la = lt.column("arrival").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order = np.argsort(ln, kind="stable")
+            lref = broadcast.put((ln[order], la[order]))
 
-            ok = batch.filter(pc.greater_equal(batch.column("ts"),
-                                               batch.column("arrival")))
-            return pa.table({"node": ok.column("dst"),
-                             "arrival": pc.cast(ok.column("ts"),
-                                                pa.int64())})
+            def relax_bcast(batch: pa.Table, _ref=lref) -> pa.Table:
+                nodes, arrs = broadcast.fetch(_ref)
+                n = batch.column("node").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                idx = np.searchsorted(nodes, n).clip(0, len(nodes) - 1)
+                arr = np.where(nodes[idx] == n, arrs[idx], _I64MAX)
+                keep = ts >= arr
+                return pa.table({
+                    "node": batch.column("dst").filter(pa.array(keep)),
+                    "arrival": pa.array(ts[keep], pa.int64())})
 
-        cand = msgs.map_batches(relax, batch_format="pyarrow")
+            cand = by_src.map_batches(relax_bcast, batch_format="pyarrow")
+        else:
+            msgs = hash_join(by_src, labels, on="node", est_rows=est_rows)
+
+            def relax(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                ok = batch.filter(pc.greater_equal(
+                    batch.column("ts"), batch.column("arrival")))
+                return pa.table({"node": ok.column("dst"),
+                                 "arrival": pc.cast(ok.column("ts"),
+                                                    pa.int64())})
+
+            cand = msgs.map_batches(relax, batch_format="pyarrow")
 
         def min_combine(batch: pa.Table) -> pa.Table:
             n = batch.column("node").to_numpy(zero_copy_only=False) \
