@@ -788,3 +788,43 @@ def test_q139_hashjoin_path_matches_broadcast(ray_session):
     finally:
         A.BROADCAST_DIM_LIMIT = old
     assert bcast.equals(dist)
+
+
+def test_grouping_sets_sum_validation(ray_session):
+    """grouping_sets_sum rejects duplicate sets (identical mask patterns
+    would silently merge into doubled sums) and non-key columns; a
+    valid arbitrary set list (not a rollup prefix, not a cube) agrees
+    with a pandas reference."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import grouping_sets_sum
+
+    tbl = pa.table({
+        "f": ["a", "a", "b", "b", "b"],
+        "s": ["x", "y", "x", "x", "y"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    ds = rd.from_arrow(tbl).repartition(2)
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_sum(ds, ["f", "s"], "v", sets=[("f",), ("f",)])
+    with pytest.raises(ValueError, match="non-key"):
+        grouping_sets_sum(ds, ["f", "s"], "v", sets=[("nope",)])
+
+    out = (grouping_sets_sum(ds, ["f", "s"], "v",
+                             sets=[("f", "s"), ("s",)], scale=10)
+           .to_pandas().sort_values(["f", "s"]).reset_index(drop=True))
+    df = tbl.to_pandas()
+    full = df.groupby(["f", "s"])["v"].agg(["sum", "count"]).reset_index()
+    bys = df.groupby("s")["v"].agg(["sum", "count"]).reset_index()
+    bys["f"] = "ALL"
+    exp = (pd.concat([full, bys[["f", "s", "sum", "count"]]])
+           .rename(columns={"sum": "sum_value", "count": "n_rows"})
+           .sort_values(["f", "s"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["f", "s", "sum_value", "n_rows"]].astype(
+            {"n_rows": "int64"}),
+        exp.astype({"n_rows": "int64"}), check_dtype=False)
