@@ -1033,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
         "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
         "q150_temporal_reach": A.q150_temporal_reach,
+        "q151_luby_mis": A.q151_luby_mis,
     }
 
 
@@ -4011,6 +4012,86 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q151_luby_mis": """
+            -- luby_mis twin: 3 unrolled synchronous rounds; per-round
+            -- priority = md5_number_upper('mis'||chr(0)||r||chr(0)||node)
+            -- >> 11 (53-bit, the engine's exact value); winners beat
+            -- every ACTIVE neighbor strictly, winners+neighbors die
+            WITH edges0 AS (
+              SELECT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            adj AS (SELECT DISTINCT node, nbr FROM (
+                      SELECT src AS node, dst AS nbr FROM edges0
+                      UNION ALL SELECT dst, src FROM edges0)),
+            a0 AS (SELECT DISTINCT node FROM adj),
+            p0 AS (
+              SELECT node,
+                     md5_number_upper('mis' || chr(0) || '0' ||
+                                      chr(0) || CAST(node AS VARCHAR))
+                       >> 11 AS p
+              FROM a0),
+            m0 AS (
+              SELECT e.node, MAX(q.p) AS mp
+              FROM adj e JOIN p0 q ON q.node = e.nbr
+              GROUP BY e.node),
+            w0 AS (
+              SELECT pr.node, 0 AS round
+              FROM p0 pr LEFT JOIN m0 m ON m.node = pr.node
+              WHERE m.mp IS NULL OR pr.p > m.mp),
+            a1 AS (
+              SELECT node FROM a0
+              WHERE node NOT IN (SELECT node FROM w0)
+                AND node NOT IN (SELECT e.nbr FROM adj e
+                                 JOIN w0 w ON w.node = e.node)),
+            p1 AS (
+              SELECT node,
+                     md5_number_upper('mis' || chr(0) || '1' ||
+                                      chr(0) || CAST(node AS VARCHAR))
+                       >> 11 AS p
+              FROM a1),
+            m1 AS (
+              SELECT e.node, MAX(q.p) AS mp
+              FROM adj e JOIN p1 q ON q.node = e.nbr
+              GROUP BY e.node),
+            w1 AS (
+              SELECT pr.node, 1 AS round
+              FROM p1 pr LEFT JOIN m1 m ON m.node = pr.node
+              WHERE m.mp IS NULL OR pr.p > m.mp),
+            a2 AS (
+              SELECT node FROM a1
+              WHERE node NOT IN (SELECT node FROM w1)
+                AND node NOT IN (SELECT e.nbr FROM adj e
+                                 JOIN w1 w ON w.node = e.node)),
+            p2 AS (
+              SELECT node,
+                     md5_number_upper('mis' || chr(0) || '2' ||
+                                      chr(0) || CAST(node AS VARCHAR))
+                       >> 11 AS p
+              FROM a2),
+            m2 AS (
+              SELECT e.node, MAX(q.p) AS mp
+              FROM adj e JOIN p2 q ON q.node = e.nbr
+              GROUP BY e.node),
+            w2 AS (
+              SELECT pr.node, 2 AS round
+              FROM p2 pr LEFT JOIN m2 m ON m.node = pr.node
+              WHERE m.mp IS NULL OR pr.p > m.mp),
+            a3 AS (
+              SELECT node FROM a2
+              WHERE node NOT IN (SELECT node FROM w2)
+                AND node NOT IN (SELECT e.nbr FROM adj e
+                                 JOIN w2 w ON w.node = e.node))
+            SELECT node, CAST(round AS BIGINT) AS round FROM (
+              SELECT * FROM w0 UNION ALL
+              SELECT * FROM w1 UNION ALL
+              SELECT * FROM w2)
+            ORDER BY node
         """,
         "q150_temporal_reach": """
             -- temporal_reachability twin: the same 4 synchronous

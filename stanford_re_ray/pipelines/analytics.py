@@ -4330,3 +4330,22 @@ def q150_temporal_reach(sf_dir: str, rounds: int = 4) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "arrival"]],
                                 preserve_index=False)
+
+
+def q151_luby_mis(sf_dir: str, rounds: int = 3) -> pa.Table:
+    """Luby maximal-independent-set rounds (``graph_ops.luby_mis``) over
+    the shared event-derived graph: content-hash per-round priorities
+    (bit-equal to DuckDB ``md5_number_upper >> 11``), winners beat every
+    active neighbor strictly, winners+neighbors deactivate.
+    Round-synchronous, so the SQL twin unrolls the identical rounds."""
+    from ..pipelines.graph_ops import luby_mis
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    edge_ds = ds.map_batches(_event_edge_batch, batch_format="pyarrow")
+    out = (luby_mis(edge_ds, max_rounds=rounds,
+                    est_rows=_row_count(sf_dir, "events"))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "round"]],
+                                preserve_index=False)

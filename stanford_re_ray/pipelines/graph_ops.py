@@ -1386,3 +1386,121 @@ def temporal_reachability(
                                            alias_name="arrival"))
             .repartition(4).materialize())
     return labels
+
+
+def luby_mis(
+    edges: ray.data.Dataset,
+    max_rounds: int = 3,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Maximal-independent-set construction by Luby's algorithm — the
+    classic distributed SYMMETRY BREAKER (pick a non-conflicting subset
+    of nodes: dedup-cluster representatives, parallel lock scheduling,
+    graph-coloring seeds).  Each round every still-active node draws a
+    per-round CONTENT-HASH priority (``stable_u64("mis\\0{r}\\0{node}")``
+    — order-independent, and bit-equal to DuckDB's
+    ``md5_number_upper``, so the oracle replays it exactly); a node
+    joins the MIS iff its priority strictly beats every active
+    neighbor's (isolated actives join unconditionally), then winners
+    and their neighbors deactivate.  Priority collisions need no
+    tie-break: neither node beats the other, both simply stay active
+    for the next round — identically on both engines.
+
+    Round-synchronous ⇒ an oracle unrolled to the same ``max_rounds``
+    matches exactly even short of the fixpoint (the kcore contract);
+    Luby needs O(log n) rounds w.h.p.  Per round: one adjacency ⋈
+    priority join + one groupby-Max + one LEFT join + one ANTI join —
+    all key-partitioned, nothing on the driver.  Returns (node, round)
+    for every MIS member found, round = the 0-based round it joined."""
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import stable_u64
+    from ..functions.relational import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([s, d])),
+            "nbr": pa.array(np.concatenate([d, s])),
+        })
+
+    adj = (edges.map_batches(explode, batch_format="pyarrow")
+           .groupby(["node", "nbr"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow").materialize())
+    n_adj = adj.count()
+    adj = adj.repartition(max(4, n_adj // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = n_adj
+
+    active = (adj.groupby("node").count()
+              .map_batches(lambda t: t.select(["node"]),
+                           batch_format="pyarrow")
+              .repartition(4).materialize())
+    mis_parts: list[ray.data.Dataset] = []
+
+    for r in range(max_rounds):
+        def pri(batch: pa.Table, _r=r) -> pa.Table:
+            nodes = batch.column("node").to_pylist()
+            p = np.array([stable_u64(f"mis\x00{_r}\x00{v}") >> 11
+                          for v in nodes], dtype=np.int64)
+            return pa.table({"node": batch.column("node"),
+                             "p": pa.array(p)})
+
+        prio = active.map_batches(pri, batch_format="pyarrow") \
+            .materialize()
+        # neighbor priorities: only ACTIVE neighbors have a prio row
+        nbr_p = hash_join(
+            adj.map_batches(lambda t: t.rename_columns(["node", "nbr"]),
+                            batch_format="pyarrow"),
+            prio.map_batches(lambda t: t.rename_columns(["nbr", "p"]),
+                             batch_format="pyarrow"),
+            on="nbr", est_rows=est_rows)
+        mx = nbr_p.groupby("node").aggregate(Max("p", alias_name="mp"))
+        cand = hash_join(prio, mx, on="node", how="left",
+                         est_rows=est_rows)
+
+        def winners(batch: pa.Table, _r=r) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # both columns may come back float64 from the join's
+            # null-padded union; values are < 2^53 by construction, so
+            # the int64 restore is exact
+            p = pc.cast(batch.column("p"), pa.int64(), safe=False)
+            mp = pc.cast(batch.column("mp"), pa.int64(), safe=False)
+            take = pc.or_kleene(pc.is_null(mp), pc.greater(p, mp))
+            won = batch.filter(pc.fill_null(take, False))
+            return pa.table({
+                "node": pc.cast(won.column("node"), pa.int64()),
+                "round": pa.array(np.full(won.num_rows, _r, np.int64)),
+            })
+
+        mis_r = cand.map_batches(winners, batch_format="pyarrow") \
+            .repartition(4).materialize()
+        mis_parts.append(mis_r)
+        if mis_r.count() == 0:
+            break
+        dead_nbrs = hash_join(
+            adj, mis_r.map_batches(lambda t: t.select(["node"]),
+                                   batch_format="pyarrow"),
+            on="node", how="semi", est_rows=est_rows) \
+            .map_batches(lambda t: pa.table({"node": t.column("nbr")}),
+                         batch_format="pyarrow")
+        dead = mis_r.map_batches(lambda t: t.select(["node"]),
+                                 batch_format="pyarrow") \
+            .union(dead_nbrs)
+        active = hash_join(active, dead, on="node", how="anti",
+                           est_rows=est_rows) \
+            .repartition(4).materialize()
+        if active.count() == 0:
+            break
+
+    out = mis_parts[0]
+    for part in mis_parts[1:]:
+        out = out.union(part)
+    return out.repartition(4)

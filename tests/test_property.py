@@ -701,3 +701,46 @@ def test_sorted_neighborhood_matches_reference(ray_session, keys, window):
         for j in range(i + 1, min(i + window, len(vals)))
     )
     assert got == exp
+
+
+# --- Luby MIS: independence + maximality --------------------------------------
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=25),
+                          st.integers(min_value=0, max_value=25)),
+                min_size=0, max_size=60))
+def test_luby_mis_independent_and_maximal(ray_session, raw_edges):
+    """Algorithm-independent contracts: the returned set contains no
+    adjacent pair (independence) and, given enough rounds, every
+    non-member has a member neighbor (maximality).  Also deterministic
+    across block layouts."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import luby_mis
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    tbl = pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    })
+    outs = []
+    for blocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        out = luby_mis(ds, max_rounds=10).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    mis = set(outs[0]["node"])
+    und = {frozenset((a, b)) for a, b in edges}
+    nodes = {n for e in und for n in e}
+    adj = {n: set() for n in nodes}
+    for e in und:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    for a, b in edges:
+        assert not (a in mis and b in mis), "adjacent MIS members"
+    for n in nodes - mis:
+        assert adj[n] & mis, f"non-member {n} has no MIS neighbor"
