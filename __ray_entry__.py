@@ -1034,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
         "q150_temporal_reach": A.q150_temporal_reach,
         "q151_luby_mis": A.q151_luby_mis,
+        "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
     }
 
 
@@ -4012,6 +4013,34 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q152_rendezvous_reshard": """
+            -- rendezvous_assign twin: argmax md5 weight per (shard, id),
+            -- ties to the lowest shard; movers counted per old shard
+            WITH s8 AS (
+              SELECT doc_id, shard FROM (
+                SELECT d.doc_id, g.s AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                         ORDER BY md5_number_upper('hrw' || chr(0) ||
+                           CAST(g.s AS VARCHAR) || chr(0) ||
+                           CAST(d.doc_id AS VARCHAR)) DESC, g.s) AS rn
+                FROM documents d CROSS JOIN generate_series(0, 7) g(s))
+              WHERE rn = 1),
+            s9 AS (
+              SELECT doc_id, shard FROM (
+                SELECT d.doc_id, g.s AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                         ORDER BY md5_number_upper('hrw' || chr(0) ||
+                           CAST(g.s AS VARCHAR) || chr(0) ||
+                           CAST(d.doc_id AS VARCHAR)) DESC, g.s) AS rn
+                FROM documents d CROSS JOIN generate_series(0, 8) g(s))
+              WHERE rn = 1)
+            SELECT s8.shard AS shard8,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN s9.shard <> s8.shard
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+            FROM s8 JOIN s9 USING (doc_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "q151_luby_mis": """
             -- luby_mis twin: 3 unrolled synchronous rounds; per-round

@@ -70,3 +70,24 @@ def str_hash_u64_vec(strings) -> np.ndarray:
     for i, s in enumerate(strings):
         out[i] = stable_u64(s)
     return out
+
+
+def rendezvous_assign(ids, n_shards: int, salt: str = "hrw") -> np.ndarray:
+    """Rendezvous (highest-random-weight) shard assignment: each id goes
+    to ``argmax over s of stable_u64(f"{salt}\\0{s}\\0{id}")`` — the
+    consistent-placement scheme where growing N → N+1 shards moves ONLY
+    the ids won by the new shard (≈ 1/(N+1) of them) and every mover
+    lands on the new shard; hash/modulo placement reshuffles ~all.
+    Ties (md5-collision-rare) break to the LOWEST shard, matching the
+    SQL twin's ``ORDER BY weight DESC, shard ASC``.  Returns an int64
+    shard per id; pure per-row math — embarrassingly parallel map-side,
+    no state, no shuffle."""
+    out = np.empty(len(ids), dtype=np.int64)
+    for i, v in enumerate(ids):
+        best_s, best_h = 0, -1
+        for s in range(n_shards):
+            h = stable_u64(f"{salt}\x00{s}\x00{v}")
+            if h > best_h:
+                best_s, best_h = s, h
+        out[i] = best_s
+    return out

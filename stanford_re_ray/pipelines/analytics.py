@@ -4349,3 +4349,42 @@ def q151_luby_mis(sf_dir: str, rounds: int = 3) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "round"]],
                                 preserve_index=False)
+
+
+def q152_rendezvous_reshard(sf_dir: str) -> pa.Table:
+    """Consistent-placement reshard audit
+    (``hashing.rendezvous_assign``): every doc's rendezvous shard at
+    N = 8 and N = 9, rolled up per old shard with its mover count —
+    the elastic-scaling property (only ≈ 1/9 of keys move, all onto the
+    new shard) that makes HRW the placement scheme for partitioned
+    caches/indexes; one stateless map + a combiner'd groupby.  Hashes
+    are md5-derived, so the SQL twin replays them exactly."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import rendezvous_assign
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        s8 = rendezvous_assign(ids, 8)
+        s9 = rendezvous_assign(ids, 9)
+        moved = (s8 != s9).astype(np.int64)
+        # map-side combine: ≤ 8 partial rows per batch
+        uniq, inv = np.unique(s8, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        m = np.zeros(len(uniq), np.int64)
+        np.add.at(m, inv, moved)
+        return pa.table({"shard8": pa.array(uniq, pa.int64()),
+                         "__n": pa.array(n),
+                         "__m": pa.array(m)})
+
+    out = (docs.map_batches(assign, batch_format="pyarrow")
+           .groupby("shard8")
+           .aggregate(Sum("__n", alias_name="n_docs"),
+                      Sum("__m", alias_name="n_moved"))
+           .to_pandas().sort_values("shard8").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["shard8", "n_docs", "n_moved"]],
+                                preserve_index=False)
