@@ -1035,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q150_temporal_reach": A.q150_temporal_reach,
         "q151_luby_mis": A.q151_luby_mis,
         "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
+        "q153_weighted_median": A.q153_weighted_median,
     }
 
 
@@ -4013,6 +4014,23 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q153_weighted_median": """
+            -- weighted-median twin: distinct (flag, value) weight sums,
+            -- smallest value whose doubled cumulative weight reaches
+            -- the total (integer weights => exact)
+            WITH g AS (
+              SELECT l_returnflag AS f, l_extendedprice AS v,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2),
+            c AS (
+              SELECT f, v,
+                     SUM(w) OVER (PARTITION BY f ORDER BY v) AS cw,
+                     SUM(w) OVER (PARTITION BY f) AS tw
+              FROM g)
+            SELECT f AS l_returnflag, MIN(v) AS w_median
+            FROM c WHERE 2 * cw >= tw
+            GROUP BY 1 ORDER BY 1
         """,
         "q152_rendezvous_reshard": """
             -- rendezvous_assign twin: argmax md5 weight per (shard, id),

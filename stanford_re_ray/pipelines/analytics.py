@@ -14,6 +14,8 @@ match across engines; counts/keys are exact ints.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4387,4 +4389,61 @@ def q152_rendezvous_reshard(sf_dir: str) -> pa.Table:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["shard8", "n_docs", "n_moved"]],
+                                preserve_index=False)
+
+
+def q153_weighted_median(sf_dir: str) -> pa.Table:
+    """Per-flag WEIGHTED median price (weights = quantities): the robust
+    location estimator behind fair-price/consensus aggregation — the
+    smallest value whose cumulative weight reaches half the total.
+    Defined over DISTINCT (flag, value) weight sums, so row order never
+    matters; weights quantized to int64 (quantities are integer-valued)
+    make every cumulative comparison exact.  A map-side combiner
+    shrinks each batch to its distinct (flag, value) rows, ONE groupby
+    sums them, and a per-flag bucket map_groups runs the tiny
+    sort+cumsum."""
+    from ray.data.aggregate import Sum
+
+    from ..schema import pd_to_arrow
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["w"] = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        g = (df.groupby(["l_returnflag", "l_extendedprice"],
+                        sort=False)["w"].sum().reset_index())
+        g["w"] = g["w"].astype("int64")
+        return pd_to_arrow(g)
+
+    summed = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_extendedprice"])
+              .aggregate(Sum("w", alias_name="w")))
+
+    def median(g: pd.DataFrame):
+        g = g.sort_values(["l_returnflag", "l_extendedprice"],
+                          kind="mergesort")
+        rows = []
+        for f, sub in g.groupby("l_returnflag", sort=True):
+            w = sub["w"].to_numpy(np.int64)
+            cw = np.cumsum(w)
+            tot = int(cw[-1])
+            idx = int(np.searchsorted(2 * cw, tot))
+            rows.append((f, float(sub["l_extendedprice"].iloc[idx])))
+        return pd_to_arrow(pd.DataFrame(
+            rows, columns=["l_returnflag", "w_median"]))
+
+    out = (summed.map_batches(lambda t: t.append_column(
+               "__bucket", pa.array(
+                   [zlib.crc32(s.encode()) % 16
+                    for s in t.column("l_returnflag").to_pylist()],
+                   pa.int32())), batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: median(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("l_returnflag")
+           .reset_index(drop=True))
+    out["w_median"] = out["w_median"].astype("float64")
+    return pa.Table.from_pandas(out[["l_returnflag", "w_median"]],
                                 preserve_index=False)
