@@ -1036,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q151_luby_mis": A.q151_luby_mis,
         "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
         "q153_weighted_median": A.q153_weighted_median,
+        "q154_hits": A.q154_hits,
     }
 
 
@@ -4014,6 +4015,54 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q154_hits": """
+            -- hits twin: 2 unrolled Kleinberg iterations in integer
+            -- fixed point; each half-step MAX-normalizes with the same
+            -- floor division (q = r * 1000000 // max(r)); first auth
+            -- half-step is join-free (uniform hubs => indegree * scale)
+            WITH e AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            nodes AS (SELECT DISTINCT node FROM (
+                        SELECT src AS node FROM e
+                        UNION ALL SELECT dst FROM e)),
+            a1r AS (SELECT dst AS node,
+                           CAST(COUNT(*) AS BIGINT) * 1000000 AS r
+                    FROM e GROUP BY 1),
+            a1 AS (SELECT node,
+                          r * 1000000 // (SELECT MAX(r) FROM a1r) AS q
+                   FROM a1r),
+            h1r AS (SELECT e.src AS node,
+                           CAST(SUM(a.q) AS BIGINT) AS r
+                    FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+            h1 AS (SELECT node,
+                          r * 1000000 // (SELECT MAX(r) FROM h1r) AS q
+                   FROM h1r),
+            a2r AS (SELECT e.dst AS node,
+                           CAST(SUM(h.q) AS BIGINT) AS r
+                    FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+            a2 AS (SELECT node,
+                          r * 1000000 // (SELECT MAX(r) FROM a2r) AS q
+                   FROM a2r),
+            h2r AS (SELECT e.src AS node,
+                           CAST(SUM(a.q) AS BIGINT) AS r
+                    FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+            h2 AS (SELECT node,
+                          r * 1000000 // (SELECT MAX(r) FROM h2r) AS q
+                   FROM h2r)
+            SELECT n.node,
+                   CAST(COALESCE(a2.q, 0) AS BIGINT) AS auth_q,
+                   CAST(COALESCE(h2.q, 0) AS BIGINT) AS hub_q
+            FROM nodes n
+            LEFT JOIN a2 ON a2.node = n.node
+            LEFT JOIN h2 ON h2.node = n.node
+            ORDER BY n.node
         """,
         "q153_weighted_median": """
             -- weighted-median twin: distinct (flag, value) weight sums,

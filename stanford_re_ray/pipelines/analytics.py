@@ -4447,3 +4447,21 @@ def q153_weighted_median(sf_dir: str) -> pa.Table:
     out["w_median"] = out["w_median"].astype("float64")
     return pa.Table.from_pandas(out[["l_returnflag", "w_median"]],
                                 preserve_index=False)
+
+
+def q154_hits(sf_dir: str, rounds: int = 2) -> pa.Table:
+    """HITS hubs/authorities (``pipelines.graph_ops.hits``) over the
+    shared deterministic event graph: integer fixed-point with per-half-
+    step MAX-normalization — every sum/max/floor-division replayed
+    verbatim by the unrolled SQL twin, so the scores are bit-exact."""
+    from ..pipelines.graph_ops import hits
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    edge_ds = ds.map_batches(_event_edge_batch, batch_format="pyarrow")
+    out = (hits(edge_ds, n_iter=rounds,
+                est_rows=_row_count(sf_dir, "events"))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "auth_q", "hub_q"]],
+                                preserve_index=False)

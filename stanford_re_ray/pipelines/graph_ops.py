@@ -1504,3 +1504,217 @@ def luby_mis(
     for part in mis_parts[1:]:
         out = out.union(part)
     return out.repartition(4)
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_iter: int = 2,
+    scale: int = 1_000_000,
+    est_rows: int | None = None,
+    broadcast_limit: int | None = None,
+) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over an integer (src, dst) edge list —
+    the mutually-recursive centrality pair PageRank doesn't give you
+    (good DIRECTORY pages vs good CONTENT pages; query-time link
+    analysis in the original formulation).  Returns
+    (node, auth_q, hub_q) for every node of the graph.
+
+    Semantics: 0/1 adjacency (parallel edges collapse via one distinct
+    groupby), hubs initialized to ``scale``; each iteration runs the
+    classic two half-steps — ``auth'(v) = Σ_{(u,v)} hub(u)`` then
+    ``hub'(u) = Σ_{(u,v)} auth'(v)`` (the fresh auth, per Kleinberg) —
+    each followed by MAX-normalization in INTEGER fixed point:
+    ``q = raw · scale // max(raw)``.  Max-normalizing (instead of the
+    textbook L2) keeps every value an exact int64: sums are associative
+    int SUMs, the max is an associative int MAX, and the floor division
+    is replayed verbatim by the SQL oracle — bit-identical at any
+    parallelism and across engines.  Nodes with no in-edges hold
+    auth 0; no out-edges, hub 0.  The first auth half-step needs no
+    join: with uniform hubs, ``auth_raw = indegree · scale``.
+
+    Scale shape per half-step (join path): one key-partitioned
+    ``hash_join`` ships the node-sized vector onto the edges, one
+    groupby SUMs, one O(blocks) partial-max sync (rows never reach the
+    driver), one vectorized normalize map.  Under ``broadcast_limit``
+    (default BROADCAST_RANK_LIMIT) the vector instead broadcasts via
+    ``ray.put`` — one map + one int-SUM groupby per half-step, no
+    joins; normalization happens on the node-sized driver copy in exact
+    big-int arithmetic (same floor results).  Both paths are tested
+    equal.  Normalization overflow guard: ``raw · scale`` is vectorized
+    int64 while ``max(raw) · scale < 2^62`` and falls back to per-value
+    Python big ints beyond (auth sums can reach N·scale).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import hash_join
+
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_RANK_LIMIT
+
+    e = (edges.groupby(["src", "dst"]).count()
+         .map_batches(lambda t: t.drop_columns(["count()"]),
+                      batch_format="pyarrow")
+         .materialize())
+    n_e = e.count()
+    empty = ray.data.from_arrow(pa.table({
+        "node": pa.array([], pa.int64()),
+        "auth_q": pa.array([], pa.int64()),
+        "hub_q": pa.array([], pa.int64())}))
+    if n_e == 0:
+        return empty
+    # groupby outputs hundreds of near-empty blocks; every later join's
+    # sort pays per BLOCK, not per row (the connected_components lesson)
+    e = e.repartition(max(4, n_e // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = n_e
+
+    def side(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pc.cast(batch.column(col),
+                                             pa.int64())})
+        return f
+
+    nodes = (e.map_batches(side("src"), batch_format="pyarrow")
+             .union(e.map_batches(side("dst"), batch_format="pyarrow"))
+             .groupby("node").count()
+             .map_batches(lambda b: pa.table({"node": b.column("node")}),
+                          batch_format="pyarrow")
+             .materialize())
+    n_nodes = nodes.count()
+    nodes = nodes.repartition(max(4, n_nodes // 250_000 + 1)).materialize()
+
+    if n_nodes <= broadcast_limit:
+        # ----- broadcast path: vector on the driver, big-int exact -----
+        def _norm(d: dict) -> dict:
+            m = max(d.values(), default=0)
+            if m <= 0:
+                return {k: 0 for k in d}
+            return {k: int(v) * scale // m for k, v in d.items()}
+
+        def _half(vec: dict, key_col: str, out_col: str) -> dict:
+            ref = ray.put(vec)
+
+            def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
+                from ..state.broadcast import fetch
+
+                v = fetch(_ref)
+                keys = batch.column(key_col).to_pylist()
+                outs = batch.column(out_col).to_pylist()
+                acc: dict = {}
+                for k, o in zip(keys, outs):
+                    acc[o] = acc.get(o, 0) + v[k]
+                ks = sorted(acc)
+                return pa.table({
+                    "node": pa.array(ks, pa.int64()),
+                    "c": pa.array([acc[k] for k in ks], pa.int64())})
+
+            raw = (e.map_batches(contrib, batch_format="pyarrow")
+                   .groupby("node").aggregate(Sum("c", alias_name="s"))
+                   .take_all())
+            return _norm({r["node"]: r["s"] for r in raw})
+
+        hub = {r["node"]: scale for r in nodes.take_all()}
+        auth: dict = {}
+        for _ in range(n_iter):
+            auth = _half(hub, "src", "dst")   # auth(v) = Σ hub(src)
+            hub = _half(auth, "dst", "src")   # hub(u) = Σ auth(dst)
+        items = sorted(
+            (n, auth.get(n, 0), hub.get(n, 0)) for n in
+            (r["node"] for r in nodes.take_all()))
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([a for a, _, _ in items], pa.int64()),
+            "auth_q": pa.array([b for _, b, _ in items], pa.int64()),
+            "hub_q": pa.array([c for _, _, c in items], pa.int64())}))
+
+    # ----- join path: vector stays distributed -----
+    vec_parts = max(4, n_nodes // 250_000 + 1)
+
+    def _global_max(ds: ray.data.Dataset, col: str) -> int:
+        def pmax(batch: pa.Table) -> pa.Table:
+            arr = batch.column(col).to_numpy(zero_copy_only=False)
+            m = int(arr.max()) if len(arr) else 0
+            return pa.table({"m": pa.array([m], pa.int64())})
+
+        parts = ds.map_batches(pmax, batch_format="pyarrow").take_all()
+        return max((r["m"] for r in parts), default=0)
+
+    def _normalize(raw: ray.data.Dataset, mx: int) -> ray.data.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            r = batch.column("r").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if mx <= 0:
+                q = np.zeros(len(r), np.int64)
+            elif mx <= (2 ** 62) // scale:
+                q = r * np.int64(scale) // np.int64(mx)
+            else:
+                q = np.fromiter((int(v) * scale // mx for v in r),
+                                np.int64, len(r))
+            return pa.table({"node": batch.column("node"),
+                             "q": pa.array(q, pa.int64())})
+
+        return (raw.map_batches(f, batch_format="pyarrow")
+                .repartition(vec_parts).materialize())
+
+    def _half_join(vec: ray.data.Dataset, key_col: str,
+                   out_col: str) -> ray.data.Dataset:
+        """raw(out) = Σ_{edges} vec[key]; vec covers every key value by
+        construction (auth covers all dsts, hub all srcs)."""
+        keyed = vec.map_batches(
+            lambda t, _k=key_col: pa.table({_k: t.column("node"),
+                                            "q": t.column("q")}),
+            batch_format="pyarrow")
+        joined = hash_join(e, keyed, on=key_col, est_rows=est_rows)
+        return (joined.map_batches(
+                    lambda t, _o=out_col: pa.table(
+                        {"node": pc.cast(t.column(_o), pa.int64()),
+                         "c": pc.cast(t.column("q"), pa.int64())}),
+                    batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("c", alias_name="r"))
+                .map_batches(lambda t: pa.table(
+                    {"node": t.column("node"),
+                     "r": pc.cast(t.column("r"), pa.int64())}),
+                    batch_format="pyarrow"))
+
+    # first auth half-step join-free: auth_raw = indegree * scale
+    raw = (e.groupby("dst").count()
+           .map_batches(lambda b: pa.table({
+               "node": pc.cast(b.column("dst"), pa.int64()),
+               "r": pc.multiply(pc.cast(b.column("count()"), pa.int64()),
+                                pa.scalar(scale, pa.int64()))}),
+               batch_format="pyarrow"))
+    auth_v = _normalize(raw, _global_max(raw, "r"))
+    raw = _half_join(auth_v, "dst", "src")
+    hub_v = _normalize(raw, _global_max(raw, "r"))
+    for _ in range(n_iter - 1):
+        raw = _half_join(hub_v, "src", "dst")
+        auth_v = _normalize(raw, _global_max(raw, "r"))
+        raw = _half_join(auth_v, "dst", "src")
+        hub_v = _normalize(raw, _global_max(raw, "r"))
+
+    out = hash_join(
+        nodes,
+        auth_v.map_batches(lambda t: pa.table(
+            {"node": t.column("node"), "auth_q": t.column("q")}),
+            batch_format="pyarrow"),
+        on="node", how="left", est_rows=n_nodes)
+    out = hash_join(
+        out,
+        hub_v.map_batches(lambda t: pa.table(
+            {"node": t.column("node"), "hub_q": t.column("q")}),
+            batch_format="pyarrow"),
+        on="node", how="left", est_rows=n_nodes)
+
+    def fill0(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pc.cast(batch.column("node"), pa.int64()),
+            # left-join null-pad may surface as float64; q ≤ scale so the
+            # float64 round-trip is exact and the safe cast proves it
+            "auth_q": pc.cast(pc.fill_null(batch.column("auth_q"), 0),
+                              pa.int64()),
+            "hub_q": pc.cast(pc.fill_null(batch.column("hub_q"), 0),
+                             pa.int64()),
+        })
+
+    return out.map_batches(fill0, batch_format="pyarrow").sort("node")

@@ -828,3 +828,46 @@ def test_grouping_sets_sum_validation(ray_session):
         out[["f", "s", "sum_value", "n_rows"]].astype(
             {"n_rows": "int64"}),
         exp.astype({"n_rows": "int64"}), check_dtype=False)
+
+
+def test_hits_broadcast_matches_join_path(ray_session):
+    """hits()'s broadcast big-int path and the distributed hash_join
+    path (forced with broadcast_limit=0) must produce identical
+    (node, auth_q, hub_q) tables; both must match a serial exact-int
+    reference with the same max-normalization floor math."""
+    import numpy as np
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import hits
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 200).astype(np.int64)
+    dst = rng.randint(0, 30, 200).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    E = sorted(set(zip(src.tolist(), dst.tolist())))
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    scale = 1_000_000
+
+    def norm(d):
+        m = max(d.values(), default=0)
+        return {k: (v * scale // m if m > 0 else 0) for k, v in d.items()}
+
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(2):
+        a = {}
+        for u, v in E:
+            a[v] = a.get(v, 0) + hub.get(u, 0)
+        auth = norm(a)
+        h = {}
+        for u, v in E:
+            h[u] = h.get(u, 0) + auth.get(v, 0)
+        hub = norm(h)
+    ref = {n: (auth.get(n, 0), hub.get(n, 0)) for n in nodes}
+
+    for limit in (2_000_000, 0):
+        out = hits(rd.from_arrow(edges).repartition(3), n_iter=2,
+                   broadcast_limit=limit).to_pandas()
+        got = {r.node: (r.auth_q, r.hub_q) for r in out.itertuples()}
+        assert got == ref, (limit,)
