@@ -1037,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
         "q153_weighted_median": A.q153_weighted_median,
         "q154_hits": A.q154_hits,
+        "q155_link_prediction": A.q155_link_prediction,
     }
 
 
@@ -4015,6 +4016,44 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q155_link_prediction": """
+            -- link_prediction_topk twin: wedges through each middle
+            -- node give common-neighbor counts; adjacent pairs drop;
+            -- jacc_ppm = 1e6 * cn // (deg_a + deg_b - cn); top-k under
+            -- the unique total order (jacc DESC, cn DESC, a, b)
+            WITH e0 AS (
+              SELECT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+                                    GREATEST(src, dst) AS b FROM e0),
+            adj AS (SELECT a AS node, b AS nbr FROM und
+                    UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY 1),
+            cn AS (
+              SELECT x.nbr AS a, y.nbr AS b,
+                     CAST(COUNT(*) AS BIGINT) AS cn
+              FROM adj x JOIN adj y
+                ON x.node = y.node AND x.nbr < y.nbr
+              GROUP BY 1, 2),
+            cand AS (
+              SELECT c.* FROM cn c
+              WHERE NOT EXISTS (SELECT 1 FROM und u
+                                WHERE u.a = c.a AND u.b = c.b))
+            SELECT c.a, c.b, c.cn,
+                   CAST(1000000 * c.cn //
+                        (da.deg + db.deg - c.cn) AS BIGINT) AS jacc_ppm
+            FROM cand c
+            JOIN deg da ON da.node = c.a
+            JOIN deg db ON db.node = c.b
+            ORDER BY jacc_ppm DESC, c.cn DESC, c.a, c.b
+            LIMIT 20
         """,
         "q154_hits": """
             -- hits twin: 2 unrolled Kleinberg iterations in integer

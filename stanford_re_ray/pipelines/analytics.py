@@ -4465,3 +4465,21 @@ def q154_hits(sf_dir: str, rounds: int = 2) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "auth_q", "hub_q"]],
                                 preserve_index=False)
+
+
+def q155_link_prediction(sf_dir: str, k: int = 20) -> pa.Table:
+    """Common-neighbor / Jaccard link prediction
+    (``pipelines.graph_ops.link_prediction_topk``) over the shared
+    deterministic event graph: top-k non-adjacent pairs by integer-ppm
+    neighborhood Jaccard — the missing-edge candidate generator."""
+    from ..pipelines.graph_ops import link_prediction_topk
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    edge_ds = ds.map_batches(_event_edge_batch, batch_format="pyarrow")
+    out = (link_prediction_topk(
+               edge_ds, k=k, est_rows=_row_count(sf_dir, "events"))
+           .to_pandas().reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["a", "b", "cn", "jacc_ppm"]],
+                                preserve_index=False)

@@ -1718,3 +1718,156 @@ def hits(
         })
 
     return out.map_batches(fill0, batch_format="pyarrow").sort("node")
+
+
+def link_prediction_topk(
+    edges: ray.data.Dataset,
+    k: int = 20,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Common-neighbor / Jaccard link prediction over an integer
+    (src, dst) edge list: for every NON-adjacent unordered pair with at
+    least one shared neighbor, score by common-neighbor count and
+    integer-ppm Jaccard of the neighborhoods
+    (``jacc_ppm = 10^6·|Γa∩Γb| // (|Γa|+|Γb|−|Γa∩Γb|)``), and return
+    the global top-k under the total order (jacc_ppm DESC, cn DESC,
+    a, b) — the classic "people you may know" / missing-KB-edge
+    candidate generator.
+
+    Distributed shape (all integer, bit-exact): canonicalize to
+    distinct undirected a<b edges, explode adjacency, and run BOTH
+    high-cardinality aggregations as hash-BUCKET map_groups with
+    vectorized pandas reducers (the q110 idiom — Ray's sort-based
+    aggregate pays per distinct key): (1) bucket by hash(middle node),
+    self-merge each node's neighbor list to wedge pairs with LOCAL
+    partial counts; (2) bucket by hash(pair) for exact totals.
+    Adjacent pairs drop via one ANTI hash_join against the edge set;
+    two more joins attach degrees; a per-block partial top-k bounds the
+    final sort to k×blocks rows.  Skew: wedges per middle node are
+    C(deg, 2) — the triangle_counts caveat applies (degree-ordered
+    orientation caps it; kept plain so the SQL twin stays LEAST/
+    GREATEST-free)."""
+    import pyarrow.compute as pc
+
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (edges.map_batches(canon, batch_format="pyarrow")
+           .groupby(["a", "b"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow")
+           .materialize())
+    n_und = und.count()
+    if n_und == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cn": pa.array([], pa.int64()),
+            "jacc_ppm": pa.array([], pa.int64())}))
+    und = und.repartition(max(4, n_und // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = 2 * n_und
+    nb = int(max(16, min(4096, n_und // 100_000 + 1)))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    adj = und.map_batches(explode, batch_format="pyarrow")
+    deg = adj.groupby("node").count().map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "deg": pc.cast(t.column("count()"),
+                                           pa.int64())}),
+        batch_format="pyarrow")
+
+    _M1, _M2 = np.uint64(2654435761), np.uint64(0x9E3779B97F4A7C15)
+
+    def mid_bucket(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__bucket", pa.array((((n * _M1) >> np.uint64(16))
+                                  % np.uint64(nb)).astype(np.int32)))
+
+    def wedge_counts(g: pd.DataFrame):
+        m = g.merge(g, on="node", suffixes=("_a", "_b"))
+        m = m[m["nbr_a"] < m["nbr_b"]]
+        out = (m.groupby(["nbr_a", "nbr_b"], sort=False)
+               .size().reset_index(name="cn"))
+        out.columns = ["a", "b", "cn"]
+        if out.empty:
+            out = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                "b": pd.Series([], dtype="int64"),
+                                "cn": pd.Series([], dtype="int64")})
+        out["cn"] = out["cn"].astype("int64")
+        return pd_to_arrow(out)
+
+    partials = (adj.map_batches(mid_bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(lambda g: wedge_counts(
+                    g.drop(columns="__bucket")), batch_format="pandas"))
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy().astype(np.uint64)
+        b = batch.column("b").to_numpy().astype(np.uint64)
+        h = a * _M1 + b * _M2
+        return batch.append_column(
+            "__b2", pa.array(((h >> np.uint64(16))
+                              % np.uint64(nb)).astype(np.int32)))
+
+    def pair_totals(g: pd.DataFrame):
+        tot = (g.groupby(["a", "b"], sort=False)["cn"]
+               .sum().reset_index())
+        tot["cn"] = tot["cn"].astype("int64")
+        return pd_to_arrow(tot)
+
+    cn = (partials.map_batches(pair_bucket, batch_format="pyarrow")
+          .groupby("__b2")
+          .map_groups(lambda g: pair_totals(g.drop(columns="__b2")),
+                      batch_format="pandas")
+          .materialize())
+    n_cn = cn.count()
+    cn = cn.repartition(max(4, n_cn // 250_000 + 1)).materialize()
+
+    cand = hash_join(cn, und, on=["a", "b"], how="anti",
+                     est_rows=max(n_cn, n_und))
+    cand = hash_join(
+        cand,
+        deg.map_batches(lambda t: pa.table(
+            {"a": t.column("node"), "deg_a": t.column("deg")}),
+            batch_format="pyarrow"),
+        on="a", est_rows=n_cn)
+    cand = hash_join(
+        cand,
+        deg.map_batches(lambda t: pa.table(
+            {"b": t.column("node"), "deg_b": t.column("deg")}),
+            batch_format="pyarrow"),
+        on="b", est_rows=n_cn)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for c in ("a", "b", "cn", "deg_a", "deg_b"):
+            df[c] = df[c].astype("int64")
+        cnv = df["cn"].to_numpy(np.int64)
+        den = (df["deg_a"].to_numpy(np.int64)
+               + df["deg_b"].to_numpy(np.int64) - cnv)
+        df["jacc_ppm"] = np.int64(1_000_000) * cnv // den
+        df = df.sort_values(["jacc_ppm", "cn", "a", "b"],
+                            ascending=[False, False, True, True],
+                            kind="mergesort").head(k)
+        return pd_to_arrow(df[["a", "b", "cn", "jacc_ppm"]])
+
+    # per-block partial top-k bounds the global sort to k×blocks rows
+    return (cand.map_batches(score_topk, batch_format="pyarrow")
+            .sort(["jacc_ppm", "cn", "a", "b"],
+                  descending=[True, True, False, False])
+            .limit(k))

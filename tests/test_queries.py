@@ -136,7 +136,7 @@ SQL_CHECKED = [
     "q147_interval_coverage", "q148_fuzzy_edit2_pairs",
     "q149_sorted_neighborhood", "q150_temporal_reach",
     "q151_luby_mis", "q152_rendezvous_reshard",
-    "q153_weighted_median", "q154_hits",
+    "q153_weighted_median", "q154_hits", "q155_link_prediction",
 ]
 
 
