@@ -1038,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q153_weighted_median": A.q153_weighted_median,
         "q154_hits": A.q154_hits,
         "q155_link_prediction": A.q155_link_prediction,
+        "q156_rrf_hybrid": A.q156_rrf_hybrid,
     }
 
 
@@ -4016,6 +4017,68 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q156_rrf_hybrid": """
+            -- rrf_fuse twin: BM25 (q79 math) and TF-IDF-dot (q37's
+            -- ROUND convention) top-50 lists for the same terms;
+            -- RRF contribution = 1e9 // (60 + rank), int-exact;
+            -- rank 0 marks "absent from that list"
+            WITH lx AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text),
+                                        '[0-9A-Za-z_]+') AS ls
+              FROM documents),
+            dl AS (SELECT doc_id, len(ls) AS dl FROM lx),
+            toks AS (SELECT doc_id, unnest(ls) AS token FROM lx),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM toks
+              WHERE token IN ('hash', 'join', 'window') GROUP BY 1, 2),
+            df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+                   FROM tf GROUP BY 1),
+            consts AS (
+              SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       AS n,
+                     CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                       / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       AS avgdl),
+            contrib AS (
+              SELECT tf.doc_id,
+                     CAST(FLOOR(
+                       LN((consts.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * CAST(tf.tf AS DOUBLE) * (1.25 + 1.0)
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.25 * (1.0 - 0.75
+                                    + 0.75 * CAST(dl.dl AS DOUBLE)
+                                           / consts.avgdl))
+                       * 1000000 + 0.5) AS BIGINT) AS contrib_q
+              FROM tf JOIN df USING (token) JOIN dl USING (doc_id),
+                   consts),
+            bml AS (
+              SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q
+              FROM contrib GROUP BY doc_id
+              ORDER BY score_q DESC, doc_id LIMIT 50),
+            tfc AS (
+              SELECT tf.doc_id,
+                     CAST(ROUND(CAST(tf.tf AS DOUBLE)
+                                * LN(consts.n / df.df)
+                                * 1000000) AS BIGINT) AS contrib_q
+              FROM tf JOIN df USING (token), consts),
+            tfl AS (
+              SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q
+              FROM tfc GROUP BY doc_id
+              ORDER BY score_q DESC, doc_id LIMIT 50),
+            r1 AS (SELECT doc_id, ROW_NUMBER() OVER (
+                     ORDER BY score_q DESC, doc_id) AS r FROM bml),
+            r2 AS (SELECT doc_id, ROW_NUMBER() OVER (
+                     ORDER BY score_q DESC, doc_id) AS r FROM tfl)
+            SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+                   CAST(COALESCE(1000000000 // (60 + r1.r), 0)
+                        + COALESCE(1000000000 // (60 + r2.r), 0)
+                        AS BIGINT) AS rrf_q,
+                   CAST(COALESCE(r1.r, 0) AS BIGINT) AS rank_bm25,
+                   CAST(COALESCE(r2.r, 0) AS BIGINT) AS rank_tfidf
+            FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+            ORDER BY rrf_q DESC, doc_id LIMIT 20
         """,
         "q155_link_prediction": """
             -- link_prediction_topk twin: wedges through each middle

@@ -991,3 +991,125 @@ def bpe_encode(docs: ray.data.Dataset, merges: pa.Table,
                             batch_format="pyarrow",
                             concurrency=concurrency,
                             batch_size=batch_size)
+
+
+def tfidf_query_topk(docs: ray.data.Dataset, query_terms: list[str],
+                     n_docs: int, k: int = 10, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     quantum: int = 1_000_000) -> ray.data.Dataset:
+    """Vector-space (TF-IDF dot product) retrieval: the ``k``
+    highest-scoring documents for a fixed query-term set — the lexical
+    baseline BM25 refines, kept as its own operator so hybrid-retrieval
+    fusion has two genuinely different rankers to fuse.
+
+    Same scale shape as ``bm25_topk``: one column-pruned pass keeps only
+    query-term postings (bounded by |terms| × n_docs rows), document
+    frequencies reduce to |terms| driver rows, and the per-(doc, term)
+    contribution ``round(tf · ln(N/df) · quantum)`` (q37's exact ROUND
+    convention — half-away via floor(x+0.5), non-negative since
+    df ≤ N) is quantized to int64 BEFORE the per-doc SUM, so the reduce
+    is associative at any parallelism.  Final global top-k is a
+    sort+limit over one row per matching doc, total order
+    (score_q DESC, id)."""
+    from ray.data.aggregate import Count, Sum
+
+    terms = sorted(dict.fromkeys(query_terms))
+    terms_arr = pa.array(terms, pa.string())
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        parent, flat = _tokenize_column(batch.column(text_col))
+        if len(flat) == 0:
+            return empty
+        p = np.asarray(parent, dtype=np.int64)
+        keep = pc.is_in(flat, value_set=terms_arr)
+        fp = pa.array(p, pa.int64()).filter(keep)
+        ft = flat.filter(keep)
+        if len(ft) == 0:
+            return empty
+        g = (pa.table({"pid": fp, "token": ft})
+             .group_by(["pid", "token"]).aggregate([([], "count_all")]))
+        return pa.table({
+            id_col: batch.column(id_col).take(g.column("pid")),
+            "token": g.column("token"),
+            "tf": pc.cast(g.column(g.schema.names[-1]), pa.int64()),
+        })
+
+    postings = docs.map_batches(
+        tf_partial, batch_format="pyarrow").materialize()
+
+    df_pd = (postings.groupby("token")
+             .aggregate(Count(alias_name="df")).to_pandas())
+    if df_pd.empty:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score_q": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64())}))
+    df_map = dict(zip(df_pd["token"], df_pd["df"].astype(np.int64)))
+    df_arr = np.array([df_map.get(t, 0) for t in terms], dtype=np.float64)
+    n_f = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        idx = pc.index_in(batch.column("token"),
+                          value_set=terms_arr).to_numpy(
+                              zero_copy_only=False).astype(np.int64)
+        s = tf * np.log(n_f / df_arr[idx])
+        sq = np.floor(s * quantum + 0.5).astype(np.int64)
+        return pa.table({id_col: batch.column(id_col),
+                         "contrib_q": pa.array(sq)})
+
+    return (postings.map_batches(score, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(Sum("contrib_q", alias_name="score_q"),
+                       Count(alias_name="n_terms"))
+            .sort(["score_q", id_col], descending=[True, False])
+            .limit(k))
+
+
+def rrf_fuse(ranked: "list[ray.data.Dataset]", names: list[str],
+             id_col: str = "doc_id", k: int = 10,
+             c: int = 60, quantum: int = 1_000_000_000) -> pa.Table:
+    """Reciprocal-rank fusion of top-k retrieval lists — the standard
+    hybrid-search combiner (lexical + dense, or any N rankers): each
+    list contributes ``quantum // (c + rank)`` per document (integer
+    division, exact cross-engine), fused score is the int sum, final
+    order (rrf_q DESC, id).
+
+    Every input must be a TOP-K-BOUNDED ranked list (id, score_q int64
+    — the bm25_topk / tfidf_query_topk contract), so the driver-side
+    fuse touches ≤ Σkᵢ rows by construction — never corpus-scale data
+    (the brute_force_topk merge policy).  Ranks are (re)assigned here
+    from the total order (score_q DESC, id), making fusion independent
+    of input row order.  Output: (id, rrf_q, rank_<name>...) with
+    rank 0 marking "absent from that list"."""
+    assert len(ranked) == len(names) and names
+    frames = []
+    for ds, name in zip(ranked, names):
+        df = ds.to_pandas()[[id_col, "score_q"]]
+        df = df.sort_values(["score_q", id_col],
+                            ascending=[False, True], kind="mergesort")
+        df[f"rank_{name}"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        frames.append(df[[id_col, f"rank_{name}"]])
+    out = frames[0]
+    for df in frames[1:]:
+        out = out.merge(df, on=id_col, how="outer")
+    out = out.fillna(0)
+    rrf = np.zeros(len(out), np.int64)
+    for name in names:
+        r = out[f"rank_{name}"].to_numpy(np.float64).astype(np.int64)
+        out[f"rank_{name}"] = r
+        present = r > 0
+        rrf[present] += quantum // (c + r[present])
+    out["rrf_q"] = rrf
+    out = (out.sort_values(["rrf_q", id_col],
+                           ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    cols = [id_col, "rrf_q"] + [f"rank_{n}" for n in names]
+    for col in cols:
+        out[col] = out[col].astype("int64")
+    return pa.Table.from_pandas(out[cols], preserve_index=False)

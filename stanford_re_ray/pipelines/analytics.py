@@ -4483,3 +4483,21 @@ def q155_link_prediction(sf_dir: str, k: int = 20) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["a", "b", "cn", "jacc_ppm"]],
                                 preserve_index=False)
+
+
+def q156_rrf_hybrid(sf_dir: str, k: int = 20, list_k: int = 50) -> pa.Table:
+    """Hybrid-retrieval rank fusion: BM25 (``corpus.bm25_topk``) and
+    vector-space TF-IDF (``corpus.tfidf_query_topk``) top-50 lists for
+    the same query, fused by reciprocal-rank fusion
+    (``corpus.rrf_fuse``: integer ``1e9 // (60 + rank)`` per list) —
+    the standard lexical+second-signal search combiner.  Both input
+    scores are quantized int64, so ranks and the fused score are exact
+    cross-engine."""
+    from ..functions.corpus import bm25_topk, rrf_fuse, tfidf_query_topk
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    terms = ["hash", "join", "window"]
+    bm = bm25_topk(docs, terms, n_docs=n_docs, k=list_k)
+    tf = tfidf_query_topk(docs, terms, n_docs=n_docs, k=list_k)
+    return rrf_fuse([bm, tf], ["bm25", "tfidf"], k=k)
