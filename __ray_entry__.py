@@ -1039,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_hits": A.q154_hits,
         "q155_link_prediction": A.q155_link_prediction,
         "q156_rrf_hybrid": A.q156_rrf_hybrid,
+        "q157_scd2_intervals": A.q157_scd2_intervals,
     }
 
 
@@ -4017,6 +4018,29 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q157_scd2_intervals": """
+            -- scd2_intervals twin: LAG drops no-op state repeats, LEAD
+            -- closes each version with the next change (open version =
+            -- 9999-12-31 sentinel), all epoch-us int64
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     event_type AS state
+              FROM events),
+            chg AS (
+              SELECT * FROM (
+                SELECT user_id, us, event_id, state,
+                       LAG(state) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id) AS prev
+                FROM ev)
+              WHERE prev IS NULL OR prev <> state)
+            SELECT user_id, state,
+                   us AS valid_from,
+                   COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                           ORDER BY us, event_id),
+                            253402214400000000) AS valid_to
+            FROM chg
+            ORDER BY user_id, valid_from, state
         """,
         "q156_rrf_hybrid": """
             -- rrf_fuse twin: BM25 (q79 math) and TF-IDF-dot (q37's

@@ -874,3 +874,67 @@ def range_join(
     return tagged.groupby("__bucket").map_groups(
         lambda g: join_bucket(g.drop(columns="__bucket")),
         batch_format="pandas")
+
+
+#: SCD2 open-interval sentinel: 9999-12-31T00:00:00Z in microseconds —
+#: keeps valid_to a plain int64 (nullable ints float-promote in pandas
+#: and break the driver's dtype-sensitive hash).
+SCD2_OPEN_END_US = 253402214400000000
+
+
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+    sentinel: int = SCD2_OPEN_END_US,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 interval construction from a
+    change-event stream: per key, order events by (ts, tiebreak), drop
+    rows whose state equals the previous state (no-op updates), and
+    emit one validity interval per surviving change —
+    ``[valid_from, valid_to)`` with ``valid_to`` = the next change's
+    timestamp, or ``sentinel`` for the current (open) version.  The
+    warehouse dimension-history primitive (and the engine's
+    latest-snapshot q118 is its last row).
+
+    One hash(key) bucket shuffle co-locates each key's full timeline;
+    inside a bucket everything is vectorized pandas (sort + per-key
+    shift compare + per-key shift(-1) fill).  ``ts_col`` must be an
+    integer column (epoch micros by convention) so interval arithmetic
+    and the sentinel stay exact int64 cross-engine.  Ties: two changes
+    of one key at the SAME (ts, tiebreak) have no defined order — pass
+    a unique ``tiebreak_col`` (event id) to make the output a total
+    function of the input.  Returns (key, state, valid_from, valid_to).
+    """
+    from ..schema import pd_to_arrow
+
+    order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) >> np.uint64(16)) \
+            % np.uint64(n_buckets)
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def build(g: pd.DataFrame):
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        prev = g.groupby(key_col, sort=False)[state_col].shift(1)
+        g = g[prev.isna() | (prev != g[state_col])]
+        nxt = g.groupby(key_col, sort=False)[ts_col].shift(-1)
+        out = pd.DataFrame({
+            key_col: g[key_col].to_numpy(),
+            state_col: g[state_col].to_numpy(),
+            "valid_from": g[ts_col].to_numpy(np.int64),
+            "valid_to": nxt.fillna(sentinel).astype("int64").to_numpy(),
+        })
+        return pd_to_arrow(out)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: build(g.drop(columns="__bucket")),
+                        batch_format="pandas"))

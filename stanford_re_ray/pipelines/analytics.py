@@ -4501,3 +4501,35 @@ def q156_rrf_hybrid(sf_dir: str, k: int = 20, list_k: int = 50) -> pa.Table:
     bm = bm25_topk(docs, terms, n_docs=n_docs, k=list_k)
     tf = tfidf_query_topk(docs, terms, n_docs=n_docs, k=list_k)
     return rrf_fuse([bm, tf], ["bm25", "tfidf"], k=k)
+
+
+def q157_scd2_intervals(sf_dir: str) -> pa.Table:
+    """SCD type-2 dimension history (``relational.scd2_intervals``):
+    each user's event_type stream becomes validity intervals
+    [valid_from, valid_to) in epoch micros — consecutive same-state
+    events collapse, the open current version ends at the 9999-12-31
+    sentinel; (ts, event_id) ordering makes ties deterministic."""
+    from ..functions.relational import scd2_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "state": batch.column("event_type"),
+        })
+
+    out = (scd2_intervals(ds.map_batches(prep, batch_format="pyarrow"),
+                          key_col="user_id", ts_col="us",
+                          state_col="state", tiebreak_col="event_id")
+           .to_pandas()
+           .sort_values(["user_id", "valid_from", "state"])
+           .reset_index(drop=True))
+    for c in ("user_id", "valid_from", "valid_to"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "state", "valid_from", "valid_to"]],
+        preserve_index=False)
