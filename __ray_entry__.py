@@ -1040,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q155_link_prediction": A.q155_link_prediction,
         "q156_rrf_hybrid": A.q156_rrf_hybrid,
         "q157_scd2_intervals": A.q157_scd2_intervals,
+        "q158_locf_daily": A.q158_locf_daily,
     }
 
 
@@ -4018,6 +4019,42 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q158_locf_daily": """
+            -- forward_fill_daily twin: dense user x day grid from each
+            -- user's first observed day through the GLOBAL max day,
+            -- LAST_VALUE IGNORE NULLS carries the latest cents forward;
+            -- last obs per (user, day) = max (us, event_id)
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            lastobs AS (
+              SELECT user_id, day, cents FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, day
+                  ORDER BY us DESC, event_id DESC) AS rn
+                FROM ev)
+              WHERE rn = 1),
+            days AS (
+              SELECT UNNEST(generate_series(
+                (SELECT MIN(day) FROM ev),
+                (SELECT MAX(day) FROM ev))) AS day),
+            grid AS (
+              SELECT u.user_id, d.day
+              FROM (SELECT DISTINCT user_id FROM ev) u
+              CROSS JOIN days d),
+            filled AS (
+              SELECT g.user_id, g.day,
+                     LAST_VALUE(l.cents IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day) AS cents
+              FROM grid g
+              LEFT JOIN lastobs l
+                ON l.user_id = g.user_id AND l.day = g.day)
+            SELECT user_id, day, CAST(cents AS BIGINT) AS cents
+            FROM filled WHERE cents IS NOT NULL
+            ORDER BY user_id, day
         """,
         "q157_scd2_intervals": """
             -- scd2_intervals twin: LAG drops no-op state repeats, LEAD

@@ -938,3 +938,88 @@ def scd2_intervals(
             .groupby("__bucket")
             .map_groups(lambda g: build(g.drop(columns="__bucket")),
                         batch_format="pandas"))
+
+
+def forward_fill_daily(
+    ds: ray.data.Dataset,
+    key_col: str,
+    us_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    day_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Dense daily panel with last-observation-carried-forward: for
+    every key and every day from the key's FIRST observation through
+    the GLOBAL max day, the most recent observed value on or before
+    that day — the gap-fill that turns sparse event streams into the
+    rectangular panels downstream feature/trend jobs expect (q102's
+    dense counts, with state instead of counts).
+
+    ``value_col`` must already be integer (quantize currency to cents
+    first — the q61 policy); the day index is pure integer floor
+    ``us // day_us``.  Global [min, max] day comes from one O(blocks)
+    partial pass (two ints to the driver, never rows); then one
+    hash(key) bucket shuffle co-locates each key's timeline and the
+    fill is vectorized per key (sorted observed days +
+    ``searchsorted`` gather over the dense range).  Last observation
+    per (key, day) is the max (us, tiebreak) row — pass a unique
+    ``tiebreak_col`` so same-timestamp updates resolve
+    deterministically.  Output rows = keys × days by contract (a dense
+    panel), emitted from inside the bucket tasks — the operator itself
+    never materializes them on the driver."""
+    from ..schema import pd_to_arrow
+
+    def day_minmax(batch: pa.Table) -> pa.Table:
+        us = batch.column(us_col).to_numpy(zero_copy_only=False)
+        if len(us) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        d = us.astype(np.int64) // day_us
+        return pa.table({"lo": pa.array([int(d.min())], pa.int64()),
+                         "hi": pa.array([int(d.max())], pa.int64())})
+
+    parts = ds.map_batches(day_minmax, batch_format="pyarrow").take_all()
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            key_col: pa.array([], pa.int64()),
+            "day": pa.array([], pa.int64()),
+            value_col: pa.array([], pa.int64())}))
+    gmax = max(r["hi"] for r in parts)
+
+    order = [key_col, us_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) >> np.uint64(16)) \
+            % np.uint64(n_buckets)
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def fill(g: pd.DataFrame):
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        g["day"] = g[us_col].to_numpy(np.int64) // day_us
+        last = g.groupby([key_col, "day"], sort=False).tail(1)
+        keys_out, days_out, vals_out = [], [], []
+        for key, sub in last.groupby(key_col, sort=False):
+            od = sub["day"].to_numpy(np.int64)
+            ov = sub[value_col].to_numpy(np.int64)
+            days = np.arange(od[0], gmax + 1, dtype=np.int64)
+            idx = np.searchsorted(od, days, side="right") - 1
+            keys_out.append(np.full(len(days), key, np.int64))
+            days_out.append(days)
+            vals_out.append(ov[idx])
+        if not keys_out:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "day": pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.int64())})
+        return pa.table({
+            key_col: pa.array(np.concatenate(keys_out), pa.int64()),
+            "day": pa.array(np.concatenate(days_out), pa.int64()),
+            value_col: pa.array(np.concatenate(vals_out), pa.int64())})
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: fill(g.drop(columns="__bucket")),
+                        batch_format="pandas"))

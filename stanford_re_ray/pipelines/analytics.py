@@ -4533,3 +4533,34 @@ def q157_scd2_intervals(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["user_id", "state", "valid_from", "valid_to"]],
         preserve_index=False)
+
+
+def q158_locf_daily(sf_dir: str) -> pa.Table:
+    """Dense per-user daily balance panel with forward fill
+    (``relational.forward_fill_daily``): each user's latest observed
+    value (integer cents, q61 policy) carried forward from first
+    observation through the global max day — the sparse-stream →
+    rectangular-panel gap-fill."""
+    from ..functions.relational import forward_fill_daily
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    out = (forward_fill_daily(
+               ds.map_batches(prep, batch_format="pyarrow"),
+               key_col="user_id", us_col="us", value_col="cents",
+               tiebreak_col="event_id")
+           .to_pandas().sort_values(["user_id", "day"])
+           .reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["user_id", "day", "cents"]],
+                                preserve_index=False)

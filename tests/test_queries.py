@@ -137,7 +137,7 @@ SQL_CHECKED = [
     "q149_sorted_neighborhood", "q150_temporal_reach",
     "q151_luby_mis", "q152_rendezvous_reshard",
     "q153_weighted_median", "q154_hits", "q155_link_prediction",
-    "q156_rrf_hybrid", "q157_scd2_intervals",
+    "q156_rrf_hybrid", "q157_scd2_intervals", "q158_locf_daily",
 ]
 
 
