@@ -1041,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_rrf_hybrid": A.q156_rrf_hybrid,
         "q157_scd2_intervals": A.q157_scd2_intervals,
         "q158_locf_daily": A.q158_locf_daily,
+        "q159_snake_shards": A.q159_snake_shards,
     }
 
 
@@ -4019,6 +4020,26 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q159_snake_shards": """
+            -- snake_pack twin: global (n_chars DESC, doc_id) rank,
+            -- snake fold pos = (rank-1) % 16, shard = pos or 15-pos;
+            -- per-shard doc counts and char totals
+            WITH r AS (
+              SELECT doc_id, n_chars,
+                     ROW_NUMBER() OVER (
+                       ORDER BY n_chars DESC, doc_id) AS rnk
+              FROM documents),
+            a AS (
+              SELECT n_chars,
+                     CASE WHEN (rnk - 1) % 16 < 8
+                          THEN (rnk - 1) % 16
+                          ELSE 15 - ((rnk - 1) % 16) END AS shard
+              FROM r)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM a GROUP BY 1 ORDER BY 1
         """,
         "q158_locf_daily": """
             -- forward_fill_daily twin: dense user x day grid from each

@@ -1023,3 +1023,99 @@ def forward_fill_daily(
             .groupby("__bucket")
             .map_groups(lambda g: fill(g.drop(columns="__bucket")),
                         batch_format="pandas"))
+
+
+def snake_pack(
+    ds: ray.data.Dataset,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    n_bins: int | None = None,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Balanced shard assignment by snake (boustrophedon) packing:
+    rank all rows by (weight DESC, id), then fold the rank sequence
+    across the shards — ``pos = (rank−1) mod 2S``, ``shard = pos`` if
+    ``pos < S`` else ``2S−1−pos`` — so each consecutive window of 2S
+    heavy rows spreads one row to every shard in alternating order.
+    The deterministic equal-work partitioner for heterogeneous row
+    costs (per-shard totals land within one max-weight of each other
+    on sorted-ish data), used to plan token-balanced training shards
+    or skew-free work files.  Returns (id, weight, shard).
+
+    The global rank is a HISTOGRAM-RANKED two-pass scan, never a
+    full all-to-all sort: pass 1 buckets weights into ``n_bins``
+    equi-width integer bins (global min/max from an O(blocks)
+    two-int pre-pass) and reduces per-bin counts to the driver
+    (≤ n_bins ints); the driver prefix-sums them into per-bin rank
+    offsets; pass 2 shuffles once on the bin key and resolves exact
+    ranks inside each bin with a vectorized (weight DESC, id) sort —
+    bin populations are corpus-sized/n_bins on anything non-degenerate,
+    and correctness never depends on balance (a single hot bin just
+    sorts more rows locally)."""
+    import pyarrow.compute as pc
+
+    from ..schema import pd_to_arrow
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        if len(w) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(w.min())], pa.int64()),
+                         "hi": pa.array([int(w.max())], pa.int64())})
+
+    parts = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    if not parts:
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            weight_col: pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64())}))
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    if n_bins is None:
+        n_bins = int(max(64, min(4096, (est_rows or 0) // 250_000 + 64)))
+    span = hi - lo + 1
+
+    def binned(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # bin 0 holds the LARGEST weights so bin order == rank order
+        b = (hi - w) * np.int64(n_bins) // np.int64(span)
+        return pa.table({"__bin": pa.array(b.astype(np.int32)),
+                         "n": pa.array(np.ones(len(w), np.int64))})
+
+    cnt = (ds.map_batches(binned, batch_format="pyarrow")
+           .groupby("__bin").sum("n").take_all())
+    counts = np.zeros(n_bins, np.int64)
+    for r in cnt:
+        counts[r["__bin"]] = r["sum(n)"]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = (hi - w) * np.int64(n_bins) // np.int64(span)
+        return pa.table({
+            id_col: pc.cast(batch.column(id_col), pa.int64()),
+            weight_col: pa.array(w),
+            "__bin": pa.array(b.astype(np.int32))})
+
+    two_s = 2 * n_shards
+
+    def rank_bin(g: pd.DataFrame):
+        g = g.sort_values([weight_col, id_col],
+                          ascending=[False, True], kind="mergesort")
+        base = int(offsets[int(g["__bin"].iloc[0])])
+        rank = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        pos = (rank - 1) % two_s
+        shard = np.where(pos < n_shards, pos, two_s - 1 - pos)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            weight_col: g[weight_col].to_numpy(np.int64),
+            "shard": shard.astype(np.int64)})
+        return pd_to_arrow(out)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__bin")
+            .map_groups(rank_bin, batch_format="pandas"))

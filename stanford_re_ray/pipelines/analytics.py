@@ -4564,3 +4564,27 @@ def q158_locf_daily(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["user_id", "day", "cents"]],
                                 preserve_index=False)
+
+
+def q159_snake_shards(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """Token-balanced shard planning (``relational.snake_pack``):
+    documents snake-packed into 8 shards by (n_chars DESC, doc_id)
+    rank, rolled up to per-shard doc counts and char totals — the
+    equal-work partitioner audit (per-shard totals should sit within
+    one max-doc of each other)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import snake_pack
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = (snake_pack(docs, weight_col="n_chars", id_col="doc_id",
+                      n_shards=n_shards,
+                      est_rows=_row_count(sf_dir, "documents"))
+           .groupby("shard")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="total_chars"))
+           .to_pandas().sort_values("shard").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["shard", "n_docs", "total_chars"]],
+                                preserve_index=False)
