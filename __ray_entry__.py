@@ -1042,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_scd2_intervals": A.q157_scd2_intervals,
         "q158_locf_daily": A.q158_locf_daily,
         "q159_snake_shards": A.q159_snake_shards,
+        "q160_winsorized_stats": A.q160_winsorized_stats,
     }
 
 
@@ -4020,6 +4021,37 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q160_winsorized_stats": """
+            -- winsorized-stats twin: integer-cumulative quantile cuts
+            -- (p5 = first cents with 20*cum >= n, p95 with >= 19*n)
+            -- over distinct (flag, cents) counts; clipped sum from the
+            -- same table
+            WITH v AS (
+              SELECT l_returnflag AS f,
+                     CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS c
+              FROM lineitem),
+            d AS (SELECT f, c, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM v GROUP BY 1, 2),
+            w AS (SELECT f, c, cnt,
+                         SUM(cnt) OVER (PARTITION BY f
+                                        ORDER BY c) AS cum,
+                         SUM(cnt) OVER (PARTITION BY f) AS n
+                  FROM d),
+            q AS (SELECT f,
+                         MIN(CASE WHEN 20 * cum >= n THEN c END) AS p5,
+                         MIN(CASE WHEN 20 * cum >= 19 * n THEN c END)
+                           AS p95
+                  FROM w GROUP BY 1)
+            SELECT d.f AS l_returnflag,
+                   CAST(q.p5 AS BIGINT) AS p5_cents,
+                   CAST(q.p95 AS BIGINT) AS p95_cents,
+                   CAST(SUM(d.cnt) AS BIGINT) AS n_rows,
+                   CAST(SUM(LEAST(GREATEST(d.c, q.p5), q.p95) * d.cnt)
+                        AS BIGINT) AS wsum_cents
+            FROM d JOIN q ON q.f = d.f
+            GROUP BY 1, 2, 3 ORDER BY 1
         """,
         "q159_snake_shards": """
             -- snake_pack twin: global (n_chars DESC, doc_id) rank,

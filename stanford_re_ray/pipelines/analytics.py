@@ -4588,3 +4588,65 @@ def q159_snake_shards(sf_dir: str, n_shards: int = 8) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["shard", "n_docs", "total_chars"]],
                                 preserve_index=False)
+
+
+def q160_winsorized_stats(sf_dir: str) -> pa.Table:
+    """Per-flag winsorized robust statistics: clip prices to the exact
+    per-group [p5, p95] and report the clipped sum — outlier-robust
+    aggregation for noisy pipelines.  Quantile cuts are defined by PURE
+    INTEGER cumulative comparisons over distinct (flag, cents) weight
+    sums (p5 = first value with 20·cum ≥ n; p95 = first with
+    20·cum ≥ 19·n), so both engines agree without any float quantile
+    semantics; the winsorized sum comes from the SAME (value, count)
+    group scan — no second data pass."""
+    from ray.data.aggregate import Sum
+
+    from ..schema import pd_to_arrow
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["c"] = np.floor(
+            df["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (df.groupby(["l_returnflag", "c"], sort=False)
+             .size().reset_index(name="cnt"))
+        g["cnt"] = g["cnt"].astype("int64")
+        return pd_to_arrow(g[["l_returnflag", "c", "cnt"]])
+
+    summed = (li.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "c"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def winsor(g: pd.DataFrame):
+        g = g.sort_values(["l_returnflag", "c"], kind="mergesort")
+        rows = []
+        for f, sub in g.groupby("l_returnflag", sort=True):
+            c = sub["c"].to_numpy(np.int64)
+            w = sub["cnt"].to_numpy(np.int64)
+            cum = np.cumsum(w)
+            n = int(cum[-1])
+            p5 = int(c[np.searchsorted(20 * cum, n)])
+            p95 = int(c[np.searchsorted(20 * cum, 19 * n)])
+            wsum = int(np.sum(np.clip(c, p5, p95) * w))
+            rows.append((f, p5, p95, n, wsum))
+        return pd_to_arrow(pd.DataFrame(
+            rows, columns=["l_returnflag", "p5_cents", "p95_cents",
+                           "n_rows", "wsum_cents"]))
+
+    out = (summed.map_batches(lambda t: t.append_column(
+               "__bucket", pa.array(
+                   [zlib.crc32(s.encode()) % 16
+                    for s in t.column("l_returnflag").to_pylist()],
+                   pa.int32())), batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: winsor(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("l_returnflag")
+           .reset_index(drop=True))
+    for c in ("p5_cents", "p95_cents", "n_rows", "wsum_cents"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["l_returnflag", "p5_cents", "p95_cents", "n_rows",
+             "wsum_cents"]], preserve_index=False)
