@@ -1043,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_locf_daily": A.q158_locf_daily,
         "q159_snake_shards": A.q159_snake_shards,
         "q160_winsorized_stats": A.q160_winsorized_stats,
+        "q161_gini_skew": A.q161_gini_skew,
     }
 
 
@@ -4021,6 +4022,22 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q161_gini_skew": """
+            -- gini-skew twin: ascending (count, key) ranks; numerator
+            -- 2*SUM(i*c) - (n+1)*SUM(c), ppm by integer floor division
+            WITH k AS (
+              SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+              FROM lineitem GROUP BY 1),
+            r AS (
+              SELECT c, ROW_NUMBER() OVER (ORDER BY c, l_partkey) AS i
+              FROM k)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS total_rows,
+                   CAST(1000000 * (2 * SUM(i * c)
+                                   - (COUNT(*) + 1) * SUM(c))
+                        // (COUNT(*) * SUM(c)) AS BIGINT) AS gini_ppm
+            FROM r
         """,
         "q160_winsorized_stats": """
             -- winsorized-stats twin: integer-cumulative quantile cuts

@@ -4650,3 +4650,58 @@ def q160_winsorized_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["l_returnflag", "p5_cents", "p95_cents", "n_rows",
              "wsum_cents"]], preserve_index=False)
+
+
+def q161_gini_skew(sf_dir: str) -> pa.Table:
+    """Key-distribution Gini coefficient over l_partkey frequencies —
+    the skew audit that tells a planner whether a join/groupby key
+    needs salting (0 = uniform, →1 = one hot key).  Exact-integer
+    shape: per-key counts via a hash-bucket pandas reducer (q110
+    idiom), folded to a tiny (count → n_keys) histogram (distinct
+    count values, not keys, reach the driver); equal-count keys occupy
+    consecutive ranks, so Σ rank·count per run is a closed form and
+    the Gini numerator ``2·Σ i·xᵢ − (n+1)·Σ xᵢ`` (x ascending) is
+    computed in exact big-int arithmetic, quantized to ppm by one
+    floor division that the ROW_NUMBER oracle replays."""
+    from ..schema import pd_to_arrow
+
+    n_li = _row_count(sf_dir, "lineitem")
+    nb = int(max(16, min(4096, n_li // 100_000 + 1)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_partkey").to_numpy().astype(np.uint64)
+        b = ((k * np.uint64(2654435761)) >> np.uint64(16)) % np.uint64(nb)
+        return batch.append_column("__bucket",
+                                   pa.array(b.astype(np.int32)))
+
+    def key_count_hist(g: pd.DataFrame):
+        per_key = g.groupby("l_partkey", sort=False).size()
+        hist = per_key.value_counts().reset_index()
+        hist.columns = ["c", "m"]
+        for col in ("c", "m"):
+            hist[col] = hist[col].astype("int64")
+        return pd_to_arrow(hist)
+
+    from ray.data.aggregate import Sum
+
+    hist = (_read(sf_dir, "lineitem", ["l_partkey"])
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: key_count_hist(
+                g.drop(columns="__bucket")), batch_format="pandas")
+            .groupby("c").aggregate(Sum("m", alias_name="m"))
+            .take_all())
+    pairs = sorted((int(r["c"]), int(r["m"])) for r in hist)
+    n = sum(m for _, m in pairs)
+    total = sum(c * m for c, m in pairs)
+    sum_ix = 0
+    start = 1
+    for c, m in pairs:
+        sum_ix += c * (m * start + m * (m - 1) // 2)
+        start += m
+    num = 2 * sum_ix - (n + 1) * total
+    gini_ppm = 1_000_000 * num // (n * total)
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "total_rows": pa.array([total], pa.int64()),
+        "gini_ppm": pa.array([gini_ppm], pa.int64())})

@@ -138,7 +138,7 @@ SQL_CHECKED = [
     "q151_luby_mis", "q152_rendezvous_reshard",
     "q153_weighted_median", "q154_hits", "q155_link_prediction",
     "q156_rrf_hybrid", "q157_scd2_intervals", "q158_locf_daily",
-    "q159_snake_shards", "q160_winsorized_stats",
+    "q159_snake_shards", "q160_winsorized_stats", "q161_gini_skew",
 ]
 
 
