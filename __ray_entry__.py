@@ -1044,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_snake_shards": A.q159_snake_shards,
         "q160_winsorized_stats": A.q160_winsorized_stats,
         "q161_gini_skew": A.q161_gini_skew,
+        "q162_vocab_churn": A.q162_vocab_churn,
     }
 
 
@@ -4022,6 +4023,32 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q162_vocab_churn": """
+            -- vocab_churn_topk twin: even/odd doc halves, symmetric
+            -- add-one-smoothed integer-ppm frequency ratio, tokens
+            -- with >= 30 combined occurrences, top-20
+            WITH tok AS (
+              SELECT doc_id % 2 AS side,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            c AS (
+              SELECT token,
+                     CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_old,
+                     CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_new
+              FROM tok GROUP BY 1),
+            f AS (
+              SELECT *,
+                     GREATEST(1000000 * (n_new + 1) // (n_old + 1),
+                              1000000 * (n_old + 1) // (n_new + 1))
+                       AS churn_ppm
+              FROM c WHERE n_old + n_new >= 30)
+            SELECT token, n_old, n_new,
+                   CAST(churn_ppm AS BIGINT) AS churn_ppm
+            FROM f ORDER BY churn_ppm DESC, token LIMIT 20
         """,
         "q161_gini_skew": """
             -- gini-skew twin: ascending (count, key) ranks; numerator

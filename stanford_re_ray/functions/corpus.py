@@ -1113,3 +1113,64 @@ def rrf_fuse(ranked: "list[ray.data.Dataset]", names: list[str],
     for col in cols:
         out[col] = out[col].astype("int64")
     return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+def vocab_churn_topk(old_docs: ray.data.Dataset,
+                     new_docs: ray.data.Dataset, k: int = 20,
+                     min_total: int = 30, text_col: str = "text",
+                     quantum: int = 1_000_000) -> ray.data.Dataset:
+    """Vocabulary churn between two corpus snapshots: the ``k`` tokens
+    whose frequency shifted the most between ``old_docs`` and
+    ``new_docs`` — the drift monitor that catches topic shift, crawl
+    breakage, or contamination between training-data versions.
+
+    Churn is the symmetric smoothed frequency ratio in INTEGER ppm
+    (``max(q·(new+1)//(old+1), q·(old+1)//(new+1))``, add-one so
+    appear/disappear events rank highest without a division by zero),
+    over tokens with ``min_total`` combined occurrences.  Shape: the
+    ``term_count_partial`` combiner per side (per-batch DISTINCT token
+    partials — the vocab_heavy_hitters contract), ONE vocab-sized
+    token groupby with two int SUMs, vectorized churn + per-block
+    top-k, global sort over ≤ k×blocks rows.  Total order
+    (churn_ppm DESC, token)."""
+    from ray.data.aggregate import Sum
+
+    def side(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            t = term_count_partial(batch, text_col)
+            z = pa.array(np.zeros(t.num_rows, np.int64))
+            if which == "old":
+                return pa.table({"token": t.column("token"),
+                                 "n_old": t.column("n"), "n_new": z})
+            return pa.table({"token": t.column("token"),
+                             "n_old": z, "n_new": t.column("n")})
+        return f
+
+    tot = (old_docs.map_batches(side("old"), batch_format="pyarrow")
+           .union(new_docs.map_batches(side("new"),
+                                       batch_format="pyarrow"))
+           .groupby("token")
+           .aggregate(Sum("n_old", alias_name="n_old"),
+                      Sum("n_new", alias_name="n_new")))
+
+    def churn(batch: pa.Table) -> pa.Table:
+        old = batch.column("n_old").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new = batch.column("n_new").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = old + new >= min_total
+        tok = batch.column("token").filter(pa.array(keep))
+        old, new = old[keep], new[keep]
+        q = np.int64(quantum)
+        ch = np.maximum(q * (new + 1) // (old + 1),
+                        q * (old + 1) // (new + 1))
+        t = pa.table({"token": tok, "n_old": pa.array(old),
+                      "n_new": pa.array(new), "churn_ppm": pa.array(ch)})
+        df = t.to_pandas().sort_values(
+            ["churn_ppm", "token"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (tot.map_batches(churn, batch_format="pyarrow")
+            .sort(["churn_ppm", "token"], descending=[True, False])
+            .limit(k))

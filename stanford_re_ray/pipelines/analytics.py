@@ -4705,3 +4705,29 @@ def q161_gini_skew(sf_dir: str) -> pa.Table:
         "n_keys": pa.array([n], pa.int64()),
         "total_rows": pa.array([total], pa.int64()),
         "gini_ppm": pa.array([gini_ppm], pa.int64())})
+
+
+def q162_vocab_churn(sf_dir: str, k: int = 20) -> pa.Table:
+    """Cross-snapshot vocabulary drift (``corpus.vocab_churn_topk``):
+    even-doc_id documents stand in for the "old" crawl, odd for the
+    "new"; top-k tokens by symmetric smoothed integer-ppm frequency
+    ratio among tokens with ≥ 30 combined occurrences."""
+    from ..functions.corpus import vocab_churn_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def half(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            return batch.filter(pa.array(ids % 2 == parity))
+        return f
+
+    old = docs.map_batches(half(0), batch_format="pyarrow")
+    new = docs.map_batches(half(1), batch_format="pyarrow")
+    out = (vocab_churn_topk(old, new, k=k).to_pandas()
+           .reset_index(drop=True))
+    for c in ("n_old", "n_new", "churn_ppm"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["token", "n_old", "n_new", "churn_ppm"]],
+        preserve_index=False)
