@@ -1045,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_winsorized_stats": A.q160_winsorized_stats,
         "q161_gini_skew": A.q161_gini_skew,
         "q162_vocab_churn": A.q162_vocab_churn,
+        "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
     }
 
 
@@ -4023,6 +4024,20 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q163_equi_depth_histogram": """
+            -- equi_depth_histogram twin: NTILE(10) over integer cents;
+            -- a bin's (count, min, max) is tie-permutation-invariant
+            WITH v AS (
+              SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+                          AS BIGINT) AS c
+              FROM lineitem),
+            t AS (SELECT c, NTILE(10) OVER (ORDER BY c) AS b FROM v)
+            SELECT CAST(b - 1 AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(c) AS BIGINT) AS min_val,
+                   CAST(MAX(c) AS BIGINT) AS max_val
+            FROM t GROUP BY 1 ORDER BY 1
         """,
         "q162_vocab_churn": """
             -- vocab_churn_topk twin: even/odd doc halves, symmetric

@@ -4731,3 +4731,27 @@ def q162_vocab_churn(sf_dir: str, k: int = 20) -> pa.Table:
     return pa.Table.from_pandas(
         out[["token", "n_old", "n_new", "churn_ppm"]],
         preserve_index=False)
+
+
+def q163_equi_depth_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
+    """Equi-depth price histogram (``quantiles.equi_depth_histogram``):
+    10 equal-frequency bins over integer cents with exact NTILE bin
+    sizes and value ranges — the range-partition planning statistic
+    equi-width q123 can't give under skew."""
+    from ..functions.quantiles import equi_depth_histogram
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy().astype(np.float64)
+        return pa.table({"c": pa.array(
+            np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    out = equi_depth_histogram(
+        li.map_batches(cents, batch_format="pyarrow"), "c",
+        n_bins=n_bins)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["bin", "n_rows", "min_val", "max_val"]],
+        preserve_index=False)

@@ -139,7 +139,7 @@ SQL_CHECKED = [
     "q153_weighted_median", "q154_hits", "q155_link_prediction",
     "q156_rrf_hybrid", "q157_scd2_intervals", "q158_locf_daily",
     "q159_snake_shards", "q160_winsorized_stats", "q161_gini_skew",
-    "q162_vocab_churn",
+    "q162_vocab_churn", "q163_equi_depth_histogram",
 ]
 
 
