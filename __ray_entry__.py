@@ -1046,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_gini_skew": A.q161_gini_skew,
         "q162_vocab_churn": A.q162_vocab_churn,
         "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
+        "q164_boilerplate_attribution": A.q164_boilerplate_attribution,
     }
 
 
@@ -4024,6 +4025,37 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q164_boilerplate_attribution": """
+            -- boilerplate_attribution twin: q38's augmented corpus;
+            -- non-canonical repeats of >=30-char lines charged to the
+            -- containing doc's source
+            WITH aug AS (
+              SELECT doc_id, source,
+                     text || chr(10) ||
+                     'shared boilerplate footer line number ' ||
+                     (doc_id % 7) || ' for dedup' || chr(10) ||
+                     substr(text, 1, 40) AS text
+              FROM documents),
+            lx AS (SELECT doc_id, source,
+                          string_split(text, chr(10)) AS ls
+                   FROM aug),
+            lines AS (
+              SELECT doc_id, source,
+                     generate_subscripts(ls, 1) - 1 AS line_no,
+                     unnest(ls) AS line
+              FROM lx),
+            longl AS (SELECT * FROM lines WHERE length(line) >= 30),
+            marked AS (
+              SELECT source, line,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM longl)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_dup_lines,
+                   CAST(SUM(length(line)) AS BIGINT) AS dup_chars
+            FROM marked WHERE rn > 1
+            GROUP BY 1 ORDER BY 1
         """,
         "q163_equi_depth_histogram": """
             -- equi_depth_histogram twin: NTILE(10) over integer cents;

@@ -1174,3 +1174,81 @@ def vocab_churn_topk(old_docs: ray.data.Dataset,
     return (tot.map_batches(churn, batch_format="pyarrow")
             .sort(["churn_ppm", "token"], descending=[True, False])
             .limit(k))
+
+
+def boilerplate_attribution(docs: ray.data.Dataset,
+                            source_col: str = "source",
+                            min_line_chars: int = 30,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            est_rows: int | None = None
+                            ) -> ray.data.Dataset:
+    """Attribute duplicated-line volume to its origin: for every line of
+    ``min_line_chars``+ that is a NON-canonical repeat (not the smallest
+    (doc_id, line_no) occurrence — the exact complement of
+    ``line_dedup``'s keep rule), charge one dup line and its char count
+    to the containing document's source — the "which crawl source ships
+    the boilerplate" curation report.  Returns
+    (source, n_dup_lines, dup_chars).
+
+    Same one-payload-pass shape as ``line_dedup``: dedup decisions
+    shuffle only (md5 digest, doc, line_no, source, len) rows bucketed
+    by digest; per-bucket pandas marks repeats and pre-aggregates per
+    source, so the final groupby reduces ≤ sources × buckets rows."""
+    from ray.data.aggregate import Sum
+
+    from .relational import resolve_n_buckets
+    from ..schema import pd_to_arrow
+
+    n_buckets = resolve_n_buckets(None, est_rows)
+
+    def digest_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lists = pc.split_pattern(pc.coalesce(texts, ""), pattern="\n")
+        parent = pc.list_parent_indices(lists)
+        flat = lists.flatten()
+        offsets = np.asarray(lists.offsets)
+        line_no = np.arange(len(flat), dtype=np.int64) - offsets[
+            np.asarray(parent, dtype=np.int64)]
+        tb = pa.table({id_col: batch.column(id_col).take(parent),
+                       "line_no": pa.array(line_no), "line": flat,
+                       "src": batch.column(source_col).take(parent)})
+        long_mask = pc.greater_equal(pc.utf8_length(tb.column("line")),
+                                     min_line_chars)
+        part = tb.filter(long_mask)
+        texts = part.column("line").to_pylist()
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in texts]
+        bucket = pa.array(
+            [int(d[:8], 16) % n_buckets for d in digests], pa.int32())
+        return pa.table({
+            "h": pa.array(digests, pa.string()),
+            id_col: part.column(id_col),
+            "line_no": part.column("line_no"),
+            "src": part.column("src"),
+            "n": pc.cast(pc.utf8_length(part.column("line")), pa.int64()),
+            "__bucket": bucket})
+
+    def dup_partial(g: pd.DataFrame):
+        g = g.sort_values(["h", id_col, "line_no"], kind="mergesort")
+        dup = g[g.duplicated("h", keep="first")]
+        out = (dup.groupby("src", sort=False)
+               .agg(n_dup_lines=("h", "size"), dup_chars=("n", "sum"))
+               .reset_index().rename(columns={"src": "source"}))
+        for c in ("n_dup_lines", "dup_chars"):
+            out[c] = out[c].astype("int64")
+        if out.empty:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_dup_lines": pa.array([], pa.int64()),
+                             "dup_chars": pa.array([], pa.int64())})
+        return pd_to_arrow(out)
+
+    return (docs.map_batches(digest_partial, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda g: dup_partial(
+                g.drop(columns=["__bucket"])), batch_format="pandas")
+            .groupby("source")
+            .aggregate(Sum("n_dup_lines", alias_name="n_dup_lines"),
+                       Sum("dup_chars", alias_name="dup_chars")))

@@ -4755,3 +4755,35 @@ def q163_equi_depth_histogram(sf_dir: str, n_bins: int = 10) -> pa.Table:
     return pa.Table.from_pandas(
         out[["bin", "n_rows", "min_val", "max_val"]],
         preserve_index=False)
+
+
+def q164_boilerplate_attribution(sf_dir: str) -> pa.Table:
+    """Boilerplate attribution by crawl source
+    (``corpus.boilerplate_attribution``): duplicated-line occurrences
+    (q38's augmented corpus — unique body + class-shared footer +
+    40-char prefix) charged to their document's source — the "which
+    source ships redundant bytes" curation report."""
+    from ..functions.corpus import boilerplate_attribution
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        txts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        out = [
+            f"{t}\nshared boilerplate footer line number {i % 7} for dedup"
+            f"\n{t[:40]}"
+            for t, i in zip(txts, ids)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, pa.string()),
+                         "source": batch.column("source")})
+
+    aug = docs.map_batches(augment, batch_format="pyarrow")
+    out = (boilerplate_attribution(aug, est_rows=n_docs * 3)
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    for c in ("n_dup_lines", "dup_chars"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["source", "n_dup_lines",
+                                     "dup_chars"]], preserve_index=False)
