@@ -1047,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q162_vocab_churn": A.q162_vocab_churn,
         "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
         "q164_boilerplate_attribution": A.q164_boilerplate_attribution,
+        "q165_topn_other": A.q165_topn_other,
     }
 
 
@@ -4025,6 +4026,28 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q165_topn_other": """
+            -- top-N-plus-other twin: 5 biggest spenders by
+            -- (cents DESC, user) plus one remainder row
+            WITH per AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS total_cents
+              FROM events GROUP BY 1),
+            top AS (
+              SELECT * FROM per
+              ORDER BY total_cents DESC, user_id LIMIT 5)
+            SELECT CAST(user_id AS VARCHAR) AS who, n_events,
+                   total_cents
+            FROM top
+            UNION ALL
+            SELECT 'other',
+                   CAST((SELECT SUM(n_events) FROM per)
+                        - (SELECT SUM(n_events) FROM top) AS BIGINT),
+                   CAST((SELECT SUM(total_cents) FROM per)
+                        - (SELECT SUM(total_cents) FROM top) AS BIGINT)
         """,
         "q164_boilerplate_attribution": """
             -- boilerplate_attribution twin: q38's augmented corpus;

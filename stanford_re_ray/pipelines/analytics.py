@@ -4787,3 +4787,62 @@ def q164_boilerplate_attribution(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["source", "n_dup_lines",
                                      "dup_chars"]], preserve_index=False)
+
+
+def q165_topn_other(sf_dir: str, n: int = 5) -> pa.Table:
+    """Top-N-plus-remainder report: the 5 users with the highest total
+    spend (integer cents) as labeled rows plus ONE 'other' row holding
+    everything else — the dashboard rollup that never ships the full
+    key table to the driver.  Per-user totals reduce in a combiner'd
+    groupby; a per-block partial top-N bounds the global sort to
+    N×blocks rows; the remainder comes from corpus totals (a one-row
+    combiner pass) minus the top-N — no second per-user pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    per = (prepped.groupby("user_id")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("cents", alias_name="total_cents"))
+           .materialize())
+
+    def local_top(batch: pa.Table, _n=n) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["total_cents", "user_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_n)
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return pd_to_arrow(df)
+
+    top = (per.map_batches(local_top, batch_format="pyarrow")
+           .sort(["total_cents", "user_id"], descending=[True, False])
+           .limit(n).to_pandas())
+
+    def totals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "n": pa.array([int(df["n_events"].sum())], pa.int64()),
+            "c": pa.array([int(df["total_cents"].sum())], pa.int64())})
+
+    parts = per.map_batches(totals, batch_format="pyarrow").take_all()
+    tot_n = sum(r["n"] for r in parts)
+    tot_c = sum(r["c"] for r in parts)
+    rows = [(str(int(u)), int(ne), int(tc)) for u, ne, tc in
+            zip(top["user_id"], top["n_events"], top["total_cents"])]
+    rows.append(("other", tot_n - int(top["n_events"].sum()),
+                 tot_c - int(top["total_cents"].sum())))
+    out = pd.DataFrame(rows, columns=["who", "n_events", "total_cents"])
+    for c in ("n_events", "total_cents"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -140,7 +140,7 @@ SQL_CHECKED = [
     "q156_rrf_hybrid", "q157_scd2_intervals", "q158_locf_daily",
     "q159_snake_shards", "q160_winsorized_stats", "q161_gini_skew",
     "q162_vocab_churn", "q163_equi_depth_histogram",
-    "q164_boilerplate_attribution",
+    "q164_boilerplate_attribution", "q165_topn_other",
 ]
 
 
