@@ -1048,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
         "q164_boilerplate_attribution": A.q164_boilerplate_attribution,
         "q165_topn_other": A.q165_topn_other,
+        "q166_boolean_and": A.q166_boolean_and,
     }
 
 
@@ -4026,6 +4027,28 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q166_boolean_and": """
+            -- boolean-AND twin: docs containing ALL of hash/join/window
+            -- with per-term frequencies pivoted wide
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS token
+              FROM documents),
+            tf AS (
+              SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks
+              WHERE token IN ('hash', 'join', 'window') GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN token = 'hash' THEN tf
+                            ELSE 0 END) AS BIGINT) AS tf_hash,
+                   CAST(SUM(CASE WHEN token = 'join' THEN tf
+                            ELSE 0 END) AS BIGINT) AS tf_join,
+                   CAST(SUM(CASE WHEN token = 'window' THEN tf
+                            ELSE 0 END) AS BIGINT) AS tf_window
+            FROM tf GROUP BY 1 HAVING COUNT(*) = 3
+            ORDER BY doc_id
         """,
         "q165_topn_other": """
             -- top-N-plus-other twin: 5 biggest spenders by

@@ -4846,3 +4846,63 @@ def q165_topn_other(sf_dir: str, n: int = 5) -> pa.Table:
     for c in ("n_events", "total_cents"):
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q166_boolean_and(sf_dir: str) -> pa.Table:
+    """Boolean conjunctive retrieval: documents containing ALL of the
+    query terms, with per-term frequencies pivoted wide — the inverted-
+    index AND query (the unranked sibling of BM25/TF-IDF retrieval).
+    Postings are bounded to |terms| × n_docs rows (the bm25 contract);
+    the AND is one combiner'd per-doc groupby with conditional int
+    sums, matching docs filter on term-count == |terms|."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.corpus import _tokenize_column
+
+    terms = ["hash", "join", "window"]
+    terms_arr = pa.array(terms, pa.string())
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "tf_hash": pa.array([], pa.int64()),
+                          "tf_join": pa.array([], pa.int64()),
+                          "tf_window": pa.array([], pa.int64()),
+                          "n_terms": pa.array([], pa.int64())})
+        if len(flat) == 0:
+            return empty
+        p = np.asarray(parent, dtype=np.int64)
+        keep = pc.is_in(flat, value_set=terms_arr)
+        fp = pa.array(p, pa.int64()).filter(keep)
+        ft = flat.filter(keep)
+        if len(ft) == 0:
+            return empty
+        g = (pa.table({"pid": fp, "token": ft})
+             .group_by(["pid", "token"]).aggregate([([], "count_all")]))
+        tok = g.column("token").to_pylist()
+        tf = g.column(g.schema.names[-1]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cols = {t: np.where(np.array(tok) == t, tf, 0)
+                for t in terms}
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(g.column("pid")),
+            "tf_hash": pa.array(cols["hash"]),
+            "tf_join": pa.array(cols["join"]),
+            "tf_window": pa.array(cols["window"]),
+            "n_terms": pa.array(np.ones(len(tok), np.int64))})
+
+    out = (docs.map_batches(postings, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("tf_hash", alias_name="tf_hash"),
+                      Sum("tf_join", alias_name="tf_join"),
+                      Sum("tf_window", alias_name="tf_window"),
+                      Count(alias_name="n_terms"))
+           .to_pandas())
+    out = out[out["n_terms"] == len(terms)]
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["doc_id", "tf_hash", "tf_join", "tf_window"]],
+        preserve_index=False)
