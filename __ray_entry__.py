@@ -1049,6 +1049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q164_boilerplate_attribution": A.q164_boilerplate_attribution,
         "q165_topn_other": A.q165_topn_other,
         "q166_boolean_and": A.q166_boolean_and,
+        "q167_max_rate_60s": A.q167_max_rate_60s,
     }
 
 
@@ -4027,6 +4028,20 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q167_max_rate_60s": """
+            -- max-rate twin: RANGE frame of one 60s window (59999999 us
+            -- preceding through current, peers included)
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us FROM events),
+            w AS (
+              SELECT user_id,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 59999999 PRECEDING
+                             AND CURRENT ROW) AS c
+              FROM ev)
+            SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_in_60s
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "q166_boolean_and": """
             -- boolean-AND twin: docs containing ALL of hash/join/window

@@ -4906,3 +4906,45 @@ def q166_boolean_and(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "tf_hash", "tf_join", "tf_window"]],
         preserve_index=False)
+
+
+def q167_max_rate_60s(sf_dir: str, window_us: int = 60_000_000) -> pa.Table:
+    """Rate-limiter audit: each user's maximum event count inside ANY
+    sliding 60-second window — the burst detector behind throttling /
+    abuse review.  One hash(user) bucket shuffle co-locates timelines;
+    per user the window count is two searchsorteds over the sorted
+    timestamps (``right(t) − left(t − (w−1))``), which counts all
+    timestamp PEERS exactly like SQL's RANGE frame, so duplicate
+    timestamps can't diverge the engines."""
+    from ..schema import pd_to_arrow
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def max_rate(g: pd.DataFrame, _w=window_us):
+        g = g.sort_values(["user_id", "us"], kind="mergesort")
+        rows = []
+        for uid, sub in g.groupby("user_id", sort=True):
+            us = sub["us"].to_numpy(np.int64)
+            hi = np.searchsorted(us, us, side="right")
+            lo = np.searchsorted(us, us - (_w - 1), side="left")
+            rows.append((int(uid), int((hi - lo).max())))
+        return pd_to_arrow(pd.DataFrame(
+            rows, columns=["user_id", "max_in_60s"]))
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: max_rate(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["user_id", "max_in_60s"]],
+                                preserve_index=False)
