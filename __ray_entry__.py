@@ -1050,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_topn_other": A.q165_topn_other,
         "q166_boolean_and": A.q166_boolean_and,
         "q167_max_rate_60s": A.q167_max_rate_60s,
+        "q168_peak_concurrency": A.q168_peak_concurrency,
     }
 
 
@@ -4028,6 +4029,23 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q168_peak_concurrency": """
+            -- peak_concurrency twin: +1/-1 breakpoint sweep, ends
+            -- before starts at equal time (half-open intervals), peers
+            -- included in the running sum
+            WITH iv AS (
+              SELECT epoch_us(ts) AS a,
+                     epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS b
+              FROM events),
+            bp AS (
+              SELECT a AS t, 1 AS d FROM iv
+              UNION ALL SELECT b, -1 FROM iv),
+            r AS (SELECT SUM(d) OVER (ORDER BY t, d) AS run FROM bp)
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM iv)
+                     AS n_intervals,
+                   CAST(MAX(run) AS BIGINT) AS peak
+            FROM r
         """,
         "q167_max_rate_60s": """
             -- max-rate twin: RANGE frame of one 60s window (59999999 us

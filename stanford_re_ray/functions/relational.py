@@ -1119,3 +1119,82 @@ def snake_pack(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__bin")
             .map_groups(rank_bin, batch_format="pandas"))
+
+
+def peak_concurrency(
+    intervals: ray.data.Dataset,
+    start_col: str = "a",
+    end_col: str = "b",
+    n_bins: int = 256,
+) -> int:
+    """Maximum number of simultaneously-open half-open intervals
+    [start, end) — peak concurrent sessions / bookings / GPU leases.
+    The classic +1/−1 breakpoint sweep, distributed as a two-pass
+    RANGE-BUCKETED scan (the snake_pack rank idiom applied to a prefix
+    SUM): pass 1 equi-width-bins breakpoint times and reduces each
+    bin's delta sum to the driver (≤ n_bins ints); the driver
+    prefix-sums them into per-bin running-total offsets; pass 2
+    shuffles once on the bin key, cumsums inside each bin from its
+    offset, and returns per-bin maxima (≤ n_bins ints again) — the
+    global peak is their max.  End breakpoints sort before starts at
+    the same time (d = −1 first), the half-open convention; a start's
+    running value includes all its time peers, matching a windowed
+    ``SUM ... ORDER BY t, d`` with peers, so the maxima agree with the
+    SQL frame semantics row-for-row."""
+    from ..schema import pd_to_arrow
+
+    def breakpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column(start_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = batch.column(end_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "t": pa.array(np.concatenate([a, b])),
+            "d": pa.array(np.concatenate([
+                np.ones(len(a), np.int64),
+                -np.ones(len(b), np.int64)]))})
+
+    bp = intervals.map_batches(
+        breakpoints, batch_format="pyarrow").materialize()
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(t.min())], pa.int64()),
+                         "hi": pa.array([int(t.max())], pa.int64())})
+
+    parts = bp.map_batches(minmax, batch_format="pyarrow").take_all()
+    if not parts:
+        return 0
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    span = hi - lo + 1
+
+    def binned(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        b = (t - lo) * np.int64(n_bins) // np.int64(span)
+        out = batch.append_column("__bin",
+                                  pa.array(b.astype(np.int32)))
+        return out
+
+    tagged = bp.map_batches(binned, batch_format="pyarrow").materialize()
+
+    sums = (tagged.groupby("__bin").sum("d").take_all())
+    deltas = np.zeros(n_bins, np.int64)
+    for r in sums:
+        deltas[r["__bin"]] = r["sum(d)"]
+    offsets = np.concatenate([[0], np.cumsum(deltas)[:-1]])
+
+    def local_max(g: pd.DataFrame):
+        g = g.sort_values(["t", "d"], kind="mergesort")
+        run = int(offsets[int(g["__bin"].iloc[0])]) + np.cumsum(
+            g["d"].to_numpy(np.int64))
+        return pd_to_arrow(pd.DataFrame(
+            {"m": [int(run.max())]}))
+
+    maxima = (tagged.groupby("__bin")
+              .map_groups(lambda g: local_max(g), batch_format="pandas")
+              .take_all())
+    return max(r["m"] for r in maxima)

@@ -4948,3 +4948,26 @@ def q167_max_rate_60s(sf_dir: str, window_us: int = 60_000_000) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["user_id", "max_in_60s"]],
                                 preserve_index=False)
+
+
+def q168_peak_concurrency(sf_dir: str) -> pa.Table:
+    """Global peak concurrency (``relational.peak_concurrency``): the
+    maximum number of simultaneously-open event intervals (q147's
+    [ts, ts + (event_id mod 7 + 1) min) convention) — capacity planning
+    over the whole corpus via the range-bucketed distributed +1/−1
+    sweep."""
+    from ..functions.relational import peak_concurrency
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "a": pa.array(us, pa.int64()),
+            "b": pa.array(us + (eid % 7 + 1) * 60_000_000, pa.int64())})
+
+    peak = peak_concurrency(ds.map_batches(iv, batch_format="pyarrow"))
+    n_iv = _row_count(sf_dir, "events")
+    return pa.table({"n_intervals": pa.array([n_iv], pa.int64()),
+                     "peak": pa.array([peak], pa.int64())})

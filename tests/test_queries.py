@@ -141,7 +141,7 @@ SQL_CHECKED = [
     "q159_snake_shards", "q160_winsorized_stats", "q161_gini_skew",
     "q162_vocab_churn", "q163_equi_depth_histogram",
     "q164_boilerplate_attribution", "q165_topn_other",
-    "q166_boolean_and", "q167_max_rate_60s",
+    "q166_boolean_and", "q167_max_rate_60s", "q168_peak_concurrency",
 ]
 
 
