@@ -1051,6 +1051,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_boolean_and": A.q166_boolean_and,
         "q167_max_rate_60s": A.q167_max_rate_60s,
         "q168_peak_concurrency": A.q168_peak_concurrency,
+        "q169_hhi_concentration": A.q169_hhi_concentration,
+        "q170_loo_mean": A.q170_loo_mean,
+        "q171_table_checksum": A.q171_table_checksum,
     }
 
 
@@ -4029,6 +4032,52 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q171_table_checksum": """
+            -- table-checksum twin: 53-bit md5-derived row hashes
+            -- (the luby identity) summed mod the Mersenne prime 2^61-1
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(md5_number_upper(
+                          'chk' || chr(0) || CAST(doc_id AS VARCHAR)
+                          || chr(0) || text) >> 11)
+                        % 2305843009213693951 AS BIGINT) AS checksum
+            FROM documents
+        """,
+        "q170_loo_mean": """
+            -- loo-mean twin: (group sum - own) // (group size - 1),
+            -- integer cents; single-event users drop
+            WITH ev AS (
+              SELECT event_id, user_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+            w AS (
+              SELECT event_id, c,
+                     SUM(c) OVER (PARTITION BY user_id) AS t,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM ev)
+            SELECT event_id,
+                   CAST((t - c) // (n - 1) AS BIGINT) AS loo_cents
+            FROM w WHERE n > 1 ORDER BY event_id
+        """,
+        "q169_hhi_concentration": """
+            -- hhi twin: per-customer cent totals, HHI_ppm =
+            -- 1e6 * sum(c^2) // total^2 in exact HUGEINT arithmetic
+            WITH oc AS (
+              SELECT n.n_name, o.o_custkey,
+                     CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM orders o
+              JOIN customer cu ON cu.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = cu.c_nationkey
+              GROUP BY 1, 2)
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(c) AS BIGINT) AS total_cents,
+                   CAST(1000000 * SUM(CAST(c AS HUGEINT) * c)
+                        // (SUM(CAST(c AS HUGEINT))
+                            * SUM(CAST(c AS HUGEINT)))
+                        AS BIGINT) AS hhi_ppm
+            FROM oc GROUP BY 1 ORDER BY 1
         """,
         "q168_peak_concurrency": """
             -- peak_concurrency twin: +1/-1 breakpoint sweep, ends

@@ -4971,3 +4971,147 @@ def q168_peak_concurrency(sf_dir: str) -> pa.Table:
     n_iv = _row_count(sf_dir, "events")
     return pa.table({"n_intervals": pa.array([n_iv], pa.int64()),
                      "peak": pa.array([peak], pa.int64())})
+
+
+def q169_hhi_concentration(sf_dir: str) -> pa.Table:
+    """Market-concentration audit: per-nation Herfindahl–Hirschman index
+    over customer shares of order revenue — ``HHI = Σ shareᵢ²`` in ppm,
+    computed as ``10⁶·Σcᵢ² // T²`` with per-customer cent totals cᵢ so
+    the only division is one exact big-int floor at the 25-row driver
+    result.  Dimension chain folds driver-side under BROADCAST_DIM_LIMIT
+    (q127 pattern); both aggregations are combiner'd groupbys.  Σcᵢ²
+    rides int64 (bound documented: quantize to coarser units past
+    ~10⁹-cent customers)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import broadcast_join, hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if _row_count(sf_dir, "customer") > BROADCAST_DIM_LIMIT:
+        dim_ds = broadcast_join(
+            cust_ds, nation.rename(columns={"n_nationkey":
+                                            "c_nationkey"}),
+            on="c_nationkey",
+        ).map_batches(
+            lambda b: pa.table({"o_custkey": b.column("c_custkey"),
+                                "n_name": b.column("n_name")}),
+            batch_format="pyarrow")
+        od = hash_join(orders, dim_ds, on="o_custkey",
+                       est_rows=_row_count(sf_dir, "orders"))
+    else:
+        cust = cust_ds.to_pandas()
+        dim = (cust.merge(nation, left_on="c_nationkey",
+                          right_on="n_nationkey")
+               [["c_custkey", "n_name"]]
+               .rename(columns={"c_custkey": "o_custkey"}))
+        od = broadcast_join(orders, dim, on="o_custkey")
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+        })
+
+    per_cust = (od.map_batches(cents, batch_format="pyarrow")
+                .groupby(["n_name", "o_custkey"])
+                .aggregate(Sum("cents", alias_name="c")))
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"n_name": batch.column("n_name"),
+                         "c": pa.array(c),
+                         "c2": pa.array(c * c)})
+
+    agg = (per_cust.map_batches(square, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c", alias_name="total_cents"),
+                      Sum("c2", alias_name="sumsq"))
+           .to_pandas().sort_values("n_name").reset_index(drop=True))
+    hhi = [int(1_000_000 * int(s) // (int(t) * int(t)))
+           for s, t in zip(agg["sumsq"], agg["total_cents"])]
+    out = pd.DataFrame({
+        "n_name": agg["n_name"],
+        "n_customers": agg["n_customers"].astype("int64"),
+        "total_cents": agg["total_cents"].astype("int64"),
+        "hhi_ppm": pd.Series(hhi, dtype="int64")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q170_loo_mean(sf_dir: str) -> pa.Table:
+    """Leave-one-out group mean (target-encoding primitive): for every
+    event, the integer-cents mean of the OTHER events of the same user
+    — ``(T − x) // (n − 1)`` — the leakage-free per-row encoding used
+    for categorical features; single-event users drop (undefined).
+    One hash(user) bucket shuffle, vectorized pandas transform inside."""
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table({
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "user_id": pa.array(uid),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def loo(g: pd.DataFrame):
+        grp = g.groupby("user_id", sort=False)["c"]
+        t = grp.transform("sum").to_numpy(np.int64)
+        n = grp.transform("size").to_numpy(np.int64)
+        keep = n > 1
+        out = pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "loo_cents": ((t - g["c"].to_numpy(np.int64))[keep]
+                          // (n[keep] - 1)),
+        })
+        return pd_to_arrow(out)
+
+    out = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: loo(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["event_id", "loo_cents"]],
+                                preserve_index=False)
+
+
+def q171_table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent table fingerprint (anti-entropy / replica-sync
+    verification): per-row 53-bit content hashes
+    (``stable_u64('chk\\0id\\0text') >> 11`` — the luby/md5 identity, so
+    the SQL twin replays them bit-for-bit) summed modulo the Mersenne
+    prime 2⁶¹−1.  The mod-sum is associative, so per-batch big-int
+    partials reduce exactly at any parallelism; only (count, partial)
+    int pairs reach the driver."""
+    from ..functions.hashing import stable_u64
+
+    M = (1 << 61) - 1
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        txts = batch.column("text").to_pylist()
+        s = 0
+        for i, t in zip(ids, txts):
+            s += stable_u64(f"chk\x00{i}\x00{t}") >> 11
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "s": pa.array([s % M], pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts) % M
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "checksum": pa.array([s], pa.int64())})

@@ -142,6 +142,7 @@ SQL_CHECKED = [
     "q162_vocab_churn", "q163_equi_depth_histogram",
     "q164_boilerplate_attribution", "q165_topn_other",
     "q166_boolean_and", "q167_max_rate_60s", "q168_peak_concurrency",
+    "q169_hhi_concentration", "q170_loo_mean", "q171_table_checksum",
 ]
 
 
