@@ -1054,6 +1054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q169_hhi_concentration": A.q169_hhi_concentration,
         "q170_loo_mean": A.q170_loo_mean,
         "q171_table_checksum": A.q171_table_checksum,
+        "q172_auc_rank_sum": A.q172_auc_rank_sum,
+        "q173_last_touch_attribution": A.q173_last_touch_attribution,
+        "q174_chi2_keywords": A.q174_chi2_keywords,
     }
 
 
@@ -4032,6 +4035,101 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q174_chi2_keywords": """
+            -- chi2-keyness twin: margins from exact counts, d1 = a*T-g*S,
+            -- staged HUGEINT score (identical op order to the engine),
+            -- top-10 per source with (score DESC, term ASC) tie-break
+            WITH toks AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[0-9A-Za-z_]+')) AS term
+              FROM documents),
+            cnt AS (
+              SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+              FROM toks GROUP BY 1, 2),
+            gt AS (SELECT term, CAST(SUM(a) AS BIGINT) AS g
+                   FROM cnt GROUP BY 1),
+            st AS (SELECT source, CAST(SUM(a) AS BIGINT) AS s
+                   FROM cnt GROUP BY 1),
+            tt AS (SELECT CAST(SUM(a) AS BIGINT) AS tot FROM cnt),
+            sc AS (
+              SELECT c.source, c.term, c.a,
+                     CAST(c.a AS HUGEINT) * tt.tot
+                       - CAST(gt.g AS HUGEINT) * st.s AS d1,
+                     gt.g AS g, st.s AS s, tt.tot AS tot
+              FROM cnt c
+              JOIN gt USING (term) JOIN st USING (source) CROSS JOIN tt
+              WHERE c.a >= 5 AND gt.g < tt.tot AND st.s < tt.tot),
+            r AS (
+              SELECT source, term, a,
+                     CAST(((((1000000 * d1 * d1)
+                             // (CAST(g AS HUGEINT) * s)) * tot)
+                           // (tot - g)) // (tot - s) AS BIGINT)
+                       AS chi2_ppm
+              FROM sc WHERE d1 > 0),
+            rk AS (
+              SELECT source, term, a, chi2_ppm,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY chi2_ppm DESC, term ASC) AS rn
+              FROM r)
+            SELECT source, term, CAST(a AS BIGINT) AS n_in_source,
+                   chi2_ppm
+            FROM rk WHERE rn <= 10
+            ORDER BY source, chi2_ppm DESC, term
+        """,
+        "q173_last_touch_attribution": """
+            -- last-touch twin: rank prior non-purchase events per
+            -- conversion (ts DESC, event_id DESC), 7-day horizon
+            -- inclusive, strict t.ts < c.ts; unmatched -> '(none)'
+            WITH conv AS (
+              SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            tch AS (
+              SELECT user_id, ts, event_id, event_type
+              FROM events WHERE event_type <> 'purchase'),
+            pick AS (
+              SELECT c.event_id AS cid, t.event_type AS ttype,
+                     ROW_NUMBER() OVER (PARTITION BY c.event_id
+                       ORDER BY t.ts DESC, t.event_id DESC) AS rn
+              FROM conv c JOIN tch t ON t.user_id = c.user_id
+                   AND t.ts < c.ts
+                   AND t.ts >= c.ts - INTERVAL 7 DAY)
+            SELECT COALESCE(p.ttype, '(none)') AS touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_conv,
+                   CAST(SUM(c.cents) AS BIGINT) AS revenue_cents
+            FROM conv c
+            LEFT JOIN (SELECT cid, ttype FROM pick WHERE rn = 1) p
+                 ON p.cid = c.event_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q172_auc_rank_sum": """
+            -- auc twin: Mann-Whitney over cent-quantized scores with
+            -- tie-average via the x2 trick; one exact floor division
+            WITH ev AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS p
+              FROM events),
+            s AS (
+              SELECT c, CAST(SUM(p) AS BIGINT) AS pos,
+                     CAST(COUNT(*) - SUM(p) AS BIGINT) AS neg
+              FROM ev GROUP BY c),
+            w AS (
+              SELECT pos, neg,
+                     CAST(COALESCE(SUM(neg) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS nb
+              FROM s)
+            SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) AS BIGINT) AS n_neg,
+                   CAST((1000000 * (2 * SUM(CAST(pos AS HUGEINT) * nb)
+                                    + SUM(CAST(pos AS HUGEINT) * neg)))
+                        // (2 * SUM(CAST(pos AS HUGEINT))
+                            * SUM(CAST(neg AS HUGEINT))) AS BIGINT)
+                     AS auc_ppm
+            FROM w
         """,
         "q171_table_checksum": """
             -- table-checksum twin: 53-bit md5-derived row hashes

@@ -5115,3 +5115,263 @@ def q171_table_checksum(sf_dir: str) -> pa.Table:
     s = sum(r["s"] for r in parts) % M
     return pa.table({"n_rows": pa.array([n], pa.int64()),
                      "checksum": pa.array([s], pa.int64())})
+
+
+def q172_auc_rank_sum(sf_dir: str) -> pa.Table:
+    """Exact distributed AUC (Mann-Whitney rank-sum) of ``value`` as a
+    classifier score for purchase events — the model-eval primitive a
+    training pipeline runs over billions of scored rows.  AUC =
+    (Σ_s pos_s·neg_below(s) + ½·Σ_s pos_s·neg_s) / (n_pos·n_neg), all
+    integer: scores quantize to cents, the ×2 trick keeps the tie term
+    integral, and the one division is a final exact big-int floor at the
+    driver (ppm).  neg_below needs a global prefix sum over sorted
+    scores — the two-pass range-bucket scan (``mixing.sequence_packing``
+    pattern): per-batch combiner → per-cents totals bucketed by value
+    range → pass 1 reduces each bucket to two ints for the driver's
+    offset table → pass 2 resolves each bucket independently to ONE
+    partial row.  No driver materialization beyond B-row tables."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        p = pc.equal(batch.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"c": c, "pos": p, "neg": 1 - p}) \
+            .groupby("c", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_score = ev.map_batches(partials,
+                               batch_format="pyarrow").materialize()
+    bounds = per_score.aggregate(Min("c"), Max("c"))
+    mn, mx = int(bounds["min(c)"]), int(bounds["max(c)"])
+    n_buckets = 64
+    span = max(1, (mx - mn) // n_buckets + 1)
+
+    bucketed = per_score.map_batches(
+        lambda b: b.append_column(
+            "__bucket",
+            pc.cast(pc.divide(pc.subtract(b.column("c"), mn), span),
+                    pa.int32())),
+        batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket neg totals -> exclusive-scan offsets (<=64 ints)
+    tot = {int(r["__bucket"]): (int(r["sum(pos)"]), int(r["sum(neg)"]))
+           for r in bucketed.groupby("__bucket")
+           .aggregate(Sum("pos"), Sum("neg")).take_all()}
+    neg_off, acc = {}, 0
+    for b in sorted(tot):
+        neg_off[b] = acc
+        acc += tot[b][1]
+    n_pos = sum(p for p, _ in tot.values())
+    n_neg = acc
+
+    # pass 2: each bucket resolves to one (2*pos*neg_below + pos*neg_same)
+    # partial; cross-bucket coupling is ONLY the broadcast offset scalar
+    def bucket_num(g: pd.DataFrame, _off=neg_off) -> pa.Table:
+        if not len(g):
+            return pa.table({"num": pa.array([], pa.int64())})
+        nb = _off[int(g["__bucket_val"].iloc[0])]
+        g = (g.groupby("c", sort=True, as_index=False)[["pos", "neg"]]
+             .sum())
+        neg_below = nb + g["neg"].cumsum().shift(fill_value=0)
+        num = int((2 * g["pos"] * neg_below + g["pos"] * g["neg"]).sum())
+        return pa.table({"num": pa.array([num], pa.int64())})
+
+    parts = (bucketed.map_batches(
+        lambda b: b.append_column(
+            "__bucket_val", pc.cast(b.column("__bucket"), pa.int64())),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_num(g.drop(columns="__bucket")),
+                    batch_format="pandas"))
+    num = sum(r["num"] for r in parts.take_all())
+    auc = (1_000_000 * num) // (2 * n_pos * n_neg) \
+        if n_pos and n_neg else None
+    return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                     "n_neg": pa.array([n_neg], pa.int64()),
+                     "auc_ppm": pa.array([auc], pa.int64())})
+
+
+def q173_last_touch_attribution(sf_dir: str) -> pa.Table:
+    """Marketing-style last-touch attribution: every purchase credits the
+    most recent NON-purchase event of the same user strictly before it
+    and at most 7 days old (no touch -> '(none)').  Same partitioning
+    assumption as ``relational.asof_join`` — one hash(user) shuffle
+    co-locates each user's full timeline — but dedup (one touch per
+    (user, ts), max event_id wins, matching the SQL's
+    ``ORDER BY ts DESC, event_id DESC`` pick) happens inside the
+    co-located group, so the whole operator is ONE shuffle.  Within a
+    bucket the credit assignment is a vectorized ``pd.merge_asof``
+    (backward, strict, 7-day tolerance).  Output is the per-touch-type
+    conversion count and revenue, a 5-row driver result."""
+    from ray.data.aggregate import Sum
+
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    horizon_us = 7 * 24 * 3600 * 1_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "user_id": pa.array(uid),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_type": batch.column("event_type"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32)),
+        })
+
+    def attribute(g: pd.DataFrame, _h=horizon_us):
+        conv = g[g["event_type"] == "purchase"]
+        tch = g[g["event_type"] != "purchase"]
+        # one touch per (user, ts): max event_id wins (deterministic,
+        # mirrors the oracle's ts DESC, event_id DESC rank)
+        tch = (tch.sort_values(["user_id", "us", "event_id"],
+                               kind="mergesort")
+               .drop_duplicates(["user_id", "us"], keep="last")
+               [["user_id", "us", "event_type"]]
+               .rename(columns={"event_type": "touch_type"}))
+        conv = conv[["user_id", "us", "cents"]].assign(
+            us_k=lambda d: d["us"] - 1)  # strict <: integer-us shift
+        conv = conv.sort_values(["us_k", "user_id"],
+                                kind="mergesort").reset_index(drop=True)
+        tch = tch.sort_values(["us", "user_id"],
+                              kind="mergesort").reset_index(drop=True)
+        tch["us_k"] = tch["us"]
+        if len(conv) and len(tch):
+            m = pd.merge_asof(conv, tch[["user_id", "us_k", "touch_type"]],
+                              on="us_k", by="user_id",
+                              direction="backward",
+                              tolerance=_h - 1)  # t >= conv - 7d, via us-1
+        else:
+            m = conv.assign(touch_type=pd.Series([], dtype=object))
+        m["touch_type"] = m["touch_type"].fillna("(none)")
+        out = (m.groupby("touch_type", as_index=False)
+               .agg(n_conv=("cents", "size"), revenue_cents=("cents",
+                                                             "sum")))
+        # pin dtypes so conv-less buckets emit the same Arrow schema
+        out["touch_type"] = out["touch_type"].astype(str)
+        out["n_conv"] = out["n_conv"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return pd_to_arrow(out)
+
+    agg = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: attribute(g.drop(columns="__bucket")),
+                       batch_format="pandas")
+           .groupby("touch_type")
+           .aggregate(Sum("n_conv", alias_name="n_conv"),
+                      Sum("revenue_cents", alias_name="revenue_cents"))
+           .to_pandas().sort_values("touch_type").reset_index(drop=True))
+    agg["n_conv"] = agg["n_conv"].astype("int64")
+    agg["revenue_cents"] = agg["revenue_cents"].astype("int64")
+    return pa.Table.from_pandas(
+        agg[["touch_type", "n_conv", "revenue_cents"]],
+        preserve_index=False)
+
+
+def q174_chi2_keywords(sf_dir: str) -> pa.Table:
+    """Distinctive vocabulary per crawl source: top-10 over-represented
+    terms by a quantized integer chi-square.  With the 2x2 margins
+    (a = term-in-source, g = term total, S = source total, T = corpus
+    total) the numerator collapses to ``d1 = a*T - g*S``, and the score
+    is the staged big-int expression
+    ``(10^6*d1^2) // (g*S) * T // (T-g) // (T-S)`` — every stage exact
+    in both engines (HUGEINT / Python int), overflow-free for
+    T <= ~3e8 tokens (quantize to coarser ppm past that).  Token
+    counting is the q36 map-side combiner (distinct terms per batch,
+    never occurrences); the million-key (source, term) reduction is a
+    hash(term)-bucket map_groups (CLAUDE.md rule — sort-based groupby
+    pays per distinct key), and since buckets are keyed on term, each
+    bucket sees every source row AND the term's global total, so scoring
+    is bucket-local.  Per-bucket top-10-per-source partials bound the
+    driver merge to B*sources*10 rows."""
+    from ..functions.corpus import _tokenize_column
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    n_buckets = 64
+
+    def counts(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        if len(flat) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "a": pa.array([], pa.int64()),
+                             "__bucket": pa.array([], pa.int32())})
+        src = batch.column("source").to_pandas()
+        df = (pd.DataFrame({"source": src.iloc[
+                               parent.to_numpy(zero_copy_only=False)
+                           ].to_numpy(),
+                            "term": flat.to_pandas().to_numpy()})
+              .groupby(["source", "term"], sort=False, as_index=False)
+              .size().rename(columns={"size": "a"}))
+        bkt = np.fromiter(
+            (zlib.crc32(t.encode("utf-8", "surrogatepass")) % n_buckets
+             for t in df["term"]), dtype=np.int32, count=len(df))
+        df["__bucket"] = bkt
+        df["a"] = df["a"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partial = docs.map_batches(counts,
+                               batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    s_tot = {r["source"]: int(r["s"]) for r in
+             partial.groupby("source")
+             .aggregate(Sum("a", alias_name="s")).take_all()}
+    t_tot = sum(s_tot.values())
+
+    def score_bucket(g: pd.DataFrame, _s=s_tot, _t=t_tot) -> pa.Table:
+        from ..schema import pd_to_arrow
+
+        g = (g.groupby(["source", "term"], sort=False, as_index=False)
+             ["a"].sum())
+        g_tok = g.groupby("term")["a"].transform("sum")
+        keep = (g["a"] >= 5).to_numpy()  # Zipf tail drops vectorized
+        g, g_tok = g[keep], g_tok[keep]
+        rows = []
+        for src, term, a, gt in zip(g["source"], g["term"], g["a"],
+                                    g_tok):
+            a, gt = int(a), int(gt)
+            S = _s[src]
+            if a < 5 or gt >= _t or S >= _t:
+                continue
+            d1 = a * _t - gt * S
+            if d1 <= 0:
+                continue
+            chi2 = ((1_000_000 * d1 * d1) // (gt * S) * _t
+                    // (_t - gt) // (_t - S))
+            rows.append((src, term, a, chi2))
+        df = pd.DataFrame(rows, columns=["source", "term",
+                                         "n_in_source", "chi2_ppm"])
+        df = (df.sort_values(["source", "chi2_ppm", "term"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+              .groupby("source", sort=False).head(10))
+        for c in ("n_in_source", "chi2_ppm"):
+            df[c] = df[c].astype("int64")
+        return pd_to_arrow(df.reset_index(drop=True))
+
+    cand = (partial.groupby("__bucket")
+            .map_groups(lambda g: score_bucket(g.drop(columns="__bucket")),
+                        batch_format="pandas")
+            .to_pandas())
+    out = (cand.sort_values(["source", "chi2_ppm", "term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+           .groupby("source", sort=False).head(10)
+           .sort_values(["source", "chi2_ppm", "term"],
+                        ascending=[True, False, True], kind="mergesort")
+           .reset_index(drop=True))
+    for c in ("n_in_source", "chi2_ppm"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["source", "term", "n_in_source", "chi2_ppm"]],
+        preserve_index=False)

@@ -143,6 +143,8 @@ SQL_CHECKED = [
     "q164_boilerplate_attribution", "q165_topn_other",
     "q166_boolean_and", "q167_max_rate_60s", "q168_peak_concurrency",
     "q169_hhi_concentration", "q170_loo_mean", "q171_table_checksum",
+    "q172_auc_rank_sum", "q173_last_touch_attribution",
+    "q174_chi2_keywords",
 ]
 
 
