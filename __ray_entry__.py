@@ -1057,6 +1057,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q172_auc_rank_sum": A.q172_auc_rank_sum,
         "q173_last_touch_attribution": A.q173_last_touch_attribution,
         "q174_chi2_keywords": A.q174_chi2_keywords,
+        "q175_class_scatter": A.q175_class_scatter,
+        "q176_calibration_deciles": A.q176_calibration_deciles,
+        "q177_split_assignment": A.q177_split_assignment,
     }
 
 
@@ -4035,6 +4038,67 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q177_split_assignment": """
+            -- split twin: md5_number_upper == stable_u64 (first 8 md5
+            -- bytes LE), 90/5/5 hash ranges over the stable doc id
+            WITH h AS (
+              SELECT md5_number_upper('split' || chr(0)
+                                      || CAST(doc_id AS VARCHAR))
+                       % 1000 AS b,
+                     n_chars
+              FROM documents)
+            SELECT CASE WHEN b < 900 THEN 'train'
+                        WHEN b < 950 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+            FROM h GROUP BY 1 ORDER BY 1
+        """,
+        "q176_calibration_deciles": """
+            -- calibration twin: rank0*10//n deciles over the total
+            -- order (cents, event_id); ppm rate + integer mean score
+            WITH ev AS (
+              SELECT event_id,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS p
+              FROM events),
+            r AS (
+              SELECT c, p,
+                     ROW_NUMBER() OVER (ORDER BY c, event_id) - 1 AS rn
+              FROM ev),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev)
+            SELECT CAST((rn * 10) // t.n AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST((1000000 * SUM(p)) // COUNT(*) AS BIGINT)
+                     AS pos_rate_ppm,
+                   CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_cents
+            FROM r CROSS JOIN t GROUP BY 1, t.n ORDER BY 1
+        """,
+        "q175_class_scatter": """
+            -- class-scatter twin: 1e-4-quantized per-label class-sum
+            -- vectors (FLOOR agrees across engines for negatives; no
+            -- integer division anywhere), exact pairwise dots
+            WITH e AS (
+              SELECT label,
+                     unnest(range(len(embedding))) AS dim,
+                     CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000.0 + 0.5) AS BIGINT) AS q
+              FROM embeddings),
+            cs AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS s
+                   FROM e GROUP BY 1, 2),
+            n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM embeddings GROUP BY 1)
+            SELECT CAST(a.label AS BIGINT) AS label_a,
+                   CAST(b.label AS BIGINT) AS label_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   CAST(SUM(a.s * b.s) AS BIGINT) AS dot_q8
+            FROM cs a JOIN cs b ON a.dim = b.dim AND a.label <= b.label
+            JOIN n na ON na.label = a.label
+            JOIN n nb ON nb.label = b.label
+            GROUP BY 1, 2, na.n, nb.n ORDER BY 1, 2
         """,
         "q174_chi2_keywords": """
             -- chi2-keyness twin: margins from exact counts, d1 = a*T-g*S,

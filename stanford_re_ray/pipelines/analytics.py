@@ -5375,3 +5375,199 @@ def q174_chi2_keywords(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["source", "term", "n_in_source", "chi2_ppm"]],
         preserve_index=False)
+
+
+def q175_class_scatter(sf_dir: str) -> pa.Table:
+    """Between-class scatter (LDA building block): exact inner products
+    of per-label CLASS-SUM embedding vectors.  Values quantize to 1e-4
+    units (``floor(x*1e4 + 0.5)`` — FLOOR agrees across engines for
+    negatives; integer DIVISION would not, DuckDB truncates where Python
+    floors, so this operator emits products of sums and never divides).
+    One map emits (label, dim, partial-sum) combiner rows (+ a dim=-1
+    count row); the reduce is a 640-key associative int SUM; the
+    10x10x64 pairwise dot is driver arithmetic.  Overflow: |class sum|
+    <= 1e4*n_label, dot <= dim*(1e4*n_label)^2 — int64-safe to ~35k rows
+    per label at dim 64; pass a coarser quantum at corpus scale (the
+    ``embedding_moments`` dial, clustering.py:238)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.clustering import _to_matrix
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    dim = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        m = _to_matrix(batch.column("embedding"))
+        q = np.floor(m * 1e4 + 0.5).astype(np.int64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs = np.unique(lab)
+        idx = np.searchsorted(labs, lab)
+        sums = np.zeros((len(labs), dim), dtype=np.int64)
+        np.add.at(sums, idx, q)
+        cnt = np.bincount(idx, minlength=len(labs)).astype(np.int64)
+        lcol = np.concatenate([np.repeat(labs, dim), labs])
+        dcol = np.concatenate([np.tile(np.arange(dim, dtype=np.int64),
+                                       len(labs)),
+                               np.full(len(labs), -1, dtype=np.int64)])
+        scol = np.concatenate([sums.ravel(), cnt])
+        return pa.table({"label": pa.array(lcol), "dim": pa.array(dcol),
+                         "s": pa.array(scol)})
+
+    rows = (emb.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("s", alias_name="s")).take_all())
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        lb = int(r["label"])
+        if int(r["dim"]) < 0:
+            counts[lb] = int(r["s"])
+        else:
+            sums.setdefault(lb, np.zeros(dim, dtype=object))[
+                int(r["dim"])] = int(r["s"])
+    labs = sorted(counts)
+    out = {"label_a": [], "label_b": [], "n_a": [], "n_b": [],
+           "dot_q8": []}
+    for a in labs:
+        for b in labs:
+            if a > b:
+                continue
+            out["label_a"].append(a)
+            out["label_b"].append(b)
+            out["n_a"].append(counts[a])
+            out["n_b"].append(counts[b])
+            out["dot_q8"].append(int(np.dot(sums[a], sums[b])))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def q176_calibration_deciles(sf_dir: str) -> pa.Table:
+    """Reliability diagram (model-calibration primitive): events ranked
+    by the total order (score cents, event_id), cut into ten
+    equal-rank-width bins ``decile = rank0*10 // n``, each reporting its
+    purchase rate in ppm and integer mean score.  Global ranking is the
+    same two-pass range-bucket prefix scan as q172: pass 1 reduces each
+    score-range bucket to one row count, pass 2 resolves in-bucket ranks
+    from the broadcast offsets — a decile can straddle buckets, so
+    per-bucket per-decile partials meet in a 10-key combiner'd
+    groupby."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        p = pc.equal(batch.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "p": pa.array(p)})
+
+    scored = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    n_total = scored.count()
+    bounds = scored.aggregate(Min("c"), Max("c"))
+    mn, mx = int(bounds["min(c)"]), int(bounds["max(c)"])
+    span = max(1, (mx - mn) // 64 + 1)
+
+    bucketed = scored.map_batches(
+        lambda b: b.append_column(
+            "__bucket",
+            pc.cast(pc.divide(pc.subtract(b.column("c"), mn), span),
+                    pa.int32())),
+        batch_format="pyarrow").materialize()
+    cnts = {int(r["__bucket"]): int(r["count()"])
+            for r in bucketed.groupby("__bucket").count().take_all()}
+    off, acc = {}, 0
+    for b in sorted(cnts):
+        off[b] = acc
+        acc += cnts[b]
+
+    def resolve(g: pd.DataFrame, _off=off, _n=n_total) -> pa.Table:
+        if not len(g):
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "n_pos": pa.array([], pa.int64()),
+                             "sum_c": pa.array([], pa.int64())})
+        base = _off[int(g["__bucket_val"].iloc[0])]
+        g = g.sort_values(["c", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        rank0 = base + np.arange(len(g), dtype=np.int64)
+        dec = rank0 * 10 // _n
+        df = pd.DataFrame({"decile": dec, "p": g["p"].to_numpy(np.int64),
+                           "c": g["c"].to_numpy(np.int64)})
+        agg = df.groupby("decile", as_index=False).agg(
+            n_events=("p", "size"), n_pos=("p", "sum"), sum_c=("c", "sum"))
+        for col in agg.columns:
+            agg[col] = agg[col].astype("int64")
+        return pd_to_arrow(agg)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (bucketed.map_batches(
+        lambda b: b.append_column(
+            "__bucket_val", pc.cast(b.column("__bucket"), pa.int64())),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: resolve(g.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .groupby("decile")
+        .aggregate(_Sum("n_events", alias_name="n_events"),
+                   _Sum("n_pos", alias_name="n_pos"),
+                   _Sum("sum_c", alias_name="sum_c"))
+        .to_pandas().sort_values("decile").reset_index(drop=True))
+    out = pd.DataFrame({
+        "decile": agg["decile"].astype("int64"),
+        "n_events": agg["n_events"].astype("int64"),
+        "n_pos": agg["n_pos"].astype("int64"),
+        "pos_rate_ppm": (1_000_000 * agg["n_pos"].astype("int64")
+                         // agg["n_events"].astype("int64")),
+        "mean_cents": (agg["sum_c"].astype("int64")
+                       // agg["n_events"].astype("int64")),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q177_split_assignment(sf_dir: str) -> pa.Table:
+    """Deterministic train/valid/test split (90/5/5) by content hash —
+    the split must be a pure function of the stable doc id so re-runs,
+    incremental ingests and other teams' jobs agree forever
+    (``stable_u64('split\\0id') % 1000``, replayed bit-for-bit by the
+    oracle's md5_number_upper).  Per-batch combiner emits one row per
+    split; the reduce is a 3-key int SUM."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_u64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = np.fromiter((stable_u64(f"split\x00{i}") % 1000
+                         for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(h < 900, "train",
+                         np.where(h < 950, "valid", "test"))
+        df = (pd.DataFrame({"split": split, "n_docs": 1, "n_chars": nch})
+              .groupby("split", as_index=False).sum())
+        df["n_docs"] = df["n_docs"].astype("int64")
+        df["n_chars"] = df["n_chars"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("split")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_chars", alias_name="n_chars_total"))
+           .to_pandas().sort_values("split").reset_index(drop=True))
+    for c in ("n_docs", "n_chars_total"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["split", "n_docs",
+                                     "n_chars_total"]],
+                                preserve_index=False)

@@ -144,7 +144,8 @@ SQL_CHECKED = [
     "q166_boolean_and", "q167_max_rate_60s", "q168_peak_concurrency",
     "q169_hhi_concentration", "q170_loo_mean", "q171_table_checksum",
     "q172_auc_rank_sum", "q173_last_touch_attribution",
-    "q174_chi2_keywords",
+    "q174_chi2_keywords", "q175_class_scatter",
+    "q176_calibration_deciles", "q177_split_assignment",
 ]
 
 
