@@ -1060,6 +1060,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q175_class_scatter": A.q175_class_scatter,
         "q176_calibration_deciles": A.q176_calibration_deciles,
         "q177_split_assignment": A.q177_split_assignment,
+        "q178_er_clusters": A.q178_er_clusters,
+        "q179_zorder_layout": A.q179_zorder_layout,
+        "q180_scc": A.q180_scc,
     }
 
 
@@ -4038,6 +4041,72 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q180_scc": """
+            -- scc twin: recursive closure over the distinct event-graph
+            -- edges, SCC label = MIN mutually-reachable peer (self incl.)
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT event_id % 100 AS src,
+                     (event_id + CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT)) % 100 AS dst
+              FROM events
+              WHERE event_id % 100 <>
+                    (event_id + CAST(regexp_extract(props,
+                       '"k": (\\d+)', 1) AS BIGINT)) % 100),
+            n AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+            reach AS (
+              SELECT v AS s, v AS t FROM n
+              UNION
+              SELECT r.s, e.dst AS t FROM reach r JOIN e
+                ON e.src = r.t),
+            lab AS (
+              SELECT a.s AS v, CAST(MIN(a.t) AS BIGINT) AS scc_id
+              FROM reach a JOIN reach b ON b.s = a.t AND b.t = a.s
+              GROUP BY a.s)
+            SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY 1 ORDER BY 1
+        """,
+        "q179_zorder_layout": """
+            -- zorder twin: Morton interleave of the low 16 bits of
+            -- (user_id, cents) via a list-comprehension bit sum,
+            -- leading-6-bit buckets, per-bucket prune windows
+            WITH m AS (
+              SELECT list_sum([
+                       ((((user_id & 65535) >> i) & 1) << (2*i + 1))
+                       + ((((CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                             & 65535) >> i) & 1) << (2*i))
+                       FOR i IN generate_series(0, 15)]) AS z,
+                     user_id & 65535 AS x,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                       & 65535 AS y
+              FROM events)
+            SELECT CAST(z >> 26 AS BIGINT) AS zbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(x) AS BIGINT) AS x_min,
+                   CAST(MAX(x) AS BIGINT) AS x_max,
+                   CAST(MIN(y) AS BIGINT) AS y_min,
+                   CAST(MAX(y) AS BIGINT) AS y_max
+            FROM m GROUP BY 1 ORDER BY 1
+        """,
+        "q178_er_clusters": """
+            -- er twin: quadratic levenshtein<=1 pairs (q91) + recursive
+            -- transitive closure; cluster rep = lexicographic MIN name
+            WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name
+                                 FROM part),
+            pr AS (SELECT a.name AS a, b.name AS b
+                   FROM d a JOIN d b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= 1),
+            edge AS (SELECT a, b FROM pr
+                     UNION SELECT b AS a, a AS b FROM pr),
+            reach AS (
+              SELECT name AS s, name AS t FROM d
+              UNION
+              SELECT r.s, e.b AS t FROM reach r JOIN edge e
+                ON e.a = r.t),
+            lab AS (SELECT s AS name, MIN(t) AS cluster
+                    FROM reach GROUP BY s)
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY 1
         """,
         "q177_split_assignment": """
             -- split twin: md5_number_upper == stable_u64 (first 8 md5

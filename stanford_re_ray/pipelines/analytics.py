@@ -5571,3 +5571,138 @@ def q177_split_assignment(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["split", "n_docs",
                                      "n_chars_total"]],
                                 preserve_index=False)
+
+
+def q178_er_clusters(sf_dir: str) -> pa.Table:
+    """End-to-end entity resolution: deletion-neighborhood blocking +
+    edit-distance-1 verify (``dedup.edit1_pairs``, exact at distance 1)
+    -> distributed min-label connected components
+    (``dedup.connected_components`` — labels are a dataset, convergence
+    is a distributed flag sum, string node ids compare lexicographically
+    so the representative is the MIN member name).  Output: every
+    resolved entity cluster of >= 2 names with its canonical
+    representative.  Oracle: quadratic levenshtein pairs + a recursive
+    transitive-closure CTE — exact because blocking has no false
+    negatives at distance 1 and CC runs to fixpoint."""
+    from ..functions.dedup import connected_components, edit1_pairs
+    from ..functions.hashing import stable_u64
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    def _nid(name: str) -> int:
+        return stable_u64(f"er\x00{name}") & 0x7FFFFFFFFFFFFFFF
+
+    n = _row_count(sf_dir, "part")
+    parts = _read(sf_dir, "part", ["p_name"])
+    pairs = edit1_pairs(parts, "p_name", est_rows=n * 12)
+
+    # CC works over int64 node ids; the id is a PURE hash of the name,
+    # so both edge endpoints and the name table derive it locally —
+    # no assignment join anywhere
+    def to_ids(batch: pa.Table) -> pa.Table:
+        a = [_nid(s) for s in batch.column("name_a").to_pylist()]
+        b = [_nid(s) for s in batch.column("name_b").to_pylist()]
+        return pa.table({"nid_a": pa.array(a, pa.int64()),
+                         "nid_b": pa.array(b, pa.int64())})
+
+    comp = connected_components(
+        pairs.map_batches(to_ids, batch_format="pyarrow"),
+        "nid_a", "nid_b", max_rounds=32)
+
+    def name_tbl(batch: pa.Table) -> pa.Table:
+        names = list(dict.fromkeys(batch.column("p_name").to_pylist()))
+        return pa.table({
+            "doc_id": pa.array([_nid(s) for s in names], pa.int64()),
+            "name": pa.array(names, pa.string())})
+
+    named = hash_join(comp,
+                      parts.map_batches(name_tbl,
+                                        batch_format="pyarrow"),
+                      on="doc_id", est_rows=n)
+
+    def summarize(g: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"cluster": [g["name"].min()],
+                            "n_members": [np.int64(g["name"].nunique())]})
+        return pd_to_arrow(out)
+
+    out = (named.groupby("component")
+           .map_groups(lambda g: summarize(g), batch_format="pandas")
+           .to_pandas())
+    out = out[out["n_members"] >= 2].sort_values("cluster") \
+        .reset_index(drop=True)
+    out["n_members"] = out["n_members"].astype("int64")
+    return pa.Table.from_pandas(out[["cluster", "n_members"]],
+                                preserve_index=False)
+
+
+def q179_zorder_layout(sf_dir: str) -> pa.Table:
+    """Z-order (Morton) layout audit — the Delta/Iceberg multi-column
+    clustering primitive: interleave the low 16 bits of (user_id, value
+    cents), bucket rows by the leading 6 Morton bits (64 would-be
+    files), and report each bucket's per-dimension min/max prune window.
+    A linear sort on either key alone leaves the OTHER key's window
+    full-range in every file; Z-ordering bounds both — this audit is how
+    a table-format optimizer proves the layout prunes.  Bit interleave
+    is 16 vectorized numpy ops per batch; min/max/count reduce via the
+    native combiner'd groupby."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def morton(batch: pa.Table) -> pa.Table:
+        x = batch.column("user_id").to_numpy().astype(np.int64) & 0xFFFF
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        y = np.floor(v * 100.0 + 0.5).astype(np.int64) & 0xFFFF
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(16):
+            z |= (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1)
+                                                    << (2 * i))
+        return pa.table({"zbucket": pa.array(z >> 26),
+                         "x": pa.array(x), "y": pa.array(y)})
+
+    out = (ev.map_batches(morton, batch_format="pyarrow")
+           .groupby("zbucket")
+           .aggregate(Count(alias_name="n_events"),
+                      Min("x", alias_name="x_min"),
+                      Max("x", alias_name="x_max"),
+                      Min("y", alias_name="y_min"),
+                      Max("y", alias_name="y_max"))
+           .to_pandas().sort_values("zbucket").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["zbucket", "n_events", "x_min", "x_max", "y_min", "y_max"]],
+        preserve_index=False)
+
+
+def q180_scc(sf_dir: str) -> pa.Table:
+    """Strongly connected components (``graph_ops.scc`` — trim +
+    forward-coloring + backward-collect peeling, the distributed
+    alternative to Tarjan) over the event-derived directed graph (q150's
+    edge rule: ``eid%100 -> (eid+k)%100``).  Output: each SCC's minimum
+    member id and size.  Oracle: recursive transitive closure + mutual
+    reachability — exact because scc() runs every fixpoint to
+    convergence."""
+    from ..pipelines.graph_ops import scc
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        src = eid % 100
+        dst = (eid + k) % 100
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    labels = scc(ds.map_batches(edges, batch_format="pyarrow"),
+                 est_rows=_row_count(sf_dir, "events"))
+    out = (labels.groupby("scc_id").count().to_pandas()
+           .rename(columns={"count()": "n_members"})
+           .sort_values("scc_id").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["scc_id", "n_members"]],
+                                preserve_index=False)

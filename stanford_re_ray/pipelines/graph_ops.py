@@ -1871,3 +1871,249 @@ def link_prediction_topk(
             .sort(["jacc_ppm", "cn", "a", "b"],
                   descending=[True, True, False, False])
             .limit(k))
+
+
+def scc(
+    edges: ray.data.Dataset,
+    est_rows: int | None = None,
+    max_peels: int = 32,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Strongly connected components of a DIRECTED ``(src, dst)`` edge
+    list — trim + forward-coloring + backward-collect peeling (the
+    MultiStep scheme of Slota/Rajamanickam/Madduri, IPDPS'14, the
+    standard distributed alternative to inherently-sequential Tarjan).
+    Returns ``(node, scc_id)`` with ``scc_id`` = the minimum member id:
+    a color's root r is the smallest id reaching the class, every
+    backward-collected member both reaches and is reached by r, and no
+    SCC member can be smaller than its color (it would have recolored
+    the class) — so the label is exact and deterministic at any
+    parallelism.
+
+    Per peel: (1) TRIM fixpoint — nodes without both an in- and an
+    out-edge are singleton SCCs (semi/anti joins, no shuffle wider than
+    the node table); (2) forward min-label coloring to fixpoint — one
+    hash_join(edges, labels on src) + combiner'd MIN groupby per round,
+    convergence by the strictly-decreasing label SUM (one scalar to the
+    driver — labels only ever decrease, so sum-unchanged == fixpoint);
+    (3) color the edge table once, keep same-color edges, propagate a
+    membership flag BACKWARD from each root to fixpoint (count-stable
+    convergence); (4) emit members, anti-join them out, repeat.  Every
+    iterative dataset is re-materialized at a size-derived block count
+    per round (the kcore lineage rule).
+
+    Worst case: a long chain peels one SCC per color per round — the
+    known limitation of coloring SCC; trim absorbs the DAG-shaped part
+    (most of a web graph).  ``max_peels``/``max_rounds`` bound the work
+    and raise RuntimeWarning rather than silently mislabel.  Self-loops
+    are SCC-neutral and dropped at ingest; parallel edges are thinned
+    map-side (per-batch distinct) — full dedup would cost an extra
+    all-to-all for no semantic gain."""
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.relational import hash_join
+
+    def _blocks(n: int) -> int:
+        return max(4, n // 250_000 + 1)
+
+    def _mat(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
+        return ds.repartition(_blocks(n)).materialize()
+
+    def _ingest(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("src"), pa.int64())
+        d = pc.cast(batch.column("dst"), pa.int64())
+        t = pa.table({"src": s, "dst": d}).filter(pc.not_equal(s, d))
+        # map-side thinning of parallel edges
+        return t.group_by(["src", "dst"]).aggregate([]) \
+            if t.num_rows else t
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "scc_id": pa.array([], pa.int64())})
+    if edges.schema() is None:
+        return ray.data.from_arrow(empty)
+    e = _mat(edges.map_batches(_ingest, batch_format="pyarrow"),
+             est_rows or 0)
+
+    def _col(ds, src_col, out_col):
+        return ds.map_batches(
+            lambda t, _s=src_col, _o=out_col: pa.table(
+                {_o: pc.unique(t.column(_s))}),
+            batch_format="pyarrow")
+
+    nodes = (_col(e, "src", "node").union(_col(e, "dst", "node"))
+             .groupby("node").aggregate(Min("node", alias_name="__m"))
+             .map_batches(lambda t: t.select(["node"]),
+                          batch_format="pyarrow"))
+    n_nodes = nodes.count()
+    nodes = _mat(nodes, n_nodes)
+    results: list[ray.data.Dataset] = []
+
+    def _tag_own(ds):  # singleton SCCs: scc_id = node
+        return ds.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "scc_id": t.column("node")}),
+            batch_format="pyarrow")
+
+    def _semi_nodes(dataset, key, keep, n_keep):
+        keyed = keep.map_batches(
+            lambda t, _k=key: pa.table({_k: t.column("node")}),
+            batch_format="pyarrow")
+        return hash_join(dataset, keyed, on=key, how="semi",
+                         est_rows=max(n_keep, 1))
+
+    peels = 0
+    while n_nodes > 0:
+        peels += 1
+        if peels > max_peels:
+            warnings.warn(
+                f"scc: {n_nodes} nodes unresolved after {max_peels} "
+                "peels; labels for them are omitted", RuntimeWarning)
+            break
+        # ---- trim fixpoint: need BOTH an in- and an out-edge --------
+        while n_nodes > 0:
+            alive = _semi_nodes(
+                _semi_nodes(nodes, "node",
+                            _col(e, "src", "node"), n_nodes),
+                "node", _col(e, "dst", "node"), n_nodes)
+            n_alive = alive.count()
+            if n_alive == n_nodes:
+                break
+            dead = hash_join(nodes, alive.map_batches(
+                lambda t: pa.table({"node": t.column("node")}),
+                batch_format="pyarrow"), on="node", how="anti",
+                est_rows=max(n_nodes, 1))
+            results.append(_tag_own(dead).materialize())
+            nodes, n_nodes = _mat(alive, n_alive), n_alive
+            if n_nodes:
+                e = _mat(
+                    hash_join(
+                        hash_join(e, nodes.map_batches(
+                            lambda t: pa.table(
+                                {"src": t.column("node")}),
+                            batch_format="pyarrow"), on="src",
+                            how="semi", est_rows=max(n_nodes, 1)),
+                        nodes.map_batches(
+                            lambda t: pa.table(
+                                {"dst": t.column("node")}),
+                            batch_format="pyarrow"), on="dst",
+                        how="semi", est_rows=max(n_nodes, 1)),
+                    n_nodes)
+        if n_nodes == 0:
+            break
+        # ---- forward min-label coloring to fixpoint -----------------
+        labels = _mat(nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "color": t.column("node")}),
+            batch_format="pyarrow"), n_nodes)
+        prev_sum = None
+        for _ in range(max_rounds):
+            by_src = labels.map_batches(
+                lambda t: pa.table({"src": t.column("node"),
+                                    "color": t.column("color")}),
+                batch_format="pyarrow")
+            cand = hash_join(e, by_src, on="src", how="inner",
+                             est_rows=max(n_nodes, 1)).map_batches(
+                lambda t: pa.table({
+                    "node": pc.cast(t.column("dst"), pa.int64(),
+                                    safe=True),
+                    "color": pc.cast(t.column("color"), pa.int64(),
+                                     safe=True)}),
+                batch_format="pyarrow")
+            labels = _mat(
+                labels.union(cand).groupby("node")
+                .aggregate(Min("color", alias_name="color")), n_nodes)
+            s = labels.aggregate(Sum("color"))["sum(color)"]
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            warnings.warn("scc: coloring hit max_rounds before "
+                          "fixpoint; components may split",
+                          RuntimeWarning)
+        # ---- color edges once; keep same-color edges ----------------
+        lab_src = labels.map_batches(
+            lambda t: pa.table({"src": t.column("node"),
+                                "c_src": t.column("color")}),
+            batch_format="pyarrow")
+        lab_dst = labels.map_batches(
+            lambda t: pa.table({"dst": t.column("node"),
+                                "c_dst": t.column("color")}),
+            batch_format="pyarrow")
+        ce = hash_join(hash_join(e, lab_src, on="src", how="inner",
+                                 est_rows=max(n_nodes, 1)),
+                       lab_dst, on="dst", how="inner",
+                       est_rows=max(n_nodes, 1))
+        ce = _mat(ce.map_batches(
+            lambda t: pa.table({
+                "src": pc.cast(t.column("src"), pa.int64(), safe=True),
+                "dst": pc.cast(t.column("dst"), pa.int64(), safe=True),
+            }).filter(pc.equal(
+                pc.cast(t.column("c_src"), pa.int64(), safe=True),
+                pc.cast(t.column("c_dst"), pa.int64(), safe=True))),
+            batch_format="pyarrow"), n_nodes)
+        # ---- backward collect from each color root ------------------
+        collected = _mat(labels.map_batches(
+            lambda t: t.filter(pc.equal(t.column("node"),
+                                        t.column("color"))).select(
+                ["node", "color"]),
+            batch_format="pyarrow"), n_nodes)
+        n_coll = collected.count()
+        for _ in range(max_rounds):
+            by_dst = collected.map_batches(
+                lambda t: pa.table({"dst": t.column("node"),
+                                    "color": t.column("color")}),
+                batch_format="pyarrow")
+            back = hash_join(ce, by_dst, on="dst", how="inner",
+                             est_rows=max(n_nodes, 1)).map_batches(
+                lambda t: pa.table({
+                    "node": pc.cast(t.column("src"), pa.int64(),
+                                    safe=True),
+                    "color": pc.cast(t.column("color"), pa.int64(),
+                                     safe=True)}),
+                batch_format="pyarrow")
+            collected = _mat(
+                collected.union(back).groupby("node")
+                .aggregate(Min("color", alias_name="color")), n_nodes)
+            n_new = collected.count()
+            if n_new == n_coll:
+                break
+            n_coll = n_new
+        else:
+            warnings.warn("scc: backward collect hit max_rounds before "
+                          "fixpoint; components may split",
+                          RuntimeWarning)
+        results.append(collected.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "scc_id": t.column("color")}),
+            batch_format="pyarrow").materialize())
+        # ---- peel off the resolved members ---------------------------
+        done = collected.map_batches(
+            lambda t: pa.table({"node": t.column("node")}),
+            batch_format="pyarrow")
+        nodes = hash_join(nodes, done, on="node", how="anti",
+                          est_rows=max(n_nodes, 1))
+        n_nodes = nodes.count()
+        nodes = _mat(nodes, max(n_nodes, 1))
+        if n_nodes:
+            e = _mat(
+                hash_join(
+                    hash_join(e, nodes.map_batches(
+                        lambda t: pa.table({"src": t.column("node")}),
+                        batch_format="pyarrow"), on="src", how="semi",
+                        est_rows=max(n_nodes, 1)),
+                    nodes.map_batches(
+                        lambda t: pa.table({"dst": t.column("node")}),
+                        batch_format="pyarrow"), on="dst", how="semi",
+                    est_rows=max(n_nodes, 1)),
+                n_nodes)
+
+    if not results:
+        return ray.data.from_arrow(empty)
+    out = results[0]
+    for r in results[1:]:
+        out = out.union(r)
+    return _mat(out, out.count())

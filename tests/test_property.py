@@ -744,3 +744,89 @@ def test_luby_mis_independent_and_maximal(ray_session, raw_edges):
         assert not (a in mis and b in mis), "adjacent MIS members"
     for n in nodes - mis:
         assert adj[n] & mis, f"non-member {n} has no MIS neighbor"
+
+
+# --- SCC: exact match vs serial Tarjan -----------------------------------------
+
+def _tarjan_scc(edges):
+    """Iterative Tarjan; returns {node: min-member-of-its-SCC}."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index, low, on, st, out = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        st.append(root)
+        on.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    st.append(w)
+                    on.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = st.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=20),
+                          st.integers(min_value=0, max_value=20)),
+                min_size=1, max_size=50))
+def test_scc_matches_tarjan(ray_session, raw_edges):
+    """graph_ops.scc (trim + coloring + backward collect) labels every
+    edge-incident node with the exact min member of its strongly
+    connected component, independent of block layout."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import scc
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    ref = _tarjan_scc(edges)
+    tbl = pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    })
+    outs = []
+    for blocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        got = {r["node"]: r["scc_id"]
+               for r in scc(ds, est_rows=len(edges)).take_all()}
+        outs.append(got)
+    assert outs[0] == outs[1]
+    assert outs[0] == ref

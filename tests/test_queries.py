@@ -146,6 +146,7 @@ SQL_CHECKED = [
     "q172_auc_rank_sum", "q173_last_touch_attribution",
     "q174_chi2_keywords", "q175_class_scatter",
     "q176_calibration_deciles", "q177_split_assignment",
+    "q178_er_clusters", "q179_zorder_layout", "q180_scc",
 ]
 
 
