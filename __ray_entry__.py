@@ -1063,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_er_clusters": A.q178_er_clusters,
         "q179_zorder_layout": A.q179_zorder_layout,
         "q180_scc": A.q180_scc,
+        "q181_merge_upsert": A.q181_merge_upsert,
+        "q182_ks_drift": A.q182_ks_drift,
     }
 
 
@@ -4041,6 +4043,68 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q182_ks_drift": """
+            -- ks twin: exact two-sample KS numerator over the pooled
+            -- cent support via window cumsums; one ppm floor division
+            WITH ev AS (
+              SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                       AS a,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                       AS b
+              FROM events WHERE event_type IN ('view', 'click')),
+            s AS (SELECT c, CAST(SUM(a) AS BIGINT) AS na,
+                         CAST(SUM(b) AS BIGINT) AS nb
+                  FROM ev GROUP BY c),
+            t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+                         CAST(SUM(nb) AS BIGINT) AS tb FROM s),
+            w AS (SELECT SUM(na) OVER (ORDER BY c) AS cna,
+                         SUM(nb) OVER (ORDER BY c) AS cnb
+                  FROM s)
+            SELECT t.ta AS n_a, t.tb AS n_b,
+                   CAST(MAX(ABS(t.tb * cna - t.ta * cnb)) AS BIGINT)
+                     AS ks_num,
+                   CAST((1000000 * MAX(ABS(t.tb * cna - t.ta * cnb)))
+                        // (t.ta * t.tb) AS BIGINT) AS ks_ppm
+            FROM w CROSS JOIN t GROUP BY t.ta, t.tb
+        """,
+        "q181_merge_upsert": """
+            -- merge twin: last-writer-wins change compaction (QUALIFY),
+            -- full outer apply, q171-style mod-prime content checksum
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                       AS c
+              FROM orders),
+            ch0 AS (
+              SELECT event_id % 10000 AS k, ts, event_id,
+                     event_type = 'error' AS is_del,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events),
+            ch AS (
+              SELECT k, is_del, c FROM ch0
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY k
+                ORDER BY ts DESC, event_id DESC) = 1),
+            m AS (
+              SELECT COALESCE(b.k, ch.k) AS k,
+                     CASE WHEN ch.k IS NOT NULL THEN ch.c
+                          ELSE b.c END AS c,
+                     COALESCE(ch.is_del, FALSE) AS is_del,
+                     ch.k IS NOT NULL AS has_ch,
+                     b.k IS NOT NULL AS has_b
+              FROM base b FULL OUTER JOIN ch ON ch.k = b.k),
+            sel AS (
+              SELECT k, c FROM m
+              WHERE (has_ch AND NOT is_del)
+                 OR (has_b AND NOT has_ch))
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(c) AS BIGINT) AS total_cents,
+                   CAST(SUM(md5_number_upper(
+                          'm' || chr(0) || CAST(k AS VARCHAR)
+                          || chr(0) || CAST(c AS VARCHAR)) >> 11)
+                        % 2305843009213693951 AS BIGINT) AS checksum
+            FROM sel
         """,
         "q180_scc": """
             -- scc twin: recursive closure over the distinct event-graph

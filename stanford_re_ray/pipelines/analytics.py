@@ -5706,3 +5706,164 @@ def q180_scc(sf_dir: str) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["scc_id", "n_members"]],
                                 preserve_index=False)
+
+
+def q181_merge_upsert(sf_dir: str) -> pa.Table:
+    """Lakehouse MERGE (CDC apply): a change stream derived from events
+    (key = ``event_id % 10000``; 'error' rows are DELETEs, everything
+    else UPSERTs the cent value) applies onto the orders base table with
+    last-writer-wins per key (ts DESC, event_id DESC).  One hash(key)
+    bucket shuffle compacts the stream to its final change per key; one
+    outer ``hash_join`` against the base resolves insert/update/delete.
+    The merged table is value-checked without shipping it: the output is
+    its row count, cent total and q171-style order-independent mod-prime
+    content checksum (associative per-batch partials)."""
+    from ..functions.hashing import stable_u64
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    M = (1 << 61) - 1
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(
+            lambda b: pa.table({
+                "ckey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "base_cents": pa.array(np.floor(
+                    b.column("o_totalprice").to_numpy(
+                        zero_copy_only=False) * 100.0 + 0.5)
+                    .astype(np.int64)),
+            }), batch_format="pyarrow")
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ckey": pa.array(eid % 10000),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pa.array(eid),
+            "is_del": pc.equal(batch.column("event_type"), "error"),
+            "cents": pa.array(np.floor(v * 100.0 + 0.5)
+                              .astype(np.int64)),
+            "__bucket": pa.array((eid % 10000 % 64).astype(np.int32)),
+        })
+
+    def last_per_key(g: pd.DataFrame):
+        g = (g.sort_values(["ckey", "us", "event_id"], kind="mergesort")
+             .drop_duplicates("ckey", keep="last"))
+        out = g[["ckey", "is_del", "cents"]].copy()
+        out["is_del"] = out["is_del"].astype(bool)
+        out["cents"] = out["cents"].astype("int64")
+        return pd_to_arrow(out.rename(columns={"cents": "new_cents"}))
+
+    changes = (ev.map_batches(prep, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(lambda g: last_per_key(
+                   g.drop(columns="__bucket")), batch_format="pandas"))
+
+    merged = hash_join(base, changes, on="ckey", how="outer",
+                       est_rows=_row_count(sf_dir, "orders"))
+
+    def partial(batch: pa.Table, _m=M) -> pa.Table:
+        df = batch.to_pandas()
+        has_ch = df["is_del"].notna()
+        keep = (has_ch & ~df["is_del"].fillna(False).astype(bool)) | \
+               (~has_ch & df["base_cents"].notna())
+        df = df[keep]
+        cents = np.where(df["is_del"].notna(),
+                         df["new_cents"].fillna(0),
+                         df["base_cents"].fillna(0)).astype(np.int64)
+        keys = df["ckey"].to_numpy(np.int64)
+        s = 0
+        for k, c in zip(keys.tolist(), cents.tolist()):
+            s += stable_u64(f"m\x00{k}\x00{c}") >> 11
+        return pa.table({"n": pa.array([len(keys)], pa.int64()),
+                         "c": pa.array([int(cents.sum())], pa.int64()),
+                         "s": pa.array([s % _m], pa.int64())})
+
+    parts = merged.map_batches(partial,
+                               batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    c = sum(r["c"] for r in parts)
+    s = sum(r["s"] for r in parts) % M
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "total_cents": pa.array([c], pa.int64()),
+                     "checksum": pa.array([s], pa.int64())})
+
+
+def q182_ks_drift(sf_dir: str) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov distance between the value
+    distributions of 'view' and 'click' events — the drift monitor a
+    feature pipeline runs between snapshots.  Integer-exact: KS =
+    max|n_b*cumA - n_a*cumB| / (n_a*n_b) over the pooled cent support,
+    so the max rides the same two-pass range-bucket prefix scan as q172
+    (per-bucket offsets for BOTH cumulative counts; each bucket reduces
+    to one local-max row; ppm floor at the driver)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["view", "click"]))
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        a = pc.equal(batch.column("event_type"), "view") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (pd.DataFrame({"c": cents, "na": a, "nb": 1 - a})
+              .groupby("c", sort=False, as_index=False).sum())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_score = ev.map_batches(partials,
+                               batch_format="pyarrow").materialize()
+    bounds = per_score.aggregate(Min("c"), Max("c"))
+    mn, mx = int(bounds["min(c)"]), int(bounds["max(c)"])
+    span = max(1, (mx - mn) // 64 + 1)
+    bucketed = per_score.map_batches(
+        lambda b: b.append_column(
+            "__bucket",
+            pc.cast(pc.divide(pc.subtract(b.column("c"), mn), span),
+                    pa.int32())),
+        batch_format="pyarrow").materialize()
+    tot = {int(r["__bucket"]): (int(r["sum(na)"]), int(r["sum(nb)"]))
+           for r in bucketed.groupby("__bucket")
+           .aggregate(Sum("na"), Sum("nb")).take_all()}
+    offs, ca, cb = {}, 0, 0
+    for b in sorted(tot):
+        offs[b] = (ca, cb)
+        ca += tot[b][0]
+        cb += tot[b][1]
+    n_a, n_b = ca, cb
+
+    def bucket_max(g: pd.DataFrame, _offs=offs, _na=n_a, _nb=n_b) \
+            -> pa.Table:
+        if not len(g):
+            return pa.table({"m": pa.array([], pa.int64())})
+        oa, ob = _offs[int(g["__bucket_val"].iloc[0])]
+        g = (g.groupby("c", sort=True, as_index=False)[["na", "nb"]]
+             .sum())
+        cna = oa + g["na"].cumsum().to_numpy(np.int64)
+        cnb = ob + g["nb"].cumsum().to_numpy(np.int64)
+        m = int(np.abs(_nb * cna - _na * cnb).max())
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    parts = (bucketed.map_batches(
+        lambda b: b.append_column(
+            "__bucket_val", pc.cast(b.column("__bucket"), pa.int64())),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_max(g.drop(columns="__bucket")),
+                    batch_format="pandas"))
+    ks_num = max(r["m"] for r in parts.take_all())
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "ks_num": pa.array([ks_num], pa.int64()),
+        "ks_ppm": pa.array([(1_000_000 * ks_num) // (n_a * n_b)],
+                           pa.int64())})
