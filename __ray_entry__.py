@@ -1065,6 +1065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q180_scc": A.q180_scc,
         "q181_merge_upsert": A.q181_merge_upsert,
         "q182_ks_drift": A.q182_ks_drift,
+        "q183_ohlc_bars": A.q183_ohlc_bars,
+        "q184_k_anonymity": A.q184_k_anonymity,
     }
 
 
@@ -4043,6 +4045,46 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2
             ORDER BY d.node
+        """,
+        "q184_k_anonymity": """
+            -- k-anonymity twin: QI classes (lang, source, 1000-char
+            -- band), classes/rows below k=5
+            WITH cls AS (
+              SELECT lang, source, n_chars // 1000 AS band,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2, 3)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_risky_classes,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+                        AS BIGINT) AS n_risky_rows,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM cls
+        """,
+        "q183_ohlc_bars": """
+            -- ohlc twin: first/last by the (ts, event_id) total order
+            -- per 6-hour window via two ROW_NUMBER directions
+            WITH ev AS (
+              SELECT event_id, epoch_us(ts) AS us,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c,
+                     epoch_us(ts) // 21600000000 AS w
+              FROM events),
+            r AS (
+              SELECT w, c,
+                     ROW_NUMBER() OVER (PARTITION BY w
+                       ORDER BY us, event_id) AS rn_a,
+                     ROW_NUMBER() OVER (PARTITION BY w
+                       ORDER BY us DESC, event_id DESC) AS rn_d
+              FROM ev)
+            SELECT CAST(w AS BIGINT) AS "window",
+                   CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS BIGINT)
+                     AS open_cents,
+                   CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS BIGINT)
+                     AS close_cents,
+                   CAST(MIN(c) AS BIGINT) AS low_cents,
+                   CAST(MAX(c) AS BIGINT) AS high_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM r GROUP BY w ORDER BY 1
         """,
         "q182_ks_drift": """
             -- ks twin: exact two-sample KS numerator over the pooled

@@ -5867,3 +5867,107 @@ def q182_ks_drift(sf_dir: str) -> pa.Table:
         "ks_num": pa.array([ks_num], pa.int64()),
         "ks_ppm": pa.array([(1_000_000 * ks_num) // (n_a * n_b)],
                            pa.int64())})
+
+
+def q183_ohlc_bars(sf_dir: str) -> pa.Table:
+    """Time-series resample to 6-hour OHLC bars: per window, the
+    opening/closing cent value (first/last by the total order
+    (ts, event_id) — an ASSOCIATIVE tuple-min/max reduce, the
+    CLAUDE.md provenance pattern, so partials combine exactly at any
+    parallelism) plus min/max/count.  Per-batch combiner emits ONE row
+    per window it sees; the global reduce is a small groupby whose
+    map_groups re-applies the same tuple rules."""
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "value"])
+    win_us = 6 * 3600 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"w": us // win_us, "us": us, "eid": eid,
+                           "c": cents})
+        df = df.sort_values(["w", "us", "eid"], kind="mergesort")
+        g = df.groupby("w", sort=True)
+        out = pd.DataFrame({
+            "w": g.size().index.to_numpy(np.int64),
+            "o_us": g["us"].first().to_numpy(np.int64),
+            "o_eid": g["eid"].first().to_numpy(np.int64),
+            "open": g["c"].first().to_numpy(np.int64),
+            "c_us": g["us"].last().to_numpy(np.int64),
+            "c_eid": g["eid"].last().to_numpy(np.int64),
+            "close": g["c"].last().to_numpy(np.int64),
+            "lo": g["c"].min().to_numpy(np.int64),
+            "hi": g["c"].max().to_numpy(np.int64),
+            "n": g.size().to_numpy(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def combine(g: pd.DataFrame):
+        g = g.sort_values(["o_us", "o_eid"], kind="mergesort")
+        first = g.iloc[0]
+        gc = g.sort_values(["c_us", "c_eid"], kind="mergesort")
+        last = gc.iloc[-1]
+        out = pd.DataFrame({
+            "window": [np.int64(g["w"].iloc[0])],
+            "open_cents": [np.int64(first["open"])],
+            "close_cents": [np.int64(last["close"])],
+            "low_cents": [np.int64(g["lo"].min())],
+            "high_cents": [np.int64(g["hi"].max())],
+            "n_events": [np.int64(g["n"].sum())],
+        })
+        return pd_to_arrow(out)
+
+    out = (ev.map_batches(partial, batch_format="pyarrow")
+           .groupby("w")
+           .map_groups(combine, batch_format="pandas")
+           .to_pandas().sort_values("window").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q184_k_anonymity(sf_dir: str, k: int = 5) -> pa.Table:
+    """k-anonymity audit over the documents quasi-identifier tuple
+    (lang, source, length band of 1000 chars): how many equivalence
+    classes fall below k members and how many rows they expose — the
+    privacy gate a release pipeline runs before publishing.  Per-batch
+    combiner'd groupby (the QI key space is tiny relative to rows);
+    only class counts shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        band = pc.cast(pc.divide(batch.column("n_chars"), 1000),
+                       pa.int64())
+        return pa.table({"lang": batch.column("lang"),
+                         "source": batch.column("source"),
+                         "band": band})
+
+    classes = (docs.map_batches(qi, batch_format="pyarrow")
+               .groupby(["lang", "source", "band"])
+               .aggregate(Count(alias_name="n")))
+
+    def flag(batch: pa.Table, _k=k) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        risky = n < _k
+        return pa.table({
+            "n_classes": pa.array([len(n)], pa.int64()),
+            "n_risky_classes": pa.array([int(risky.sum())], pa.int64()),
+            "n_risky_rows": pa.array([int(n[risky].sum())], pa.int64()),
+            "n_rows": pa.array([int(n.sum())], pa.int64())})
+
+    parts = classes.map_batches(flag, batch_format="pyarrow").take_all()
+    return pa.table({
+        "n_classes": pa.array([sum(r["n_classes"] for r in parts)],
+                              pa.int64()),
+        "n_risky_classes": pa.array(
+            [sum(r["n_risky_classes"] for r in parts)], pa.int64()),
+        "n_risky_rows": pa.array([sum(r["n_risky_rows"] for r in parts)],
+                                 pa.int64()),
+        "n_rows": pa.array([sum(r["n_rows"] for r in parts)],
+                           pa.int64())})

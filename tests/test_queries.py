@@ -147,7 +147,8 @@ SQL_CHECKED = [
     "q174_chi2_keywords", "q175_class_scatter",
     "q176_calibration_deciles", "q177_split_assignment",
     "q178_er_clusters", "q179_zorder_layout", "q180_scc",
-    "q181_merge_upsert", "q182_ks_drift",
+    "q181_merge_upsert", "q182_ks_drift", "q183_ohlc_bars",
+    "q184_k_anonymity",
 ]
 
 
