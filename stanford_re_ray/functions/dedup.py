@@ -360,6 +360,23 @@ def ngram_jaccard_pairs(
     n_cand = cand.count()
     cand = cand.repartition(max(4, n_cand // 250_000 + 1)).materialize()
     docs = ds.select_columns(["doc_id", "text"])
+    # semi-join reduction: candidate doc ids are LSH-bounded (≪ corpus),
+    # so a 512 KB Bloom of them drops every non-candidate document
+    # BEFORE the rehydration shuffles — at corpus scale the joins then
+    # move only candidate texts, not the table (false positives merely
+    # ride along; the inner joins below discard them exactly)
+    from .relational import _bloom_prune_probe
+
+    def _cand_ids(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": pa.concat_arrays([
+            b.column("doc_a").combine_chunks(),
+            pc.cast(b.column("doc_b"), pa.int64(),
+                    safe=True).combine_chunks()])})
+
+    cand_ids = cand.map_batches(_cand_ids, batch_format="pyarrow")
+    docs = _bloom_prune_probe(docs, cand_ids, ["doc_id"])
     docs_a = docs.map_batches(
         lambda b: b.rename_columns(["doc_id", "text_a"]),
         batch_format="pyarrow",

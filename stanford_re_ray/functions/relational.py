@@ -129,6 +129,78 @@ def _tag_and_align(
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+#: default Bloom sizing for ``hash_join(bloom_prune=True)``: 4 Mbit
+#: (512 KB broadcast once per job), k=4 probes — false-positive rate
+#: ~7e-5 at 100k distinct build keys, ~2% at 1M; FPs only cost shuffle
+#: bytes, never correctness (no false negatives by construction)
+JOIN_BLOOM_BITS = 1 << 22
+JOIN_BLOOM_K = 4
+
+
+def _join_key_u64(batch: pa.Table, on: list[str]) -> np.ndarray:
+    """Process-independent vectorized 64-bit key hash (the same
+    ``pd.util.hash_pandas_object`` family as ``add_bucket``'s routing —
+    stability is what matters, not the particular value, because both
+    the build and the probe side compute it identically)."""
+    return pd.util.hash_pandas_object(
+        batch.select(on).to_pandas(), index=False
+    ).to_numpy().astype(np.uint64)
+
+
+def _bloom_prune_probe(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    m_bits: int = JOIN_BLOOM_BITS,
+    k: int = JOIN_BLOOM_K,
+) -> ray.data.Dataset:
+    """Semi-join reduction for selective joins: build a Bloom filter of
+    the RIGHT side's join keys (one streaming pass; per batch only the
+    DISTINCT set-bit indices move), broadcast the packed bitmap once
+    (``m_bits/8`` bytes via ray.put), and drop LEFT rows whose key
+    cannot match BEFORE the join's all-to-all shuffle.  Double hashing
+    ``bit_i = (h1 + i·h2) % m`` with both hashes vectorized (numpy +
+    hash_pandas_object), probe is a packed-bit gather — no Python row
+    loop.  At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling only the ~matching fraction."""
+    from ..state import broadcast
+    from .hashing import fnv1a_u64_vec
+
+    m = np.uint64(m_bits)
+
+    def _bits(h1: np.ndarray) -> np.ndarray:
+        h2 = fnv1a_u64_vec(h1) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % m).astype(np.int64)
+
+    def build(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        h1 = np.unique(_join_key_u64(batch, on))
+        return pa.table({"bit": pa.array(np.unique(_bits(h1).ravel()))})
+
+    set_bits = np.asarray(
+        sorted(right.map_batches(build,
+                                 batch_format="pyarrow").unique("bit")),
+        dtype=np.int64)
+    bitmap = np.zeros(m_bits, dtype=bool)
+    if len(set_bits):
+        bitmap[set_bits] = True
+    ref = ray.put(np.packbits(bitmap))
+
+    def probe(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        if batch.num_rows == 0:
+            return batch
+        bm = fetch(_ref)
+        idx = _bits(_join_key_u64(batch, on))
+        hit = ((bm[idx >> 3] >> (7 - (idx & 7))) & 1).astype(bool)
+        return batch.filter(pa.array(hit.all(axis=0)))
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -140,6 +212,7 @@ def hash_join(
     est_rows: int | None = None,
     auto_salt: bool = False,
     left_schema: "pa.Schema | None" = None,
+    bloom_prune: bool = False,
 ) -> ray.data.Dataset:
     """Key-partitioned hash join (both sides large).
 
@@ -160,6 +233,12 @@ def hash_join(
     ``how``: inner | left | outer (full) | semi | anti (left-anti).
     Bucket-local outer is globally correct because every row of a key
     lands in exactly one bucket.
+
+    ``bloom_prune=True`` (inner/semi only): one streaming pass builds a
+    Bloom filter of the right side's keys (512 KB broadcast), and left
+    rows that cannot match are dropped BEFORE the shuffle — the standard
+    semi-join reduction for selective joins; false positives only cost
+    shuffle bytes, false negatives cannot occur.
 
     Skew guardrail: every row of one key must land in one bucket, so a
     pathologically hot key's bucket must fit a worker.  ``salt_keys``
@@ -221,6 +300,19 @@ def hash_join(
             return left        # every left row survives (right is empty);
                                # the unknowable right columns are omitted
         return left.limit(0)   # inner/semi with empty right → empty
+    if bloom_prune:
+        # semi-join reduction: only inner/semi may drop unmatched left
+        # rows early, and salting replicates rows the filter would
+        # mis-route — restrict accordingly rather than silently change
+        # semantics
+        if how not in ("inner", "semi"):
+            raise ValueError("bloom_prune only applies to inner/semi "
+                             "joins (other kinds keep unmatched rows)")
+        if salt_keys:
+            raise ValueError("bloom_prune is incompatible with "
+                             "salt_keys; prune first, then salt")
+        right = right.materialize()   # consumed by the build AND the join
+        left = _bloom_prune_probe(left, right, on)
     l_cols = list(ls.names)
     r_cols = list(rs.names)
     types = {n: t for n, t in zip(ls.names, ls.types)}

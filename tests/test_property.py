@@ -830,3 +830,57 @@ def test_scc_matches_tarjan(ray_session, raw_edges):
         outs.append(got)
     assert outs[0] == outs[1]
     assert outs[0] == ref
+
+
+# --- hash_join bloom_prune: pure optimization, identical output ---------------
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                max_size=40),
+       st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                max_size=40))
+def test_hash_join_bloom_prune_identity(ray_session, lkeys, rkeys):
+    """bloom_prune is a semi-join reduction: inner and semi outputs are
+    IDENTICAL with and without it (no false negatives by construction;
+    false positives only pass extra rows into the real join)."""
+    import ray.data as rd
+
+    ltbl = pa.table({"k": pa.array(lkeys, pa.int64()),
+                     "lv": pa.array(list(range(len(lkeys))), pa.int64())})
+    rtbl = pa.table({"k": pa.array(rkeys, pa.int64()),
+                     "rv": pa.array(list(range(len(rkeys))), pa.int64())})
+    from stanford_re_ray.functions.relational import hash_join
+
+    for how in ("inner", "semi"):
+        outs = []
+        for prune in (False, True):
+            ds = hash_join(rd.from_arrow(ltbl).repartition(2),
+                           rd.from_arrow(rtbl).repartition(2),
+                           on="k", how=how, bloom_prune=prune)
+            df = ds.to_pandas()
+            outs.append(df.sort_values(list(df.columns))
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1]), how
+
+
+def test_hash_join_bloom_prune_string_keys(ray_session):
+    """Same identity over string keys (the hash_pandas_object path),
+    including left keys absent from the right side."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import hash_join
+
+    left = pa.table({"k": pa.array([f"k{i % 17}" for i in range(60)]),
+                     "lv": pa.array(list(range(60)), pa.int64())})
+    right = pa.table({"k": pa.array([f"k{i}" for i in range(0, 34, 2)]),
+                      "rv": pa.array(list(range(17)), pa.int64())})
+    outs = []
+    for prune in (False, True):
+        df = hash_join(rd.from_arrow(left).repartition(3),
+                       rd.from_arrow(right).repartition(2),
+                       on="k", how="inner",
+                       bloom_prune=prune).to_pandas()
+        outs.append(df.sort_values(list(df.columns))
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    assert len(outs[0]) > 0
