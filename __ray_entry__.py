@@ -1067,6 +1067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q182_ks_drift": A.q182_ks_drift,
         "q183_ohlc_bars": A.q183_ohlc_bars,
         "q184_k_anonymity": A.q184_k_anonymity,
+        "q185_group_split_audit": A.q185_group_split_audit,
+        "q186_lorenz_deciles": A.q186_lorenz_deciles,
+        "q187_widest_path": A.q187_widest_path,
+        "q188_recall_at_k": A.q188_recall_at_k,
     }
 
 
@@ -1174,8 +1178,40 @@ def _sssp_oracle_sql(max_hops: int = 6) -> str:
     )
 
 
+def _widest_oracle_sql(max_hops: int = 4) -> str:
+    """Unrolled min-max relaxation on negated weights — the SQL twin of
+    ``analytics.q187_widest_path`` (q116's graph; width = -cost).
+    Round r is exact over paths of <= r edges, matching the engine's
+    hop bound."""
+    big = 1 << 60
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 10 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS src,
+                 (event_id + 11 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn)
+                   AS dst
+          FROM events WHERE event_id % 7 = 0)""",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst, "
+        "1 + (src * 31 + dst * 17) % 9 AS w FROM g WHERE src <> dst)",
+        f"d0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node, "
+        f"CAST(-{big} AS BIGINT) AS cost)",
+    ]
+    for r in range(1, max_hops + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, MIN(cost) AS cost FROM ("
+            f"SELECT node, cost FROM d{r-1} "
+            f"UNION ALL SELECT e.dst AS node, "
+            f"GREATEST(d.cost, -e.w) AS cost "
+            f"FROM d{r-1} d JOIN e ON e.src = d.node) GROUP BY node)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, CAST(-cost AS BIGINT) AS width FROM d{max_hops} "
+        "WHERE node <> 0 ORDER BY node"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)      AS sum_qty,
@@ -4046,6 +4082,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.deg >= 2
             ORDER BY d.node
         """,
+        "q187_widest_path": _widest_oracle_sql(max_hops=4),
+        "q186_lorenz_deciles": """
+            -- lorenz twin: rank customers by (total cents, custkey),
+            -- rank0*10//n deciles, ppm revenue share
+            WITH pcst AS (
+              SELECT o_custkey AS k,
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS c
+              FROM orders GROUP BY 1),
+            r AS (SELECT c,
+                         ROW_NUMBER() OVER (ORDER BY c, k) - 1 AS rn
+                  FROM pcst),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(c) AS BIGINT) AS tot FROM pcst)
+            SELECT CAST((rn * 10) // t.n AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(c) AS BIGINT) AS cents,
+                   CAST((1000000 * SUM(c)) // t.tot AS BIGINT)
+                     AS share_ppm
+            FROM r CROSS JOIN t GROUP BY 1, t.n, t.tot ORDER BY 1
+        """,
+        "q185_group_split_audit": """
+            -- group-split twin: split is a pure hash of SOURCE (no doc
+            -- straddles splits); md5_number_upper == stable_u64
+            WITH s AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     md5_number_upper('gsplit' || chr(0) || source)
+                       % 1000 AS h
+              FROM documents GROUP BY 1),
+            b AS (
+              SELECT CASE WHEN h < 800 THEN 'train'
+                          WHEN h < 900 THEN 'valid'
+                          ELSE 'test' END AS split, n_docs
+              FROM s)
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(n_docs) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
         "q184_k_anonymity": """
             -- k-anonymity twin: QI classes (lang, source, 1000-char
             -- band), classes/rows below k=5
@@ -5472,3 +5546,17 @@ def oracle_sql() -> dict[str, str]:
             FROM em GROUP BY wday ORDER BY wday
         """,
     }
+    # recall@k twin COMPOSES the q19 (IVF pruned probe) and q12 (exact
+    # brute force) oracles verbatim — the eval metric must measure the
+    # same two rankings the engines produce
+    d["q188_recall_at_k"] = f"""
+        WITH ivf AS ({d['q19_ivf_topk']}),
+        brute AS ({d['q12_ann_topk']}),
+        hit AS (SELECT vec_id FROM ivf INTERSECT
+                SELECT vec_id FROM brute)
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               CAST((1000000 * COUNT(*)) // 10 AS BIGINT) AS recall_ppm
+        FROM hit
+    """
+    return d

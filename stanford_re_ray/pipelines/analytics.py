@@ -5971,3 +5971,190 @@ def q184_k_anonymity(sf_dir: str, k: int = 5) -> pa.Table:
                                  pa.int64()),
         "n_rows": pa.array([sum(r["n_rows"] for r in parts)],
                            pa.int64())})
+
+
+def q185_group_split_audit(sf_dir: str) -> pa.Table:
+    """Group-aware split (GroupKFold semantics): the split is a pure
+    hash of the doc's SOURCE, so an entity's documents can never
+    straddle train/valid/test — the leakage a row-level split (q177)
+    permits.  Output: per split, document count plus the number of
+    whole sources it holds; the audit invariant (each source in exactly
+    one split) is checked by n_sources summing to the distinct-source
+    count.  Per-batch combiner over (split, source) partials; the
+    reduce key space is |sources|."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.hashing import stable_u64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        h = np.fromiter((stable_u64(f"gsplit\x00{s}") % 1000
+                         for s in src), dtype=np.int64, count=len(src))
+        split = np.where(h < 800, "train",
+                         np.where(h < 900, "valid", "test"))
+        df = (pd.DataFrame({"split": split, "source": src, "n_docs": 1})
+              .groupby(["split", "source"], as_index=False).sum())
+        df["n_docs"] = df["n_docs"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_source = (docs.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["split", "source"])
+                  .aggregate(Sum("n_docs", alias_name="n_docs")))
+    out = (per_source.groupby("split")
+           .aggregate(Count(alias_name="n_sources"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas().sort_values("split").reset_index(drop=True))
+    for c in ("n_sources", "n_docs"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["split", "n_sources", "n_docs"]],
+                                preserve_index=False)
+
+
+def q186_lorenz_deciles(sf_dir: str) -> pa.Table:
+    """Whale-curve / Lorenz deciles: customers ranked by total spend
+    (cents, custkey total order), cut into ten equal-rank bins, each
+    reporting its share of total revenue in ppm — the concentration
+    curve behind q161's Gini scalar.  Per-customer totals via one
+    combiner'd groupby; global ranking of the TOTALS rides the q176
+    two-pass range-bucket prefix scan (per-bucket counts -> driver
+    offsets -> in-bucket ranks), so no per-customer row ever reaches
+    the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..schema import pd_to_arrow
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    per_cust = (orders.map_batches(cents, batch_format="pyarrow")
+                .groupby("k").aggregate(Sum("c", alias_name="c"))
+                .materialize())
+    n_cust = per_cust.count()
+    bounds = per_cust.aggregate(Min("c"), Max("c"))
+    mn = int(bounds["min(c)"])
+    span = max(1, (int(bounds["max(c)"]) - mn) // 64 + 1)
+    bucketed = per_cust.map_batches(
+        lambda b: b.append_column(
+            "__bucket",
+            pc.cast(pc.divide(pc.subtract(b.column("c"), mn), span),
+                    pa.int32())),
+        batch_format="pyarrow").materialize()
+    cnts = {int(r["__bucket"]): int(r["count()"])
+            for r in bucketed.groupby("__bucket").count().take_all()}
+    off, acc = {}, 0
+    for b in sorted(cnts):
+        off[b] = acc
+        acc += cnts[b]
+
+    def resolve(g: pd.DataFrame, _off=off, _n=n_cust) -> pa.Table:
+        if not len(g):
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        base = _off[int(g["__bucket_val"].iloc[0])]
+        g = g.sort_values(["c", "k"], kind="mergesort")
+        rank0 = base + np.arange(len(g), dtype=np.int64)
+        df = pd.DataFrame({"decile": rank0 * 10 // _n,
+                           "c": g["c"].to_numpy(np.int64)})
+        agg = df.groupby("decile", as_index=False).agg(
+            n_customers=("c", "size"), cents=("c", "sum"))
+        for col in agg.columns:
+            agg[col] = agg[col].astype("int64")
+        return pd_to_arrow(agg)
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (bucketed.map_batches(
+        lambda b: b.append_column(
+            "__bucket_val", pc.cast(b.column("__bucket"), pa.int64())),
+        batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: resolve(g.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .groupby("decile")
+        .aggregate(_Sum("n_customers", alias_name="n_customers"),
+                   _Sum("cents", alias_name="cents"))
+        .to_pandas().sort_values("decile").reset_index(drop=True))
+    total = int(agg["cents"].sum())
+    out = pd.DataFrame({
+        "decile": agg["decile"].astype("int64"),
+        "n_customers": agg["n_customers"].astype("int64"),
+        "cents": agg["cents"].astype("int64"),
+        "share_ppm": (1_000_000 * agg["cents"].astype("int64")
+                      // total).astype("int64")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q187_widest_path(sf_dir: str, max_hops: int = 4) -> pa.Table:
+    """Widest (maximum-bottleneck) paths from node 0 over q116's
+    weighted event graph — the routing/percolation primitive.  Runs the
+    SAME distributed relaxation loop as shortest paths with the
+    semiring swapped (``sssp_weighted(combine='max')`` on NEGATED
+    weights, min-max instead of min-plus); round r is exact over paths
+    of <= r edges, so the oracle unrolls to the same depth."""
+    from ..pipelines.graph_ops import sssp_weighted
+
+    BIG = 1 << 60
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({"src": pa.array(src[ok], pa.int64()),
+                         "dst": pa.array(dst[ok], pa.int64())})
+
+    edge_ds = (ds.map_batches(edges, batch_format="pyarrow")
+               .groupby(["src", "dst"]).count()
+               .map_batches(lambda b: pa.table({
+                   "src": b.column("src"),
+                   "dst": b.column("dst"),
+                   "w": pa.array(
+                       -(1 + (b.column("src").to_numpy() * 31
+                              + b.column("dst").to_numpy() * 17) % 9),
+                       pa.int64()),
+               }), batch_format="pyarrow"))
+    res = sssp_weighted(edge_ds, source=0, max_hops=max_hops,
+                        est_rows=n_events // 7, combine="max",
+                        source_cost=-BIG)
+    out = (res.to_pandas())
+    out = out[out["node"] != 0].copy()
+    out["width"] = (-out["cost"]).astype("int64")
+    out["node"] = out["node"].astype("int64")
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["node", "width"]],
+                                preserve_index=False)
+
+
+def q188_recall_at_k(sf_dir: str, k: int = 10) -> pa.Table:
+    """ANN quality eval: recall@10 of the pruned IVF probe (q19's
+    configuration) against exact brute-force cosine (q12) for the
+    vec_id-0 query — the measurement that decides n_probe at corpus
+    scale.  Both rankings come from the library operators themselves;
+    only two k-row id lists reach the driver.  Oracle composes the q19
+    and q12 SQL twins verbatim and intersects."""
+    from ..functions.similarity import brute_force_topk, ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = _query_vector(sf_dir)
+    brute = set(brute_force_topk(emb, qv, k=k).column("vec_id")
+                .to_pylist())
+    ivf = set(ivf_topk(emb, qv, k=k).column("vec_id").to_pylist())
+    n = len(brute & ivf)
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "n_overlap": pa.array([n], pa.int64()),
+                     "recall_ppm": pa.array([(1_000_000 * n) // k],
+                                            pa.int64())})

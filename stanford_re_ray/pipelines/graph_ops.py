@@ -1077,6 +1077,8 @@ def sssp_weighted(
     max_hops: int = 6,
     est_rows: int | None = None,
     broadcast_limit: int = 5_000_000,
+    combine: str = "plus",
+    source_cost: int = 0,
 ) -> ray.data.Dataset:
     """Hop-bounded single-source shortest paths over a DIRECTED weighted
     edge list ``(src, dst, w)`` — round-synchronous Bellman-Ford with
@@ -1085,6 +1087,13 @@ def sssp_weighted(
     minimum path cost using ≤ R edges (so an oracle unrolled to the
     same R agrees whether or not the relaxation has converged —
     ``bfs_distances``' contract, generalized to weights).
+
+    ``combine`` picks the relaxation semiring: ``"plus"`` (default) is
+    min-plus shortest path; ``"max"`` is min-max — pass NEGATED weights
+    and ``source_cost=-BIG`` and the result is the negated WIDEST
+    (maximum-bottleneck) path, the routing/percolation primitive.  Both
+    share every other line: the MIN groupby, the improvement filter,
+    and the frontier bookkeeping are semiring-generic.
 
     Distributed shape (mirrors ``bfs_distances``): edges materialize
     ONCE; each round relaxes out-edges of the previous round's improved
@@ -1105,9 +1114,13 @@ def sssp_weighted(
     n_blocks = max(4, (est_rows or 0) // 250_000 + 1)
     edges = edges.repartition(n_blocks).materialize()
 
+    if combine not in ("plus", "max"):
+        raise ValueError("combine must be 'plus' (min-plus shortest "
+                         "path) or 'max' (min-max: widest path on "
+                         "negated weights)")
     visited = ray.data.from_arrow(pa.table({
         "node": pa.array([source], pa.int64()),
-        "cost": pa.array([0], pa.int64()),
+        "cost": pa.array([source_cost], pa.int64()),
     })).materialize()
     frontier = visited
 
@@ -1128,10 +1141,11 @@ def sssp_weighted(
                 idx = np.searchsorted(fnodes, s)
                 idx = np.minimum(idx, len(fnodes) - 1)
                 hit = fnodes[idx] == s
+                cc = (np.maximum(fcosts[idx[hit]], w[hit])
+                      if combine == "max" else fcosts[idx[hit]] + w[hit])
                 return pa.table({
                     "node": pa.array(d[hit], pa.int64()),
-                    "cost": pa.array(fcosts[idx[hit]] + w[hit],
-                                     pa.int64()),
+                    "cost": pa.array(cc, pa.int64()),
                 })
 
             cand = edges.map_batches(relax, batch_format="pyarrow")
@@ -1148,9 +1162,12 @@ def sssp_weighted(
                     # int64 restores the dtype or errors loudly
                     "node": pc.cast(t.column("dst"), pa.int64(),
                                     safe=True),
-                    "cost": pc.cast(pc.add(t.column("fcost"),
-                                           t.column("w")),
-                                    pa.int64(), safe=True),
+                    "cost": pc.cast(
+                        pc.max_element_wise(t.column("fcost"),
+                                            t.column("w"))
+                        if combine == "max"
+                        else pc.add(t.column("fcost"), t.column("w")),
+                        pa.int64(), safe=True),
                 }), batch_format="pyarrow")
 
         cand = cand.groupby("node").aggregate(

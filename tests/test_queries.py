@@ -148,7 +148,8 @@ SQL_CHECKED = [
     "q176_calibration_deciles", "q177_split_assignment",
     "q178_er_clusters", "q179_zorder_layout", "q180_scc",
     "q181_merge_upsert", "q182_ks_drift", "q183_ohlc_bars",
-    "q184_k_anonymity",
+    "q184_k_anonymity", "q185_group_split_audit",
+    "q186_lorenz_deciles", "q187_widest_path", "q188_recall_at_k",
 ]
 
 
