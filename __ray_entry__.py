@@ -1071,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_lorenz_deciles": A.q186_lorenz_deciles,
         "q187_widest_path": A.q187_widest_path,
         "q188_recall_at_k": A.q188_recall_at_k,
+        "q189_mixture_allocation": A.q189_mixture_allocation,
+        "q190_curation_attrition": A.q190_curation_attrition,
     }
 
 
@@ -5549,6 +5551,38 @@ def oracle_sql() -> dict[str, str]:
     # recall@k twin COMPOSES the q19 (IVF pruned probe) and q12 (exact
     # brute force) oracles verbatim — the eval metric must measure the
     # same two rankings the engines produce
+    d["q189_mixture_allocation"] = """
+        -- largest-remainder (Hamilton) apportionment of a 100k-sample
+        -- epoch budget over source doc counts; (remainder DESC, source
+        -- ASC) tie-break, allocations sum exactly to the budget
+        WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cnt),
+        b AS (SELECT source, n, (n * 100000) // t.tot AS base,
+                     (n * 100000) % t.tot AS rem
+              FROM cnt CROSS JOIN t),
+        lo AS (SELECT CAST(100000 - SUM(base) AS BIGINT) AS l FROM b),
+        r AS (SELECT source, n, base,
+                     ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+                       AS rk
+              FROM b)
+        SELECT source, n AS n_docs,
+               CAST(base + CASE WHEN rk <= lo.l THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_alloc
+        FROM r CROSS JOIN lo ORDER BY source
+    """
+    # attrition twin REUSES the q54 CTE chain verbatim (everything up to
+    # its stratum-count tail) and reads off per-stage cardinalities —
+    # the funnel must count the same survivor sets q54 value-checks
+    d["q190_curation_attrition"] = (
+        d["q54_curation"].split("cnt AS")[0].rstrip().rstrip(",")
+        + """
+        SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                 AS n_raw,
+               CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_quality,
+               CAST((SELECT COUNT(*) FROM ded) AS BIGINT) AS n_dedup,
+               CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_clean
+    """)
     d["q188_recall_at_k"] = f"""
         WITH ivf AS ({d['q19_ivf_topk']}),
         brute AS ({d['q12_ann_topk']}),

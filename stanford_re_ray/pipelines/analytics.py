@@ -6158,3 +6158,82 @@ def q188_recall_at_k(sf_dir: str, k: int = 10) -> pa.Table:
                      "n_overlap": pa.array([n], pa.int64()),
                      "recall_ppm": pa.array([(1_000_000 * n) // k],
                                             pa.int64())})
+
+
+def q189_mixture_allocation(sf_dir: str, total: int = 100_000) -> pa.Table:
+    """Training-mixture planner: allocate a ``total``-sample epoch
+    budget across crawl sources proportionally to their document counts
+    with LARGEST-REMAINDER rounding (Hamilton's method) — allocations
+    are exact integers that sum to the budget, ties broken (remainder
+    DESC, source ASC) so the plan is deterministic.  Source counts come
+    from one combiner'd groupby; the apportionment itself is
+    |sources|-row driver arithmetic, as any planner's should be."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["source"])
+    cnt = (docs.groupby("source").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values("source").reset_index(drop=True))
+    n_total = int(cnt["n"].sum())
+    quota_num = cnt["n"].astype("int64") * total           # / n_total
+    base = (quota_num // n_total).astype("int64")
+    rem = (quota_num % n_total).astype("int64")
+    leftover = total - int(base.sum())
+    order = (pd.DataFrame({"rem": rem, "source": cnt["source"]})
+             .sort_values(["rem", "source"], ascending=[False, True],
+                          kind="mergesort").index.to_numpy())
+    alloc = base.to_numpy().copy()
+    alloc[order[:leftover]] += 1
+    out = pd.DataFrame({"source": cnt["source"],
+                        "n_docs": cnt["n"].astype("int64"),
+                        "n_alloc": pd.Series(alloc, dtype="int64")})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q190_curation_attrition(sf_dir: str) -> pa.Table:
+    """Curation funnel report: how many documents each stage of the q54
+    chain drops — raw → Gopher/C4 quality → exact dedup → benchmark
+    decontamination (eval rows + contaminated docs) — the attrition
+    dashboard every data-curation run publishes.  Reuses the SAME
+    oracled operators (q28/q09/q43 shapes); only per-stage COUNTS reach
+    the driver."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.mixing import decontaminate
+    from ..functions.textstats import gopher_quality_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_raw = _row_count(sf_dir, "documents")
+
+    def quality_keep(batch: pa.Table) -> pa.Table:
+        sig = gopher_quality_batch(batch)
+        return batch.filter(sig.column("keep"))
+
+    q = docs.map_batches(quality_keep,
+                         batch_format="pyarrow").materialize()
+    n_quality = q.count()
+    from ..functions.relational import semi_anti_filter
+
+    winners = exact_dedup(q, col="text").materialize()
+    n_dedup = winners.count()
+    # winners carry ids only — rejoin the surviving full rows (the
+    # curate_corpus shape; broadcast set below its documented limit)
+    kept = semi_anti_filter(q, set(winners.unique("doc_id")), "doc_id",
+                            keep_matching=True).materialize()
+    dirty = decontaminate(kept, n=4, eval_mod=97)
+    dirty_ids = set(dirty.unique("doc_id"))
+
+    def clean_count(batch: pa.Table,
+                    _ref=ray.put(dirty_ids)) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        bad = fetch(_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = sum(1 for i in ids if (i % 97 != 0) and (int(i) not in bad))
+        return pa.table({"n": pa.array([ok], pa.int64())})
+
+    n_clean = sum(r["n"] for r in kept.map_batches(
+        clean_count, batch_format="pyarrow").take_all())
+    return pa.table({
+        "n_raw": pa.array([n_raw], pa.int64()),
+        "n_quality": pa.array([int(n_quality)], pa.int64()),
+        "n_dedup": pa.array([int(n_dedup)], pa.int64()),
+        "n_clean": pa.array([int(n_clean)], pa.int64())})

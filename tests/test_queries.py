@@ -150,6 +150,7 @@ SQL_CHECKED = [
     "q181_merge_upsert", "q182_ks_drift", "q183_ohlc_bars",
     "q184_k_anonymity", "q185_group_split_audit",
     "q186_lorenz_deciles", "q187_widest_path", "q188_recall_at_k",
+    "q189_mixture_allocation", "q190_curation_attrition",
 ]
 
 
