@@ -1073,6 +1073,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q188_recall_at_k": A.q188_recall_at_k,
         "q189_mixture_allocation": A.q189_mixture_allocation,
         "q190_curation_attrition": A.q190_curation_attrition,
+        "q191_hierarchical_shares": A.q191_hierarchical_shares,
+        "q192_sequence_compressibility": A.q192_sequence_compressibility,
     }
 
 
@@ -5551,6 +5553,50 @@ def oracle_sql() -> dict[str, str]:
     # recall@k twin COMPOSES the q19 (IVF pruned probe) and q12 (exact
     # brute force) oracles verbatim — the eval metric must measure the
     # same two rankings the engines produce
+    d["q191_hierarchical_shares"] = """
+        -- percent-of-parent twin: nation ppm of region, region ppm of
+        -- total, exact integer floors over cent sums
+        WITH a AS (
+          SELECT r.r_name, n.n_name,
+                 CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY 1, 2),
+        w AS (
+          SELECT r_name, n_name, cents,
+                 CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+                   AS rt,
+                 CAST(SUM(cents) OVER () AS BIGINT) AS tot
+          FROM a)
+        SELECT r_name, n_name, cents,
+               CAST((1000000 * cents) // rt AS BIGINT)
+                 AS share_of_region_ppm,
+               CAST((1000000 * rt) // tot AS BIGINT)
+                 AS region_share_ppm
+        FROM w ORDER BY r_name, n_name
+    """
+    d["q192_sequence_compressibility"] = """
+        -- run-length twin: runs = LAG-compare over each user's
+        -- (ts, event_id)-ordered timeline
+        WITH e AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN prev IS NULL
+                             OR prev <> event_type THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_runs,
+               CAST((1000000 * SUM(CASE WHEN prev IS NULL
+                                        OR prev <> event_type
+                                        THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS compress_ppm
+        FROM e
+    """
     d["q189_mixture_allocation"] = """
         -- largest-remainder (Hamilton) apportionment of a 100k-sample
         -- epoch budget over source doc counts; (remainder DESC, source

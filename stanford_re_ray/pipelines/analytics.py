@@ -6237,3 +6237,108 @@ def q190_curation_attrition(sf_dir: str) -> pa.Table:
         "n_quality": pa.array([int(n_quality)], pa.int64()),
         "n_dedup": pa.array([int(n_dedup)], pa.int64()),
         "n_clean": pa.array([int(n_clean)], pa.int64())})
+
+
+def q191_hierarchical_shares(sf_dir: str) -> pa.Table:
+    """Hierarchical percent-of-parent rollup: every nation's revenue as
+    ppm of its REGION and every region's ppm of the corpus total, in
+    one result — the drill-down invariant (children sum to ~1e6 of
+    their parent) BI layers check.  Two broadcast dimension hops
+    (nation+region are bounded dimensions by definition), one
+    combiner'd groupby, ratios as exact big-int floors at the 25-row
+    driver result."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.relational import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey",
+                      right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey",
+                  right_on="r_regionkey")
+           [["c_custkey", "n_name", "r_name"]]
+           .rename(columns={"c_custkey": "o_custkey"}))
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "r_name": batch.column("r_name"),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))})
+
+    agg = (broadcast_join(orders, dim, on="o_custkey")
+           .map_batches(cents, batch_format="pyarrow")
+           .groupby(["r_name", "n_name"])
+           .aggregate(Sum("c", alias_name="cents"))
+           .to_pandas())
+    agg["cents"] = agg["cents"].astype("int64")
+    reg_tot = agg.groupby("r_name")["cents"].transform("sum")
+    total = int(agg["cents"].sum())
+    out = pd.DataFrame({
+        "r_name": agg["r_name"], "n_name": agg["n_name"],
+        "cents": agg["cents"],
+        "share_of_region_ppm": pd.Series(
+            [int(1_000_000 * c) // int(t)
+             for c, t in zip(agg["cents"], reg_tot)], dtype="int64"),
+        "region_share_ppm": pd.Series(
+            [int(1_000_000 * t) // total for t in reg_tot],
+            dtype="int64"),
+    }).sort_values(["r_name", "n_name"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q192_sequence_compressibility(sf_dir: str) -> pa.Table:
+    """Per-user event-type run-length compressibility: how many RUNS
+    (maximal same-type stretches in (ts, event_id) order) each user's
+    timeline compresses to, aggregated corpus-wide — the repetitiveness
+    audit behind session/bot heuristics and RLE layout decisions.  One
+    hash(user) bucket shuffle; runs are one vectorized shift-compare
+    per bucket."""
+    from ..schema import pd_to_arrow
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "event_type": batch.column("event_type"),
+            "__bucket": pa.array((uid % 64).astype(np.int32))})
+
+    def runs(g: pd.DataFrame):
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_run = new_user | np.r_[True, et[1:] != et[:-1]]
+        df = pd.DataFrame({
+            "n_users": [int(new_user.sum())],
+            "n_events": [len(g)],
+            "n_runs": [int(new_run.sum())]})
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return pd_to_arrow(df)
+
+    parts = (ev.map_batches(prep, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(lambda g: runs(g.drop(columns="__bucket")),
+                         batch_format="pandas").take_all())
+    n_users = sum(r["n_users"] for r in parts)
+    n_events = sum(r["n_events"] for r in parts)
+    n_runs = sum(r["n_runs"] for r in parts)
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "n_events": pa.array([n_events], pa.int64()),
+        "n_runs": pa.array([n_runs], pa.int64()),
+        "compress_ppm": pa.array([(1_000_000 * n_runs) // n_events],
+                                 pa.int64())})

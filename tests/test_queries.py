@@ -151,6 +151,7 @@ SQL_CHECKED = [
     "q184_k_anonymity", "q185_group_split_audit",
     "q186_lorenz_deciles", "q187_widest_path", "q188_recall_at_k",
     "q189_mixture_allocation", "q190_curation_attrition",
+    "q191_hierarchical_shares", "q192_sequence_compressibility",
 ]
 
 
