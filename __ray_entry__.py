@@ -1075,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q190_curation_attrition": A.q190_curation_attrition,
         "q191_hierarchical_shares": A.q191_hierarchical_shares,
         "q192_sequence_compressibility": A.q192_sequence_compressibility,
+        "q193_msf": A.q193_msf,
     }
 
 

@@ -6342,3 +6342,52 @@ def q192_sequence_compressibility(sf_dir: str) -> pa.Table:
         "n_runs": pa.array([n_runs], pa.int64()),
         "compress_ppm": pa.array([(1_000_000 * n_runs) // n_events],
                                  pa.int64())})
+
+
+def q193_msf(sf_dir: str) -> pa.Table:
+    """Minimum spanning forest (``graph_ops.msf_boruvka`` — log-round
+    distributed Borůvka, unique forest under the (w, a, b) total order)
+    over q116's weighted event graph made undirected.  Output: forest
+    edge count, total weight, and component count (nodes − edges).
+    Rows-only by nature (Kruskal is not SQL-expressible); the operator
+    itself is hypothesis-pinned against serial Kruskal."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.graph_ops import msf_boruvka
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({
+            "src": pa.array(src[ok], pa.int64()),
+            "dst": pa.array(dst[ok], pa.int64()),
+            "w": pa.array(1 + (src[ok] * 31 + dst[ok] * 17) % 9,
+                          pa.int64())})
+
+    forest = msf_boruvka(ds.map_batches(edges, batch_format="pyarrow"),
+                         est_rows=n_events // 7)
+    agg = forest.aggregate(Count(), Sum("w"))
+    n_edges = int(agg["count()"] or 0)
+    total_w = int(agg["sum(w)"] or 0)
+    # distinct nodes incident to any edge (singletons never join a tree)
+    n_graph_nodes = (ds.map_batches(edges, batch_format="pyarrow")
+                     .map_batches(lambda t: pa.table({
+                         "node": pa.concat_arrays([
+                             t.column("src").combine_chunks(),
+                             t.column("dst").combine_chunks()])}),
+                         batch_format="pyarrow")
+                     .unique("node"))
+    n_comp = len(n_graph_nodes) - n_edges
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "total_w": pa.array([total_w], pa.int64()),
+        "n_components": pa.array([n_comp], pa.int64())})

@@ -2134,3 +2134,175 @@ def scc(
     for r in results[1:]:
         out = out.union(r)
     return _mat(out, out.count())
+
+
+def msf_boruvka(
+    edges: ray.data.Dataset,
+    est_rows: int | None = None,
+    max_rounds: int = 32,
+) -> ray.data.Dataset:
+    """Minimum spanning forest by distributed Borůvka — the classic
+    log-round parallel MST: every component picks its minimum incident
+    cross edge under the GLOBAL total order ``(w, a, b)`` (ties thereby
+    globally distinct, so the forest is unique and deterministic at any
+    parallelism), chosen edges merge components, repeat until no cross
+    edge remains.  Returns the forest's ``(a, b, w)`` edges.
+
+    Distributed shape per round: two hash_joins color the edge list
+    with endpoint components; candidate (component, edge) rows reduce
+    to one winner per component in a hash-BUCKET map_groups (per-key
+    groups would pay pandas overhead per component — CLAUDE.md rule);
+    winners dedupe by (a, b); the chosen pairs' component graph — a
+    pseudoforest, possibly chain-shaped — collapses via
+    ``dedup.connected_components`` (min-label, 64 rounds), and one left
+    join relabels every node.  O(log n) outer rounds; every iterative
+    dataset re-materializes at a size-derived block count.
+
+    Undirected semantics: edges normalize to (min, max) endpoints and
+    thin map-side to the per-batch min weight per pair; self-loops
+    drop.  Weights must be int64."""
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from ..functions.dedup import connected_components
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    def _blocks(n: int) -> int:
+        return max(4, n // 250_000 + 1)
+
+    def _mat(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
+        return ds.repartition(_blocks(max(n, 1))).materialize()
+
+    def _ingest(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("src"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.cast(batch.column("dst"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(batch.column("w"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        df = (pd.DataFrame({"a": a[keep], "b": b[keep], "w": w[keep]})
+              .groupby(["a", "b"], as_index=False).min())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+    if edges.schema() is None:
+        return ray.data.from_arrow(empty)
+    e = _mat(edges.map_batches(_ingest, batch_format="pyarrow"),
+             est_rows or 0)
+
+    nodes = (e.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(),
+            t.column("b").combine_chunks()])}),
+        batch_format="pyarrow")
+        .groupby("node").aggregate(Min("node", alias_name="__m"))
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow"))
+    n_nodes = nodes.count()
+    labels = _mat(nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "comp": t.column("node")}),
+        batch_format="pyarrow"), n_nodes)
+
+    forest: list[ray.data.Dataset] = []
+    for _ in range(max_rounds):
+        la = labels.map_batches(
+            lambda t: pa.table({"a": t.column("node"),
+                                "ca": t.column("comp")}),
+            batch_format="pyarrow")
+        lb = labels.map_batches(
+            lambda t: pa.table({"b": t.column("node"),
+                                "cb": t.column("comp")}),
+            batch_format="pyarrow")
+        ce = hash_join(hash_join(e, la, on="a", how="inner",
+                                 est_rows=max(n_nodes, 1)),
+                       lb, on="b", how="inner",
+                       est_rows=max(n_nodes, 1)).map_batches(
+            lambda t: pa.table({
+                "a": pc.cast(t.column("a"), pa.int64(), safe=True),
+                "b": pc.cast(t.column("b"), pa.int64(), safe=True),
+                "w": pc.cast(t.column("w"), pa.int64(), safe=True),
+                "ca": pc.cast(t.column("ca"), pa.int64(), safe=True),
+                "cb": pc.cast(t.column("cb"), pa.int64(), safe=True),
+            }).filter(pc.not_equal(
+                pc.cast(t.column("ca"), pa.int64(), safe=True),
+                pc.cast(t.column("cb"), pa.int64(), safe=True))),
+            batch_format="pyarrow")
+        ce = _mat(ce, n_nodes)
+        if ce.count() == 0:
+            break
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            cols = {c: pa.concat_arrays([
+                t.column(c).combine_chunks(),
+                t.column(c).combine_chunks()]) for c in
+                ("a", "b", "w", "ca", "cb")}
+            comp = pa.concat_arrays([t.column("ca").combine_chunks(),
+                                     t.column("cb").combine_chunks()])
+            cols["comp"] = comp
+            out = pa.table(cols)
+            return out.append_column(
+                "__bucket",
+                pa.array((out.column("comp").to_numpy(
+                    zero_copy_only=False) % 64).astype(np.int32)))
+
+        def min_per_comp(g: pd.DataFrame):
+            g = (g.sort_values(["comp", "w", "a", "b"],
+                               kind="mergesort")
+                 .drop_duplicates("comp", keep="first"))
+            return pd_to_arrow(g[["a", "b", "w", "ca", "cb"]]
+                               .reset_index(drop=True))
+
+        chosen = (ce.map_batches(both_dirs, batch_format="pyarrow")
+                  .groupby("__bucket")
+                  .map_groups(lambda g: min_per_comp(
+                      g.drop(columns="__bucket")),
+                      batch_format="pandas")
+                  .groupby(["a", "b", "w"])
+                  .aggregate(Min("ca", alias_name="ca"),
+                             Min("cb", alias_name="cb")))
+        chosen = _mat(chosen, n_nodes)
+        forest.append(chosen.map_batches(
+            lambda t: t.select(["a", "b", "w"]),
+            batch_format="pyarrow").materialize())
+
+        # NOTE Min(ca)/Min(cb) above only dedupes identical rows — an
+        # edge chosen by both endpoint comps carries the same (ca, cb)
+        cc = connected_components(
+            chosen.map_batches(lambda t: t.select(["ca", "cb"]),
+                               batch_format="pyarrow"),
+            "ca", "cb", max_rounds=64)
+        relab = cc.map_batches(
+            lambda t: pa.table({"comp": t.column("doc_id"),
+                                "newc": t.column("component")}),
+            batch_format="pyarrow")
+        labels = hash_join(labels, relab, on="comp", how="left",
+                           est_rows=max(n_nodes, 1)).map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t.column("node"), pa.int64(),
+                                safe=True),
+                "comp": pc.cast(pc.coalesce(t.column("newc"),
+                                            t.column("comp")),
+                                pa.int64(), safe=True)}),
+            batch_format="pyarrow")
+        labels = _mat(labels, n_nodes)
+    else:
+        warnings.warn("msf_boruvka: max_rounds exhausted with cross "
+                      "edges remaining; forest may be incomplete",
+                      RuntimeWarning)
+
+    if not forest:
+        return ray.data.from_arrow(empty)
+    out = forest[0]
+    for f in forest[1:]:
+        out = out.union(f)
+    return _mat(out, out.count())

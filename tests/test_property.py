@@ -884,3 +884,63 @@ def test_hash_join_bloom_prune_string_keys(ray_session):
                     .reset_index(drop=True))
     assert outs[0].equals(outs[1])
     assert len(outs[0]) > 0
+
+
+# --- Borůvka MSF: exact match vs serial Kruskal --------------------------------
+
+def _kruskal(edges):
+    """Serial Kruskal under the (w, a, b) total order; returns the
+    unique forest edge set, its total weight and edge count."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, chosen = 0, set()
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+            chosen.add((a, b, w))
+    return total, chosen
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=18),
+                          st.integers(min_value=0, max_value=18),
+                          st.integers(min_value=1, max_value=9)),
+                min_size=1, max_size=45))
+def test_msf_boruvka_matches_kruskal(ray_session, raw_edges):
+    """graph_ops.msf_boruvka returns EXACTLY the forest Kruskal picks
+    under the same (w, a, b) total order — edge set, weight and count —
+    independent of block layout (the tie-break makes the forest
+    unique)."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import msf_boruvka
+
+    norm = {}
+    for s, t, w in raw_edges:
+        if s == t:
+            continue
+        a, b = min(s, t), max(s, t)
+        norm[(a, b)] = min(norm.get((a, b), 1 << 30), w)
+    if not norm:
+        return
+    edges = [(a, b, w) for (a, b), w in norm.items()]
+    ref_total, ref_set = _kruskal(edges)
+    tbl = pa.table({
+        "src": pa.array([e[0] for e in raw_edges], pa.int64()),
+        "dst": pa.array([e[1] for e in raw_edges], pa.int64()),
+        "w": pa.array([e[2] for e in raw_edges], pa.int64()),
+    })
+    for blocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        rows = msf_boruvka(ds, est_rows=len(raw_edges)).take_all()
+        got = {(r["a"], r["b"], r["w"]) for r in rows}
+        assert got == ref_set
+        assert sum(r["w"] for r in rows) == ref_total
