@@ -1076,6 +1076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_hierarchical_shares": A.q191_hierarchical_shares,
         "q192_sequence_compressibility": A.q192_sequence_compressibility,
         "q193_msf": A.q193_msf,
+        "q194_time_travel": A.q194_time_travel,
+        "q195_fd_violations": A.q195_fd_violations,
     }
 
 
@@ -5598,6 +5600,22 @@ def oracle_sql() -> dict[str, str]:
                     // COUNT(*) AS BIGINT) AS compress_ppm
         FROM e
     """
+    d["q195_fd_violations"] = """
+        -- FD-audit twin: source -> lang; violating LHS groups and the
+        -- rows they hold
+        WITH per AS (
+          SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT)
+                   AS n_langs,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM documents GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_violating_lhs,
+               CAST(COALESCE(SUM(CASE WHEN n_langs > 1 THEN n_rows
+                                      ELSE 0 END), 0) AS BIGINT)
+                 AS n_rows_in_violating
+        FROM per
+    """
     d["q189_mixture_allocation"] = """
         -- largest-remainder (Hamilton) apportionment of a 100k-sample
         -- epoch budget over source doc counts; (remainder DESC, source
@@ -5630,6 +5648,16 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT COUNT(*) FROM ded) AS BIGINT) AS n_dedup,
                CAST((SELECT COUNT(*) FROM clean) AS BIGINT) AS n_clean
     """)
+    # time-travel twin COMPOSES the q157 SCD2 oracle verbatim: the AS-OF
+    # read must filter exactly the intervals that query value-checks
+    d["q194_time_travel"] = f"""
+        WITH ivl AS ({d['q157_scd2_intervals']})
+        SELECT state, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ivl
+        WHERE valid_from <= 1705276800000000
+          AND valid_to > 1705276800000000
+        GROUP BY 1 ORDER BY 1
+    """
     d["q188_recall_at_k"] = f"""
         WITH ivf AS ({d['q19_ivf_topk']}),
         brute AS ({d['q12_ann_topk']}),

@@ -6391,3 +6391,65 @@ def q193_msf(sf_dir: str) -> pa.Table:
         "n_edges": pa.array([n_edges], pa.int64()),
         "total_w": pa.array([total_w], pa.int64()),
         "n_components": pa.array([n_comp], pa.int64())})
+
+
+def q194_time_travel(sf_dir: str,
+                     as_of_us: int = 1_705_276_800_000_000) -> pa.Table:
+    """Time travel (AS OF 2024-01-15T00:00:00Z): reconstruct every
+    user's state at a past instant from the SCD2 validity intervals
+    (q157's operator) and report the state census — the lakehouse
+    point-in-time read.  Interval build is one hash(user) shuffle;
+    the AS-OF filter and census are a stateless map + tiny groupby."""
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import scd2_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "state": batch.column("event_type"),
+        })
+
+    ivl = scd2_intervals(ds.map_batches(prep, batch_format="pyarrow"),
+                         key_col="user_id", ts_col="us",
+                         state_col="state", tiebreak_col="event_id")
+    asof = ivl.map_batches(
+        lambda t, _a=as_of_us: t.filter(pc.and_(
+            pc.less_equal(t.column("valid_from"), _a),
+            pc.greater(t.column("valid_to"), _a))),
+        batch_format="pyarrow")
+    out = (asof.groupby("state").aggregate(Count(alias_name="n_users"))
+           .to_pandas().sort_values("state").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype("int64")
+    return pa.Table.from_pandas(out[["state", "n_users"]],
+                                preserve_index=False)
+
+
+def q195_fd_violations(sf_dir: str) -> pa.Table:
+    """Functional-dependency audit for the candidate FD
+    ``source → lang`` over documents: how many LHS groups violate it
+    (more than one distinct lang) and how many rows sit in violating
+    groups — the schema-inference / data-contract check.  One
+    combiner'd (source, lang) groupby; the verdict folds over
+    |sources| rows."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    per = (docs.groupby(["source", "lang"])
+           .aggregate(Count(alias_name="n"))
+           .groupby("source")
+           .aggregate(Count(alias_name="n_langs"),
+                      Sum("n", alias_name="n_rows"))
+           .to_pandas())
+    viol = per["n_langs"].astype("int64") > 1
+    return pa.table({
+        "n_lhs": pa.array([len(per)], pa.int64()),
+        "n_violating_lhs": pa.array([int(viol.sum())], pa.int64()),
+        "n_rows_in_violating": pa.array(
+            [int(per.loc[viol, "n_rows"].astype("int64").sum())],
+            pa.int64())})

@@ -152,6 +152,7 @@ SQL_CHECKED = [
     "q186_lorenz_deciles", "q187_widest_path", "q188_recall_at_k",
     "q189_mixture_allocation", "q190_curation_attrition",
     "q191_hierarchical_shares", "q192_sequence_compressibility",
+    "q194_time_travel", "q195_fd_violations",
 ]
 
 
