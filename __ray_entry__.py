@@ -1078,6 +1078,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q193_msf": A.q193_msf,
         "q194_time_travel": A.q194_time_travel,
         "q195_fd_violations": A.q195_fd_violations,
+        "q196_benford_audit": A.q196_benford_audit,
+        "q197_l_diversity": A.q197_l_diversity,
+        "q198_cascade_delete": A.q198_cascade_delete,
+        "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
     }
 
 
@@ -5667,5 +5671,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_overlap,
                CAST((1000000 * COUNT(*)) // 10 AS BIGINT) AS recall_ppm
         FROM hit
+    """
+    d["q196_benford_audit"] = """
+        -- Benford twin: first significant digit of FLOOR(o_totalprice)
+        -- via string slice (engine uses an integer halving loop)
+        WITH dg AS (
+          SELECT CAST(SUBSTR(CAST(GREATEST(
+                   CAST(FLOOR(o_totalprice) AS BIGINT), 1) AS VARCHAR),
+                 1, 1) AS BIGINT) AS digit
+          FROM orders),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM dg GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        SELECT digit, n, CAST((1000000 * n) // t.tot AS BIGINT) AS ppm
+        FROM c CROSS JOIN t ORDER BY digit
+    """
+    d["q197_l_diversity"] = """
+        -- l-diversity twin: QI = (source, 1000-char band), sensitive =
+        -- lang; class/row census per distinct-sensitive-count l
+        WITH cls AS (
+          SELECT source, n_chars // 1000 AS band,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS l,
+                 CAST(COUNT(*) AS BIGINT) AS nr
+          FROM documents GROUP BY 1, 2)
+        SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(nr) AS BIGINT) AS n_rows
+        FROM cls GROUP BY 1 ORDER BY 1
+    """
+    d["q198_cascade_delete"] = """
+        -- cascade twin: erase customers with c_custkey % 10 = 3; the
+        -- selection is defined on the key, so the orders hop filters
+        -- o_custkey directly; lineitem cascades through the order keys
+        SELECT CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_custkey % 10 = 3) AS BIGINT)
+                 AS n_customers_deleted,
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey % 10 = 3) AS BIGINT)
+                 AS n_orders_deleted,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey
+                                     AND o.o_custkey % 10 = 3))
+                    AS BIGINT) AS n_lineitems_deleted
+    """
+    d["q199_embedding_decontaminate"] = """
+        -- embedding decontamination twin: train vectors (vec_id%20<>7)
+        -- within cosine 0.4 of ANY eval vector (vec_id%20=7)
+        SELECT t.vec_id
+        FROM embeddings t
+        WHERE t.vec_id % 20 <> 7 AND EXISTS (
+          SELECT 1 FROM embeddings ev
+          WHERE ev.vec_id % 20 = 7
+            AND list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                       CAST(ev.embedding AS DOUBLE[]))
+                  >= 0.4)
+        ORDER BY t.vec_id
     """
     return d

@@ -6453,3 +6453,157 @@ def q195_fd_violations(sf_dir: str) -> pa.Table:
         "n_rows_in_violating": pa.array(
             [int(per.loc[viol, "n_rows"].astype("int64").sum())],
             pa.int64())})
+
+
+def q196_benford_audit(sf_dir: str) -> pa.Table:
+    """Benford first-significant-digit audit over order totals: the
+    fraud / synthetic-data smell test a curation pipeline runs over any
+    monetary or count column.  Digit extraction is a pure per-batch map
+    (integer halving loop, no float log10 whose boundary rounding could
+    disagree with the oracle's string slice); only 9 count rows shuffle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def first_digit(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy().astype(np.float64)
+        d = np.maximum(np.floor(v).astype(np.int64), 1)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table({"digit": pa.array(d)})
+
+    per = (ds.map_batches(first_digit, batch_format="pyarrow")
+           .groupby("digit").aggregate(Count(alias_name="n")).to_pandas())
+    per["digit"] = per["digit"].astype("int64")
+    per["n"] = per["n"].astype("int64")
+    total = int(per["n"].sum())
+    per["ppm"] = (1_000_000 * per["n"]) // total
+    per = per.sort_values("digit").reset_index(drop=True)
+    return pa.Table.from_pandas(per[["digit", "n", "ppm"]],
+                                preserve_index=False)
+
+
+def q197_l_diversity(sf_dir: str) -> pa.Table:
+    """l-diversity audit (the step past q184's k-anonymity): for each
+    quasi-identifier class (source, 1000-char band), l = number of
+    DISTINCT sensitive values (lang); report the class/row census per l.
+    A class with l = 1 leaks its members' sensitive attribute even when
+    k-anonymous.  Three chained combiner'd groupbys over strictly
+    shrinking key spaces — rows never shuffle, only class partials."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars", "lang"])
+
+    def qi(batch: pa.Table) -> pa.Table:
+        band = pc.cast(pc.divide(batch.column("n_chars"), 1000),
+                       pa.int64())
+        return pa.table({"source": batch.column("source"),
+                         "band": band,
+                         "lang": batch.column("lang")})
+
+    out = (docs.map_batches(qi, batch_format="pyarrow")
+           .groupby(["source", "band", "lang"])
+           .aggregate(Count(alias_name="n"))
+           .groupby(["source", "band"])
+           .aggregate(Count(alias_name="l"), Sum("n", alias_name="nr"))
+           .groupby("l")
+           .aggregate(Count(alias_name="n_classes"),
+                      Sum("nr", alias_name="n_rows"))
+           .to_pandas())
+    for c in ("l", "n_classes", "n_rows"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("l").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["l", "n_classes", "n_rows"]],
+                                preserve_index=False)
+
+
+def q198_cascade_delete(sf_dir: str) -> pa.Table:
+    """GDPR-style erasure-cascade audit: customers selected for deletion
+    (c_custkey % 10 == 3, i.e. the selection is defined on the key
+    itself) with FK cascades customer → orders → lineitem.  The
+    customer→orders hop needs NO join — the foreign key IS the selection
+    predicate; the orders→lineitem hop is a distributed SEMI hash_join
+    with ``bloom_prune=True`` (lineitem rows that cannot match are
+    dropped before the shuffle — the standard semi-join reduction, and
+    at 100 TB the lineitem fact table is the one you must not reshuffle
+    in full)."""
+    from ..functions.relational import hash_join
+
+    n_li = _row_count(sf_dir, "lineitem")
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def dead_cust(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(ck[(ck % 10) == 3])})
+
+    n_cust = cust.map_batches(dead_cust, batch_format="pyarrow").count()
+
+    ords = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    def dead_orders_fn(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy().astype(np.int64)
+        ok = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        keep = (ck % 10) == 3
+        return pa.table({"o_orderkey": pa.array(ok[keep])})
+
+    dead_orders = ords.map_batches(dead_orders_fn,
+                                   batch_format="pyarrow").materialize()
+    n_orders = dead_orders.count()
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        lambda b: pa.table({"o_orderkey": pc.cast(
+            b.column("l_orderkey"), pa.int64())}),
+        batch_format="pyarrow")
+    n_lineitem = hash_join(li, dead_orders, on="o_orderkey", how="semi",
+                           est_rows=n_li, bloom_prune=True).count()
+
+    return pa.table({
+        "n_customers_deleted": pa.array([int(n_cust)], pa.int64()),
+        "n_orders_deleted": pa.array([int(n_orders)], pa.int64()),
+        "n_lineitems_deleted": pa.array([int(n_lineitem)], pa.int64())})
+
+
+def q199_embedding_decontaminate(sf_dir: str,
+                                 threshold: float = 0.4) -> pa.Table:
+    """Eval-set decontamination in embedding space: flag every TRAIN
+    vector whose cosine against ANY eval vector (the held-out split
+    vec_id % 20 == 7) reaches the threshold — the embedding-space
+    analogue of q43's n-gram decontamination.  The eval split is small
+    by construction (it is the benchmark suite, not the corpus), so it
+    is normalized once and ``ray.put`` once; each train batch is one
+    float64 matmul against the broadcast matrix.  No shuffle at all."""
+    from ..state.broadcast import fetch, put
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def eval_split(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        return batch.filter(pa.array((vid % 20) == 7))
+
+    ev = emb.map_batches(eval_split, batch_format="pyarrow").to_pandas()
+    E = np.stack(ev["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = put(np.ascontiguousarray((E / norms).T))
+
+    def flag(batch: pa.Table, _thr=threshold, _ref=ref) -> pa.Table:
+        ET = fetch(_ref)
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        train = (vid % 20) != 7
+        vecs = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)[train]
+        vid = vid[train]
+        if not len(vid):
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        mx = ((vecs / n) @ ET).max(axis=1)
+        return pa.table({"vec_id": pa.array(vid[mx >= _thr])})
+
+    out = emb.map_batches(flag, batch_format="pyarrow").to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["vec_id"]], preserve_index=False)

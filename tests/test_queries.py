@@ -152,7 +152,9 @@ SQL_CHECKED = [
     "q186_lorenz_deciles", "q187_widest_path", "q188_recall_at_k",
     "q189_mixture_allocation", "q190_curation_attrition",
     "q191_hierarchical_shares", "q192_sequence_compressibility",
-    "q194_time_travel", "q195_fd_violations",
+    "q194_time_travel", "q195_fd_violations", "q196_benford_audit",
+    "q197_l_diversity", "q198_cascade_delete",
+    "q199_embedding_decontaminate",
 ]
 
 
