@@ -1082,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q197_l_diversity": A.q197_l_diversity,
         "q198_cascade_delete": A.q198_cascade_delete,
         "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
+        "q200_smb_join_revenue": A.q200_smb_join_revenue,
     }
 
 
@@ -5726,5 +5727,19 @@ def oracle_sql() -> dict[str, str]:
                                        CAST(ev.embedding AS DOUBLE[]))
                   >= 0.4)
         ORDER BY t.vec_id
+    """
+    d["q200_smb_join_revenue"] = """
+        -- SMB-join twin: per-priority order/item census and exact
+        -- integer-cent revenue over lineitem ⋈ orders
+        WITH j AS (
+          SELECT o.o_orderpriority, o.o_orderkey,
+                 CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                            * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM j GROUP BY 1 ORDER BY 1
     """
     return d

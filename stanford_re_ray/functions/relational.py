@@ -1290,3 +1290,112 @@ def peak_concurrency(
               .map_groups(lambda g: local_max(g), batch_format="pandas")
               .take_all())
     return max(r["m"] for r in maxima)
+
+
+# --- sort-merge-bucket (SMB) layout join ------------------------------------
+#
+# The lakehouse bucketed-table pattern (Spark/Iceberg/Hive SMB): pay ONE
+# hash-partitioned write per table (the layout), then every subsequent
+# equi-join on the bucket key runs with ZERO shuffle — each task reads
+# exactly one (left bucket, right bucket) pair from storage and joins it
+# locally, because co-bucketing guarantees every occurrence of a key sits
+# in the same bucket id on both sides.  At 100 TB this turns the join's
+# all-to-all exchange into an embarrassingly-parallel map over bucket
+# pairs; the layout cost amortizes over every downstream join on that key.
+
+SMB_LAYOUT_VERSION = 1
+
+
+def smb_bucket_ids(col, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket id per key (int64 → vectorized FNV-1a;
+    strings → md5-derived u64).  Both sides of a future join MUST use
+    the same function — this is the co-partitioning contract."""
+    from .hashing import fnv1a_u64_vec, str_hash_u64_vec
+
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = fnv1a_u64_vec(k.view(np.uint64))
+    else:
+        h = str_hash_u64_vec(col.to_pylist())
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def smb_write(ds: ray.data.Dataset, out_dir: str, on: str,
+              n_buckets: int = 64) -> None:
+    """Write ``ds`` as Parquet hash-bucketed on ``on`` (hive-partitioned
+    one directory per bucket).  Streaming: the bucket id is a stateless
+    per-batch map; ``write_parquet(partition_cols=...)`` splits blocks by
+    bucket at the sink, so nothing materializes."""
+
+    def tag(batch: pa.Table, _n=n_buckets, _on=on) -> pa.Table:
+        return batch.append_column(
+            "__smb_bucket", pa.array(smb_bucket_ids(batch.column(_on), _n)))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["__smb_bucket"])
+
+
+def _smb_read_bucket(base: str, bucket: int) -> "pa.Table | None":
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = f"{base}/__smb_bucket={bucket}"
+    if not os.path.isdir(d):
+        return None
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f"{d}/{f}") for f in files])
+
+
+def smb_join(left_dir: str, right_dir: str, on: str,
+             n_buckets: int = 64) -> ray.data.Dataset:
+    """Zero-shuffle equi-join of two ``smb_write`` layouts bucketed on
+    ``on`` with the SAME ``n_buckets``: one Ray task per bucket reads its
+    (left, right) directory pair straight from storage and merges
+    locally.  Inner join; non-key column names must be disjoint.
+
+    Partitioning assumption (documented per the custom-operator policy):
+    correctness requires both layouts co-bucketed by ``smb_bucket_ids``
+    with equal ``n_buckets`` — a key's rows all meet in exactly one task.
+    """
+    import pyarrow.parquet as pq
+
+    from ..schema import pd_to_arrow
+
+    def first_schema(base: str) -> pa.Schema:
+        import glob
+
+        files = sorted(glob.glob(f"{base}/__smb_bucket=*/*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no SMB layout under {base}")
+        return pq.read_schema(files[0])
+
+    lsch, rsch = first_schema(left_dir), first_schema(right_dir)
+    r_only = [f for f in rsch if f.name != on]
+    overlap = ({f.name for f in lsch} - {on}) & {f.name for f in r_only}
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    out_schema = pa.schema(list(lsch) + r_only)
+    out_names = [f.name for f in out_schema]
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        parts = []
+        for b in batch.column("id").to_pylist():
+            lt = _smb_read_bucket(left_dir, int(b))
+            rt = _smb_read_bucket(right_dir, int(b))
+            if lt is None or rt is None or not lt.num_rows \
+                    or not rt.num_rows:
+                continue
+            merged = lt.to_pandas().merge(rt.to_pandas(), on=on,
+                                          how="inner")
+            if len(merged):
+                parts.append(pd_to_arrow(merged)
+                             .select(out_names).cast(out_schema))
+        if not parts:
+            return out_schema.empty_table()
+        return pa.concat_tables(parts)
+
+    return (ray.data.range(n_buckets, override_num_blocks=n_buckets)
+            .map_batches(join_bucket, batch_format="pyarrow"))

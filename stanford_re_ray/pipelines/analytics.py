@@ -6607,3 +6607,74 @@ def q199_embedding_decontaminate(sf_dir: str,
     out["vec_id"] = out["vec_id"].astype("int64")
     out = out.sort_values("vec_id").reset_index(drop=True)
     return pa.Table.from_pandas(out[["vec_id"]], preserve_index=False)
+
+
+def q200_smb_join_revenue(sf_dir: str, n_buckets: int = 16) -> pa.Table:
+    """Sort-merge-bucket (bucketed-layout) join: pay one hash-bucketed
+    Parquet write per table, then join lineitem ⋈ orders with ZERO
+    shuffle — each task reads one (left, right) bucket-directory pair
+    straight from storage (``functions.relational.smb_write/smb_join``).
+    The lakehouse pattern that turns every repeated equi-join on the
+    bucket key into an embarrassingly-parallel map at 100 TB.  The
+    layout is built once per (version, sf_dir) under /tmp with an
+    atomic rename (a crashed build can never half-poison it) and reused
+    across calls — exactly how a real table layout amortizes.
+    Revenue is exact integer cents; distinct-order counts are exact."""
+    import hashlib
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import (SMB_LAYOUT_VERSION, smb_join,
+                                        smb_write)
+
+    tag = hashlib.sha1(
+        f"smb|v{SMB_LAYOUT_VERSION}|{n_buckets}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    base = f"/tmp/stanford_re_ray_smb_{tag}"
+
+    if not os.path.isdir(base):
+        tmp = f"{base}.build{os.getpid()}"
+        ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        smb_write(ords.map_batches(
+            lambda b: pa.table({
+                "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority")}),
+            batch_format="pyarrow"), f"{tmp}/orders", "o_orderkey",
+            n_buckets)
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            ep = batch.column("l_extendedprice").to_numpy()
+            disc = batch.column("l_discount").to_numpy()
+            cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pa.table({
+                "o_orderkey": pc.cast(batch.column("l_orderkey"),
+                                      pa.int64()),
+                "cents": pa.array(cents)})
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"])
+        smb_write(li.map_batches(li_prep, batch_format="pyarrow"),
+                  f"{tmp}/lineitem", "o_orderkey", n_buckets)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            pass  # a concurrent builder won; its layout is identical
+
+    joined = smb_join(f"{base}/lineitem", f"{base}/orders",
+                      on="o_orderkey", n_buckets=n_buckets)
+    out = (joined.groupby(["o_orderpriority", "o_orderkey"])
+           .aggregate(Count(alias_name="n_items"),
+                      Sum("cents", alias_name="cents"))
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("n_items", alias_name="n_items"),
+                      Sum("cents", alias_name="revenue_cents"))
+           .to_pandas())
+    for c in ("n_orders", "n_items", "revenue_cents"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["o_orderpriority", "n_orders", "n_items", "revenue_cents"]],
+        preserve_index=False)

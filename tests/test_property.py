@@ -944,3 +944,53 @@ def test_msf_boruvka_matches_kruskal(ray_session, raw_edges):
         got = {(r["a"], r["b"], r["w"]) for r in rows}
         assert got == ref_set
         assert sum(r["w"] for r in rows) == ref_total
+
+
+# --- smb_join ≡ pandas merge on co-bucketed layouts -------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                min_size=0, max_size=25),
+       st.lists(st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                min_size=0, max_size=25),
+       st.booleans())
+def test_smb_join_matches_pandas(ray_session, lrows, rrows, str_keys):
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from stanford_re_ray.functions.relational import smb_join, smb_write
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    ldf = pd.DataFrame(lrows, columns=["k", "lv"])
+    rdf = pd.DataFrame(rrows, columns=["k", "rv"])
+    if str_keys:
+        ldf["k"] = "key" + ldf["k"].astype(str)
+        rdf["k"] = "key" + rdf["k"].astype(str)
+    base = tempfile.mkdtemp(prefix="smbtest_")
+    try:
+        if len(ldf) and len(rdf):
+            smb_write(rd.from_arrow(
+                pa.Table.from_pandas(ldf, preserve_index=False)),
+                f"{base}/l", "k", n_buckets=4)
+            smb_write(rd.from_arrow(
+                pa.Table.from_pandas(rdf, preserve_index=False)),
+                f"{base}/r", "k", n_buckets=4)
+            got = dataset_to_table(
+                smb_join(f"{base}/l", f"{base}/r", on="k",
+                         n_buckets=4)).to_pandas()
+        else:
+            return  # empty layouts have no files to derive a schema from
+        ref = ldf.merge(rdf, on="k", how="inner")
+        cols = ["k", "lv", "rv"]
+        assert list(got.columns) == cols
+        g = got[cols].sort_values(cols, kind="mergesort") \
+            .reset_index(drop=True)
+        r = ref[cols].sort_values(cols, kind="mergesort") \
+            .reset_index(drop=True)
+        assert len(g) == len(r)
+        if len(g):
+            pd.testing.assert_frame_equal(g, r, check_dtype=False)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

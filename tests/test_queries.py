@@ -154,7 +154,7 @@ SQL_CHECKED = [
     "q191_hierarchical_shares", "q192_sequence_compressibility",
     "q194_time_travel", "q195_fd_violations", "q196_benford_audit",
     "q197_l_diversity", "q198_cascade_delete",
-    "q199_embedding_decontaminate",
+    "q199_embedding_decontaminate", "q200_smb_join_revenue",
 ]
 
 
