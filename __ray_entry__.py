@@ -1083,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q198_cascade_delete": A.q198_cascade_delete,
         "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
         "q200_smb_join_revenue": A.q200_smb_join_revenue,
+        "q201_unigram_lm": A.q201_unigram_lm,
     }
 
 

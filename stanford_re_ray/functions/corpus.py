@@ -1252,3 +1252,146 @@ def boilerplate_attribution(docs: ray.data.Dataset,
             .groupby("source")
             .aggregate(Sum("n_dup_lines", alias_name="n_dup_lines"),
                        Sum("dup_chars", alias_name="dup_chars")))
+
+
+# --- unigram-LM (SentencePiece-style) tokenizer training --------------------
+
+def _uni_viterbi(word: str, scores: dict, max_piece_len: int) -> list:
+    """Best segmentation of ``word`` under per-piece log-scores: plain
+    left-to-right DP.  Tie-break is fixed — candidates scan with the
+    LONGEST piece first and only a strictly better score displaces the
+    incumbent — so the segmentation is deterministic for any score map.
+    Every single character is guaranteed in the vocab (never pruned), so
+    a path always exists."""
+    n = len(word)
+    best = [0.0] + [None] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        b = None
+        bj = -1
+        for j in range(max(0, i - max_piece_len), i):
+            s = scores.get(word[j:i])
+            if s is None or best[j] is None:
+                continue
+            cand = best[j] + s
+            if b is None or cand > b:
+                b, bj = cand, j
+        best[i], back[i] = b, bj
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_lm_train(docs: ray.data.Dataset, vocab_size: int = 96,
+                     n_em: int = 2, max_piece_len: int = 3,
+                     min_count: int = 2, seed_factor: int = 8,
+                     text_col: str = "text") -> pa.Table:
+    """Distributed unigram-LM (SentencePiece-style) tokenizer training —
+    the probabilistic sibling of ``bpe_train``.  Returns the final
+    (piece, count, logp_q) vocabulary, count DESC / piece ASC.
+
+    Scale shape: everything runs over the WORD-FREQUENCY table (one
+    corpus pass via the ``term_count_partial`` combiner), never the
+    corpus.  Seed vocab = every ≤ ``max_piece_len``-char substring of
+    the distinct words weighted by word freq (one map + one groupby),
+    capped at ``seed_factor × vocab_size`` pieces; each EM round
+    broadcasts the piece scores, Viterbi-segments the distinct words
+    (hard EM — expected counts are INTEGER word frequencies, so the
+    shuffle reduction stays associative per the determinism rule), and
+    prunes to the next vocab budget by (count DESC, piece ASC).  Single
+    characters are never pruned, so segmentation coverage is total.
+    Iterative argmax/EM is not SQL-expressible — pytest-pinned against
+    a serial reference like ``bpe_train``."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    words = (docs.map_batches(lambda b: term_count_partial(b, text_col),
+                              batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .materialize())
+
+    def substr_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        acc: Counter = Counter()
+        ns = batch.column("n").to_pylist()
+        for w, n in zip(batch.column("token").to_pylist(), ns):
+            for L in range(1, max_piece_len + 1):
+                for s in range(0, len(w) - L + 1):
+                    acc[w[s:s + L]] += n
+        ks = sorted(acc)
+        return pa.table({"piece": pa.array(ks, pa.string()),
+                         "n": pa.array([acc[k] for k in ks], pa.int64())})
+
+    seed = (words.map_batches(substr_partial, batch_format="pyarrow")
+            .groupby("piece").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    seed["n"] = seed["n"].astype("int64")
+    chars = seed[seed["piece"].str.len() == 1]
+    multi = seed[(seed["piece"].str.len() > 1)
+                 & (seed["n"] >= min_count)]
+    multi = multi.sort_values(["n", "piece"],
+                              ascending=[False, True],
+                              kind="mergesort")
+    cap = max(seed_factor * vocab_size - len(chars), 0)
+    vocab = pd.concat([chars, multi.head(cap)])
+
+    for r in range(n_em):
+        total = int(vocab["n"].sum())
+        lt = math.log(total)
+        scores = {p: math.log(int(c)) - lt
+                  for p, c in zip(vocab["piece"], vocab["n"])}
+        import ray as _ray
+
+        ref = _ray.put(scores)
+
+        def estep(batch: pa.Table, _ref=ref) -> pa.Table:
+            from collections import Counter
+
+            from ..state.broadcast import fetch
+
+            sc = fetch(_ref)
+            acc: Counter = Counter()
+            ns = batch.column("n").to_pylist()
+            for w, n in zip(batch.column("token").to_pylist(), ns):
+                for piece in _uni_viterbi(w, sc, max_piece_len):
+                    acc[piece] += n
+            ks = sorted(acc)
+            return pa.table({"piece": pa.array(ks, pa.string()),
+                             "n": pa.array([acc[k] for k in ks],
+                                           pa.int64())})
+
+        counts = (words.map_batches(estep, batch_format="pyarrow")
+                  .groupby("piece").aggregate(Sum("n", alias_name="n"))
+                  .to_pandas())
+        counts["n"] = counts["n"].astype("int64")
+        # chars always survive (zero-count chars keep a floor of 1 so
+        # log stays finite and coverage stays total)
+        allp = vocab[["piece"]].merge(counts, on="piece", how="left")
+        allp["n"] = allp["n"].fillna(0).astype("int64")
+        is_char = allp["piece"].str.len() == 1
+        allp.loc[is_char & (allp["n"] == 0), "n"] = 1
+        keep_multi = allp[~is_char & (allp["n"] > 0)].sort_values(
+            ["n", "piece"], ascending=[False, True], kind="mergesort")
+        # geometric budget shrink toward vocab_size on the last round
+        budget = vocab_size if r == n_em - 1 else max(
+            vocab_size, int(len(allp) * 3 // 4))
+        vocab = pd.concat([allp[is_char],
+                           keep_multi.head(max(budget - int(is_char.sum()),
+                                               0))])
+
+    total = int(vocab["n"].sum())
+    lt = math.log(total)
+    out = vocab.sort_values(["n", "piece"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    lp_q = [int(math.floor((math.log(int(c)) - lt) * 1e6))
+            for c in out["n"]]
+    return pa.table({"piece": pa.array(out["piece"], pa.string()),
+                     "count": pa.array(out["n"].to_numpy(np.int64)),
+                     "logp_q": pa.array(lp_q, pa.int64())})

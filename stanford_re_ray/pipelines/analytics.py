@@ -6678,3 +6678,17 @@ def q200_smb_join_revenue(sf_dir: str, n_buckets: int = 16) -> pa.Table:
     return pa.Table.from_pandas(
         out[["o_orderpriority", "n_orders", "n_items", "revenue_cents"]],
         preserve_index=False)
+
+
+def q201_unigram_lm(sf_dir: str) -> pa.Table:
+    """Unigram-LM (SentencePiece-style) tokenizer training over the
+    documents corpus (``functions.corpus.unigram_lm_train``): hard-EM
+    Viterbi counts over the word-frequency table with broadcast piece
+    scores — integer-associative shuffles throughout, pinned against a
+    serial reference in pytest (iterative EM is not SQL-expressible,
+    rows-only like q53 BPE)."""
+    from ..functions.corpus import unigram_lm_train
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return unigram_lm_train(docs, vocab_size=96, n_em=2,
+                            max_piece_len=3)

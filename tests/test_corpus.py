@@ -392,3 +392,87 @@ def test_mmr_select_matches_serial(ray_session):
     got = [tuple(int(v) for v in row)
            for row in outs[0].itertuples(index=False)]
     assert got == want
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_unigram_lm_matches_serial_reference(ray_session, blocks):
+    """Distributed hard-EM unigram-LM trainer vs an independent serial
+    reimplementation (same seed/prune/tie-break policy, plain Python
+    loops) — pieces, integer counts and quantized log-probs must all be
+    identical, at any block count."""
+    import math
+    import re
+    from collections import Counter
+
+    from stanford_re_ray.functions.corpus import unigram_lm_train
+
+    V, EM, L, MINC, SEEDF = 48, 2, 3, 2, 8
+    out = unigram_lm_train(_docs_ds(blocks), vocab_size=V, n_em=EM,
+                           max_piece_len=L, min_count=MINC,
+                           seed_factor=SEEDF).to_pandas()
+
+    words: Counter = Counter()
+    for _, t in DOCS:
+        words.update(re.findall(r"[0-9a-z_]+", t.lower()))
+
+    seed: Counter = Counter()
+    for w, n in words.items():
+        for ln in range(1, L + 1):
+            for s in range(len(w) - ln + 1):
+                seed[w[s:s + ln]] += n
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in seed.items()
+                    if len(p) > 1 and c >= MINC),
+                   key=lambda kv: (-kv[1], kv[0]))
+    cap = max(SEEDF * V - len(chars), 0)
+    vocab = dict(chars)
+    vocab.update(dict(multi[:cap]))
+
+    def viterbi(word, scores):
+        n = len(word)
+        best = [0.0] + [None] * n
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            b, bj = None, -1
+            for j in range(max(0, i - L), i):
+                s = scores.get(word[j:i])
+                if s is None or best[j] is None:
+                    continue
+                cand = best[j] + s
+                if b is None or cand > b:
+                    b, bj = cand, j
+            best[i], back[i] = b, bj
+        segs, i = [], n
+        while i > 0:
+            segs.append(word[back[i]:i])
+            i = back[i]
+        return segs[::-1]
+
+    for r in range(EM):
+        total = sum(vocab.values())
+        lt = math.log(total)
+        scores = {p: math.log(c) - lt for p, c in vocab.items()}
+        cnt: Counter = Counter()
+        for w, n in words.items():
+            for piece in viterbi(w, scores):
+                cnt[piece] += n
+        allp = {p: cnt.get(p, 0) for p in vocab}
+        for p in allp:
+            if len(p) == 1 and allp[p] == 0:
+                allp[p] = 1
+        n_chars = sum(1 for p in allp if len(p) == 1)
+        keep_multi = sorted(((p, c) for p, c in allp.items()
+                             if len(p) > 1 and c > 0),
+                            key=lambda kv: (-kv[1], kv[0]))
+        budget = V if r == EM - 1 else max(V, len(allp) * 3 // 4)
+        vocab = {p: c for p, c in allp.items() if len(p) == 1}
+        vocab.update(dict(keep_multi[:max(budget - n_chars, 0)]))
+
+    total = sum(vocab.values())
+    lt = math.log(total)
+    ref = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    ref = [(p, c, int(math.floor((math.log(c) - lt) * 1e6)))
+           for p, c in ref]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == ref
+    assert len(got) <= V and any(len(p) > 1 for p, _, _ in got)

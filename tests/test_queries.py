@@ -187,6 +187,7 @@ ROWS_ONLY = [
     "q144_audio_neardup",
     "q145_video_neardup",
     "q193_msf",
+    "q201_unigram_lm",
 ]
 
 
@@ -249,7 +250,7 @@ def test_queries_oracle_contract(entrymod):
         "q53_bpe_merges", "q109_bpe_encode", "q120_pq_encode",
         "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
         "q142_image_neardup", "q144_audio_neardup",
-        "q145_video_neardup", "q193_msf",
+        "q145_video_neardup", "q193_msf", "q201_unigram_lm",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
