@@ -629,6 +629,71 @@ def _media_pipeline(sf_dir: str):
     })
 
 
+def _media_header_audit(sf_dir: str):
+    """Header-only metadata audit over a deterministic mixed-media table
+    (PNG / JPEG / GIF / WAV / junk, sized by the sf documents count):
+    ``media_header_probe_batch`` parses format + geometry/rate from the
+    FIRST BYTES of every blob — no decode, no decompression — and the
+    audit reports the per-format census (count, parse failures, byte
+    volume, distinct geometries).  This is the cheap first pass a
+    100 TB media lake runs before routing blobs to the expensive
+    actor-pool decoders.  Rows-only: binary parsing is outside SQL; the
+    probe itself is pinned against the full decoders in pytest."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import (
+        encode_gif, encode_jpeg, encode_png, encode_wav,
+        media_header_probe_batch)
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_img = max(8, n_docs // 50)
+
+    def img(seed: int) -> np.ndarray:
+        y, x = np.mgrid[0:10 + seed % 3, 0:8 + seed % 5]
+        px = ((y * 29 + x * 13 + seed * 5) % 241).astype(np.uint8)
+        return np.stack([px, (px * 3) % 241, (px * 5) % 241], axis=2)
+
+    rows = []
+    for i in range(n_img):
+        im = img(i)
+        if i % 3 == 0:
+            rows.append((f"m{i}", encode_png(im)))
+        elif i % 3 == 1:
+            rows.append((f"m{i}", encode_jpeg(im)))
+        else:
+            rows.append((f"m{i}", encode_gif(im)))
+    for i in range(max(2, n_img // 4)):
+        t = (np.sin(np.arange(400 + 40 * i) / (5.0 + i)) * 15000)
+        rows.append((f"w{i}", encode_wav(t.astype(np.int16),
+                                         8000 * (1 + i % 3))))
+    rows.append(("junk0", b"not media"))
+    rows.append(("junk1", b"\x89PNG\r\n\x1a\n trunc"))
+
+    media = rd.from_arrow(pa.table({
+        "media_id": pa.array([r[0] for r in rows], pa.string()),
+        "payload": pa.array([r[1] for r in rows], pa.binary()),
+    })).repartition(4)
+
+    probed = media.map_batches(media_header_probe_batch,
+                               batch_format="pyarrow").to_pandas()
+    out = (probed.assign(
+        n_fail=(~probed["ok"]).astype("int64"),
+        geom=probed["width"].astype(str) + "x"
+        + probed["height"].astype(str))
+        .groupby("format", as_index=False)
+        .agg(n=("media_id", "size"), n_fail=("n_fail", "sum"),
+             total_bytes=("n_bytes", "sum"),
+             n_geometries=("geom", "nunique"))
+        .sort_values("format").reset_index(drop=True))
+    for c in ("n", "n_fail", "total_bytes", "n_geometries"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def _image_neardup_media(n_img: int) -> "Any":
     """Deterministic synthetic image corpus for q142: base PNGs, a
     brightness-shifted re-encode every 3rd image (identical dHash,
@@ -1084,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
         "q200_smb_join_revenue": A.q200_smb_join_revenue,
         "q201_unigram_lm": A.q201_unigram_lm,
+        "q202_media_header_audit": _media_header_audit,
     }
 
 

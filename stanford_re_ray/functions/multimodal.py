@@ -1667,3 +1667,131 @@ def video_neardup_pairs(media, max_hamming: int = 3):
               .map_batches(drop_failed, batch_format="pyarrow"))
     return hash_neardup_pairs(hashed, id_col="media_id", hash_col="vfp",
                               max_hamming=max_hamming)
+
+
+# --- header-only metadata probe ---------------------------------------------
+
+def media_header_probe(payload: bytes) -> dict:
+    """Parse format + geometry/rate from a payload's HEADER bytes only —
+    no pixel/sample decode, no decompression.  This is the cheap first
+    pass a 100 TB media pipeline runs over every blob (schema audit,
+    size-bucketed routing, corrupt-file quarantine) before committing to
+    the expensive actor-pool decode stages; cost is O(header), not
+    O(payload).  Returns {format, width, height, channels, sample_rate,
+    n_samples, ok}; unknown/truncated payloads come back ok=False with
+    format='unknown' instead of raising."""
+    out = {"format": "unknown", "width": 0, "height": 0, "channels": 0,
+           "sample_rate": 0, "n_samples": 0, "ok": False}
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26 \
+                and payload[12:16] == b"IHDR":
+            out["format"] = "png"
+            out["width"] = int.from_bytes(payload[16:20], "big")
+            out["height"] = int.from_bytes(payload[20:24], "big")
+            ct = payload[25]
+            out["channels"] = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ct, 0)
+            out["ok"] = out["channels"] > 0
+        elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            out["format"] = "gif"
+            out["width"] = int.from_bytes(payload[6:8], "little")
+            out["height"] = int.from_bytes(payload[8:10], "little")
+            out["channels"] = 3
+            out["ok"] = True
+        elif payload[:2] == b"BM" and len(payload) >= 30:
+            out["format"] = "bmp"
+            hdr_size = int.from_bytes(payload[14:18], "little")
+            if hdr_size >= 40:
+                out["width"] = int.from_bytes(payload[18:22], "little",
+                                              signed=True)
+                h = int.from_bytes(payload[22:26], "little", signed=True)
+                out["height"] = abs(h)
+                bpp = int.from_bytes(payload[28:30], "little")
+                out["channels"] = bpp // 8
+                out["ok"] = out["channels"] > 0
+        elif payload[:2] == b"P6":
+            toks, i, n = [], 2, len(payload)
+            while len(toks) < 3 and i < n:
+                while i < n and payload[i:i + 1].isspace():
+                    i += 1
+                if payload[i:i + 1] == b"#":
+                    while i < n and payload[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not payload[j:j + 1].isspace():
+                    j += 1
+                if j > i:
+                    toks.append(payload[i:j])
+                i = j
+            if len(toks) == 3:
+                out["format"] = "ppm"
+                out["width"] = int(toks[0])
+                out["height"] = int(toks[1])
+                out["channels"] = 3
+                out["ok"] = True
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out["format"] = "wav"
+            i, n = 12, len(payload)
+            ch = bits = rate = data_size = 0
+            while i + 8 <= n:
+                cid = payload[i:i + 4]
+                sz = int.from_bytes(payload[i + 4:i + 8], "little")
+                if cid == b"fmt " and i + 24 <= n:
+                    ch = int.from_bytes(payload[i + 10:i + 12], "little")
+                    rate = int.from_bytes(payload[i + 12:i + 16],
+                                          "little")
+                    bits = int.from_bytes(payload[i + 22:i + 24],
+                                          "little")
+                elif cid == b"data":
+                    data_size = sz
+                    break  # samples follow — the probe stops here
+                i += 8 + sz + (sz & 1)
+            out["channels"] = ch
+            out["sample_rate"] = rate
+            if ch and bits:
+                out["n_samples"] = data_size // (ch * (bits // 8))
+            out["ok"] = bool(ch and rate and bits)
+        elif payload[:2] == b"\xff\xd8":
+            out["format"] = "jpeg"
+            i, n = 2, len(payload)
+            while i + 4 <= n:
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    out["height"] = int.from_bytes(
+                        payload[i + 5:i + 7], "big")
+                    out["width"] = int.from_bytes(
+                        payload[i + 7:i + 9], "big")
+                    out["channels"] = payload[i + 9]
+                    out["ok"] = True
+                    break
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                i += 2 + int.from_bytes(payload[i + 2:i + 4], "big")
+    except (IndexError, ValueError):
+        out["ok"] = False
+    return out
+
+
+def media_header_probe_batch(batch: pa.Table) -> pa.Table:
+    """Vector wrapper over ``media_header_probe`` for map_batches:
+    (media_id, payload) → per-blob header metadata + byte size."""
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    probes = [media_header_probe(p or b"") for p in payloads]
+    return pa.table({
+        "media_id": pa.array(ids, pa.string()),
+        "format": pa.array([p["format"] for p in probes], pa.string()),
+        "width": pa.array([p["width"] for p in probes], pa.int64()),
+        "height": pa.array([p["height"] for p in probes], pa.int64()),
+        "channels": pa.array([p["channels"] for p in probes],
+                             pa.int64()),
+        "sample_rate": pa.array([p["sample_rate"] for p in probes],
+                                pa.int64()),
+        "n_samples": pa.array([p["n_samples"] for p in probes],
+                              pa.int64()),
+        "n_bytes": pa.array([len(p or b"") for p in payloads],
+                            pa.int64()),
+        "ok": pa.array([p["ok"] for p in probes], pa.bool_())})

@@ -928,3 +928,92 @@ def test_video_fingerprint_invariances_and_neardup(ray_session):
                for a, b, _ in got)
     assert any(a.endswith("_shuf") or b.endswith("_shuf")
                for a, b, _ in got)
+
+
+def test_media_header_probe_matches_decoders():
+    """Header-only probe agrees with the full decoders on geometry /
+    rate for every format the repo can encode, and never raises on
+    junk or truncated payloads."""
+    import struct
+
+    import numpy as np
+
+    from stanford_re_ray.functions.multimodal import (
+        decode_image, decode_wav, encode_gif, encode_jpeg, encode_png,
+        encode_wav, media_header_probe)
+
+    rng_img = (np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)
+               * 11 % 251)
+
+    png = encode_png(rng_img)
+    p = media_header_probe(png)
+    assert (p["format"], p["ok"]) == ("png", True)
+    assert (p["height"], p["width"], p["channels"]) == \
+        decode_image(png).shape
+
+    jpg = encode_jpeg(rng_img)
+    p = media_header_probe(jpg)
+    assert (p["format"], p["ok"]) == ("jpeg", True)
+    assert (p["height"], p["width"], p["channels"]) == \
+        decode_image(jpg).shape
+
+    gif = encode_gif(rng_img)
+    p = media_header_probe(gif)
+    assert (p["format"], p["ok"]) == ("gif", True)
+    assert (p["height"], p["width"]) == decode_image(gif).shape[:2]
+
+    # PPM with a comment line in the header
+    raster = bytes(range(12))
+    ppm = b"P6\n# c\n2 2\n255\n" + raster
+    p = media_header_probe(ppm)
+    assert (p["format"], p["width"], p["height"], p["ok"]) == \
+        ("ppm", 2, 2, True)
+
+    # hand-built 24-bit BMP (same fixture as test_decode_bmp_real)
+    w = h = 2
+    row = lambda px: b"".join(bytes(q[::-1]) for q in px) + b"\x00\x00"
+    raster = row([(10, 20, 30), (40, 50, 60)]) + \
+        row([(70, 80, 90), (1, 2, 3)])
+    bmp = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(raster), 2835, 2835, 0, 0) + raster)
+    p = media_header_probe(bmp)
+    assert (p["format"], p["width"], p["height"], p["channels"],
+            p["ok"]) == ("bmp", 2, 2, 3, True)
+
+    samples = (np.sin(np.arange(800) / 7.0) * 20000).astype(np.int16)
+    wav = encode_wav(samples, 16000)
+    p = media_header_probe(wav)
+    got, rate = decode_wav(wav)
+    assert (p["format"], p["ok"]) == ("wav", True)
+    assert p["sample_rate"] == rate == 16000
+    assert p["n_samples"] == len(got) == 800
+    assert p["channels"] == 1
+
+    for junk in (b"", b"x", b"not media at all", png[:10], wav[:6],
+                 b"\xff\xd8\xff"):
+        p = media_header_probe(junk)
+        assert p["ok"] is False
+
+
+def test_media_header_probe_batch_layout(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stanford_re_ray.functions.multimodal import (
+        encode_png, media_header_probe_batch)
+
+    img = np.zeros((3, 4, 3), np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array(["a", "b", "c"], pa.string()),
+        "payload": pa.array([encode_png(img), b"junk", None],
+                            pa.binary())})
+    out = (rd.from_arrow(tbl).repartition(2)
+           .map_batches(media_header_probe_batch,
+                        batch_format="pyarrow")
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out["format"].tolist() == ["png", "unknown", "unknown"]
+    assert out["ok"].tolist() == [True, False, False]
+    assert out.loc[0, "width"] == 4 and out.loc[0, "height"] == 3
+    assert out["n_bytes"].tolist()[1:] == [4, 0]

@@ -188,6 +188,7 @@ ROWS_ONLY = [
     "q145_video_neardup",
     "q193_msf",
     "q201_unigram_lm",
+    "q202_media_header_audit",
 ]
 
 
@@ -251,6 +252,7 @@ def test_queries_oracle_contract(entrymod):
         "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
         "q142_image_neardup", "q144_audio_neardup",
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
+        "q202_media_header_audit",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
