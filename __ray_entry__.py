@@ -1150,6 +1150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q200_smb_join_revenue": A.q200_smb_join_revenue,
         "q201_unigram_lm": A.q201_unigram_lm,
         "q202_media_header_audit": _media_header_audit,
+        "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
+        "q204_missing_partitions": A.q204_missing_partitions,
+        "q205_incremental_view_merge": A.q205_incremental_view_merge,
     }
 
 
@@ -5808,5 +5811,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(SUM(cents) AS BIGINT) AS revenue_cents
         FROM j GROUP BY 1 ORDER BY 1
+    """
+    d["q203_cluster_pair_eval"] = """
+        -- pairwise clustering eval twin: predicted = source, gold =
+        -- lang; TP/FP/FN from the contingency table, never from pairs
+        WITH cell AS (
+          SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2),
+        tp AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS v
+               FROM cell),
+        sp AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS v
+               FROM (SELECT SUM(n) AS m FROM cell GROUP BY source)),
+        sg AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS v
+               FROM (SELECT SUM(n) AS m FROM cell GROUP BY lang))
+        SELECT tp.v AS tp_pairs,
+               CAST(sp.v - tp.v AS BIGINT) AS fp_pairs,
+               CAST(sg.v - tp.v AS BIGINT) AS fn_pairs,
+               CAST((1000000 * tp.v) // sp.v AS BIGINT)
+                 AS precision_ppm,
+               CAST((1000000 * tp.v) // sg.v AS BIGINT) AS recall_ppm,
+               CAST((2000000 * tp.v) // (sp.v + sg.v) AS BIGINT)
+                 AS f1_ppm
+        FROM tp, sp, sg
+    """
+    d["q204_missing_partitions"] = """
+        -- backfill twin: per-type daily-partition gaps vs the global
+        -- day span
+        WITH d AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        span AS (SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS s
+                 FROM d)
+        SELECT event_type,
+               span.s AS n_expected,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_present,
+               CAST(span.s - COUNT(DISTINCT day) AS BIGINT)
+                 AS n_missing
+        FROM d CROSS JOIN span
+        GROUP BY event_type, span.s ORDER BY event_type
+    """
+    d["q205_incremental_view_merge"] = """
+        -- incremental-view twin: full recompute over ALL events (the
+        -- engine merges a base view with delta partials instead)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1 ORDER BY 1
     """
     return d

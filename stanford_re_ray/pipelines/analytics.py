@@ -6692,3 +6692,114 @@ def q201_unigram_lm(sf_dir: str) -> pa.Table:
     docs = _read(sf_dir, "documents", ["text"])
     return unigram_lm_train(docs, vocab_size=96, n_em=2,
                             max_piece_len=3)
+
+
+def q203_cluster_pair_eval(sf_dir: str) -> pa.Table:
+    """Pairwise clustering evaluation — the ER/dedup scoreboard: treat
+    ``source`` as the PREDICTED clustering of documents and ``lang`` as
+    GOLD, and compute exact pair-level TP/FP/FN plus integer-ppm
+    precision/recall/F1 from the (source, lang) contingency table.  One
+    combiner'd groupby; the C(n,2) folds happen over |sources × langs|
+    cells on the driver — pair counts are computed from counts, never by
+    materializing pairs (the pair space is quadratic in corpus size;
+    the contingency table is not)."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["source", "lang"])
+    cells = (docs.groupby(["source", "lang"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    cells["n"] = cells["n"].astype("int64")
+
+    def c2(s) -> int:
+        v = s.astype("int64")
+        return int((v * (v - 1) // 2).sum())
+
+    tp = c2(cells["n"])
+    same_pred = c2(cells.groupby("source")["n"].sum())
+    same_gold = c2(cells.groupby("lang")["n"].sum())
+    fp, fn = same_pred - tp, same_gold - tp
+    return pa.table({
+        "tp_pairs": pa.array([tp], pa.int64()),
+        "fp_pairs": pa.array([fp], pa.int64()),
+        "fn_pairs": pa.array([fn], pa.int64()),
+        "precision_ppm": pa.array([(1_000_000 * tp) // same_pred],
+                                  pa.int64()),
+        "recall_ppm": pa.array([(1_000_000 * tp) // same_gold],
+                               pa.int64()),
+        "f1_ppm": pa.array([(2_000_000 * tp) // (same_pred + same_gold)],
+                           pa.int64())})
+
+
+def q204_missing_partitions(sf_dir: str) -> pa.Table:
+    """Backfill planner: per event_type, how many daily partitions are
+    missing against the corpus-wide day span — the gap detection a
+    scheduler runs before launching catch-up jobs.  One distinct
+    (event_type, day) groupby (map-side combined); the span fold is
+    |types| rows on the driver."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        return pa.table({"event_type": batch.column("event_type"),
+                         "day": pa.array(us // 86_400_000_000)})
+
+    days = (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby(["event_type", "day"])
+            .aggregate(Count(alias_name="n")).to_pandas())
+    days["day"] = days["day"].astype("int64")
+    lo, hi = int(days["day"].min()), int(days["day"].max())
+    span = hi - lo + 1
+    per = (days.groupby("event_type", as_index=False)
+           .agg(n_present=("day", "nunique")))
+    per["n_present"] = per["n_present"].astype("int64")
+    per["n_expected"] = np.int64(span)
+    per["n_missing"] = per["n_expected"] - per["n_present"]
+    per = per.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        per[["event_type", "n_expected", "n_present", "n_missing"]],
+        preserve_index=False)
+
+
+def q205_incremental_view_merge(sf_dir: str) -> pa.Table:
+    """Incremental materialized-view maintenance: the stored aggregate
+    view (per-event_type count + exact cent sum over the BASE snapshot,
+    event_id % 4 != 3) is merged with the DELTA batch's partials
+    (event_id % 4 == 3) by a union + one groupby over view-sized rows —
+    the base EVENTS are never rescanned, which is the entire point at
+    100 TB: maintenance cost scales with |delta| + |view|, not |base|.
+    The oracle recomputes the view from scratch over all events; the
+    merged result must match it exactly (count/cent sums are integer,
+    so the merge reduction is associative)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partials(batch: pa.Table, want_delta: bool) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        sel = (eid % 4) == 3 if want_delta else (eid % 4) != 3
+        t = batch.filter(pa.array(sel))
+        v = t.column("value").to_numpy().astype(np.float64)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "n": pa.array(np.ones(len(t), np.int64)),
+                         "cents": pa.array(cents)})
+
+    def agg(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (ds.groupby("event_type")
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("cents", alias_name="cents")))
+
+    # the stored view: built once from the base snapshot (in production
+    # this is a Parquet table read back, not a recompute)
+    base_view = agg(ev.map_batches(
+        lambda b: partials(b, False), batch_format="pyarrow"))
+    delta = agg(ev.map_batches(
+        lambda b: partials(b, True), batch_format="pyarrow"))
+    merged = agg(base_view.union(delta)).to_pandas()
+    merged["n"] = merged["n"].astype("int64")
+    merged["cents"] = merged["cents"].astype("int64")
+    merged = merged.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(merged[["event_type", "n", "cents"]],
+                                preserve_index=False)

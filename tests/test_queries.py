@@ -155,6 +155,8 @@ SQL_CHECKED = [
     "q194_time_travel", "q195_fd_violations", "q196_benford_audit",
     "q197_l_diversity", "q198_cascade_delete",
     "q199_embedding_decontaminate", "q200_smb_join_revenue",
+    "q203_cluster_pair_eval", "q204_missing_partitions",
+    "q205_incremental_view_merge",
 ]
 
 
