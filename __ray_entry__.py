@@ -1153,6 +1153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
         "q204_missing_partitions": A.q204_missing_partitions,
         "q205_incremental_view_merge": A.q205_incremental_view_merge,
+        "q206_rag_chunks": A.q206_rag_chunks,
+        "q207_mixture_interleave": A.q207_mixture_interleave,
     }
 
 
@@ -5857,5 +5859,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
                     AS BIGINT) AS cents
         FROM events GROUP BY 1 ORDER BY 1
+    """
+    d["q206_rag_chunks"] = """
+        -- chunk-plan twin: 64-token windows, stride 48, same Arrow
+        -- word tokenizer ([^0-9a-z_]+ split on lowered text)
+        WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text),
+                     '[^0-9a-z_]+'), x -> x <> '')) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tok,
+                 CASE WHEN n_tok = 0 THEN 0
+                      WHEN n_tok <= 64 THEN 1
+                      ELSE 1 + (n_tok - 64 + 47) // 48 END AS n_chunks
+          FROM t)
+        SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+               CAST(u.i * 48 AS BIGINT) AS tok_start,
+               CAST(LEAST(u.i * 48 + 64, n_tok) AS BIGINT) AS tok_end
+        FROM c, LATERAL (SELECT unnest(range(n_chunks)) AS i) u
+        ORDER BY doc_id, chunk_idx
+    """
+    d["q207_mixture_interleave"] = """
+        -- mixture-interleave twin: global order key (2k-1)/(2*n_s) in
+        -- exact integer form, ties by (source, rn)
+        WITH r AS (
+          SELECT source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY source) AS n_s
+          FROM documents),
+        k AS (
+          SELECT source, CAST(rn AS BIGINT) AS rn,
+                 CAST(((2 * rn - 1) * 1000000000000) // (2 * n_s)
+                      AS BIGINT) AS ikey
+          FROM r)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ikey, source, rn)
+                    AS BIGINT) AS pos,
+               source, rn, ikey
+        FROM k ORDER BY ikey, source, rn LIMIT 200
     """
     return d

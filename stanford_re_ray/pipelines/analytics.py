@@ -6803,3 +6803,96 @@ def q205_incremental_view_merge(sf_dir: str) -> pa.Table:
     merged = merged.sort_values("event_type").reset_index(drop=True)
     return pa.Table.from_pandas(merged[["event_type", "n", "cents"]],
                                 preserve_index=False)
+
+
+def q206_rag_chunks(sf_dir: str, size: int = 64,
+                    stride: int = 48) -> pa.Table:
+    """RAG / pretraining chunking plan: split every document into
+    ``size``-token windows advancing by ``stride`` (overlap = size −
+    stride) and emit the (doc_id, chunk_idx, tok_start, tok_end) plan —
+    the chunk table an embedding/indexing pipeline feeds to its encoder
+    actor pool.  Pure per-batch map: token counts come from the Arrow
+    tokenizer kernel, the chunk explosion is vectorized repeat/arange —
+    no Python loop, no shuffle (the plan is emitted in corpus order)."""
+    from ..functions.corpus import _tokenize_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def chunks(batch: pa.Table, _s=size, _t=stride) -> pa.Table:
+        parent, _flat = _tokenize_column(batch.column("text"))
+        ntok = np.bincount(parent.to_numpy(zero_copy_only=False),
+                           minlength=batch.num_rows).astype(np.int64)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        nch = np.where(ntok == 0, 0,
+                       np.where(ntok <= _s, 1,
+                                1 + (ntok - _s + _t - 1) // _t)) \
+            .astype(np.int64)
+        rep_doc = np.repeat(did, nch)
+        rep_ntok = np.repeat(ntok, nch)
+        total = int(nch.sum())
+        starts = np.cumsum(nch) - nch
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nch)
+        ts = idx * _t
+        te = np.minimum(ts + _s, rep_ntok)
+        return pa.table({"doc_id": pa.array(rep_doc),
+                         "chunk_idx": pa.array(idx),
+                         "tok_start": pa.array(ts),
+                         "tok_end": pa.array(te)})
+
+    out = docs.map_batches(chunks, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q207_mixture_interleave(sf_dir: str, limit: int = 200) -> pa.Table:
+    """Deterministic mixture-interleaved epoch order: the k-th document
+    of a source with n_s documents takes the global sort key
+    (2k−1)/(2·n_s), so every prefix of the epoch carries each source in
+    its corpus proportion — the RNG-free batch scheduler for mixture
+    training.  Keys compare in exact integers ((2k−1)·10¹² // 2n_s;
+    fits int64 below ~4.6M docs/source — drop to 10⁹ beyond).
+    Per-source ranks come from one hash(source) map_groups (at 100 TB:
+    the two-pass distributed prefix sum q46 packing uses); only the
+    top-``limit`` head of the global order is returned."""
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import stable_u32
+    from ..schema import pd_to_arrow
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = (docs.groupby("source").aggregate(Count(alias_name="n"))
+              .to_pandas())
+    n_by_source = {s: int(n) for s, n in zip(counts["source"],
+                                             counts["n"])}
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").to_pylist()
+        b = np.array([stable_u32(s) % 16 for s in src], np.int32)
+        return pa.table({"doc_id": pc.cast(batch.column("doc_id"),
+                                           pa.int64()),
+                         "source": batch.column("source"),
+                         "__bucket": pa.array(b)})
+
+    def rank(g: pd.DataFrame, _ns=n_by_source):
+        g = g.drop(columns=["__bucket"]).sort_values(
+            ["source", "doc_id"], kind="mergesort")
+        src = g["source"].to_numpy()
+        m = len(g)
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        seg_len = np.diff(np.r_[starts, m])
+        rn = (np.arange(m) - np.repeat(starts, seg_len) + 1) \
+            .astype(np.int64)
+        ns = np.array([_ns[s] for s in src], np.int64)
+        ikey = (2 * rn - 1) * 1_000_000_000_000 // (2 * ns)
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "rn": rn, "ikey": ikey})
+        return pd_to_arrow(out)
+
+    head = (docs.map_batches(prep, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(rank, batch_format="pandas")
+            .sort(["ikey", "source", "rn"]).limit(limit).to_pandas())
+    head["pos"] = np.arange(1, len(head) + 1, dtype=np.int64)
+    for c in ("rn", "ikey"):
+        head[c] = head[c].astype("int64")
+    return pa.Table.from_pandas(head[["pos", "source", "rn", "ikey"]],
+                                preserve_index=False)

@@ -156,7 +156,8 @@ SQL_CHECKED = [
     "q197_l_diversity", "q198_cascade_delete",
     "q199_embedding_decontaminate", "q200_smb_join_revenue",
     "q203_cluster_pair_eval", "q204_missing_partitions",
-    "q205_incremental_view_merge",
+    "q205_incremental_view_merge", "q206_rag_chunks",
+    "q207_mixture_interleave",
 ]
 
 
