@@ -1155,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q205_incremental_view_merge": A.q205_incremental_view_merge,
         "q206_rag_chunks": A.q206_rag_chunks,
         "q207_mixture_interleave": A.q207_mixture_interleave,
+        "q208_maximal_matching": A.q208_maximal_matching,
+        "q209_contract_violations": A.q209_contract_violations,
     }
 
 
@@ -5898,5 +5900,30 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS pos,
                source, rn, ikey
         FROM k ORDER BY ikey, source, rn LIMIT 200
+    """
+    d["q209_contract_violations"] = """
+        -- contract-audit twin: same four CHECK rules, one row each
+        SELECT 'doc_lang_allowed' AS rule,
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                 AS n_rows,
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE lang NOT IN ('en', 'de', 'fr')) AS BIGINT)
+                 AS n_violations
+        UNION ALL
+        SELECT 'doc_len_max_2000',
+               CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM documents
+                     WHERE n_chars > 2000) AS BIGINT)
+        UNION ALL
+        SELECT 'event_value_max_100',
+               CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE value > 100) AS BIGINT)
+        UNION ALL
+        SELECT 'event_ts_before_feb',
+               CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE epoch_us(ts) >= 1706745600000000) AS BIGINT)
+        ORDER BY rule
     """
     return d

@@ -6896,3 +6896,95 @@ def q207_mixture_interleave(sf_dir: str, limit: int = 200) -> pa.Table:
         head[c] = head[c].astype("int64")
     return pa.Table.from_pandas(head[["pos", "source", "rn", "ikey"]],
                                 preserve_index=False)
+
+
+def q208_maximal_matching(sf_dir: str) -> pa.Table:
+    """Greedy maximum-weight maximal matching
+    (``graph_ops.maximal_matching`` — distributed local-dominant rounds,
+    equal to serial greedy under the (w DESC, a, b) total order;
+    hypothesis-pinned) over q193's weighted event graph.  The matching
+    primitive backs one-to-one record linkage and dedup-pair collapse.
+    Output: matched-edge count, total weight, matched-vertex count.
+    Rows-only by nature (iterative greedy is not SQL-expressible)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.graph_ops import maximal_matching
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({
+            "src": pa.array(src[ok], pa.int64()),
+            "dst": pa.array(dst[ok], pa.int64()),
+            "w": pa.array(1 + (src[ok] * 31 + dst[ok] * 17) % 9,
+                          pa.int64())})
+
+    m = maximal_matching(ds.map_batches(edges, batch_format="pyarrow"),
+                         est_rows=n_events // 7)
+    agg = m.aggregate(Count(), Sum("w"))
+    n_m = int(agg["count()"] or 0)
+    return pa.table({
+        "n_matched": pa.array([n_m], pa.int64()),
+        "total_w": pa.array([int(agg["sum(w)"] or 0)], pa.int64()),
+        "n_matched_nodes": pa.array([2 * n_m], pa.int64())})
+
+
+def q209_contract_violations(sf_dir: str) -> pa.Table:
+    """Data-contract audit: declared CHECK rules evaluated per batch
+    with integer violation partials — the pre-publish gate a curation
+    pipeline runs alongside the FD (q195) and FK (q124) audits.  Rules:
+    documents.lang ∈ {en,de,fr}; documents.n_chars ≤ 2000;
+    events.value ≤ 100; events.ts < 2024-02-01.  Each table scans once
+    and emits |rules| partial rows per batch; the groupby reduces
+    |rules| keys."""
+    from ray.data.aggregate import Sum
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    ev = _read(sf_dir, "events", ["value", "ts"])
+
+    def doc_rules(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_pylist()
+        nc = batch.column("n_chars").to_numpy().astype(np.int64)
+        n = len(nc)
+        allowed = {"en", "de", "fr"}
+        v1 = sum(1 for x in lang if x not in allowed)
+        v2 = int((nc > 2000).sum())
+        return pa.table({
+            "rule": pa.array(["doc_lang_allowed", "doc_len_max_2000"],
+                             pa.string()),
+            "n_rows": pa.array([n, n], pa.int64()),
+            "n_violations": pa.array([v1, v2], pa.int64())})
+
+    def ev_rules(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        n = len(v)
+        cutoff = 1_706_745_600_000_000  # 2024-02-01T00:00:00Z in µs
+        v3 = int((v > 100.0).sum())
+        v4 = int((us >= cutoff).sum())
+        return pa.table({
+            "rule": pa.array(["event_value_max_100",
+                              "event_ts_before_feb"], pa.string()),
+            "n_rows": pa.array([n, n], pa.int64()),
+            "n_violations": pa.array([v3, v4], pa.int64())})
+
+    parts = docs.map_batches(doc_rules, batch_format="pyarrow").union(
+        ev.map_batches(ev_rules, batch_format="pyarrow"))
+    out = (parts.groupby("rule")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("n_violations", alias_name="n_violations"))
+           .to_pandas())
+    for c in ("n_rows", "n_violations"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("rule").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["rule", "n_rows", "n_violations"]],
+                                preserve_index=False)

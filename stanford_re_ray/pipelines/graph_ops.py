@@ -2306,3 +2306,146 @@ def msf_boruvka(
     for f in forest[1:]:
         out = out.union(f)
     return _mat(out, out.count())
+
+
+def maximal_matching(
+    edges: ray.data.Dataset,
+    est_rows: int | None = None,
+    max_rounds: int = 32,
+) -> ray.data.Dataset:
+    """Greedy maximum-weight maximal matching by distributed
+    local-dominant rounds (Hoepman): each round every vertex nominates
+    its best incident edge under the GLOBAL total order
+    (w DESC, a ASC, b ASC); an edge nominated by BOTH endpoints is
+    locally dominant and joins the matching, matched vertices drop with
+    all their edges, repeat.  With the total order making all edge
+    priorities distinct, the result is EXACTLY the serial greedy
+    matching (sort by priority, take an edge iff both endpoints are
+    still free) — deterministic at any parallelism; pinned against
+    that serial reference in tests.  The matching primitive backs
+    dedup-pair collapsing and one-to-one record linkage.
+
+    Distributed shape per round: edges emit both directions tagged
+    with a hash(node) bucket; per-node best is a vectorized sort +
+    keep-first inside hash-BUCKET map_groups (never per-key groups);
+    dominance is one (a, b) groupby counting nominations; matched
+    vertices remove their edges via two anti hash_joins.  Every
+    iterative dataset re-materializes at a size-derived block count
+    (CLAUDE.md rule).  Adversarial chains (monotone weights along a
+    path) need Θ(path) rounds — ``max_rounds`` caps with a warning,
+    like ``connected_components``.
+
+    Undirected: endpoints normalize to (min, max), self-loops drop,
+    duplicate pairs thin map-side to their MAX weight.  Weights int64.
+    """
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    def _blocks(n: int) -> int:
+        return max(4, n // 250_000 + 1)
+
+    def _mat(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
+        return ds.repartition(_blocks(max(n, 1))).materialize()
+
+    def _ingest(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("src"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.cast(batch.column("dst"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = pc.cast(batch.column("w"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        keep = a != b
+        df = (pd.DataFrame({"a": a[keep], "b": b[keep], "w": w[keep]})
+              .groupby(["a", "b"], as_index=False).max())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "w": pa.array([], pa.int64())})
+    if edges.schema() is None:
+        return ray.data.from_arrow(empty)
+    e = edges.map_batches(_ingest, batch_format="pyarrow")
+    n_e = est_rows or e.count()
+    e = _mat(e, n_e)
+
+    matched_parts: list[ray.data.Dataset] = []
+    done = False
+    for _ in range(max_rounds):
+        n_e = e.count()
+        if n_e == 0:
+            done = True
+            break
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            a = t.column("a").combine_chunks()
+            b = t.column("b").combine_chunks()
+            w = t.column("w").combine_chunks()
+            node = pa.concat_arrays([a, b])
+            na = pa.concat_arrays([a, a])
+            nb = pa.concat_arrays([b, b])
+            ww = pa.concat_arrays([w, w])
+            bk = (node.to_numpy(zero_copy_only=False) % 64) \
+                .astype(np.int32)
+            return pa.table({"node": node, "a": na, "b": nb, "w": ww,
+                             "__bucket": pa.array(bk)})
+
+        def per_node_best(g: pd.DataFrame):
+            g = g.drop(columns=["__bucket"]).sort_values(
+                ["node", "w", "a", "b"],
+                ascending=[True, False, True, True], kind="mergesort")
+            g = g.drop_duplicates("node", keep="first")
+            return pd_to_arrow(g[["a", "b", "w"]])
+
+        nominated = (e.map_batches(both_dirs, batch_format="pyarrow")
+                     .groupby("__bucket")
+                     .map_groups(per_node_best, batch_format="pandas"))
+        dominant = (nominated.groupby(["a", "b", "w"])
+                    .aggregate(Count(alias_name="c"))
+                    .map_batches(
+                        lambda t: t.filter(
+                            pc.equal(t.column("c"), 2))
+                        .select(["a", "b", "w"]),
+                        batch_format="pyarrow"))
+        n_m = dominant.count()
+        if n_m == 0:
+            # no locally-dominant edge can only mean no edges remain
+            done = True
+            break
+        dominant = _mat(dominant, n_m)
+        matched_parts.append(dominant)
+
+        nodes = dominant.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.column("a").combine_chunks(),
+                t.column("b").combine_chunks()])}),
+            batch_format="pyarrow")
+        for side in ("a", "b"):
+            e = hash_join(
+                e.map_batches(
+                    lambda t, _s=side: t.append_column(
+                        "node", t.column(_s)),
+                    batch_format="pyarrow"),
+                nodes, on="node", how="anti",
+                est_rows=max(n_e, 1)).map_batches(
+                    lambda t: t.select(["a", "b", "w"]),
+                    batch_format="pyarrow")
+        e = _mat(e, n_e)
+
+    if not done:
+        warnings.warn("maximal_matching: max_rounds exhausted with "
+                      "edges remaining; matching may be incomplete",
+                      RuntimeWarning)
+    if not matched_parts:
+        return ray.data.from_arrow(empty)
+    out = matched_parts[0]
+    for m in matched_parts[1:]:
+        out = out.union(m)
+    return _mat(out, out.count())

@@ -994,3 +994,45 @@ def test_smb_join_matches_pandas(ray_session, lrows, rrows, str_keys):
             pd.testing.assert_frame_equal(g, r, check_dtype=False)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- maximal_matching ≡ serial greedy matching ------------------------------
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12),
+                          st.integers(1, 9)),
+                min_size=0, max_size=40))
+def test_maximal_matching_matches_serial_greedy(ray_session, raw_edges):
+    """Distributed local-dominant matching must equal the serial greedy
+    matching under the (w DESC, a, b) total order — including duplicate
+    pairs (max weight wins), self-loops (dropped), chain-shaped graphs,
+    and the empty graph."""
+    import ray.data as rd
+
+    from stanford_re_ray.pipelines.graph_ops import maximal_matching
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    tbl = pa.table({
+        "src": pa.array([e[0] for e in raw_edges], pa.int64()),
+        "dst": pa.array([e[1] for e in raw_edges], pa.int64()),
+        "w": pa.array([e[2] for e in raw_edges], pa.int64())})
+    got_tbl = dataset_to_table(
+        maximal_matching(rd.from_arrow(tbl).repartition(3)))
+    got = sorted(zip(*[got_tbl.column(c).to_pylist()
+                       for c in ("a", "b", "w")])) if got_tbl.num_rows \
+        else []
+
+    best: dict = {}
+    for s, d, w in raw_edges:
+        a, b = min(s, d), max(s, d)
+        if a == b:
+            continue
+        best[(a, b)] = max(best.get((a, b), -1), w)
+    used: set = set()
+    ref = []
+    for w, a, b in sorted(((w, a, b) for (a, b), w in best.items()),
+                          key=lambda t: (-t[0], t[1], t[2])):
+        if a not in used and b not in used:
+            used |= {a, b}
+            ref.append((a, b, w))
+    assert got == sorted(ref)

@@ -157,7 +157,7 @@ SQL_CHECKED = [
     "q199_embedding_decontaminate", "q200_smb_join_revenue",
     "q203_cluster_pair_eval", "q204_missing_partitions",
     "q205_incremental_view_merge", "q206_rag_chunks",
-    "q207_mixture_interleave",
+    "q207_mixture_interleave", "q209_contract_violations",
 ]
 
 
@@ -192,6 +192,7 @@ ROWS_ONLY = [
     "q193_msf",
     "q201_unigram_lm",
     "q202_media_header_audit",
+    "q208_maximal_matching",
 ]
 
 
@@ -255,7 +256,7 @@ def test_queries_oracle_contract(entrymod):
         "q121_pq_topk", "q131_mmr_select", "q135_media_pipeline",
         "q142_image_neardup", "q144_audio_neardup",
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
-        "q202_media_header_audit",
+        "q202_media_header_audit", "q208_maximal_matching",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
