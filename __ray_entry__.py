@@ -1157,6 +1157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q207_mixture_interleave": A.q207_mixture_interleave,
         "q208_maximal_matching": A.q208_maximal_matching,
         "q209_contract_violations": A.q209_contract_violations,
+        "q210_partitioned_sink_audit": A.q210_partitioned_sink_audit,
+        "q211_semantic_boundaries": A.q211_semantic_boundaries,
+        "q212_token_budget_plan": A.q212_token_budget_plan,
     }
 
 
@@ -5925,5 +5928,38 @@ def oracle_sql() -> dict[str, str]:
                CAST((SELECT COUNT(*) FROM events
                      WHERE epoch_us(ts) >= 1706745600000000) AS BIGINT)
         ORDER BY rule
+    """
+    d["q210_partitioned_sink_audit"] = """
+        -- sink-audit twin: per-lang row counts; the engine reads these
+        -- back from the partitioned layout's Parquet footers only
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1 ORDER BY 1
+    """
+    d["q211_semantic_boundaries"] = """
+        -- adjacent-pair cosine twin: consecutive vec_ids, 6-dp round
+        SELECT a.vec_id,
+               round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 6) AS cosine,
+               CAST(CASE WHEN round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) < 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        ORDER BY a.vec_id
+    """
+    d["q212_token_budget_plan"] = """
+        -- token-budget twin: per-source totals under a 128-token cap
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split_regex(lower(text),
+                      '[^0-9a-z_]+'), x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(LEAST(n_tok, 128)) AS BIGINT) AS kept_tokens,
+               CAST(SUM(n_tok - LEAST(n_tok, 128)) AS BIGINT)
+                 AS dropped_tokens
+        FROM t GROUP BY 1 ORDER BY 1
     """
     return d

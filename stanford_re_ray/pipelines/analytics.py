@@ -6988,3 +6988,135 @@ def q209_contract_violations(sf_dir: str) -> pa.Table:
     out = out.sort_values("rule").reset_index(drop=True)
     return pa.Table.from_pandas(out[["rule", "n_rows", "n_violations"]],
                                 preserve_index=False)
+
+
+def q210_partitioned_sink_audit(sf_dir: str) -> pa.Table:
+    """Resumable partitioned sink + footer-only audit: write documents
+    as Parquet partitioned by lang under /tmp (hive layout, atomic
+    rename, reused across calls — the resumable-output contract: a
+    rerun skips finished partitions), then audit the layout by reading
+    ONLY Parquet footers (no data pass) and report rows per partition.
+    The value check is end-to-end sink integrity: a lost or duplicated
+    block fails the per-lang row hash against the groupby oracle."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.sha1(f"sink|v1|{sf_dir}".encode()).hexdigest()[:12]
+    base = f"/tmp/stanford_re_ray_sink_{tag}"
+    if not os.path.isdir(base):
+        tmp = f"{base}.build{os.getpid()}"
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"]) \
+            .write_parquet(tmp, partition_cols=["lang"])
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            pass  # concurrent builder won; layouts are identical
+    rows = []
+    for d in sorted(os.listdir(base)):
+        if not d.startswith("lang="):
+            continue
+        n = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(glob.glob(f"{base}/{d}/*.parquet")))
+        rows.append((d.split("=", 1)[1], n))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64())})
+
+
+def q211_semantic_boundaries(sf_dir: str, bucket_rows: int = 512
+                             ) -> pa.Table:
+    """Adjacent-pair cosine over the id-ordered embedding stream — the
+    semantic-segmentation / drift-boundary primitive (cosine between
+    consecutive chunks marks topic breaks).  NO global sort: each
+    vector lands in bucket vec_id // B, plus a HALO copy to the
+    previous bucket when it is that bucket's first id, so every
+    consecutive pair meets in exactly one task — the halo-exchange
+    pattern for windowed ops over an id-partitioned stream.  Cosine is
+    float64 rounded half-even to 6 dp (same expression as the oracle's
+    round())."""
+    from ..schema import pd_to_arrow
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def halo(batch: pa.Table, _b=bucket_rows) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        own = vid // _b
+        is_first = (vid % _b) == 0
+        out_vid = np.concatenate([vid, vid[is_first]])
+        out_bkt = np.concatenate([own, own[is_first] - 1])
+        idx = np.concatenate([np.arange(len(vid)),
+                              np.flatnonzero(is_first)])
+        keep = out_bkt >= 0
+        t = batch.take(pa.array(idx[keep]))
+        return pa.table({"vec_id": pa.array(out_vid[keep]),
+                         "embedding": t.column("embedding"),
+                         "__bucket": pa.array(out_bkt[keep])})
+
+    def pairs(g: pd.DataFrame, _b=bucket_rows):
+        bkt = int(g["__bucket"].iloc[0])
+        g = g.sort_values("vec_id", kind="mergesort")
+        vid = g["vec_id"].to_numpy(np.int64)
+        vecs = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(vecs, axis=1)
+        n[n == 0] = 1.0
+        adj = vid[1:] == vid[:-1] + 1
+        own = (vid[:-1] // _b) == bkt   # halo rows pair, never anchor
+        cos = (vecs[:-1] * vecs[1:]).sum(axis=1) / (n[:-1] * n[1:])
+        keep = adj & own
+        out = pd.DataFrame({
+            "vec_id": vid[:-1][keep],
+            "cosine": np.round(cos[keep], 6)})
+        if not len(out):
+            out = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                "cosine": pd.Series([],
+                                                    dtype="float64")})
+        out["is_boundary"] = (out["cosine"] < 0.0).astype("int64")
+        return pd_to_arrow(out)
+
+    out = (emb.map_batches(halo, batch_format="pyarrow")
+           .groupby("__bucket").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["vec_id", "cosine", "is_boundary"]],
+                                preserve_index=False)
+
+
+def q212_token_budget_plan(sf_dir: str, cap: int = 128) -> pa.Table:
+    """Token-budget accounting: per source, how many tokens survive a
+    per-document ``cap``-token truncation and how many drop — the cost
+    table a pretraining run consults before fixing sequence length.
+    One Arrow-tokenizer pass, per-batch integer partials, |sources|-key
+    groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.corpus import _tokenize_column
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+
+    def plan(batch: pa.Table, _c=cap) -> pa.Table:
+        parent, _flat = _tokenize_column(batch.column("text"))
+        ntok = np.bincount(parent.to_numpy(zero_copy_only=False),
+                           minlength=batch.num_rows).astype(np.int64)
+        kept = np.minimum(ntok, _c)
+        return pa.table({"source": batch.column("source"),
+                         "n_tokens": pa.array(ntok),
+                         "kept_tokens": pa.array(kept),
+                         "dropped_tokens": pa.array(ntok - kept)})
+
+    out = (docs.map_batches(plan, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="total_tokens"),
+                      Sum("kept_tokens", alias_name="kept_tokens"),
+                      Sum("dropped_tokens", alias_name="dropped_tokens"))
+           .to_pandas())
+    for c in ("n_docs", "total_tokens", "kept_tokens", "dropped_tokens"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "total_tokens", "kept_tokens",
+             "dropped_tokens"]], preserve_index=False)

@@ -158,6 +158,8 @@ SQL_CHECKED = [
     "q203_cluster_pair_eval", "q204_missing_partitions",
     "q205_incremental_view_merge", "q206_rag_chunks",
     "q207_mixture_interleave", "q209_contract_violations",
+    "q210_partitioned_sink_audit", "q211_semantic_boundaries",
+    "q212_token_budget_plan",
 ]
 
 
