@@ -1160,6 +1160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q210_partitioned_sink_audit": A.q210_partitioned_sink_audit,
         "q211_semantic_boundaries": A.q211_semantic_boundaries,
         "q212_token_budget_plan": A.q212_token_budget_plan,
+        "q213_global_row_number": A.q213_global_row_number,
+        "q214_ivfpq_topk": A.q214_ivfpq_topk,
     }
 
 
@@ -5961,5 +5963,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_tok - LEAST(n_tok, 128)) AS BIGINT)
                  AS dropped_tokens
         FROM t GROUP BY 1 ORDER BY 1
+    """
+    d["q213_global_row_number"] = """
+        -- zipWithIndex twin: global row number in (n_chars, doc_id)
+        -- order (the engine range-partitions + prefix-sums, no sort)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS global_idx
+        FROM documents ORDER BY doc_id
     """
     return d

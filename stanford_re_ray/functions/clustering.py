@@ -323,6 +323,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     err_scale: int = 1_000_000,
+    keep_cols: "list[str] | None" = None,
 ) -> ray.data.Dataset:
     """Encode each vector as ``m`` codebook indices (one per subspace,
     nearest centroid by squared L2, ties → lowest code) plus the total
@@ -332,6 +333,8 @@ def pq_encode(
     (``ray.put`` once, fetched per worker), one matmul-shaped distance
     per subspace per batch, zero shuffles; output columns ``code_0 ..
     code_{m-1}`` ride per-row so a later exact re-rank can rehydrate.
+    ``keep_cols``: extra input columns to carry through unchanged
+    (e.g. an ``ivf_list`` assignment for ``similarity.ivfpq_topk``).
     """
     ref = ray.put(np.ascontiguousarray(codebooks, dtype=np.float64))
     m = codebooks.shape[0]
@@ -344,6 +347,8 @@ def pq_encode(
         n = vecs.shape[0]
         dsub = cb.shape[2]
         cols = {id_col: batch.column(id_col)}
+        for kc in keep_cols or ():
+            cols[kc] = batch.column(kc)
         err = np.zeros(n, dtype=np.float64)
         for j in range(m):
             sub = vecs[:, j * dsub:(j + 1) * dsub]

@@ -488,3 +488,84 @@ def mmr_select(
         "rel_q": pa.array([x for _, _, x, _ in out_rows], pa.int64()),
         "mmr_q": pa.array([m for *_, m in out_rows], pa.int64()),
     })
+
+
+def ivfpq_topk(
+    embeddings: ray.data.Dataset,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k_cent: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> pa.Table:
+    """IVF-PQ — the standard large-scale ANN composition (coarse
+    inverted lists + product-quantized codes, as in Faiss IVFPQ): the
+    corpus is IVF-assigned and PQ-encoded in ONE pass (16-ish bytes per
+    vector ride the scan, never raw floats), each query prunes to its
+    ``n_probe`` nearest lists and ranks ONLY those rows by asymmetric
+    distance (per-query LUT, m adds per row).  Returns (query_id,
+    vec_id, dist_q) exact-integer quantized top-k.
+
+    ``centroids`` / ``codebooks``: pass trained ones (production — e.g.
+    ``kmeans_fit`` / ``pq_train`` on a sample); defaults are the
+    deterministic md5 coarse codebook and a full-corpus ``pq_train``.
+    Composition is pinned in tests: probing ALL lists must equal a
+    plain ``pq_topk`` over every code."""
+    from .clustering import pq_encode, pq_topk, pq_train
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    dim = q.shape[1]
+    cents = (np.asarray(centroids, dtype=np.float64)
+             if centroids is not None
+             else _det_centroids(dim, n_lists))
+    if codebooks is None:
+        codebooks = pq_train(embeddings, m=m, k=k_cent,
+                             id_col=id_col, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        cc = fetch(cents_ref)
+        vecs = _to_matrix(batch.column(vec_col))
+        if vecs.size == 0:
+            return batch.append_column("ivf_list",
+                                       pa.array([], pa.int64()))
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        lists = np.argmax((vecs / norms) @ cc.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    codes = pq_encode(
+        embeddings.map_batches(assign, batch_format="pyarrow"),
+        codebooks, id_col=id_col, vec_col=vec_col,
+        keep_cols=["ivf_list"]).materialize()
+
+    parts = []
+    for qi, qv in enumerate(q):
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        probe = set(np.argsort(-(cents @ qn))[:n_probe].tolist())
+
+        def prune(batch: pa.Table, _p=frozenset(probe)) -> pa.Table:
+            lst = batch.column("ivf_list").to_numpy(
+                zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(lst, list(_p))))
+
+        sub = codes.map_batches(prune, batch_format="pyarrow")
+        top = pq_topk(sub, codebooks, qv[None, :], k=k,
+                      id_col=id_col).to_pandas()
+        top["query_id"] = np.int64(qi)
+        parts.append(top)
+
+    out = pd.concat(parts, ignore_index=True)[
+        ["query_id", "rank", id_col, "dist_q"]]
+    out = out.sort_values(["query_id", "rank", id_col]) \
+        .reset_index(drop=True)
+    for c in ("query_id", "rank", id_col, "dist_q"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)

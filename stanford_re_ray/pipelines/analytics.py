@@ -7120,3 +7120,73 @@ def q212_token_budget_plan(sf_dir: str, cap: int = 128) -> pa.Table:
     return pa.Table.from_pandas(
         out[["source", "n_docs", "total_tokens", "kept_tokens",
              "dropped_tokens"]], preserve_index=False)
+def q213_global_row_number(sf_dir: str, width: int = 256) -> pa.Table:
+    """Global row numbering in (n_chars, doc_id) order WITHOUT a global
+    sort — the distributed zipWithIndex: (1) one combiner'd groupby
+    counts rows per range bucket (n_chars // width); (2) the driver
+    prefix-sums the |buckets| counts into exact offsets; (3) rows route
+    to their bucket (hash-free RANGE partitioning, so bucket order IS
+    key order), sort locally, and take index = offset + local rank.
+    Index assignment is exact and deterministic regardless of bucket
+    balance; balance only affects task skew (at 100 TB derive ``width``
+    from the q163 equi-depth histogram instead of a constant)."""
+    from ray.data.aggregate import Count
+
+    from ..schema import pd_to_arrow
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def tag(batch: pa.Table, _w=width) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_chars": pa.array(nc),
+            "__bucket": pa.array((nc // _w).astype(np.int32))})
+
+    tagged = tag_ds = docs.map_batches(tag, batch_format="pyarrow") \
+        .materialize()
+    counts = (tagged.groupby("__bucket")
+              .aggregate(Count(alias_name="n")).to_pandas()
+              .sort_values("__bucket").reset_index(drop=True))
+    offs = dict(zip(
+        counts["__bucket"].astype(int),
+        np.concatenate([[0], np.cumsum(
+            counts["n"].to_numpy(np.int64))[:-1]])))
+
+    def index(g: pd.DataFrame, _o=offs):
+        b = int(g["__bucket"].iloc[0])
+        g = g.sort_values(["n_chars", "doc_id"], kind="mergesort")
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "global_idx": _o[b] + np.arange(1, len(g) + 1,
+                                            dtype=np.int64)})
+        return pd_to_arrow(out)
+
+    out = (tag_ds.groupby("__bucket")
+           .map_groups(index, batch_format="pandas").to_pandas())
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "global_idx"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "global_idx"]],
+                                preserve_index=False)
+
+
+def q214_ivfpq_topk(sf_dir: str) -> pa.Table:
+    """IVF-PQ approximate nearest neighbors
+    (``similarity.ivfpq_topk`` — the Faiss-standard composition):
+    one pass IVF-assigns and PQ-encodes the corpus, each query prunes
+    to its 4 nearest of 16 lists and ADC-ranks only those codes.
+    Queries are vec_ids 0–2's own vectors (q121's query set).
+    Rows-only (trained-codebook dependence, like q120/q121); the
+    composition is pinned in pytest: probing ALL lists must equal a
+    plain pq_topk over every code."""
+    from ..functions.similarity import ivfpq_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = np.asarray(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), 3)),
+            batch_format="pyarrow").to_pandas()
+        .sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    return ivfpq_topk(emb, q, k=5, n_lists=16, n_probe=4, m=4,
+                      k_cent=16)

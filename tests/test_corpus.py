@@ -476,3 +476,52 @@ def test_unigram_lm_matches_serial_reference(ray_session, blocks):
     got = list(out.itertuples(index=False, name=None))
     assert got == ref
     assert len(got) <= V and any(len(p) > 1 for p, _, _ in got)
+
+
+def test_ivfpq_full_probe_equals_pq_topk(ray_session):
+    """IVF-PQ composition pin: probing ALL lists must reduce to a plain
+    pq_topk over every code (same codebooks, same quantized distances,
+    same ranks); pruned probing returns a subset drawn only from the
+    probed lists and never beats the full probe's distance at rank 1."""
+    import numpy as np
+
+    from stanford_re_ray.functions.clustering import (pq_encode,
+                                                      pq_topk, pq_train)
+    from stanford_re_ray.functions.similarity import (_det_centroids,
+                                                      ivfpq_topk)
+
+    vals = [[float((i * 7 + j * 5) % 19 - 9) for j in range(8)]
+            for i in range(80)]
+    tbl = pa.table({"vec_id": pa.array(range(80), pa.int64()),
+                    "embedding": pa.array(vals, pa.list_(pa.float64()))})
+    ds = rd.from_arrow(tbl).repartition(4)
+    q = np.array([vals[0], vals[13]])
+
+    cb = pq_train(ds, m=2, k=4, n_iter=1)
+    full = (ivfpq_topk(ds, q, k=5, n_lists=4, n_probe=4, codebooks=cb)
+            .to_pandas())
+    plain = (pq_topk(pq_encode(ds, cb), cb, q, k=5).to_pandas()
+             .sort_values(["query_id", "rank", "vec_id"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        full[["query_id", "rank", "vec_id", "dist_q"]].astype("int64"),
+        plain[["query_id", "rank", "vec_id", "dist_q"]].astype("int64"))
+
+    pruned = (ivfpq_topk(ds, q, k=5, n_lists=4, n_probe=1,
+                         codebooks=cb).to_pandas())
+    # pruned results come only from each query's nearest list
+    cents = _det_centroids(8, 4)
+    X = np.array(vals)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    assign = np.argmax((X / norms) @ cents.T, axis=1)
+    for qi, qv in enumerate(q):
+        qn = qv / np.linalg.norm(qv)
+        probe = int(np.argmax(cents @ qn))
+        got_ids = pruned[pruned["query_id"] == qi]["vec_id"].tolist()
+        assert got_ids, "pruned probe returned nothing"
+        assert all(assign[v] == probe for v in got_ids)
+        f0 = full[(full["query_id"] == qi) & (full["rank"] == 1)
+                  ]["dist_q"].iloc[0]
+        p0 = pruned[(pruned["query_id"] == qi) & (pruned["rank"] == 1)
+                    ]["dist_q"].iloc[0]
+        assert p0 >= f0

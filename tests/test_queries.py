@@ -159,7 +159,7 @@ SQL_CHECKED = [
     "q205_incremental_view_merge", "q206_rag_chunks",
     "q207_mixture_interleave", "q209_contract_violations",
     "q210_partitioned_sink_audit", "q211_semantic_boundaries",
-    "q212_token_budget_plan",
+    "q212_token_budget_plan", "q213_global_row_number",
 ]
 
 
@@ -195,6 +195,7 @@ ROWS_ONLY = [
     "q201_unigram_lm",
     "q202_media_header_audit",
     "q208_maximal_matching",
+    "q214_ivfpq_topk",
 ]
 
 
@@ -259,6 +260,7 @@ def test_queries_oracle_contract(entrymod):
         "q142_image_neardup", "q144_audio_neardup",
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
         "q202_media_header_audit", "q208_maximal_matching",
+        "q214_ivfpq_topk",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
