@@ -1162,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_token_budget_plan": A.q212_token_budget_plan,
         "q213_global_row_number": A.q213_global_row_number,
         "q214_ivfpq_topk": A.q214_ivfpq_topk,
+        "q215_drop_reasons": A.q215_drop_reasons,
     }
 
 
@@ -5972,4 +5973,29 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS global_idx
         FROM documents ORDER BY doc_id
     """
+    # drop-reason twin COMPOSES the q54 CTE chain verbatim (everything
+    # before its balance tail) and CASE-assigns each document the first
+    # stage that removed it — the same survivor sets q54 value-checks
+    d["q215_drop_reasons"] = (
+        d["q54_curation"].split("cnt AS")[0].rstrip().rstrip(",")
+        + """,
+        cnt AS (SELECT lang, COUNT(*) AS c FROM clean GROUP BY lang),
+        m AS (SELECT MIN(c) AS mc FROM cnt)
+        SELECT d0.doc_id,
+               CASE
+                 WHEN d0.doc_id NOT IN (SELECT doc_id FROM q)
+                   THEN 'quality'
+                 WHEN d0.doc_id NOT IN (SELECT doc_id FROM ded)
+                   THEN 'duplicate'
+                 WHEN d0.doc_id % 97 = 0 THEN 'eval_split'
+                 WHEN d0.doc_id IN (SELECT doc_id FROM dirty)
+                   THEN 'contaminated'
+                 WHEN md5_number_upper(CAST(d0.doc_id AS VARCHAR))
+                      % 1000000 < (1000000 * m.mc) // cnt.c
+                   THEN 'kept'
+                 ELSE 'balance' END AS reason
+        FROM documents d0 LEFT JOIN cnt ON cnt.lang = d0.lang
+        CROSS JOIN m
+        ORDER BY d0.doc_id
+    """)
     return d

@@ -7190,3 +7190,113 @@ def q214_ivfpq_topk(sf_dir: str) -> pa.Table:
         .sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
     return ivfpq_topk(emb, q, k=5, n_lists=16, n_probe=4, m=4,
                       k_cent=16)
+
+
+def q215_drop_reasons(sf_dir: str, eval_mod: int = 97,
+                      quantum: int = 1_000_000) -> pa.Table:
+    """Per-document drop lineage for the q54 curation chain — for every
+    document, the FIRST stage that removed it ('quality', 'duplicate',
+    'eval_split', 'contaminated', 'balance') or 'kept'.  The audit a
+    governance review asks for ("why is doc X not in the training
+    set?"), composed from the SAME oracled operators as q54 so the
+    lineage is value-checked cross-engine end to end.  Stage shapes are
+    unchanged (stateless quality map; sha1-only dedup shuffle;
+    broadcast eval n-grams; broadcast per-stratum thresholds) — the
+    only addition is that each stage's DROPS are labeled instead of
+    discarded."""
+    from ..functions.dedup import exact_dedup
+    from ..functions.hashing import stable_u64
+    from ..functions.mixing import decontaminate
+    from ..functions.textstats import gopher_quality_batch
+
+    def labeled(ds: ray.data.Dataset, label: str) -> ray.data.Dataset:
+        return ds.map_batches(
+            lambda b, _l=label: pa.table({
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "reason": pa.array([_l] * b.num_rows, pa.string())}),
+            batch_format="pyarrow")
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "lang", "text"]).materialize()
+
+    tagged = docs.map_batches(
+        lambda b: b.append_column(
+            "__keep", gopher_quality_batch(b).column("keep")),
+        batch_format="pyarrow").materialize()
+    reasons = [labeled(tagged.map_batches(
+        lambda b: b.filter(pc.invert(b.column("__keep"))),
+        batch_format="pyarrow"), "quality")]
+    q = tagged.map_batches(
+        lambda b: b.filter(b.column("__keep")).drop_columns(["__keep"]),
+        batch_format="pyarrow").materialize()
+
+    win_ref = ray.put(set(exact_dedup(q, col="text").unique("doc_id")))
+
+    def dup_mask(batch: pa.Table, drop: bool, _ref=win_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        win = fetch(_ref)
+        m = [(int(i) in win) != drop
+             for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(m, pa.bool_()))
+
+    reasons.append(labeled(q.map_batches(
+        lambda b: dup_mask(b, True), batch_format="pyarrow"),
+        "duplicate"))
+    q2 = q.map_batches(lambda b: dup_mask(b, False),
+                       batch_format="pyarrow").materialize()
+
+    dirty_ref = ray.put(set(decontaminate(q2, n=4, eval_mod=eval_mod)
+                            .unique("doc_id")))
+
+    def stage3(batch: pa.Table, mode: str, _ref=dirty_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        bad = fetch(_ref)
+        ids = np.asarray(batch.column("doc_id").to_pylist(),
+                         dtype=np.int64)
+        is_eval = (ids % eval_mod) == 0
+        is_dirty = np.array([int(i) in bad for i in ids],
+                            dtype=bool) & ~is_eval
+        m = {"eval": is_eval, "dirty": is_dirty,
+             "clean": ~is_eval & ~is_dirty}[mode]
+        return batch.filter(pa.array(m, pa.bool_()))
+
+    reasons.append(labeled(q2.map_batches(
+        lambda b: stage3(b, "eval"), batch_format="pyarrow"),
+        "eval_split"))
+    reasons.append(labeled(q2.map_batches(
+        lambda b: stage3(b, "dirty"), batch_format="pyarrow"),
+        "contaminated"))
+    clean = q2.map_batches(lambda b: stage3(b, "clean"),
+                           batch_format="pyarrow").materialize()
+
+    counts = {r["lang"]: r["count()"]
+              for r in clean.groupby("lang").count().take_all()}
+    mc = min(counts.values()) if counts else 0
+    thr_ref = ray.put({s: (quantum * mc) // c
+                       for s, c in counts.items()})
+
+    def final_tag(batch: pa.Table, _ref=thr_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        t = fetch(_ref)
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        kept = [stable_u64(str(i)) % quantum < t[s]
+                for i, s in zip(ids, langs)]
+        return pa.table({
+            "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+            "reason": pa.array(["kept" if k else "balance"
+                                for k in kept], pa.string())})
+
+    reasons.append(clean.map_batches(final_tag,
+                                     batch_format="pyarrow"))
+
+    out = reasons[0]
+    for r in reasons[1:]:
+        out = out.union(r)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return pa.Table.from_pandas(df[["doc_id", "reason"]],
+                                preserve_index=False)
