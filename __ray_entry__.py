@@ -1163,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q213_global_row_number": A.q213_global_row_number,
         "q214_ivfpq_topk": A.q214_ivfpq_topk,
         "q215_drop_reasons": A.q215_drop_reasons,
+        "q216_training_shards": A.q216_training_shards,
     }
 
 
@@ -5997,5 +5998,34 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d0 LEFT JOIN cnt ON cnt.lang = d0.lang
         CROSS JOIN m
         ORDER BY d0.doc_id
+    """)
+    # training-shard twin COMPOSES the q54 chain (survivor selection,
+    # INCLUDING its balance tail) with q46's window-sum packing tail at
+    # seq_len 256 — manifest must match the curated survivors' stream
+    d["q216_training_shards"] = (
+        d["q54_curation"].split("cnt AS")[0].rstrip().rstrip(",")
+        + """,
+        cnt AS (SELECT lang, COUNT(*) AS c FROM clean GROUP BY lang),
+        m AS (SELECT MIN(c) AS mc FROM cnt),
+        kept AS (
+          SELECT c.doc_id
+          FROM clean c JOIN cnt USING (lang), m
+          WHERE md5_number_upper(CAST(c.doc_id AS VARCHAR)) % 1000000
+                < (1000000 * m.mc) // cnt.c),
+        tok AS (
+          SELECT k.doc_id,
+                 len(regexp_extract_all(lower(dd.text),
+                                        '[0-9A-Za-z_]+')) AS n_tok
+          FROM kept k JOIN documents dd USING (doc_id)),
+        cum AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tok
+                   AS cum_before
+          FROM tok)
+        SELECT CAST(cum_before // 256 AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1 ORDER BY 1
     """)
     return d

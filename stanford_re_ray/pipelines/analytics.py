@@ -7300,3 +7300,36 @@ def q215_drop_reasons(sf_dir: str, eval_mod: int = 97,
     df["doc_id"] = df["doc_id"].astype("int64")
     return pa.Table.from_pandas(df[["doc_id", "reason"]],
                                 preserve_index=False)
+
+
+def q216_training_shards(sf_dir: str, seq_len: int = 256) -> pa.Table:
+    """End-to-end training-shard preparation — the full data-prep
+    flagship in one pipeline: q54's curation chain (quality → exact
+    dedup → decontaminate → stratum balance) selects the survivors,
+    then q46's distributed prefix-sum packs their token stream into
+    fixed ``seq_len`` sequences, returning the shard manifest
+    (pack_id, n_docs, n_tokens) a trainer consumes.  Survivor ids
+    broadcast as a set here (the balanced sample ≪ corpus; beyond the
+    broadcast limit use the semi ``hash_join`` exactly as
+    ``curate_corpus`` does internally).  Packing tolerates the
+    survivor set's id GAPS: bucket offsets key off the buckets actually
+    present, density only affects balance.  Oracle composes the q54
+    CTE chain verbatim with q46's window-sum tail."""
+    from ..functions.mixing import curate_corpus, sequence_packing
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    kept = curate_corpus(docs, est_rows=_row_count(sf_dir, "documents"))
+    kept_ids = set(kept.unique("doc_id"))
+    ref = ray.put(kept_ids)
+
+    def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        ids = fetch(_ref)
+        m = [int(i) in ids
+             for i in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(m, pa.bool_()))
+
+    survivors = docs.map_batches(keep, batch_format="pyarrow")
+    return sequence_packing(survivors, seq_len=seq_len,
+                            n_rows=len(kept_ids))

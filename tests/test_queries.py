@@ -160,7 +160,7 @@ SQL_CHECKED = [
     "q207_mixture_interleave", "q209_contract_violations",
     "q210_partitioned_sink_audit", "q211_semantic_boundaries",
     "q212_token_budget_plan", "q213_global_row_number",
-    "q215_drop_reasons",
+    "q215_drop_reasons", "q216_training_shards",
 ]
 
 
