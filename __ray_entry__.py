@@ -1164,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q214_ivfpq_topk": A.q214_ivfpq_topk,
         "q215_drop_reasons": A.q215_drop_reasons,
         "q216_training_shards": A.q216_training_shards,
+        "q217_winnowing": A.q217_winnowing,
     }
 
 
@@ -6028,4 +6029,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         FROM cum GROUP BY 1 ORDER BY 1
     """)
+    d["q217_winnowing"] = """
+        -- winnowing twin: q18's Rabin-Karp window hashes, then every
+        -- 8-window of hashes picks its RIGHTMOST minimum (ROW_NUMBER
+        -- ordered h ASC, s DESC); distinct picks per document
+        WITH RECURSIVE pw(j, p) AS (
+            SELECT 0, CAST(1 AS HUGEINT)
+            UNION ALL
+            SELECT j + 1, (p * 1000003) % 2305843009213693951
+            FROM pw WHERE j < 63
+        ),
+        d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   least(length(text), 64) AS w
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, unnest(generate_series(1, n)) AS i, text
+            FROM d WHERE n > 0
+        ),
+        cps AS (
+            SELECT doc_id, i,
+                   CAST(ord(substring(text, CAST(i AS INT), 1))
+                        AS HUGEINT) AS cp
+            FROM chars
+        ),
+        starts AS (
+            SELECT doc_id, w, unnest(generate_series(1, n - w + 1)) AS s
+            FROM d WHERE n > 0
+        ),
+        wh AS (
+            SELECT st.doc_id, st.s,
+                   SUM((c.cp * p.p) % 2305843009213693951)
+                     % 2305843009213693951 AS h
+            FROM starts st
+            JOIN cps c ON c.doc_id = st.doc_id
+                      AND c.i >= st.s AND c.i < st.s + st.w
+            JOIN pw p ON p.j = st.w - 1 - (c.i - st.s)
+            GROUP BY st.doc_id, st.s
+        ),
+        sc AS (SELECT doc_id, COUNT(*) AS ns FROM wh GROUP BY 1),
+        wins AS (
+            SELECT w0.doc_id, w0.s AS t
+            FROM wh w0 JOIN sc USING (doc_id)
+            WHERE w0.s <= GREATEST(sc.ns - 7, 1)
+        ),
+        j AS (
+            SELECT w1.doc_id, w1.t, w2.s,
+                   ROW_NUMBER() OVER (PARTITION BY w1.doc_id, w1.t
+                                      ORDER BY w2.h ASC, w2.s DESC)
+                     AS rn
+            FROM wins w1
+            JOIN wh w2 ON w2.doc_id = w1.doc_id
+                      AND w2.s >= w1.t AND w2.s < w1.t + 8
+        ),
+        picks AS (SELECT DISTINCT doc_id, s FROM j WHERE rn = 1),
+        agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected
+                FROM picks GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.ns, 0) AS BIGINT) AS n_hashes,
+               COALESCE(agg.n_selected, 0) AS n_selected
+        FROM d LEFT JOIN sc USING (doc_id) LEFT JOIN agg USING (doc_id)
+        ORDER BY d.doc_id
+    """
     return d

@@ -472,3 +472,79 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fingerprint": pa.array(fps, pa.string()),
         }
     )
+
+
+def winnow_select_counts(texts: list, g: int = 8) -> np.ndarray:
+    """Winnowing (the MOSS local fingerprint selection, Schleimer et
+    al. 2003) over the same 64-cp Rabin-Karp window hashes as
+    ``rolling_fingerprint``: every ``g``-window of consecutive hashes
+    selects its RIGHTMOST minimum; the distinct selected positions are
+    the document's local fingerprints (guarantee: any ≥ g+w−1 cp match
+    between two documents shares a selected hash).  Returns an
+    (n_docs, 2) int64 array of (n_hashes, n_selected) per text.
+
+    Vector shape: one `_flat_window_hashes` pass over the concatenated
+    batch (the q18 carry-cancellation machine), then a per-doc
+    sliding-window min with rightmost-tie argmax — numpy throughout;
+    sub-window docs fall back to the scalar spec hash (single window,
+    one selection)."""
+    w = 64
+    cleaned = [(t or "") for t in texts]
+    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
+    n = int(lens.sum())
+    out = np.zeros((len(cleaned), 2), dtype=np.int64)
+    if n == 0:
+        return out
+
+    # every non-empty doc shorter than w has exactly one window hash and
+    # therefore exactly one selected position
+    short = (lens > 0) & (lens < w)
+    out[short] = [1, 1]
+
+    big = np.flatnonzero(lens >= w)
+    if not len(big):
+        return out
+    try:
+        flat = "".join(cleaned).encode("utf-32-le")
+    except UnicodeEncodeError:
+        # lone surrogates: per-doc scalar spec (rare; correctness first)
+        for i in big:
+            cps = list(map(ord, cleaned[i]))
+            h = 0
+            hs = []
+            pwv = pow(_B, w - 1, _MOD)
+            for cp in cps[:w]:
+                h = (h * _B + cp) % _MOD
+            hs.append(h)
+            for k in range(w, len(cps)):
+                h = ((h - cps[k - w] * pwv) * _B + cps[k]) % _MOD
+                hs.append(h)
+            out[i] = [len(hs), _winnow_count(np.array(hs, np.uint64), g)]
+        return out
+
+    cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+    hp = _flat_window_hashes(cps, n, w)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for i in big:
+        s = int(doc_starts[i])
+        hs = hp[s:s + int(lens[i]) - (w - 1)]
+        out[i] = [len(hs), _winnow_count(hs, g)]
+    return out
+
+
+def _winnow_count(hs: np.ndarray, g: int) -> int:
+    """Distinct positions selected by rightmost-min winnowing over the
+    hash sequence ``hs`` with guarantee window ``g`` (single window of
+    size len(hs) when shorter than g)."""
+    S = len(hs)
+    if S == 0:
+        return 0
+    if S <= g:
+        return 1          # one window, one pick (its rightmost min)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(hs, g)               # (S-g+1, g)
+    m = wins.min(axis=1)
+    rightmost = (g - 1) - np.argmax(wins[:, ::-1] == m[:, None], axis=1)
+    picks = np.arange(S - g + 1, dtype=np.int64) + rightmost
+    return int(np.unique(picks).size)

@@ -7333,3 +7333,33 @@ def q216_training_shards(sf_dir: str, seq_len: int = 256) -> pa.Table:
     survivors = docs.map_batches(keep, batch_format="pyarrow")
     return sequence_packing(survivors, seq_len=seq_len,
                             n_rows=len(kept_ids))
+
+
+def q217_winnowing(sf_dir: str) -> pa.Table:
+    """Winnowing local-fingerprint selection (MOSS; Schleimer et al.
+    2003) per document: over the q18 Rabin-Karp 64-cp window hashes,
+    every 8-window of consecutive hashes selects its rightmost minimum
+    — the selection scheme behind plagiarism/code-clone detection,
+    guaranteeing any ≥ 71-cp shared substring yields a shared
+    fingerprint.  Output: (doc_id, n_hashes, n_selected).  One
+    stateless vectorized map (``textstats.winnow_select_counts``), no
+    shuffle; the oracle extends q18's CTE with a windows × 8 join and
+    a rightmost-argmin ROW_NUMBER."""
+    from ..functions.textstats import winnow_select_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        c = winnow_select_counts(batch.column("text").to_pylist())
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_hashes": pa.array(c[:, 0]),
+            "n_selected": pa.array(c[:, 1])})
+
+    out = docs.map_batches(counts, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_hashes", "n_selected"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["doc_id", "n_hashes",
+                                     "n_selected"]],
+                                preserve_index=False)

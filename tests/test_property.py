@@ -1036,3 +1036,48 @@ def test_maximal_matching_matches_serial_greedy(ray_session, raw_edges):
             used |= {a, b}
             ref.append((a, b, w))
     assert got == sorted(ref)
+
+
+# --- winnowing: vectorized selection ≡ naive reference -----------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="ab XY.\n", min_size=0, max_size=200),
+                max_size=6),
+       st.integers(0, 2))
+def test_winnow_counts_match_naive(texts, pad):
+    from stanford_re_ray.functions.textstats import (_B, _MOD,
+                                                     winnow_select_counts)
+
+    texts = texts + ["z w " * (40 + pad)]   # ensure a >=64-cp doc
+    got = winnow_select_counts(texts)
+
+    for t, (n_h, n_sel) in zip(texts, got):
+        t = t or ""
+        n = len(t)
+        if n == 0:
+            assert (n_h, n_sel) == (0, 0)
+            continue
+        w = min(64, n)
+        cps = [ord(c) for c in t]
+        hs = []
+        h = 0
+        for cp in cps[:w]:
+            h = (h * _B + cp) % _MOD
+        hs.append(h)
+        pwv = pow(_B, w - 1, _MOD)
+        for k in range(w, n):
+            h = ((h - cps[k - w] * pwv) * _B + cps[k]) % _MOD
+            hs.append(h)
+        assert n_h == len(hs)
+        g = 8
+        picks = set()
+        if len(hs) <= g:
+            m = min(hs)
+            picks.add(max(i for i, v in enumerate(hs) if v == m))
+        else:
+            for ti in range(len(hs) - g + 1):
+                win = hs[ti:ti + g]
+                m = min(win)
+                picks.add(ti + max(i for i, v in enumerate(win)
+                                   if v == m))
+        assert n_sel == len(picks)
