@@ -1165,6 +1165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q215_drop_reasons": A.q215_drop_reasons,
         "q216_training_shards": A.q216_training_shards,
         "q217_winnowing": A.q217_winnowing,
+        "q218_cosine_histogram": A.q218_cosine_histogram,
+        "q219_mutual_information": A.q219_mutual_information,
     }
 
 
@@ -6091,5 +6093,42 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(agg.n_selected, 0) AS n_selected
         FROM d LEFT JOIN sc USING (doc_id) LEFT JOIN agg USING (doc_id)
         ORDER BY d.doc_id
+    """
+    d["q218_cosine_histogram"] = """
+        -- anisotropy twin: 0.1-wide cosine histogram over the
+        -- vec_id % 50 == 0 sample, bins = floor(round(cos,6)*10)
+        WITH s AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id % 50 = 0),
+        p AS (
+          SELECT CAST(FLOOR(round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) * 10)
+                 AS BIGINT) AS bin
+          FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1 ORDER BY 1
+    """
+    d["q219_mutual_information"] = """
+        -- MI twin: identical nats expression over the contingency
+        -- cells, 6-dp round
+        WITH cell AS (
+          SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS N FROM cell),
+        la AS (SELECT lang, SUM(n) AS nl FROM cell GROUP BY 1),
+        so AS (SELECT source, SUM(n) AS ns FROM cell GROUP BY 1),
+        mi AS (
+          SELECT SUM((c.n / t.N) * LN(c.n * t.N / (la.nl * so.ns)))
+                   AS v
+          FROM cell c JOIN la USING (lang) JOIN so USING (source)
+          CROSS JOIN tot t),
+        hl AS (SELECT -SUM((nl / t.N) * LN(nl / t.N)) AS v
+               FROM la CROSS JOIN tot t),
+        hs AS (SELECT -SUM((ns / t.N) * LN(ns / t.N)) AS v
+               FROM so CROSS JOIN tot t)
+        SELECT round(mi.v, 6) AS mi_nats,
+               round(hl.v, 6) AS h_lang,
+               round(hs.v, 6) AS h_source
+        FROM mi, hl, hs
     """
     return d

@@ -7363,3 +7363,66 @@ def q217_winnowing(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["doc_id", "n_hashes",
                                      "n_selected"]],
                                 preserve_index=False)
+
+
+def q218_cosine_histogram(sf_dir: str, mod: int = 50) -> pa.Table:
+    """Embedding-space anisotropy diagnostic: the 0.1-wide histogram of
+    pairwise cosines over a deterministic hash sample (vec_id % mod ==
+    0) — the collapse/anisotropy check run before trusting cosine
+    thresholds (a healthy space centers near 0; a collapsed one piles
+    up near 1).  The sample is tiny by construction (1/mod² of the
+    quadratic pair space); it broadcasts once and pairs compute in one
+    vectorized task.  Bins are floor(round(cos, 6) · 10), exact on both
+    engines."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(batch: pa.Table, _m=mod) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.int64)
+        return batch.filter(pa.array((vid % _m) == 0))
+
+    sample = emb.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sample = sample.sort_values("vec_id").reset_index(drop=True)
+    V = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    nv = V / n
+    sim = nv @ nv.T
+    iu = np.triu_indices(len(nv), k=1)
+    c6 = np.round(sim[iu], 6)
+    bins = np.floor(c6 * 10.0).astype(np.int64)
+    vals, cnts = np.unique(bins, return_counts=True)
+    return pa.table({
+        "bin": pa.array(vals, pa.int64()),
+        "n_pairs": pa.array(cnts.astype(np.int64), pa.int64())})
+
+
+def q219_mutual_information(sf_dir: str) -> pa.Table:
+    """Mutual information (nats, 6-dp) between lang and source over
+    documents plus the two marginal entropies — the association audit
+    behind stratification and leakage checks (MI ≈ 0 ⇒ independent
+    splits; high MI ⇒ a lang-balanced sample silently skews sources).
+    One (lang, source) combiner'd groupby; the log folds run over
+    |langs × sources| cells on the driver, identical expression to the
+    oracle."""
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", ["lang", "source"])
+    cells = (docs.groupby(["lang", "source"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    n = cells["n"].astype("float64").to_numpy()
+    N = n.sum()
+    la = cells.groupby("lang")["n"].transform("sum") \
+        .astype("float64").to_numpy()
+    so = cells.groupby("source")["n"].transform("sum") \
+        .astype("float64").to_numpy()
+    mi = float(((n / N) * np.log(n * N / (la * so))).sum())
+    pl = (cells.groupby("lang")["n"].sum().astype("float64")
+          .to_numpy()) / N
+    ps = (cells.groupby("source")["n"].sum().astype("float64")
+          .to_numpy()) / N
+    h_lang = float(-(pl * np.log(pl)).sum())
+    h_source = float(-(ps * np.log(ps)).sum())
+    return pa.table({
+        "mi_nats": pa.array([round(mi, 6)], pa.float64()),
+        "h_lang": pa.array([round(h_lang, 6)], pa.float64()),
+        "h_source": pa.array([round(h_source, 6)], pa.float64())})

@@ -161,7 +161,8 @@ SQL_CHECKED = [
     "q210_partitioned_sink_audit", "q211_semantic_boundaries",
     "q212_token_budget_plan", "q213_global_row_number",
     "q215_drop_reasons", "q216_training_shards",
-    "q217_winnowing",
+    "q217_winnowing", "q218_cosine_histogram",
+    "q219_mutual_information",
 ]
 
 
