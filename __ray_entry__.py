@@ -1167,6 +1167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q217_winnowing": A.q217_winnowing,
         "q218_cosine_histogram": A.q218_cosine_histogram,
         "q219_mutual_information": A.q219_mutual_information,
+        "q220_linear_interpolate": A.q220_linear_interpolate,
+        "q221_ngram_novelty": A.q221_ngram_novelty,
     }
 
 
@@ -6130,5 +6132,70 @@ def oracle_sql() -> dict[str, str]:
                round(hl.v, 6) AS h_lang,
                round(hs.v, 6) AS h_source
         FROM mi, hl, hs
+    """
+    d["q220_linear_interpolate"] = """
+        -- interpolation twin: integer-exact
+        -- (c_prev*(tn-p) + c_next*(p-tp)) // (tn-tp) at 5 probe
+        -- instants; (us, event_id)-lexicographic neighbor picks
+        WITH pr AS (
+          SELECT unnest([1704412800000000, 1704844800000000,
+                         1705276800000000, 1705708800000000,
+                         1706140800000000]) AS pu),
+        e AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+          FROM events),
+        prev AS (
+          SELECT user_id, pu, us AS tp, c AS cp FROM (
+            SELECT e.user_id, pr.pu, e.us, e.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id, pr.pu
+                                      ORDER BY e.us DESC,
+                                               e.event_id DESC) AS rn
+            FROM e JOIN pr ON e.us <= pr.pu) WHERE rn = 1),
+        nxt AS (
+          SELECT user_id, pu, us AS tn, c AS cn FROM (
+            SELECT e.user_id, pr.pu, e.us, e.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id, pr.pu
+                                      ORDER BY e.us ASC,
+                                               e.event_id ASC) AS rn
+            FROM e JOIN pr ON e.us > pr.pu) WHERE rn = 1)
+        SELECT p.user_id, CAST(p.pu AS BIGINT) AS probe_us,
+               CAST((p.cp * (n.tn - p.pu) + n.cn * (p.pu - p.tp))
+                    // (n.tn - p.tp) AS BIGINT) AS interp_cents
+        FROM prev p JOIN nxt n USING (user_id, pu)
+        ORDER BY p.user_id, probe_us
+    """
+    d["q221_ngram_novelty"] = """
+        -- novelty twin: distinct word 3-grams per doc, df across the
+        -- corpus, ppm share of df==1 grams
+        WITH lx AS (
+          SELECT doc_id, regexp_extract_all(lower(text),
+                                            '[0-9A-Za-z_]+') AS ls
+          FROM documents),
+        toks AS (
+          SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS w
+          FROM lx),
+        gg AS (
+          SELECT DISTINCT doc_id,
+                 w || ' ' || lead(w, 1) OVER win
+                   || ' ' || lead(w, 2) OVER win AS g
+          FROM toks
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        g2 AS (SELECT doc_id, g FROM gg WHERE g IS NOT NULL),
+        df AS (SELECT g, COUNT(*) AS dfc FROM g2 GROUP BY 1),
+        per AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel
+          FROM g2 JOIN df USING (g) GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(per.n_grams, 0) AS n_grams,
+               COALESCE(per.n_novel, 0) AS n_novel,
+               CAST(CASE WHEN per.n_grams > 0
+                    THEN (1000000 * per.n_novel) // per.n_grams
+                    ELSE 0 END AS BIGINT) AS novelty_ppm
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY d.doc_id
     """
     return d

@@ -7426,3 +7426,140 @@ def q219_mutual_information(sf_dir: str) -> pa.Table:
         "mi_nats": pa.array([round(mi, 6)], pa.float64()),
         "h_lang": pa.array([round(h_lang, 6)], pa.float64()),
         "h_source": pa.array([round(h_source, 6)], pa.float64())})
+
+
+def q220_linear_interpolate(sf_dir: str) -> pa.Table:
+    """Linear interpolation of each user's value series at fixed probe
+    instants (Jan 5/10/15/20/25 2024 midnights UTC) — the gap-filling
+    resampler past q158's LOCF: sensor/metric pipelines align irregular
+    series onto a regular grid this way.  Fully INTEGER-exact: with
+    cent values and µs timestamps, interp = (c_prev·(t_next−p) +
+    c_next·(p−t_prev)) // (t_next−t_prev).  Neighbor picks are the
+    (us, event_id)-lexicographic boundary rows; one hash(user) bucket
+    shuffle, per-user searchsorted inside the bucket."""
+    from ..schema import pd_to_arrow
+
+    probes = [(1_704_067_200 + (d - 1) * 86_400) * 1_000_000
+              for d in (5, 10, 15, 20, 25)]
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "us": pc.cast(batch.column("ts"), pa.int64()),
+            "event_id": pc.cast(batch.column("event_id"), pa.int64()),
+            "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            "__bucket": pa.array((uid % 64).astype(np.int32))})
+
+    def interp(g: pd.DataFrame, _p=probes):
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        rows = {"user_id": [], "probe_us": [], "interp_cents": []}
+        for s, e in zip(starts, ends):
+            seg_us, seg_c = us[s:e], c[s:e]
+            for p in _p:
+                i = int(np.searchsorted(seg_us, p, side="right"))
+                if i == 0 or i == len(seg_us):
+                    continue          # no neighbor on one side
+                tp, tn = int(seg_us[i - 1]), int(seg_us[i])
+                cp, cn = int(seg_c[i - 1]), int(seg_c[i])
+                rows["user_id"].append(int(uid[s]))
+                rows["probe_us"].append(p)
+                rows["interp_cents"].append(
+                    (cp * (tn - p) + cn * (p - tp)) // (tn - tp))
+        out = pd.DataFrame(rows)
+        for col in out.columns:
+            out[col] = out[col].astype("int64")
+        return pd_to_arrow(out)
+
+    out = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(lambda g: interp(g.drop(columns="__bucket")),
+                       batch_format="pandas").to_pandas())
+    out = out.sort_values(["user_id", "probe_us"]).reset_index(drop=True)
+    for col in out.columns:
+        out[col] = out[col].astype("int64")
+    return pa.Table.from_pandas(
+        out[["user_id", "probe_us", "interp_cents"]],
+        preserve_index=False)
+
+
+def q221_ngram_novelty(sf_dir: str) -> pa.Table:
+    """Per-document n-gram novelty: the fraction (ppm) of a document's
+    DISTINCT word 3-grams that appear in NO other document — the
+    memorization / templated-content audit (novelty ≈ 0 flags
+    boilerplate; ≈ 10⁶ flags unique prose).  Distinct (doc, gram) rows
+    emit map-side (a doc is one row, so per-batch dedup is global);
+    document frequency and the per-doc folds run in hash-BUCKET
+    map_groups over the gram buckets (the million-key-groupby rule) —
+    one gram-string shuffle total (at 100 TB swap the shuffle key for
+    a 128-bit digest, the q56/q129 note)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpus import _tokenize_column
+    from ..functions.hashing import str_hash_u64_vec
+    from ..functions.mixing import ngrams_arrow
+    from ..schema import pd_to_arrow
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        pidx, gram = ngrams_arrow(parent, flat, 3)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "doc_id": did[np.asarray(pidx)],
+            "g": gram.to_pylist()}).drop_duplicates()
+        if not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string()),
+                             "__bucket": pa.array([], pa.int32())})
+        bkt = (str_hash_u64_vec(df["g"].tolist())
+               % np.uint64(256)).astype(np.int32)
+        return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy()),
+                         "g": pa.array(df["g"].tolist(), pa.string()),
+                         "__bucket": pa.array(bkt)})
+
+    def bucket_fold(g: pd.DataFrame):
+        g = g.drop(columns="__bucket")
+        df_per_gram = g.groupby("g")["doc_id"].transform("size")
+        part = (pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "one": 1,
+            "novel": (df_per_gram == 1).astype("int64").to_numpy()})
+            .groupby("doc_id", as_index=False).sum())
+        part.columns = ["doc_id", "n_grams", "n_novel"]
+        for col in part.columns:
+            part[col] = part[col].astype("int64")
+        return pd_to_arrow(part)
+
+    per = (docs.map_batches(grams, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(bucket_fold, batch_format="pandas")
+           .groupby("doc_id")
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("n_novel", alias_name="n_novel"))
+           .to_pandas())
+    all_ids = docs.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b.column("doc_id"),
+                                              pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    out = all_ids.merge(per, on="doc_id", how="left").fillna(0)
+    for col in ("doc_id", "n_grams", "n_novel"):
+        out[col] = out[col].astype("int64")
+    out["novelty_ppm"] = np.where(
+        out["n_grams"] > 0,
+        (1_000_000 * out["n_novel"]) // np.maximum(out["n_grams"], 1),
+        0).astype("int64")
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["doc_id", "n_grams", "n_novel", "novelty_ppm"]],
+        preserve_index=False)

@@ -162,7 +162,8 @@ SQL_CHECKED = [
     "q212_token_budget_plan", "q213_global_row_number",
     "q215_drop_reasons", "q216_training_shards",
     "q217_winnowing", "q218_cosine_histogram",
-    "q219_mutual_information",
+    "q219_mutual_information", "q220_linear_interpolate",
+    "q221_ngram_novelty",
 ]
 
 
