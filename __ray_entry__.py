@@ -1169,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_mutual_information": A.q219_mutual_information,
         "q220_linear_interpolate": A.q220_linear_interpolate,
         "q221_ngram_novelty": A.q221_ngram_novelty,
+        "q222_bootstrap_ci": A.q222_bootstrap_ci,
     }
 
 
@@ -6197,5 +6198,31 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0 END AS BIGINT) AS novelty_ppm
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY d.doc_id
+    """
+    d["q222_bootstrap_ci"] = """
+        -- bootstrap twin: Poisson(1) weights by inverse-CDF on
+        -- md5(event_id || '-' || b) % 1e6, same ppm ladder as
+        -- analytics._POISSON_PPM; 32 exact integer resampled means
+        WITH reps AS (SELECT unnest(range(32)) AS b),
+        e AS (SELECT event_id,
+                     CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+              FROM events),
+        wts AS (
+          SELECT reps.b, e.c,
+                 CASE
+                   WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                   WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                   WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+                   WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+                   WHEN u < 999998 THEN 8 ELSE 9 END AS w
+          FROM e CROSS JOIN reps,
+               LATERAL (SELECT md5_number_upper(
+                          CAST(e.event_id AS VARCHAR) || '-' ||
+                          CAST(reps.b AS VARCHAR)) % 1000000 AS u) h)
+        SELECT CAST(b AS BIGINT) AS b,
+               CAST(SUM(w) AS BIGINT) AS sw,
+               CAST(CAST(SUM(w * c) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+                    AS BIGINT) AS mean_cents
+        FROM wts GROUP BY 1 ORDER BY 1
     """
     return d

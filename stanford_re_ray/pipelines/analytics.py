@@ -7563,3 +7563,56 @@ def q221_ngram_novelty(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         out[["doc_id", "n_grams", "n_novel", "novelty_ppm"]],
         preserve_index=False)
+
+
+#: Poisson(1) inverse-CDF thresholds in ppm (cumulative, floor) — the
+#: deterministic bootstrap weight ladder; MUST stay identical to the
+#: CASE ladder in the q222 oracle.
+_POISSON_PPM = (367879, 735758, 919698, 981011, 996340, 999405,
+                999916, 999989, 999998)
+
+
+def q222_bootstrap_ci(sf_dir: str, n_reps: int = 32) -> pa.Table:
+    """Deterministic Poisson bootstrap over the event values — the
+    scale-out uncertainty quantification for any streaming aggregate
+    (Poisson(1) weights approximate with-replacement resampling without
+    materializing resamples; Chamandy et al., Google).  Replicate b
+    weights each row by inverse-CDF on md5(event_id ∥ b) — pure
+    content hash, no RNG, so any parallelism and the SQL oracle
+    reproduce the exact same 32 resampled means (integer cents).
+    Per-batch (b, Σw, Σw·c) partials; only 32·|batches| rows shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import stable_u64
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def partials(batch: pa.Table, _r=n_reps) -> pa.Table:
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        bs, sws, swcs = [], [], []
+        th = np.array(_POISSON_PPM, dtype=np.int64)
+        for b in range(_r):
+            u = np.array([stable_u64(f"{i}-{b}") % 1_000_000
+                          for i in eid], dtype=np.int64)
+            w = np.searchsorted(th, u, side="right").astype(np.int64)
+            bs.append(b)
+            sws.append(int(w.sum()))
+            swcs.append(int((w * c).sum()))
+        return pa.table({"b": pa.array(bs, pa.int64()),
+                         "sw": pa.array(sws, pa.int64()),
+                         "swc": pa.array(swcs, pa.int64())})
+
+    out = (ev.map_batches(partials, batch_format="pyarrow")
+           .groupby("b")
+           .aggregate(Sum("sw", alias_name="sw"),
+                      Sum("swc", alias_name="swc"))
+           .to_pandas())
+    out["b"] = out["b"].astype("int64")
+    out["sw"] = out["sw"].astype("int64")
+    out["mean_cents"] = (out["swc"].astype("int64")
+                         // out["sw"].astype("int64")).astype("int64")
+    out = out.sort_values("b").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["b", "sw", "mean_cents"]],
+                                preserve_index=False)

@@ -163,7 +163,7 @@ SQL_CHECKED = [
     "q215_drop_reasons", "q216_training_shards",
     "q217_winnowing", "q218_cosine_histogram",
     "q219_mutual_information", "q220_linear_interpolate",
-    "q221_ngram_novelty",
+    "q221_ngram_novelty", "q222_bootstrap_ci",
 ]
 
 
