@@ -1170,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q220_linear_interpolate": A.q220_linear_interpolate,
         "q221_ngram_novelty": A.q221_ngram_novelty,
         "q222_bootstrap_ci": A.q222_bootstrap_ci,
+        "q223_hll_intersection": A.q223_hll_intersection,
     }
 
 
@@ -6224,5 +6225,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(SUM(w * c) AS BIGINT) // CAST(SUM(w) AS BIGINT)
                     AS BIGINT) AS mean_cents
         FROM wts GROUP BY 1 ORDER BY 1
+    """
+    d["q223_hll_intersection"] = """
+        -- HLL-overlap twin: q49's register machinery per tag
+        -- (a / b / union), inclusion-exclusion in the same q-units,
+        -- exact INTERSECT for calibration
+        WITH du AS (
+          SELECT DISTINCT 'a' AS tag, user_id FROM events
+          WHERE event_type = 'click'
+          UNION ALL
+          SELECT DISTINCT 'b', user_id FROM events
+          WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT DISTINCT 'u', user_id FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        h AS (SELECT tag,
+                     md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+              FROM du),
+        regs AS (
+          SELECT tag, hv % 256 AS bucket,
+                 MAX(CASE WHEN hv // 256 = 0 THEN 57
+                     ELSE 57 - length(format('{:b}',
+                                  CAST(hv // 256 AS BIGINT)))
+                     END) AS rho
+          FROM h GROUP BY 1, 2),
+        tags AS (SELECT unnest(['a', 'b', 'u']) AS tag),
+        allb AS (SELECT tag, unnest(generate_series(0, 255)) AS bucket
+                 FROM tags),
+        filled AS (
+          SELECT allb.tag, allb.bucket, COALESCE(regs.rho, 0) AS rho
+          FROM allb LEFT JOIN regs
+            ON regs.tag = allb.tag AND regs.bucket = allb.bucket),
+        st AS (
+          SELECT tag,
+                 SUM(CAST(144115188075855872 >> rho AS HUGEINT)) AS s,
+                 SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+          FROM filled GROUP BY 1),
+        est AS (
+          SELECT tag,
+                 CAST(FLOOR((CASE WHEN raw <= 640.0 AND zeros > 0
+                             THEN 256.0 * ln(256.0 / zeros)
+                             ELSE raw END) * 1000.0 + 0.5) AS BIGINT)
+                   AS e
+          FROM (SELECT tag, zeros,
+                       (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                       * CAST(144115188075855872 AS DOUBLE)
+                       / CAST(s AS DOUBLE) AS raw
+                FROM st)),
+        ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+                 SELECT user_id FROM events WHERE event_type = 'click'
+                 INTERSECT
+                 SELECT user_id FROM events
+                 WHERE event_type = 'purchase'))
+        SELECT (SELECT e FROM est WHERE tag = 'a') AS est_a_q,
+               (SELECT e FROM est WHERE tag = 'b') AS est_b_q,
+               (SELECT e FROM est WHERE tag = 'u') AS est_union_q,
+               CAST((SELECT e FROM est WHERE tag = 'a')
+                    + (SELECT e FROM est WHERE tag = 'b')
+                    - (SELECT e FROM est WHERE tag = 'u') AS BIGINT)
+                 AS est_inter_q,
+               ex.n AS n_exact_inter
+        FROM ex
     """
     return d

@@ -7616,3 +7616,80 @@ def q222_bootstrap_ci(sf_dir: str, n_reps: int = 32) -> pa.Table:
     out = out.sort_values("b").reset_index(drop=True)
     return pa.Table.from_pandas(out[["b", "sw", "mean_cents"]],
                                 preserve_index=False)
+
+
+def q223_hll_intersection(sf_dir: str, type_a: str = "click",
+                          type_b: str = "purchase") -> pa.Table:
+    """Sketch-level audience overlap: HyperLogLog estimates of the
+    distinct users behind two event types and their inclusion-exclusion
+    intersection (|A∩B| ≈ |A|+|B|−|A∪B|) next to the exact overlap —
+    the mergeable-sketch answer to "how many clickers also purchase?"
+    that at 100 TB replaces three DISTINCT shuffles with ≤ 3·256
+    register rows per batch.  Registers, register sums and the
+    linear-counting branch are the exact-integer q49 machinery, so
+    every estimate is bit-deterministic and SQL-checkable."""
+    from ray.data.aggregate import Max
+
+    from ..functions.sketch import _hll_register, hll_estimate_q
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table, _a=type_a, _b=type_b) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        et = batch.column("event_type").to_pylist()
+        regs: dict = {}
+        for u, t in zip(uid, et):
+            tags = ()
+            if t == _a:
+                tags = ("a", "u")
+            elif t == _b:
+                tags = ("b", "u")
+            if not tags:
+                continue
+            bkt, rho = _hll_register(str(int(u)))
+            for tag in tags:
+                k = (tag, bkt)
+                if regs.get(k, 0) < rho:
+                    regs[k] = rho
+        ks = list(regs)
+        return pa.table({
+            "tag": pa.array([k[0] for k in ks], pa.string()),
+            "bucket": pa.array([k[1] for k in ks], pa.int64()),
+            "rho": pa.array([regs[k] for k in ks], pa.int64())})
+
+    rows = (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby(["tag", "bucket"])
+            .aggregate(Max("rho", alias_name="rho")).take_all())
+    regs: dict = {"a": {}, "b": {}, "u": {}}
+    for r in rows:
+        regs[r["tag"]][r["bucket"]] = r["rho"]
+    est_a = hll_estimate_q(regs["a"])
+    est_b = hll_estimate_q(regs["b"])
+    est_u = hll_estimate_q(regs["u"])
+
+    # exact overlap for calibration: distinct users with BOTH types —
+    # one (user, has_a, has_b) groupby, tiny result
+    from ray.data.aggregate import Max as _Max
+
+    def flags(batch: pa.Table, _a=type_a, _b=type_b) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        keep = [t in (_a, _b) for t in et]
+        t = batch.filter(pa.array(keep, pa.bool_()))
+        et2 = t.column("event_type").to_pylist()
+        return pa.table({
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "fa": pa.array([int(x == _a) for x in et2], pa.int64()),
+            "fb": pa.array([int(x == _b) for x in et2], pa.int64())})
+
+    per_user = (ev.map_batches(flags, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(_Max("fa", alias_name="fa"),
+                           _Max("fb", alias_name="fb")).to_pandas())
+    n_exact = int(((per_user["fa"] == 1)
+                   & (per_user["fb"] == 1)).sum())
+    return pa.table({
+        "est_a_q": pa.array([est_a], pa.int64()),
+        "est_b_q": pa.array([est_b], pa.int64()),
+        "est_union_q": pa.array([est_u], pa.int64()),
+        "est_inter_q": pa.array([est_a + est_b - est_u], pa.int64()),
+        "n_exact_inter": pa.array([n_exact], pa.int64())})
