@@ -1171,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q221_ngram_novelty": A.q221_ngram_novelty,
         "q222_bootstrap_ci": A.q222_bootstrap_ci,
         "q223_hll_intersection": A.q223_hll_intersection,
+        "q224_fd_impute": A.q224_fd_impute,
     }
 
 
@@ -6286,5 +6287,30 @@ def oracle_sql() -> dict[str, str]:
                  AS est_inter_q,
                ex.n AS n_exact_inter
         FROM ex
+    """
+    d["q224_fd_impute"] = """
+        -- impute twin: per-source majority lang from visible rows
+        -- (count DESC, lang ASC), accuracy on the masked split
+        WITH vis AS (
+          SELECT source, lang FROM documents WHERE doc_id % 13 <> 0),
+        cnt AS (SELECT source, lang, COUNT(*) AS n
+                FROM vis GROUP BY 1, 2),
+        md AS (
+          SELECT source, lang AS imp FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n DESC, lang ASC) AS rn
+            FROM cnt) WHERE rn = 1),
+        masked AS (
+          SELECT d.source, d.lang AS truth, md.imp
+          FROM documents d JOIN md USING (source)
+          WHERE d.doc_id % 13 = 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_masked,
+               CAST(SUM(CASE WHEN truth = imp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST((1000000 * SUM(CASE WHEN truth = imp
+                                        THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS acc_ppm
+        FROM masked GROUP BY 1 ORDER BY 1
     """
     return d

@@ -7693,3 +7693,62 @@ def q223_hll_intersection(sf_dir: str, type_a: str = "click",
         "est_union_q": pa.array([est_u], pa.int64()),
         "est_inter_q": pa.array([est_a + est_b - est_u], pa.int64()),
         "n_exact_inter": pa.array([n_exact], pa.int64())})
+
+
+def q224_fd_impute(sf_dir: str, mask_mod: int = 13) -> pa.Table:
+    """Dependency-driven data repair with held-out evaluation: hide
+    lang on every doc_id % 13 == 0 row, impute it as the SOURCE's
+    majority lang learned from the visible rows (count DESC, lang ASC
+    tie-break), and report per-source imputation accuracy against the
+    hidden truth — the mode-imputation repair every cleaning pipeline
+    runs on near-FD columns (q195 measures how near).  One combiner'd
+    (source, lang) groupby; the mode map is |sources| rows, broadcast;
+    scoring is a stateless map."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def visible(batch: pa.Table, _m=mask_mod) -> pa.Table:
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        return batch.filter(pa.array((did % _m) != 0))
+
+    cnt = (docs.map_batches(visible, batch_format="pyarrow")
+           .groupby(["source", "lang"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    cnt["n"] = cnt["n"].astype("int64")
+    cnt = cnt.sort_values(["source", "n", "lang"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    mode = dict(zip(cnt.drop_duplicates("source")["source"],
+                    cnt.drop_duplicates("source")["lang"]))
+    ref = ray.put(mode)
+
+    def score(batch: pa.Table, _m=mask_mod, _ref=ref) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        imp = fetch(_ref)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        t = batch.filter(pa.array((did % _m) == 0))
+        src = t.column("source").to_pylist()
+        truth = t.column("lang").to_pylist()
+        keep = [s in imp for s in src]
+        rows = [(s, int(imp[s] == g)) for s, g, k
+                in zip(src, truth, keep) if k]
+        return pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "one": pa.array(np.ones(len(rows), np.int64)),
+            "correct": pa.array([r[1] for r in rows], pa.int64())})
+
+    out = (docs.map_batches(score, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("one", alias_name="n_masked"),
+                      Sum("correct", alias_name="n_correct"))
+           .to_pandas())
+    for c in ("n_masked", "n_correct"):
+        out[c] = out[c].astype("int64")
+    out["acc_ppm"] = ((1_000_000 * out["n_correct"])
+                      // out["n_masked"]).astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_masked", "n_correct", "acc_ppm"]],
+        preserve_index=False)

@@ -164,7 +164,7 @@ SQL_CHECKED = [
     "q217_winnowing", "q218_cosine_histogram",
     "q219_mutual_information", "q220_linear_interpolate",
     "q221_ngram_novelty", "q222_bootstrap_ci",
-    "q223_hll_intersection",
+    "q223_hll_intersection", "q224_fd_impute",
 ]
 
 
