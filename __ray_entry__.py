@@ -1172,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q222_bootstrap_ci": A.q222_bootstrap_ci,
         "q223_hll_intersection": A.q223_hll_intersection,
         "q224_fd_impute": A.q224_fd_impute,
+        "q225_random_walks": A.q225_random_walks,
     }
 
 
@@ -6312,5 +6313,64 @@ def oracle_sql() -> dict[str, str]:
                                         THEN 1 ELSE 0 END))
                     // COUNT(*) AS BIGINT) AS acc_ppm
         FROM masked GROUP BY 1 ORDER BY 1
+    """
+    d["q225_random_walks"] = """
+        -- walk twin: unrolled 4-step deterministic walks; hop k from
+        -- node u takes the out-neighbor minimizing
+        -- md5(u || '-k-' || v) (same stable_u64 convention)
+        WITH nn AS (SELECT count(*) // 10 AS n FROM events),
+        g AS (SELECT event_id % (SELECT n FROM nn) AS src,
+                     (event_id + 11 * CAST(regexp_extract(props,
+                        '"k": (\\d+)', 1) AS BIGINT))
+                       % (SELECT n FROM nn) AS dst
+              FROM events WHERE event_id % 7 = 0),
+        e AS (SELECT DISTINCT src, dst FROM g WHERE src <> dst),
+        w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM e),
+        w1 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT p.walk_id, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY p.walk_id
+                     ORDER BY md5_number_upper(
+                       CAST(p.node AS VARCHAR) || '-1-' ||
+                       CAST(e.dst AS VARCHAR)) ASC, e.dst ASC) AS rn
+            FROM w0 p JOIN e ON e.src = p.node) WHERE rn = 1),
+        w2 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT p.walk_id, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY p.walk_id
+                     ORDER BY md5_number_upper(
+                       CAST(p.node AS VARCHAR) || '-2-' ||
+                       CAST(e.dst AS VARCHAR)) ASC, e.dst ASC) AS rn
+            FROM w1 p JOIN e ON e.src = p.node) WHERE rn = 1),
+        w3 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT p.walk_id, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY p.walk_id
+                     ORDER BY md5_number_upper(
+                       CAST(p.node AS VARCHAR) || '-3-' ||
+                       CAST(e.dst AS VARCHAR)) ASC, e.dst ASC) AS rn
+            FROM w2 p JOIN e ON e.src = p.node) WHERE rn = 1),
+        w4 AS (
+          SELECT walk_id, dst AS node FROM (
+            SELECT p.walk_id, e.dst,
+                   ROW_NUMBER() OVER (PARTITION BY p.walk_id
+                     ORDER BY md5_number_upper(
+                       CAST(p.node AS VARCHAR) || '-4-' ||
+                       CAST(e.dst AS VARCHAR)) ASC, e.dst ASC) AS rn
+            FROM w3 p JOIN e ON e.src = p.node) WHERE rn = 1),
+        allw AS (
+          SELECT walk_id, 0 AS step, node FROM w0
+          UNION ALL
+          SELECT walk_id, 1 AS step, node FROM w1
+          UNION ALL
+          SELECT walk_id, 2 AS step, node FROM w2
+          UNION ALL
+          SELECT walk_id, 3 AS step, node FROM w3
+          UNION ALL
+          SELECT walk_id, 4 AS step, node FROM w4)
+        SELECT CAST(walk_id AS BIGINT) AS walk_id,
+               CAST(step AS BIGINT) AS step,
+               CAST(node AS BIGINT) AS node
+        FROM allw ORDER BY walk_id, step
     """
     return d

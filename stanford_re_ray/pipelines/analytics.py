@@ -7752,3 +7752,107 @@ def q224_fd_impute(sf_dir: str, mask_mod: int = 13) -> pa.Table:
     return pa.Table.from_pandas(
         out[["source", "n_masked", "n_correct", "acc_ppm"]],
         preserve_index=False)
+
+
+def _event_graph_edges_fn(n_nodes: int):
+    """The deterministic event-derived weighted edge builder shared by
+    q116/q193/q208/q225 (src, dst, w batches from events props)."""
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 7 == 0
+        src = eid[keep] % n_nodes
+        dst = (eid[keep] + 11 * kk[keep]) % n_nodes
+        ok = src != dst
+        return pa.table({
+            "src": pa.array(src[ok], pa.int64()),
+            "dst": pa.array(dst[ok], pa.int64()),
+            "w": pa.array(1 + (src[ok] * 31 + dst[ok] * 17) % 9,
+                          pa.int64())})
+    return edges
+
+
+def q225_random_walks(sf_dir: str, n_steps: int = 4) -> pa.Table:
+    """Deterministic DeepWalk-style walk corpus over the event graph:
+    one walk starts at every node with out-edges; at step k the walk at
+    node ``cur`` hops to the out-neighbor minimizing
+    md5(cur ∥ k ∥ neighbor) — RNG-free, so the corpus is identical at
+    any parallelism and in the SQL twin; dead ends stop.  This is the
+    node2vec/DeepWalk data-prep stage: the (walk_id, step, node) rows
+    feed a skip-gram trainer.  Per step: one hash join frontier ⋈
+    edges + one hash-BUCKET argmin map_groups; iterative datasets
+    re-materialize at size-derived block counts (CLAUDE.md rule)."""
+    from ..functions.hashing import stable_u64
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ev = _read(sf_dir, "events", ["event_id", "props"])
+    edges = (ev.map_batches(_event_graph_edges_fn(n_nodes),
+                            batch_format="pyarrow")
+             .groupby(["src", "dst"]).count()
+             .map_batches(lambda b: pa.table({
+                 "cur": b.column("src"), "dst": b.column("dst")}),
+                 batch_format="pyarrow")
+             .repartition(4).materialize())
+
+    frontier = edges.map_batches(
+        lambda b: pa.table({"walk_id": b.column("cur"),
+                            "cur": b.column("cur")}),
+        batch_format="pyarrow").groupby("walk_id").count().map_batches(
+        lambda b: pa.table({
+            "walk_id": pc.cast(b.column("walk_id"), pa.int64()),
+            "cur": pc.cast(b.column("walk_id"), pa.int64())}),
+        batch_format="pyarrow").repartition(4).materialize()
+
+    rows = [frontier.map_batches(
+        lambda b: pa.table({"walk_id": b.column("walk_id"),
+                            "step": pa.array(np.zeros(b.num_rows,
+                                                      np.int64)),
+                            "node": b.column("cur")}),
+        batch_format="pyarrow")]
+
+    for k in range(1, n_steps + 1):
+        cand = hash_join(frontier, edges, on="cur",
+                         est_rows=max(edges.count(), 1))
+
+        def pick(g: pd.DataFrame, _k=k):
+            h = np.array([stable_u64(f"{c}-{_k}-{d}") for c, d
+                          in zip(g["cur"], g["dst"])], np.uint64)
+            g = g.assign(__h=h).sort_values(
+                ["walk_id", "__h", "dst"], kind="mergesort")
+            g = g.drop_duplicates("walk_id", keep="first")
+            out = pd.DataFrame({
+                "walk_id": g["walk_id"].to_numpy(np.int64),
+                "step": np.full(len(g), _k, np.int64),
+                "node": g["dst"].to_numpy(np.int64)})
+            return pd_to_arrow(out)
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            wid = b.column("walk_id").to_numpy().astype(np.int64)
+            return b.append_column(
+                "__bucket", pa.array((wid % 64).astype(np.int32)))
+
+        step_rows = (cand.map_batches(bucketize, batch_format="pyarrow")
+                     .groupby("__bucket")
+                     .map_groups(lambda g: pick(
+                         g.drop(columns="__bucket")),
+                         batch_format="pandas")
+                     .repartition(4).materialize())
+        rows.append(step_rows)
+        frontier = step_rows.map_batches(
+            lambda b: pa.table({"walk_id": b.column("walk_id"),
+                                "cur": b.column("node")}),
+            batch_format="pyarrow").repartition(4).materialize()
+
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    df = out.to_pandas().sort_values(["walk_id", "step"]) \
+        .reset_index(drop=True)
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df[["walk_id", "step", "node"]],
+                                preserve_index=False)
