@@ -1173,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q223_hll_intersection": A.q223_hll_intersection,
         "q224_fd_impute": A.q224_fd_impute,
         "q225_random_walks": A.q225_random_walks,
+        "q226_skipgram_pairs": A.q226_skipgram_pairs,
     }
 
 
@@ -6372,5 +6373,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(step AS BIGINT) AS step,
                CAST(node AS BIGINT) AS node
         FROM allw ORDER BY walk_id, step
+    """
+    # skip-gram twin COMPOSES the q225 walk oracle: pairs within ±2
+    # steps on the same walk, top-50 by (n DESC, center, context)
+    d["q226_skipgram_pairs"] = f"""
+        WITH allw AS ({d['q225_random_walks'].strip().rstrip()}),
+        p AS (
+          SELECT a.node AS center, b.node AS context
+          FROM allw a JOIN allw b
+            ON a.walk_id = b.walk_id
+           AND a.step <> b.step
+           AND ABS(a.step - b.step) <= 2)
+        SELECT CAST(center AS BIGINT) AS center,
+               CAST(context AS BIGINT) AS context,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2
+        ORDER BY n DESC, center, context LIMIT 50
     """
     return d

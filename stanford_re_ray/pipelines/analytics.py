@@ -7856,3 +7856,66 @@ def q225_random_walks(sf_dir: str, n_steps: int = 4) -> pa.Table:
         df[c] = df[c].astype("int64")
     return pa.Table.from_pandas(df[["walk_id", "step", "node"]],
                                 preserve_index=False)
+
+
+def q226_skipgram_pairs(sf_dir: str, window: int = 2,
+                        top_n: int = 50) -> pa.Table:
+    """Skip-gram training pairs from the q225 walk corpus: every
+    (center, context) node pair within ±``window`` steps on the same
+    walk, aggregated to the ``top_n`` most frequent pairs — the stage
+    that turns walks into word2vec-style trainer input.  Pair
+    generation is a vectorized shift-compare per walk inside
+    hash-BUCKET map_groups; counts reduce associatively; the final
+    top-n is a sort over |distinct pairs| partials."""
+    from ray.data.aggregate import Sum
+
+    from ..schema import pd_to_arrow
+
+    walks = q225_random_walks(sf_dir)
+    ds = rd.from_arrow(walks)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        wid = b.column("walk_id").to_numpy().astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array((wid % 64).astype(np.int32)))
+
+    def pairs(g: pd.DataFrame, _w=window):
+        g = g.drop(columns="__bucket").sort_values(
+            ["walk_id", "step"], kind="mergesort")
+        wid = g["walk_id"].to_numpy(np.int64)
+        node = g["node"].to_numpy(np.int64)
+        outs = {"center": [], "context": []}
+        for d in range(1, _w + 1):
+            same = wid[d:] == wid[:-d]
+            a, b = node[:-d][same], node[d:][same]
+            outs["center"].extend([a, b])
+            outs["context"].extend([b, a])
+        if not outs["center"]:
+            return pd_to_arrow(pd.DataFrame({
+                "center": pd.Series([], dtype="int64"),
+                "context": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}))
+        df = pd.DataFrame({
+            "center": np.concatenate(outs["center"]),
+            "context": np.concatenate(outs["context"])})
+        out = df.groupby(["center", "context"], as_index=False).size()
+        out.columns = ["center", "context", "n"]
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pd_to_arrow(out)
+
+    counts = (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(pairs, batch_format="pandas")
+              .groupby(["center", "context"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    counts = counts.sort_values(
+        ["n", "center", "context"],
+        ascending=[False, True, True],
+        kind="mergesort").head(top_n).reset_index(drop=True)
+    for c in ("center", "context"):
+        counts[c] = counts[c].astype("int64")
+    return pa.Table.from_pandas(counts[["center", "context", "n"]],
+                                preserve_index=False)

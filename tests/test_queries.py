@@ -165,7 +165,7 @@ SQL_CHECKED = [
     "q219_mutual_information", "q220_linear_interpolate",
     "q221_ngram_novelty", "q222_bootstrap_ci",
     "q223_hll_intersection", "q224_fd_impute",
-    "q225_random_walks",
+    "q225_random_walks", "q226_skipgram_pairs",
 ]
 
 
