@@ -1174,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q224_fd_impute": A.q224_fd_impute,
         "q225_random_walks": A.q225_random_walks,
         "q226_skipgram_pairs": A.q226_skipgram_pairs,
+        "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
     }
 
 

@@ -7919,3 +7919,53 @@ def q226_skipgram_pairs(sf_dir: str, window: int = 2,
         counts[c] = counts[c].astype("int64")
     return pa.Table.from_pandas(counts[["center", "context", "n"]],
                                 preserve_index=False)
+
+
+def q227_tokenizer_fertility(sf_dir: str, n_merges: int = 24) -> pa.Table:
+    """Tokenizer fertility audit: BPE subwords-per-word (ppm) by source
+    — the metric that decides whether a tokenizer under-serves a domain
+    (high fertility = more compute per byte of that source).  Trains
+    q53's merge table, applies it with the q109 actor-pool encoder,
+    joins the per-doc subword counts back to (source, word-count) via
+    the key-partitioned hash_join, and reduces to |sources| rows.
+    Rows-only (trained merges are not SQL-expressible; both components
+    are serial-pinned in pytest)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.corpus import (_tokenize_column, bpe_encode,
+                                    bpe_train)
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "source", "text"]).materialize()
+    merges = bpe_train(docs, n_merges=n_merges)
+    enc = bpe_encode(docs, merges).map_batches(
+        lambda b: b.select(["doc_id", "n_subwords"]),
+        batch_format="pyarrow")
+
+    def words(batch: pa.Table) -> pa.Table:
+        parent, _ = _tokenize_column(batch.column("text"))
+        cnt = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(cnt, np.asarray(parent), 1)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "source": batch.column("source"),
+            "n_words": pa.array(cnt)})
+
+    joined = hash_join(docs.map_batches(words, batch_format="pyarrow"),
+                       enc, on="doc_id", est_rows=n_docs)
+    out = (joined.groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_subwords", alias_name="n_subwords"))
+           .to_pandas())
+    for c in ("n_docs", "n_words", "n_subwords"):
+        out[c] = out[c].astype("int64")
+    out["fertility_ppm"] = ((1_000_000 * out["n_subwords"])
+                            // np.maximum(out["n_words"], 1)) \
+        .astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "n_words", "n_subwords",
+             "fertility_ppm"]], preserve_index=False)

@@ -525,3 +525,25 @@ def test_ivfpq_full_probe_equals_pq_topk(ray_session):
         p0 = pruned[(pruned["query_id"] == qi) & (pruned["rank"] == 1)
                     ]["dist_q"].iloc[0]
         assert p0 >= f0
+
+
+def test_tokenizer_fertility_invariants(ray_session):
+    """q227 composition: every word encodes to >= 1 subword, so
+    per-source fertility_ppm >= 1e6; merges actually fire, so the
+    corpus-wide subword total is strictly BELOW the character total;
+    source rows cover every source in the table."""
+    from stanford_re_ray.pipelines.analytics import (
+        q227_tokenizer_fertility)
+
+    out = q227_tokenizer_fertility("/root/testdata/sf0.001").to_pandas()
+    assert (out["fertility_ppm"] >= 1_000_000).all()
+    assert (out["n_subwords"] >= out["n_words"]).all()
+    import duckdb
+
+    con = duckdb.connect()
+    srcs = [r[0] for r in con.execute(
+        "SELECT DISTINCT source FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') ORDER BY 1"
+    ).fetchall()]
+    con.close()
+    assert out["source"].tolist() == srcs

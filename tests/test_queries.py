@@ -202,6 +202,7 @@ ROWS_ONLY = [
     "q202_media_header_audit",
     "q208_maximal_matching",
     "q214_ivfpq_topk",
+    "q227_tokenizer_fertility",
 ]
 
 
@@ -266,7 +267,7 @@ def test_queries_oracle_contract(entrymod):
         "q142_image_neardup", "q144_audio_neardup",
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
         "q202_media_header_audit", "q208_maximal_matching",
-        "q214_ivfpq_topk",
+        "q214_ivfpq_topk", "q227_tokenizer_fertility",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
