@@ -1175,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q225_random_walks": A.q225_random_walks,
         "q226_skipgram_pairs": A.q226_skipgram_pairs,
         "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
+        "q228_graph_coloring": A.q228_graph_coloring,
     }
 
 

@@ -7969,3 +7969,30 @@ def q227_tokenizer_fertility(sf_dir: str, n_merges: int = 24) -> pa.Table:
     return pa.Table.from_pandas(
         out[["source", "n_docs", "n_words", "n_subwords",
              "fertility_ppm"]], preserve_index=False)
+
+
+def q228_graph_coloring(sf_dir: str) -> pa.Table:
+    """Distributed graph coloring (``graph_ops.greedy_coloring`` —
+    layered Luby MIS, proper by construction, hypothesis-pinned against
+    a serial mirror) over q193's event graph: the conflict-free
+    parallel-scheduling primitive.  Output: per-color class sizes plus
+    the validity invariant is pytest-pinned.  Rows-only (iterative
+    symmetry breaking is not SQL-expressible)."""
+    from ray.data.aggregate import Count
+
+    from ..pipelines.graph_ops import greedy_coloring
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = n_events // 10
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    colored = greedy_coloring(
+        ds.map_batches(_event_graph_edges_fn(n_nodes),
+                       batch_format="pyarrow"),
+        est_rows=n_events // 7)
+    out = (colored.groupby("color").aggregate(Count(alias_name="n"))
+           .to_pandas())
+    out["color"] = out["color"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values("color").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["color", "n"]],
+                                preserve_index=False)

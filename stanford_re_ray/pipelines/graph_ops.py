@@ -2449,3 +2449,124 @@ def maximal_matching(
     for m in matched_parts[1:]:
         out = out.union(m)
     return _mat(out, out.count())
+
+
+def greedy_coloring(
+    edges: ray.data.Dataset,
+    mis_rounds: int = 3,
+    max_layers: int = 16,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed graph coloring by LAYERED Luby MIS — the classic
+    reduction (Luby 1986): layer c runs ``luby_mis`` on the residual
+    graph, every MIS member (plus every residual-isolated node) takes
+    color c, colored nodes and their incident edges drop, repeat.  MIS
+    independence makes every layer conflict-free, so the coloring is
+    PROPER by construction at any parallelism; determinism inherits
+    from luby_mis's content-hash priorities.  The symmetry-breaking
+    scheduler primitive (conflict-free parallel updates, lock-free
+    batch rounds).
+
+    Returns (node, color); if ``max_layers`` is exhausted with nodes
+    left (adversarially slow shrink), the leftovers return color −1
+    with a warning — callers must treat −1 as "schedule separately".
+    Per layer: one luby_mis (key-partitioned joins) + two anti
+    hash_joins; iterative datasets re-materialize at size-derived
+    block counts."""
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from ..functions.relational import hash_join
+
+    def _mat(ds: ray.data.Dataset, n: int) -> ray.data.Dataset:
+        return ds.repartition(max(4, n // 250_000 + 1)).materialize()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column("src"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = pc.cast(batch.column("dst"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = s != d
+        df = (pd.DataFrame({"src": s[keep], "dst": d[keep]})
+              .drop_duplicates())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "color": pa.array([], pa.int64())})
+    if edges.schema() is None:
+        return ray.data.from_arrow(empty)
+    residual = edges.map_batches(_pairs, batch_format="pyarrow")
+    n_e = residual.count()
+    if n_e == 0:
+        return ray.data.from_arrow(empty)
+    residual = _mat(residual, n_e)
+
+    def endpoints(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (ds.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.column("src").combine_chunks(),
+                t.column("dst").combine_chunks()])}),
+            batch_format="pyarrow")
+            .groupby("node").count()
+            .map_batches(lambda t: t.select(["node"]),
+                         batch_format="pyarrow"))
+
+    remaining = _mat(endpoints(residual), n_e)
+    colored: list[ray.data.Dataset] = []
+    for c in range(max_layers):
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        n_e = residual.count()
+        if n_e == 0:
+            colored.append(remaining.map_batches(
+                lambda t, _c=c: pa.table({
+                    "node": pc.cast(t.column("node"), pa.int64()),
+                    "color": pa.array(np.full(t.num_rows, _c,
+                                              np.int64))}),
+                batch_format="pyarrow"))
+            remaining = ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64())}))
+            break
+        mis_nodes = luby_mis(residual, max_rounds=mis_rounds,
+                             est_rows=2 * n_e).map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow")
+        isolated = hash_join(remaining, endpoints(residual),
+                             on="node", how="anti",
+                             est_rows=max(n_rem, 1))
+        layer = _mat(mis_nodes.union(isolated), n_rem)
+        colored.append(layer.map_batches(
+            lambda t, _c=c: pa.table({
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "color": pa.array(np.full(t.num_rows, _c, np.int64))}),
+            batch_format="pyarrow"))
+        remaining = _mat(hash_join(remaining, layer, on="node",
+                                   how="anti",
+                                   est_rows=max(n_rem, 1)), n_rem)
+        for side in ("src", "dst"):
+            residual = hash_join(
+                residual.map_batches(
+                    lambda t, _s=side: t.append_column(
+                        "node", t.column(_s)),
+                    batch_format="pyarrow"),
+                layer, on="node", how="anti",
+                est_rows=max(n_e, 1)).map_batches(
+                    lambda t: t.select(["src", "dst"]),
+                    batch_format="pyarrow")
+        residual = _mat(residual, n_e)
+
+    if remaining.count():
+        warnings.warn("greedy_coloring: max_layers exhausted; leftover "
+                      "nodes returned with color -1", RuntimeWarning)
+        colored.append(remaining.map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t.column("node"), pa.int64()),
+                "color": pa.array(np.full(t.num_rows, -1, np.int64))}),
+            batch_format="pyarrow"))
+    if not colored:
+        return ray.data.from_arrow(empty)
+    out = colored[0]
+    for part in colored[1:]:
+        out = out.union(part)
+    return _mat(out, out.count())

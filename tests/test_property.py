@@ -1081,3 +1081,73 @@ def test_winnow_counts_match_naive(texts, pad):
                 picks.add(ti + max(i for i, v in enumerate(win)
                                    if v == m))
         assert n_sel == len(picks)
+
+
+# --- greedy_coloring ≡ serial layered-Luby simulation ------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10), st.integers(0, 10)),
+                min_size=0, max_size=30))
+def test_greedy_coloring_matches_serial(ray_session, raw_edges):
+    """Distributed layered-MIS coloring must (a) be PROPER (no edge
+    same-colored), (b) equal a serial simulation of the exact same
+    algorithm (same per-round content-hash priorities, same
+    winner/deactivate rule, same layer/isolated handling)."""
+    import ray.data as rd
+
+    from stanford_re_ray.functions.hashing import stable_u64
+    from stanford_re_ray.pipelines.graph_ops import greedy_coloring
+    from stanford_re_ray.pipelines.kg import dataset_to_table
+
+    tbl = pa.table({
+        "src": pa.array([e[0] for e in raw_edges], pa.int64()),
+        "dst": pa.array([e[1] for e in raw_edges], pa.int64())})
+    got_tbl = dataset_to_table(
+        greedy_coloring(rd.from_arrow(tbl).repartition(3)))
+    got = dict(zip(got_tbl.column("node").to_pylist(),
+                   got_tbl.column("color").to_pylist())) \
+        if got_tbl.num_rows else {}
+
+    # serial mirror
+    adj: dict = {}
+    for s, d in raw_edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    remaining = set(adj)
+    res = {u: set(v) for u, v in adj.items()}
+    ref: dict = {}
+    c = 0
+    while remaining and c < 16:
+        active = {u for u in remaining if res.get(u)}
+        layer = {u for u in remaining if not res.get(u)}  # isolated
+        for r in range(3):
+            if not active:
+                break
+            pri = {u: stable_u64(f"mis\x00{r}\x00{u}") >> 11
+                   for u in active}
+            winners = {u for u in active
+                       if all(pri[u] > pri[v]
+                              for v in res.get(u, ()) if v in active)}
+            layer |= winners
+            dead = set(winners)
+            for u in winners:
+                dead |= {v for v in res.get(u, ()) if v in active}
+            active -= dead
+            if not winners:
+                break
+        for u in layer:
+            ref[u] = c
+            remaining.discard(u)
+        for u in layer:
+            for v in res.pop(u, ()):
+                res.get(v, set()).discard(u)
+        c += 1
+    for u in remaining:
+        ref[u] = -1
+
+    assert got == ref
+    for s, d in raw_edges:
+        if s != d and got.get(s, -2) >= 0:
+            assert got[s] != got[d], f"edge ({s},{d}) same-colored"

@@ -203,6 +203,7 @@ ROWS_ONLY = [
     "q208_maximal_matching",
     "q214_ivfpq_topk",
     "q227_tokenizer_fertility",
+    "q228_graph_coloring",
 ]
 
 
@@ -268,6 +269,7 @@ def test_queries_oracle_contract(entrymod):
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
         "q202_media_header_audit", "q208_maximal_matching",
         "q214_ivfpq_topk", "q227_tokenizer_fertility",
+        "q228_graph_coloring",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
