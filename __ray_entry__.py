@@ -1176,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q226_skipgram_pairs": A.q226_skipgram_pairs,
         "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
         "q228_graph_coloring": A.q228_graph_coloring,
+        "q229_moss_pairs": A.q229_moss_pairs,
     }
 
 
@@ -6392,4 +6393,37 @@ def oracle_sql() -> dict[str, str]:
         FROM p GROUP BY 1, 2
         ORDER BY n DESC, center, context LIMIT 50
     """
+    # MOSS-pairs twin COMPOSES the q217 winnowing CTE (through its
+    # picks set), rehydrates the selected HASHES, and self-joins:
+    # pairs sharing >= 2 selected fingerprints
+    d["q229_moss_pairs"] = (
+        d["q217_winnowing"].split("        sc AS")[0].rstrip()
+        .rstrip(",")
+        + """,
+        sc AS (SELECT doc_id, COUNT(*) AS ns FROM wh GROUP BY 1),
+        wins AS (
+            SELECT w0.doc_id, w0.s AS t
+            FROM wh w0 JOIN sc USING (doc_id)
+            WHERE w0.s <= GREATEST(sc.ns - 7, 1)
+        ),
+        j AS (
+            SELECT w1.doc_id, w1.t, w2.s,
+                   ROW_NUMBER() OVER (PARTITION BY w1.doc_id, w1.t
+                                      ORDER BY w2.h ASC, w2.s DESC)
+                     AS rn
+            FROM wins w1
+            JOIN wh w2 ON w2.doc_id = w1.doc_id
+                      AND w2.s >= w1.t AND w2.s < w1.t + 8
+        ),
+        picks AS (SELECT DISTINCT doc_id, s FROM j WHERE rn = 1),
+        sel AS (
+            SELECT DISTINCT p.doc_id, w.h
+            FROM picks p JOIN wh w
+              ON w.doc_id = p.doc_id AND w.s = p.s)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY doc_a, doc_b
+    """)
     return d

@@ -548,3 +548,69 @@ def _winnow_count(hs: np.ndarray, g: int) -> int:
     rightmost = (g - 1) - np.argmax(wins[:, ::-1] == m[:, None], axis=1)
     picks = np.arange(S - g + 1, dtype=np.int64) + rightmost
     return int(np.unique(picks).size)
+
+
+def winnow_selected_hashes(texts: list, g: int = 8) -> list:
+    """Per-text list of DISTINCT winnow-selected window hashes (the
+    actual MOSS fingerprints behind ``winnow_select_counts``'s
+    n_selected): same 64-cp window hashes, same rightmost-min rule.
+    Returns a list of sorted uint64 lists, one per text."""
+    w = 64
+    cleaned = [(t or "") for t in texts]
+    lens = np.array([len(t) for t in cleaned], dtype=np.int64)
+    n = int(lens.sum())
+    out: list = [[] for _ in cleaned]
+    if n == 0:
+        return out
+
+    def picks(hs: np.ndarray) -> np.ndarray:
+        S = len(hs)
+        if S == 0:
+            return np.array([], np.uint64)
+        if S <= g:
+            m = hs.min()
+            return np.array([m], np.uint64)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(hs, g)
+        m = wins.min(axis=1)
+        rightmost = (g - 1) - np.argmax(wins[:, ::-1] == m[:, None],
+                                        axis=1)
+        sel = np.arange(S - g + 1, dtype=np.int64) + rightmost
+        return hs[np.unique(sel)]
+
+    def scalar_hashes(t: str) -> np.ndarray:
+        cps = list(map(ord, t))
+        wl = min(w, len(cps))
+        h = 0
+        for cp in cps[:wl]:
+            h = (h * _B + cp) % _MOD
+        hs = [h]
+        if len(cps) > wl:
+            pwv = pow(_B, wl - 1, _MOD)
+            for k in range(wl, len(cps)):
+                h = ((h - cps[k - wl] * pwv) * _B + cps[k]) % _MOD
+                hs.append(h)
+        return np.array(hs, np.uint64)
+
+    short = np.flatnonzero((lens > 0) & (lens < w))
+    for i in short:
+        out[i] = sorted(set(picks(scalar_hashes(cleaned[i])).tolist()))
+    big = np.flatnonzero(lens >= w)
+    if not len(big):
+        return out
+    try:
+        flat = "".join(cleaned).encode("utf-32-le")
+    except UnicodeEncodeError:
+        for i in big:
+            out[i] = sorted(set(
+                picks(scalar_hashes(cleaned[i])).tolist()))
+        return out
+    cps = np.frombuffer(flat, dtype=np.uint32).astype(np.uint64)
+    hp = _flat_window_hashes(cps, n, w)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    for i in big:
+        s = int(doc_starts[i])
+        hs = hp[s:s + int(lens[i]) - (w - 1)]
+        out[i] = sorted(set(picks(hs).tolist()))
+    return out

@@ -7996,3 +7996,68 @@ def q228_graph_coloring(sf_dir: str) -> pa.Table:
     out = out.sort_values("color").reset_index(drop=True)
     return pa.Table.from_pandas(out[["color", "n"]],
                                 preserve_index=False)
+
+
+def q229_moss_pairs(sf_dir: str, min_shared: int = 2) -> pa.Table:
+    """MOSS end-to-end: candidate plagiarism/clone pairs = documents
+    sharing ≥ ``min_shared`` winnow-selected fingerprints (q217's
+    selection), with the shared count — the report MOSS produces over
+    a submission corpus.  Selected (hash, doc) rows shuffle bucketed by
+    hash; pairs generate inside hash groups only (LSH-bucket shape —
+    a boilerplate hash shared by k docs costs C(k,2) pairs, the
+    standard hot-bucket caveat; cap or drop df-huge hashes at 100 TB).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import winnow_selected_hashes
+    from ..schema import pd_to_arrow
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def selected(batch: pa.Table) -> pa.Table:
+        hs = winnow_selected_hashes(batch.column("text").to_pylist())
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        lens = np.array([len(h) for h in hs], np.int64)
+        flat = (np.concatenate([np.asarray(h, np.uint64) for h in hs])
+                if lens.sum() else np.array([], np.uint64))
+        return pa.table({
+            "doc_id": pa.array(np.repeat(did, lens)),
+            "h": pa.array(flat.astype(np.int64)),
+            "__bucket": pa.array(
+                (flat % np.uint64(256)).astype(np.int32))})
+
+    def pairs(g: pd.DataFrame):
+        g = g.drop(columns="__bucket")
+        outs = []
+        for _, grp in g.groupby("h"):
+            ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+            if len(ids) < 2:
+                continue
+            a, b = np.triu_indices(len(ids), k=1)
+            outs.append(pd.DataFrame({"doc_a": ids[a],
+                                      "doc_b": ids[b]}))
+        if not outs:
+            return pd_to_arrow(pd.DataFrame({
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}))
+        df = (pd.concat(outs).groupby(["doc_a", "doc_b"],
+                                      as_index=False).size())
+        df.columns = ["doc_a", "doc_b", "n"]
+        for c in df.columns:
+            df[c] = df[c].astype("int64")
+        return pd_to_arrow(df)
+
+    out = (docs.map_batches(selected, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(pairs, batch_format="pandas")
+           .groupby(["doc_a", "doc_b"])
+           .aggregate(Sum("n", alias_name="n_shared"))
+           .to_pandas())
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out = out[out["n_shared"] >= min_shared]
+    for c in ("doc_a", "doc_b"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["doc_a", "doc_b", "n_shared"]],
+                                preserve_index=False)
