@@ -1177,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
         "q228_graph_coloring": A.q228_graph_coloring,
         "q229_moss_pairs": A.q229_moss_pairs,
+        "q230_oov_rate": A.q230_oov_rate,
     }
 
 
@@ -6426,4 +6427,26 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ORDER BY doc_a, doc_b
     """)
+    d["q230_oov_rate"] = """
+        -- OOV twin: corpus top-1000 tokens (count DESC, token ASC),
+        -- per-source out-of-vocabulary occurrence ppm
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(string_split_regex(lower(text),
+                        '[^0-9a-z_]+'), x -> x <> '')) AS t
+          FROM documents),
+        tf AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY 1),
+        vocab AS (SELECT t FROM tf
+                  ORDER BY n DESC, t ASC LIMIT 1000),
+        sc AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN t IN (SELECT t FROM vocab)
+                          THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+          FROM toks GROUP BY 1)
+        SELECT source, n_tokens, n_oov,
+               CAST((1000000 * n_oov) // GREATEST(n_tokens, 1)
+                    AS BIGINT) AS oov_ppm
+        FROM sc ORDER BY source
+    """
     return d

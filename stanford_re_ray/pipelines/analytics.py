@@ -8061,3 +8061,55 @@ def q229_moss_pairs(sf_dir: str, min_shared: int = 2) -> pa.Table:
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["doc_a", "doc_b", "n_shared"]],
                                 preserve_index=False)
+
+
+def q230_oov_rate(sf_dir: str, vocab_k: int = 1000) -> pa.Table:
+    """OOV-rate audit under a truncated vocabulary: per source, the ppm
+    of token occurrences falling outside the corpus-wide top-``vocab_k``
+    tokens (count DESC, token ASC) — the impact table consulted before
+    fixing a vocab size (which domains a small vocab under-serves).
+    One term-frequency combiner groupby; the top-k set broadcasts; the
+    scoring pass is one Arrow tokenize + hash probe per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpus import _tokenize_column, term_count_partial
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    tf = (docs.map_batches(term_count_partial, batch_format="pyarrow")
+          .groupby("token").aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    tf["n"] = tf["n"].astype("int64")
+    tf = tf.sort_values(["n", "token"], ascending=[False, True],
+                        kind="mergesort").head(vocab_k)
+    vocab = ray.put(frozenset(tf["token"]))
+
+    def score(batch: pa.Table, _ref=vocab) -> pa.Table:
+        from ..state.broadcast import fetch
+
+        v = fetch(_ref)
+        parent, flat = _tokenize_column(batch.column("text"))
+        p = np.asarray(parent, dtype=np.int64)
+        toks = flat.to_pylist()
+        oov = np.fromiter((t not in v for t in toks), dtype=np.int64,
+                          count=len(toks))
+        n_tok = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n_tok, p, 1)
+        n_oov = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n_oov, p, oov)
+        return pa.table({"source": batch.column("source"),
+                         "n_tokens": pa.array(n_tok),
+                         "n_oov": pa.array(n_oov)})
+
+    out = (docs.map_batches(score, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_oov", alias_name="n_oov"))
+           .to_pandas())
+    for c in ("n_tokens", "n_oov"):
+        out[c] = out[c].astype("int64")
+    out["oov_ppm"] = ((1_000_000 * out["n_oov"])
+                      // np.maximum(out["n_tokens"], 1)).astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_tokens", "n_oov", "oov_ppm"]],
+        preserve_index=False)

@@ -166,7 +166,7 @@ SQL_CHECKED = [
     "q221_ngram_novelty", "q222_bootstrap_ci",
     "q223_hll_intersection", "q224_fd_impute",
     "q225_random_walks", "q226_skipgram_pairs",
-    "q229_moss_pairs",
+    "q229_moss_pairs", "q230_oov_rate",
 ]
 
 
