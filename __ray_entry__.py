@@ -924,14 +924,65 @@ def _embedding_exact_pairs(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from stanford_re_ray.pipelines import analytics as A
 
-    # NOTE on ordering: the driver's per-round correctness sweep checks the
-    # FIRST 50 entries in dict order.  Round 3 left 18 entries (the kg_*
-    # family, q13-q19, q22-q24, q33) outside that window with no scoreboard
-    # row, so they are promoted here; 18 redundant exact-twin / simple
-    # aggregate entries (all green in CORRECTNESS_r02/r03 and pytest-gated
-    # in tests/test_queries.py at sf0.001 AND sf0.01) rotate to the tail.
     return {
-        # KG pipeline (rows-only: model-driven extraction)
+        # --- DRIVER WINDOW (first 50): the correctness sweep checks only
+        # these.  Round-5 rotation: every r4-green entry moves to the tail
+        # (still exact-checked in pytest at sf0.001+sf0.01); these 50 are
+        # SQL-checked entries that have NEVER had a driver row —
+        # composition flagships, then heavy-machinery operators, then the
+        # round-4 tail additions.  Rows-only entries stay out (weaker check).
+        "q215_drop_reasons": A.q215_drop_reasons,
+        "q216_training_shards": A.q216_training_shards,
+        "q200_smb_join_revenue": A.q200_smb_join_revenue,
+        "q213_global_row_number": A.q213_global_row_number,
+        "q205_incremental_view_merge": A.q205_incremental_view_merge,
+        "q194_time_travel": A.q194_time_travel,
+        "q190_curation_attrition": A.q190_curation_attrition,
+        "q110_itemset_pairs": A.q110_itemset_pairs,
+        "q116_sssp": A.q116_sssp,
+        "q126_join_size": A.q126_join_size,
+        "q129_containment_pairs": A.q129_containment_pairs,
+        "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
+        "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
+        "q150_temporal_reach": A.q150_temporal_reach,
+        "q151_luby_mis": A.q151_luby_mis,
+        "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
+        "q153_weighted_median": A.q153_weighted_median,
+        "q157_scd2_intervals": A.q157_scd2_intervals,
+        "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
+        "q167_max_rate_60s": A.q167_max_rate_60s,
+        "q168_peak_concurrency": A.q168_peak_concurrency,
+        "q172_auc_rank_sum": A.q172_auc_rank_sum,
+        "q173_last_touch_attribution": A.q173_last_touch_attribution,
+        "q174_chi2_keywords": A.q174_chi2_keywords,
+        "q178_er_clusters": A.q178_er_clusters,
+        "q180_scc": A.q180_scc,
+        "q181_merge_upsert": A.q181_merge_upsert,
+        "q182_ks_drift": A.q182_ks_drift,
+        "q183_ohlc_bars": A.q183_ohlc_bars,
+        "q184_k_anonymity": A.q184_k_anonymity,
+        "q187_widest_path": A.q187_widest_path,
+        "q217_winnowing": A.q217_winnowing,
+        "q229_moss_pairs": A.q229_moss_pairs,
+        "q225_random_walks": A.q225_random_walks,
+        "q226_skipgram_pairs": A.q226_skipgram_pairs,
+        "q222_bootstrap_ci": A.q222_bootstrap_ci,
+        "q223_hll_intersection": A.q223_hll_intersection,
+        "q224_fd_impute": A.q224_fd_impute,
+        "q221_ngram_novelty": A.q221_ngram_novelty,
+        "q219_mutual_information": A.q219_mutual_information,
+        "q207_mixture_interleave": A.q207_mixture_interleave,
+        "q206_rag_chunks": A.q206_rag_chunks,
+        "q212_token_budget_plan": A.q212_token_budget_plan,
+        "q211_semantic_boundaries": A.q211_semantic_boundaries,
+        "q210_partitioned_sink_audit": A.q210_partitioned_sink_audit,
+        "q209_contract_violations": A.q209_contract_violations,
+        "q204_missing_partitions": A.q204_missing_partitions,
+        "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
+        "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
+        "q198_cascade_delete": A.q198_cascade_delete,
+        # --- tail (entry 51+): green in earlier driver sweeps (r1-r4) or
+        # exact-pinned in pytest; outside the window this round ---
         "kg_triples": kg_triples,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
@@ -939,7 +990,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_hoffmann": kg_triples_hoffmann,
         "kg_doc_ner_stats": kg_doc_ner_stats,
         "kg_extract_text": kg_extract_text,
-        # dedup / similarity family (SQL-checked)
         "q13_minhash_lsh_groups": _minhash_groups,
         "q14_simhash": _simhash,
         "q15_ngram_jaccard_pairs": _ngram_pairs,
@@ -948,15 +998,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_fingerprints": _fingerprints,
         "q19_ivf_topk": _ivf_topk,
         "q22_simhash_pairs": _simhash_pairs,
-        # exact all-pairs verification twins (SQL-checked)
         "q23_ngram_jaccard_exact": _ngram_exact_pairs,
         "q24_embedding_cosine_exact": _embedding_exact_pairs,
         "q33_ivf_full_topk": _ivf_full_topk,
-        # red in r3 (oracle dtype rendering, fixed): keep in-window
         "q42_bigram_lm": A.q42_bigram_lm,
         "q44_props_field_stats": A.q44_props_field_stats,
         "q52_perplexity_filter": A.q52_perplexity_filter,
-        # relational / aggregation primitives (SQL-checked)
         "q01_pricing_summary": A.q01_pricing_summary,
         "q02_revenue_by_nation": A.q02_revenue_by_nation,
         "q05_events_hourly": A.q05_events_hourly,
@@ -977,8 +1024,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_triangle_counts": A.q65_triangle_counts,
         "q67_connected_components": A.q67_connected_components,
         "q54_curation": A.q54_curation,
-        # round-4 NEW operators (never had a driver row — promoted over
-        # the r3-green q55-q61, which rotate to the tail top)
         "q68_source_cap": A.q68_source_cap,
         "q70_bfs_distances": A.q70_bfs_distances,
         "q72_cube": A.q72_cube,
@@ -988,8 +1033,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_funnel": A.q76_funnel,
         "q77_source_kl": A.q77_source_kl,
         "q78_weighted_sample": A.q78_weighted_sample,
-        # --- tail (entry 51+): outside the driver window this round; all
-        # green in r2/r3 driver sweeps and exact-checked in pytest ---
         "q27_asof_join": A.q27_asof_join,
         "q32_pii_scrub": A.q32_pii_scrub,
         "q55_semdedup": A.q55_semdedup,
@@ -1023,7 +1066,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_bloom_membership": A.q48_bloom_membership,
         "q49_hll_distinct": A.q49_hll_distinct,
         "q53_bpe_merges": A.q53_bpe_merges,
-        # round-4 tail additions (rotate into the window in round 5)
         "q69_kcore": A.q69_kcore,
         "q71_boilerplate_clean": A.q71_boilerplate_clean,
         "q79_bm25_topk": A.q79_bm25_topk,
@@ -1057,13 +1099,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_shuffled_dedup": A.q107_shuffled_dedup,
         "q108_curation_v2": A.q108_curation_v2,
         "q109_bpe_encode": _bpe_encode_counts,
-        "q110_itemset_pairs": A.q110_itemset_pairs,
         "q111_skyline": A.q111_skyline,
         "q112_profile": A.q112_profile,
         "q113_mode_per_user": A.q113_mode_per_user,
         "q114_corr_matrix": A.q114_corr_matrix,
         "q115_melt": A.q115_melt,
-        "q116_sssp": A.q116_sssp,
         "q117_two_hop_reach": A.q117_two_hop_reach,
         "q118_latest_snapshot": A.q118_latest_snapshot,
         "q119_sliding_distinct": A.q119_sliding_distinct,
@@ -1073,10 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_histogram": A.q123_histogram,
         "q124_fk_audit": A.q124_fk_audit,
         "q125_hot_keys": A.q125_hot_keys,
-        "q126_join_size": A.q126_join_size,
         "q127_regional_revenue": A.q127_regional_revenue,
         "q128_cusum": A.q128_cusum,
-        "q129_containment_pairs": A.q129_containment_pairs,
         "q130_snapshot_diff": A.q130_snapshot_diff,
         "q131_mmr_select": _mmr_select,
         "q132_watermark_late": A.q132_watermark_late,
@@ -1095,88 +1133,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_video_neardup": _video_neardup,
         "q146_grouping_sets": A.q146_grouping_sets,
         "q147_interval_coverage": A.q147_interval_coverage,
-        "q148_fuzzy_edit2_pairs": A.q148_fuzzy_edit2_pairs,
-        "q149_sorted_neighborhood": A.q149_sorted_neighborhood,
-        "q150_temporal_reach": A.q150_temporal_reach,
-        "q151_luby_mis": A.q151_luby_mis,
-        "q152_rendezvous_reshard": A.q152_rendezvous_reshard,
-        "q153_weighted_median": A.q153_weighted_median,
         "q154_hits": A.q154_hits,
         "q155_link_prediction": A.q155_link_prediction,
         "q156_rrf_hybrid": A.q156_rrf_hybrid,
-        "q157_scd2_intervals": A.q157_scd2_intervals,
         "q158_locf_daily": A.q158_locf_daily,
         "q159_snake_shards": A.q159_snake_shards,
         "q160_winsorized_stats": A.q160_winsorized_stats,
         "q161_gini_skew": A.q161_gini_skew,
         "q162_vocab_churn": A.q162_vocab_churn,
-        "q163_equi_depth_histogram": A.q163_equi_depth_histogram,
         "q164_boilerplate_attribution": A.q164_boilerplate_attribution,
         "q165_topn_other": A.q165_topn_other,
         "q166_boolean_and": A.q166_boolean_and,
-        "q167_max_rate_60s": A.q167_max_rate_60s,
-        "q168_peak_concurrency": A.q168_peak_concurrency,
         "q169_hhi_concentration": A.q169_hhi_concentration,
         "q170_loo_mean": A.q170_loo_mean,
         "q171_table_checksum": A.q171_table_checksum,
-        "q172_auc_rank_sum": A.q172_auc_rank_sum,
-        "q173_last_touch_attribution": A.q173_last_touch_attribution,
-        "q174_chi2_keywords": A.q174_chi2_keywords,
         "q175_class_scatter": A.q175_class_scatter,
         "q176_calibration_deciles": A.q176_calibration_deciles,
         "q177_split_assignment": A.q177_split_assignment,
-        "q178_er_clusters": A.q178_er_clusters,
         "q179_zorder_layout": A.q179_zorder_layout,
-        "q180_scc": A.q180_scc,
-        "q181_merge_upsert": A.q181_merge_upsert,
-        "q182_ks_drift": A.q182_ks_drift,
-        "q183_ohlc_bars": A.q183_ohlc_bars,
-        "q184_k_anonymity": A.q184_k_anonymity,
         "q185_group_split_audit": A.q185_group_split_audit,
         "q186_lorenz_deciles": A.q186_lorenz_deciles,
-        "q187_widest_path": A.q187_widest_path,
         "q188_recall_at_k": A.q188_recall_at_k,
         "q189_mixture_allocation": A.q189_mixture_allocation,
-        "q190_curation_attrition": A.q190_curation_attrition,
         "q191_hierarchical_shares": A.q191_hierarchical_shares,
         "q192_sequence_compressibility": A.q192_sequence_compressibility,
         "q193_msf": A.q193_msf,
-        "q194_time_travel": A.q194_time_travel,
         "q195_fd_violations": A.q195_fd_violations,
         "q196_benford_audit": A.q196_benford_audit,
         "q197_l_diversity": A.q197_l_diversity,
-        "q198_cascade_delete": A.q198_cascade_delete,
-        "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
-        "q200_smb_join_revenue": A.q200_smb_join_revenue,
         "q201_unigram_lm": A.q201_unigram_lm,
         "q202_media_header_audit": _media_header_audit,
-        "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
-        "q204_missing_partitions": A.q204_missing_partitions,
-        "q205_incremental_view_merge": A.q205_incremental_view_merge,
-        "q206_rag_chunks": A.q206_rag_chunks,
-        "q207_mixture_interleave": A.q207_mixture_interleave,
         "q208_maximal_matching": A.q208_maximal_matching,
-        "q209_contract_violations": A.q209_contract_violations,
-        "q210_partitioned_sink_audit": A.q210_partitioned_sink_audit,
-        "q211_semantic_boundaries": A.q211_semantic_boundaries,
-        "q212_token_budget_plan": A.q212_token_budget_plan,
-        "q213_global_row_number": A.q213_global_row_number,
         "q214_ivfpq_topk": A.q214_ivfpq_topk,
-        "q215_drop_reasons": A.q215_drop_reasons,
-        "q216_training_shards": A.q216_training_shards,
-        "q217_winnowing": A.q217_winnowing,
         "q218_cosine_histogram": A.q218_cosine_histogram,
-        "q219_mutual_information": A.q219_mutual_information,
         "q220_linear_interpolate": A.q220_linear_interpolate,
-        "q221_ngram_novelty": A.q221_ngram_novelty,
-        "q222_bootstrap_ci": A.q222_bootstrap_ci,
-        "q223_hll_intersection": A.q223_hll_intersection,
-        "q224_fd_impute": A.q224_fd_impute,
-        "q225_random_walks": A.q225_random_walks,
-        "q226_skipgram_pairs": A.q226_skipgram_pairs,
         "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
         "q228_graph_coloring": A.q228_graph_coloring,
-        "q229_moss_pairs": A.q229_moss_pairs,
         "q230_oov_rate": A.q230_oov_rate,
     }
 

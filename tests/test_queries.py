@@ -223,26 +223,34 @@ def test_oracle_keys_subset_of_queries(entrymod):
 
 def test_driver_window_covers_critical_queries(entrymod):
     """The driver's correctness sweep checks the FIRST 50 queries()
-    entries (dict order).  Pin the families that must stay in-window so a
-    future reorder can't silently push them off the scoreboard: the
-    model-driven kg_* family, the dedup/similarity family (q13-q19,
-    q22-q24, q33), and the r3-red-now-fixed trio (q42/q44/q52)."""
+    entries (dict order).  Round-5 rotation: every entry already green in
+    an earlier sweep (r1-r4) moved to the tail; the window now holds
+    SQL-checked entries that have never had a driver row — composition
+    flagships, heavy-machinery operators, and the round-4 tail additions.
+    Pin them so a future reorder can't silently push them back off the
+    scoreboard, and require every window entry to be SQL-checked
+    (rows-only entries gain nothing from the window)."""
     first50 = list(entrymod.queries())[:50]
     must = {
-        "kg_triples", "kg_nodes", "kg_edges", "kg_triples_mimlre",
-        "kg_triples_hoffmann", "kg_doc_ner_stats", "kg_extract_text",
-        "q13_minhash_lsh_groups", "q14_simhash", "q15_ngram_jaccard_pairs",
-        "q16_embedding_neardup", "q17_langid", "q18_fingerprints",
-        "q19_ivf_topk", "q22_simhash_pairs", "q23_ngram_jaccard_exact",
-        "q24_embedding_cosine_exact", "q33_ivf_full_topk",
-        "q42_bigram_lm", "q44_props_field_stats", "q52_perplexity_filter",
-        # round-4 new operators: first driver row this round
-        "q68_source_cap", "q70_bfs_distances", "q72_cube",
-        "q73_dedup_corpus", "q74_event_deltas", "q75_set_ops",
-        "q76_funnel", "q77_source_kl", "q78_weighted_sample",
+        # composition flagships
+        "q215_drop_reasons", "q216_training_shards",
+        "q200_smb_join_revenue", "q213_global_row_number",
+        "q205_incremental_view_merge", "q194_time_travel",
+        "q190_curation_attrition",
+        # heavy-machinery operators
+        "q110_itemset_pairs", "q116_sssp", "q129_containment_pairs",
+        "q148_fuzzy_edit2_pairs", "q149_sorted_neighborhood",
+        "q151_luby_mis", "q157_scd2_intervals", "q180_scc",
+        "q187_widest_path",
+        # round-4 tail additions
+        "q217_winnowing", "q229_moss_pairs", "q225_random_walks",
+        "q226_skipgram_pairs", "q222_bootstrap_ci",
+        "q223_hll_intersection",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
+    not_sql = set(first50) - set(entrymod.oracle_sql())
+    assert not not_sql, f"rows-only entries wasting window slots: {not_sql}"
 
 
 def test_entry_smoke(entrymod):
