@@ -979,8 +979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q209_contract_violations": A.q209_contract_violations,
         "q204_missing_partitions": A.q204_missing_partitions,
         "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
-        "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
-        "q198_cascade_delete": A.q198_cascade_delete,
+        # round-5 NEW machinery, driver-checked first time out
+        "q231_label_propagation": A.q231_label_propagation,
+        "q232_power_iteration": A.q232_power_iteration,
         # --- tail (entry 51+): green in earlier driver sweeps (r1-r4) or
         # exact-pinned in pytest; outside the window this round ---
         "kg_triples": kg_triples,
@@ -1170,6 +1171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q227_tokenizer_fertility": A.q227_tokenizer_fertility,
         "q228_graph_coloring": A.q228_graph_coloring,
         "q230_oov_rate": A.q230_oov_rate,
+        "q198_cascade_delete": A.q198_cascade_delete,
+        "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
+        "q233_compaction_plan": A.q233_compaction_plan,
     }
 
 
@@ -6441,4 +6445,113 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS oov_ppm
         FROM sc ORDER BY source
     """
+    d["q231_label_propagation"] = _lpa_oracle_sql()
+    d["q232_power_iteration"] = _power_iter_oracle_sql()
+    d["q233_compaction_plan"] = """
+        -- compaction-plan twin: one file per order date (size = rows
+        -- x 100), contiguous cumulative packing into ~64 KB bins via
+        -- the exclusive prefix sum
+        WITH f AS (
+          SELECT CAST(epoch_us(o_orderdate) // 86400000000
+                      AS BIGINT) AS day,
+                 CAST(COUNT(*) * 100 AS BIGINT) AS sz
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT day, sz,
+                 COALESCE(SUM(sz) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS prev
+          FROM f)
+        SELECT CAST(prev // 64000 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(sz) AS BIGINT) AS total_bytes,
+               CAST(MIN(day) AS BIGINT) AS min_day,
+               CAST(MAX(day) AS BIGINT) AS max_day
+        FROM c GROUP BY 1 ORDER BY bin
+    """
     return d
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation — the SQL twin of
+    ``graph_ops.label_propagation`` + ``analytics.q231``'s
+    scale-adaptive event graph (n_nodes = n_events // 10, every 3rd
+    event an edge).  Each round every node takes the most frequent
+    label among its neighbors, frequency ties toward the SMALLEST
+    label (ROW_NUMBER ... ORDER BY n DESC, label ASC) — exactly the
+    engine's vectorized mode reduce, so both sides agree at any unroll
+    depth (the kcore round-synchronous contract).  MATERIALIZED for
+    the 4^rounds-expansion reason documented on the kcore oracle."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 10 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS a,
+                 (event_id + 19 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn) AS b
+          FROM events WHERE event_id % 3 = 0)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, "
+        "GREATEST(a, b) AS b FROM g WHERE a <> b)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM "
+        "(SELECT a AS node FROM e0 UNION SELECT b FROM e0))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS MATERIALIZED ("
+            f"SELECT e.a AS node, l.label FROM e0 e "
+            f"JOIN l{r-1} l ON l.node = e.b "
+            f"UNION ALL SELECT e.b AS node, l.label FROM e0 e "
+            f"JOIN l{r-1} l ON l.node = e.a)")
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT node, label, COUNT(*) AS n "
+            f"FROM m{r} GROUP BY 1, 2)")
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY n DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, label AS community FROM l{rounds} ORDER BY node"
+    )
+
+
+def _power_iter_oracle_sql(n_iter: int = 20) -> str:
+    """Unrolled power iteration on the q88 int-exact Gram matrix — the
+    SQL twin of ``analytics.q232_power_iteration``.  Both engines build
+    the IDENTICAL integer matrix (elements quantized half-up at 1e6,
+    products exact BIGINT sums), de-quantize by 1e12, and run the same
+    ``n_iter`` normalized iterations from the all-ones/sqrt(d) start —
+    round-synchronous, so they agree at any depth with only ~1e-12
+    float drift against 1e-6 / 1e-3 output roundings."""
+    parts = [
+        """q AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(generate_subscripts(embedding, 1) - 1
+                      AS BIGINT) AS i,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                            * 1000000.0 + 0.5) AS BIGINT) AS xq
+          FROM embeddings)""",
+        """gm AS MATERIALIZED (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(a.xq * b.xq) AS BIGINT)
+                   / 1000000000000.0 AS g
+          FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, "
+        "1.0 / sqrt(64.0) AS val FROM q)",
+    ]
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT gm.i AS dim, "
+            f"SUM(gm.g * v.val) AS val "
+            f"FROM gm JOIN v{r-1} v ON v.dim = gm.j GROUP BY 1)")
+        parts.append(
+            f"v{r} AS MATERIALIZED (SELECT dim, val / "
+            f"(SELECT sqrt(SUM(val * val)) FROM w{r}) AS val "
+            f"FROM w{r})")
+    return (
+        "WITH " + ",\n".join(parts) + ",\n"
+        f"lam AS (SELECT SUM(v1.val * gm.g * v2.val) AS l FROM gm "
+        f"JOIN v{n_iter} v1 ON v1.dim = gm.i "
+        f"JOIN v{n_iter} v2 ON v2.dim = gm.j)\n"
+        f"SELECT dim, ROUND(val, 6) AS loading, "
+        f"ROUND((SELECT l FROM lam), 3) AS eigenvalue "
+        f"FROM v{n_iter} ORDER BY dim"
+    )

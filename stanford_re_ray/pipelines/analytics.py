@@ -8113,3 +8113,159 @@ def q230_oov_rate(sf_dir: str, vocab_k: int = 1000) -> pa.Table:
     return pa.Table.from_pandas(
         out[["source", "n_tokens", "n_oov", "oov_ppm"]],
         preserve_index=False)
+
+
+def q231_label_propagation(sf_dir: str, n_rounds: int = 3) -> pa.Table:
+    """Community detection via synchronous label propagation
+    (``graph_ops.label_propagation``) over a scale-adaptive sparse
+    event graph (n_nodes = n_events // 10, every 3rd event an edge —
+    average degree ~6, several genuine communities at every scale
+    factor).  Per round: ONE label-shipping hash join + a hash-bucket
+    vectorized mode reduce; ties break toward the smallest label, so
+    the run is deterministic and the unrolled SQL twin replays it
+    exactly (round-synchronous, the kcore contract)."""
+    from ..pipelines.graph_ops import label_propagation
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = max(n_events // 10, 1)
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 3 == 0
+        return pa.table({"src": pa.array(eid[keep] % n_nodes),
+                         "dst": pa.array((eid[keep] + 19 * kk[keep])
+                                         % n_nodes)})
+
+    out = (label_propagation(ds.map_batches(edges, batch_format="pyarrow"),
+                             n_rounds=n_rounds, est_rows=n_events)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in ("node", "community"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "community"]],
+                                preserve_index=False)
+
+
+def q232_power_iteration(sf_dir: str, n_iter: int = 20) -> pa.Table:
+    """Dominant principal direction of the embedding second-moment
+    matrix by power iteration — the first step of every distributed
+    PCA/whitening pass.  The Gram matrix is the q88 distributed
+    int-exact combiner (elements quantized half-up at 1e6, products
+    exact int64, associative SUM reduce — partition-invariant by
+    construction), so BOTH engines start from the identical integer
+    matrix; the driver then runs ``n_iter`` synchronized normalized
+    iterations from the deterministic all-ones start.  Iteration is
+    round-synchronous, so the unrolled SQL twin agrees at any depth,
+    converged or not (float drift between engines is ~1e-12 against a
+    1e-6 output rounding).  Only d x d = 4096 int rows ever reach the
+    driver — corpus size never does."""
+    from ..functions.clustering import embedding_moments
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = 64
+    mom = embedding_moments(emb, dim=dim).to_pandas()
+    mom = mom[(mom["i"] >= 0) & (mom["j"] >= 0)]
+    G = np.zeros((dim, dim), dtype=np.float64)
+    i = mom["i"].to_numpy(np.int64)
+    j = mom["j"].to_numpy(np.int64)
+    # de-quantize (1e6 per element, 1e12 per product) back to moment
+    # scale so the eigenvalue is O(corpus), not O(1e12) — the 3-dp
+    # output rounding must sit far above the cross-engine float drift
+    s = mom["sxy"].to_numpy(np.float64) / 1e12
+    G[i, j] = s
+    G[j, i] = s
+    v = np.ones(dim, dtype=np.float64)
+    v /= np.sqrt(float(dim))
+    for _ in range(n_iter):
+        w = G @ v
+        v = w / np.sqrt(float(np.dot(w, w)))
+    lam = float(v @ (G @ v))
+    return pa.table({
+        "dim": pa.array(np.arange(dim, dtype=np.int64)),
+        "loading": pa.array(np.round(v, 6)),
+        "eigenvalue": pa.array(np.full(dim, round(lam, 3), np.float64)),
+    })
+
+
+def q233_compaction_plan(sf_dir: str, target_bytes: int = 64_000,
+                         row_bytes: int = 100) -> pa.Table:
+    """Small-file compaction planner (the lakehouse OPTIMIZE primitive):
+    one input "file" per order date (size = rows x ``row_bytes``), files
+    sorted by date, packed CONTIGUOUSLY into output groups of
+    ~``target_bytes`` — bin = exclusive-prefix-size // target, the
+    deterministic cumulative-sum packing every sorted-run compactor
+    uses (contiguity preserves the table's date clustering; FFD would
+    destroy it).  The prefix sum is the q46 two-pass distributed scan:
+    per-range-bucket totals to the driver (B ints), broadcast offsets
+    back, in-bucket cumsum resolves every file's global offset — no
+    serial pass, no driver materialization of the file list."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.floor(pc.divide(
+                pc.cast(batch.column("o_orderdate"), pa.int64()),
+                pa.scalar(86_400_000_000, pa.int64()))), pa.int64())
+        return pa.table({"day": day})
+
+    files = (orders.map_batches(to_day, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n_rows"))
+             .materialize())
+
+    # two-pass distributed exclusive scan over date-range buckets
+    span = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        sz = pc.multiply(pc.cast(batch.column("n_rows"), pa.int64()),
+                         pa.scalar(row_bytes, pa.int64()))
+        return pa.table({
+            "day": batch.column("day"),
+            "sz": sz,
+            "__bucket": pc.cast(pc.floor(pc.divide(
+                pc.cast(batch.column("day"), pa.int64()),
+                pa.scalar(span, pa.int64()))), pa.int64()),
+        })
+
+    sized = files.map_batches(add_bucket,
+                              batch_format="pyarrow").materialize()
+    bucket_tot = {r["__bucket"]: r["sum(sz)"]
+                  for r in sized.groupby("__bucket").sum("sz").take_all()}
+    offsets, acc = {}, 0
+    for b in sorted(bucket_tot):
+        offsets[b] = acc
+        acc += bucket_tot[b]
+    off_ref = ray.put(offsets)
+
+    def assign_bin(g: pd.DataFrame, _ref=off_ref) -> pa.Table:
+        from ..state.broadcast import fetch
+        from ..schema import pd_to_arrow
+
+        off = fetch(_ref)
+        g = g.sort_values("day", kind="mergesort")
+        prev = off[int(g["__bucket"].iloc[0])] + \
+            g["sz"].cumsum().shift(fill_value=0)
+        bin_id = (prev // target_bytes).astype("int64")
+        return pd_to_arrow(pd.DataFrame({
+            "bin": bin_id,
+            "day": g["day"].to_numpy(np.int64),
+            "sz": g["sz"].to_numpy(np.int64)}))
+
+    from ray.data.aggregate import Count as _Cnt, Max, Min, Sum
+
+    out = (sized.groupby("__bucket")
+           .map_groups(assign_bin, batch_format="pandas")
+           .groupby("bin")
+           .aggregate(_Cnt(alias_name="n_files"),
+                      Sum("sz", alias_name="total_bytes"),
+                      Min("day", alias_name="min_day"),
+                      Max("day", alias_name="max_day"))
+           .to_pandas().sort_values("bin").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["bin", "n_files", "total_bytes", "min_day", "max_day"]],
+        preserve_index=False)

@@ -2570,3 +2570,108 @@ def greedy_coloring(
     for part in colored[1:]:
         out = out.union(part)
     return _mat(out, out.count())
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    n_rounds: int = 3,
+    est_rows: int | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (LPA): every
+    node starts in its own community (label = node id); each round every
+    node simultaneously adopts the most frequent label among its
+    NEIGHBORS, breaking frequency ties toward the SMALLEST label — the
+    classic near-linear community detector (Raghavan et al. 2007),
+    deterministic here by construction (no random visit order).
+
+    Round-synchronous ⇒ exactly reproducible by an SQL oracle unrolled
+    to the same ``n_rounds`` (the kcore/luby contract): each round's
+    labels depend only on the previous round's, so both sides agree at
+    any unroll depth, converged or not.
+
+    Distributed shape: adjacency = distinct (node, nbr) both
+    orientations, built once and materialized (rounds re-read it; an
+    un-materialized lineage re-executes geometrically).  Per round ONE
+    key-partitioned hash join ships each neighbor's current label to
+    its target node, then the per-node mode runs inside hash-BUCKET
+    ``map_groups`` with a vectorized pandas reducer — per-bucket work,
+    never per-key pandas groups (the million-key groupby rule), and the
+    label table is re-partitioned small before it feeds the next
+    round's join (tiny-block fan-in disease).  Only (node, label) pairs
+    shuffle; payloads never do.  Returns (node, community) after
+    ``n_rounds``.
+    """
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([s, d])),
+            "nbr": pa.array(np.concatenate([d, s])),
+        })
+
+    adj = (edges.map_batches(explode, batch_format="pyarrow")
+           .groupby(["node", "nbr"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow").materialize())
+    n_adj = adj.count()
+    adj = adj.repartition(max(4, n_adj // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = n_adj
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.cast(batch.column("node"), pa.int64())
+        return pa.table({"node": n, "label": n})
+
+    labels = (adj.groupby("node").count()
+              .map_batches(init_labels, batch_format="pyarrow")
+              .repartition(4).materialize())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = pc.cast(batch.column("dst"), pa.int64(), safe=False)
+        return pa.table({
+            "dst": d,
+            "label": pc.cast(batch.column("label"), pa.int64(),
+                             safe=False),
+            "__bucket": pc.cast(
+                pc.bit_wise_and(d, pa.scalar(n_buckets - 1, pa.int64())),
+                pa.int32()),
+        })
+
+    def mode_per_node(g: pd.DataFrame) -> pa.Table:
+        cnt = g.groupby(["dst", "label"], as_index=False).size()
+        cnt = cnt.sort_values(["dst", "size", "label"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        top = cnt.drop_duplicates("dst", keep="first")
+        return pd_to_arrow(pd.DataFrame({
+            "node": top["dst"].to_numpy(np.int64),
+            "label": top["label"].to_numpy(np.int64)}))
+
+    for _ in range(n_rounds):
+        # message (dst <- label of nbr): join adjacency's nbr column
+        # against the label table's node key
+        msgs = hash_join(
+            adj.map_batches(lambda t: t.rename_columns(["dst", "node"]),
+                            batch_format="pyarrow"),
+            labels, on="node", est_rows=est_rows)
+        labels = (msgs.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("__bucket")
+                  .map_groups(mode_per_node, batch_format="pandas")
+                  .repartition(4).materialize())
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "community": t.column("label")}),
+        batch_format="pyarrow")

@@ -167,6 +167,8 @@ SQL_CHECKED = [
     "q223_hll_intersection", "q224_fd_impute",
     "q225_random_walks", "q226_skipgram_pairs",
     "q229_moss_pairs", "q230_oov_rate",
+    "q231_label_propagation", "q232_power_iteration",
+    "q233_compaction_plan",
 ]
 
 
