@@ -1174,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q198_cascade_delete": A.q198_cascade_delete,
         "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
         "q233_compaction_plan": A.q233_compaction_plan,
+        "q234_quality_classifier": A.q234_quality_classifier,
     }
 
 

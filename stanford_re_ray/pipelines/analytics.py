@@ -8269,3 +8269,17 @@ def q233_compaction_plan(sf_dir: str, target_bytes: int = 64_000,
     return pa.Table.from_pandas(
         out[["bin", "n_files", "total_bytes", "min_day", "max_day"]],
         preserve_index=False)
+
+
+def q234_quality_classifier(sf_dir: str) -> pa.Table:
+    """Learned quality filter (``functions.quality_model``): hashed
+    bag-of-words logistic regression trained distributed against the
+    Gopher weak label, then scored over the corpus — per-source report.
+    Rows-only (iterative GD is outside SQL); the pytest gate pins the
+    output against an independent serial numpy twin, exact to the
+    integer (all reduces are quantized int sums)."""
+    from ..functions.quality_model import quality_classifier_report
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return quality_classifier_report(
+        docs, n_docs=_row_count(sf_dir, "documents"))

@@ -207,6 +207,7 @@ ROWS_ONLY = [
     "q214_ivfpq_topk",
     "q227_tokenizer_fertility",
     "q228_graph_coloring",
+    "q234_quality_classifier",
 ]
 
 
@@ -280,7 +281,7 @@ def test_queries_oracle_contract(entrymod):
         "q145_video_neardup", "q193_msf", "q201_unigram_lm",
         "q202_media_header_audit", "q208_maximal_matching",
         "q214_ivfpq_topk", "q227_tokenizer_fertility",
-        "q228_graph_coloring",
+        "q228_graph_coloring", "q234_quality_classifier",
     }, f"unexpected rows-only queries: {sorted(rows_only)}"
 
 
