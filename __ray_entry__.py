@@ -1175,6 +1175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_embedding_decontaminate": A.q199_embedding_decontaminate,
         "q233_compaction_plan": A.q233_compaction_plan,
         "q234_quality_classifier": A.q234_quality_classifier,
+        "q235_community_stats": A.q235_community_stats,
+        "q236_degree_assortativity": A.q236_degree_assortativity,
     }
 
 
@@ -6448,6 +6450,8 @@ def oracle_sql() -> dict[str, str]:
     """
     d["q231_label_propagation"] = _lpa_oracle_sql()
     d["q232_power_iteration"] = _power_iter_oracle_sql()
+    d["q235_community_stats"] = _community_stats_oracle_sql()
+    d["q236_degree_assortativity"] = _assortativity_oracle_sql()
     d["q233_compaction_plan"] = """
         -- compaction-plan twin: one file per order date (size = rows
         -- x 100), contiguous cumulative packing into ~64 KB bins via
@@ -6473,16 +6477,15 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
-def _lpa_oracle_sql(rounds: int = 3) -> str:
-    """Unrolled synchronous label propagation — the SQL twin of
-    ``graph_ops.label_propagation`` + ``analytics.q231``'s
-    scale-adaptive event graph (n_nodes = n_events // 10, every 3rd
-    event an edge).  Each round every node takes the most frequent
-    label among its neighbors, frequency ties toward the SMALLEST
-    label (ROW_NUMBER ... ORDER BY n DESC, label ASC) — exactly the
-    engine's vectorized mode reduce, so both sides agree at any unroll
-    depth (the kcore round-synchronous contract).  MATERIALIZED for
-    the 4^rounds-expansion reason documented on the kcore oracle."""
+def _lpa_cte_parts(rounds: int = 3) -> list[str]:
+    """Shared CTE chain for the LPA family (q231/q235): the q231 event
+    graph, then ``rounds`` unrolled synchronous label-propagation
+    rounds.  Each round every node takes the most frequent label among
+    its neighbors, frequency ties toward the SMALLEST label
+    (ROW_NUMBER ... ORDER BY n DESC, label ASC) — exactly the engine's
+    vectorized mode reduce, so both sides agree at any unroll depth
+    (the kcore round-synchronous contract).  MATERIALIZED for the
+    4^rounds-expansion reason documented on the kcore oracle."""
     parts = [
         "nn AS MATERIALIZED (SELECT count(*) // 10 AS n FROM events)",
         """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS a,
@@ -6508,9 +6511,69 @@ def _lpa_oracle_sql(rounds: int = 3) -> str:
             f"l{r} AS MATERIALIZED (SELECT node, label FROM ("
             f"SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node "
             f"ORDER BY n DESC, label ASC) AS rn FROM c{r}) WHERE rn = 1)")
+    return parts
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """SQL twin of ``analytics.q231_label_propagation``."""
+    parts = _lpa_cte_parts(rounds)
     return (
         "WITH " + ",\n".join(parts) + "\n"
         f"SELECT node, label AS community FROM l{rounds} ORDER BY node"
+    )
+
+
+def _community_stats_oracle_sql(rounds: int = 3) -> str:
+    """SQL twin of ``analytics.q235_community_stats``: per-community
+    node count, degree sum and internal-edge count over the q231 LPA
+    partition (exact ints — the modularity inputs)."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(
+        "deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) "
+        "GROUP BY 1)")
+    parts.append(
+        f"pcm AS (SELECT l.label AS community, COUNT(*) AS n_nodes, "
+        f"SUM(deg) AS deg_sum FROM l{rounds} l "
+        f"JOIN deg d ON d.node = l.node GROUP BY 1)")
+    parts.append(
+        f"intr AS (SELECT la.label AS community, COUNT(*) AS n_internal "
+        f"FROM e0 e JOIN l{rounds} la ON la.node = e.a "
+        f"JOIN l{rounds} lb ON lb.node = e.b "
+        f"WHERE la.label = lb.label GROUP BY 1)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT p.community, CAST(p.n_nodes AS BIGINT) AS n_nodes, "
+        "CAST(p.deg_sum AS BIGINT) AS deg_sum, "
+        "CAST(COALESCE(i.n_internal, 0) AS BIGINT) AS n_internal "
+        "FROM pcm p LEFT JOIN intr i USING (community) "
+        "ORDER BY community"
+    )
+
+
+def _assortativity_oracle_sql() -> str:
+    """SQL twin of ``analytics.q236_degree_assortativity``: Newman
+    degree-mixing Pearson over both orientations of the q231 graph —
+    five exact integer moments, float only in the final formula."""
+    parts = _lpa_cte_parts(0)[:3]   # nn, g, e0 only
+    parts.append(
+        "deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM "
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) "
+        "GROUP BY 1)")
+    parts.append(
+        "jj AS MATERIALIZED (SELECT da.deg AS x, db.deg AS y FROM e0 e "
+        "JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b)")
+    parts.append(
+        "s AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(x) + SUM(y) AS BIGINT) AS sx, "
+        "CAST(2 * SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) + SUM(y * y) AS BIGINT) AS sxx FROM jj)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes, "
+        "CAST(m // 2 AS BIGINT) AS n_edges, "
+        "ROUND(CAST(m * sxy - sx * sx AS DOUBLE) "
+        "/ (m * sxx - sx * sx), 6) AS assortativity FROM s"
     )
 
 

@@ -8283,3 +8283,167 @@ def q234_quality_classifier(sf_dir: str) -> pa.Table:
     docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     return quality_classifier_report(
         docs, n_docs=_row_count(sf_dir, "documents"))
+
+
+def _q231_edges(sf_dir: str):
+    """The q231 scale-adaptive event graph, shared by the LPA family."""
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = max(n_events // 10, 1)
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 3 == 0
+        return pa.table({"src": pa.array(eid[keep] % n_nodes),
+                         "dst": pa.array((eid[keep] + 19 * kk[keep])
+                                         % n_nodes)})
+
+    return ds.map_batches(edges, batch_format="pyarrow"), n_events
+
+
+def _canon_undirected(edge_ds) -> "ray.data.Dataset":
+    """Distinct undirected a < b edges, materialized."""
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d)),
+                         "b": pa.array(np.maximum(s, d))})
+
+    return (edge_ds.map_batches(canon, batch_format="pyarrow")
+            .groupby(["a", "b"]).count()
+            .map_batches(lambda t: t.drop_columns(["count()"]),
+                         batch_format="pyarrow").materialize())
+
+
+def q235_community_stats(sf_dir: str, n_rounds: int = 3) -> pa.Table:
+    """Community-quality audit over the q231 LPA partition: per
+    community (n_nodes, deg_sum, n_internal) — the three integers the
+    modularity formula consumes (Q = Σ_c n_internal/m − (deg_sum/2m)²),
+    kept exact-int so both engines agree bit-for-bit.  Composition:
+    label_propagation → two label-shipping hash joins onto the
+    canonical edge set (internal-edge count) + one degree join — the
+    standard "evaluate the partition you just computed" pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.relational import hash_join
+    from ..pipelines.graph_ops import label_propagation
+
+    edge_ds, n_events = _q231_edges(sf_dir)
+    edge_ds = edge_ds.materialize()
+    labels = label_propagation(edge_ds, n_rounds=n_rounds,
+                               est_rows=n_events).materialize()
+    und = _canon_undirected(edge_ds)
+
+    la = labels.map_batches(lambda t: t.rename_columns(["a", "ca"]),
+                            batch_format="pyarrow")
+    lb = labels.map_batches(lambda t: t.rename_columns(["b", "cb"]),
+                            batch_format="pyarrow")
+    tagged = hash_join(hash_join(und, la, on="a", est_rows=n_events),
+                       lb, on="b", est_rows=n_events)
+
+    def internal_only(batch: pa.Table) -> pa.Table:
+        ca = pc.cast(batch.column("ca"), pa.int64(), safe=False)
+        cb = pc.cast(batch.column("cb"), pa.int64(), safe=False)
+        keep = pc.equal(ca, cb)
+        return pa.table({"community": ca.filter(keep)})
+
+    internal = (tagged.map_batches(internal_only, batch_format="pyarrow")
+                .groupby("community")
+                .aggregate(Count(alias_name="n_internal")))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("a").combine_chunks(),
+            batch.column("b").combine_chunks()])})
+
+    deg = (und.map_batches(explode, batch_format="pyarrow")
+           .groupby("node").count()
+           .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                        batch_format="pyarrow"))
+    per_comm = (hash_join(labels.map_batches(
+                    lambda t: t.rename_columns(["node", "community"]),
+                    batch_format="pyarrow"),
+                    deg, on="node", est_rows=n_events)
+                .map_batches(lambda t: pa.table({
+                    "community": pc.cast(t.column("community"), pa.int64(),
+                                         safe=False),
+                    "deg": pc.cast(t.column("deg"), pa.int64(),
+                                   safe=False)}), batch_format="pyarrow")
+                .groupby("community")
+                .aggregate(Count(alias_name="n_nodes"),
+                           Sum("deg", alias_name="deg_sum")))
+    out = hash_join(per_comm, internal, on="community", how="left",
+                    est_rows=n_events).to_pandas()
+    out["n_internal"] = out["n_internal"].fillna(0)
+    for c in ("community", "n_nodes", "deg_sum", "n_internal"):
+        out[c] = out[c].astype("int64")
+    out = out.sort_values("community").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["community", "n_nodes", "deg_sum", "n_internal"]],
+        preserve_index=False)
+
+
+def q236_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the q231 event graph — the Newman
+    mixing coefficient (Pearson correlation of endpoint degrees over
+    both edge orientations).  Every moment is an EXACT int64 sum
+    (degree joins onto the canonical edge set, both orientations, then
+    five associative integer reductions); only the final Pearson
+    formula runs in float on identical integers, so the 6-dp rounding
+    is bit-safe on both engines."""
+    from ..functions.relational import hash_join
+
+    edge_ds, n_events = _q231_edges(sf_dir)
+    und = _canon_undirected(edge_ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            batch.column("a").combine_chunks(),
+            batch.column("b").combine_chunks()])})
+
+    deg = (und.map_batches(explode, batch_format="pyarrow")
+           .groupby("node").count()
+           .map_batches(lambda t: t.rename_columns(["node", "deg"]),
+                        batch_format="pyarrow"))
+    da = deg.map_batches(lambda t: t.rename_columns(["a", "da"]),
+                         batch_format="pyarrow")
+    db = deg.map_batches(lambda t: t.rename_columns(["b", "db"]),
+                         batch_format="pyarrow")
+    both = hash_join(hash_join(und, da, on="a", est_rows=n_events),
+                     db, on="b", est_rows=n_events)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch.column("da"), pa.int64(), safe=False) \
+            .to_numpy().astype(np.int64)
+        y = pc.cast(batch.column("db"), pa.int64(), safe=False) \
+            .to_numpy().astype(np.int64)
+        # both orientations: x over sources, y over targets, symmetric
+        sx = int(x.sum() + y.sum())
+        sxy = int((x * y).sum() * 2)
+        sxx = int((x * x).sum() + (y * y).sum())
+        return pa.table({
+            "m": pa.array([2 * len(x)], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64())})
+
+    # one int row per batch; only these partials reach the driver
+    agg = both.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = int(agg["m"].sum())
+    sx = int(agg["sx"].sum())
+    sxy = int(agg["sxy"].sum())
+    sxx = int(agg["sxx"].sum())
+    num = float(m * sxy - sx * sx)
+    den = float(m * sxx - sx * sx)
+    r = round(num / den, 6) if den else 0.0
+    n_nodes = deg.count()
+    return pa.table({
+        "n_nodes": pa.array([int(n_nodes)], pa.int64()),
+        "n_edges": pa.array([m // 2], pa.int64()),
+        "assortativity": pa.array([r], pa.float64())})

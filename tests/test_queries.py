@@ -168,7 +168,8 @@ SQL_CHECKED = [
     "q225_random_walks", "q226_skipgram_pairs",
     "q229_moss_pairs", "q230_oov_rate",
     "q231_label_propagation", "q232_power_iteration",
-    "q233_compaction_plan",
+    "q233_compaction_plan", "q235_community_stats",
+    "q236_degree_assortativity",
 ]
 
 
