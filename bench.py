@@ -135,6 +135,8 @@ def run_bench() -> dict:
         ("q116_sssp", A.q116_sssp),
         ("q127_regional_revenue", A.q127_regional_revenue),
         ("q129_containment_pairs", A.q129_containment_pairs),
+        ("q231_label_propagation", A.q231_label_propagation),
+        ("q234_quality_classifier", A.q234_quality_classifier),
     ]:
         timings[name], _ = timed(fn, SF_DIR)
 
