@@ -1177,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q234_quality_classifier": A.q234_quality_classifier,
         "q235_community_stats": A.q235_community_stats,
         "q236_degree_assortativity": A.q236_degree_assortativity,
+        "q237_cc_pointer_doubling": A.q237_cc_pointer_doubling,
     }
 
 
@@ -6452,6 +6453,7 @@ def oracle_sql() -> dict[str, str]:
     d["q232_power_iteration"] = _power_iter_oracle_sql()
     d["q235_community_stats"] = _community_stats_oracle_sql()
     d["q236_degree_assortativity"] = _assortativity_oracle_sql()
+    d["q237_cc_pointer_doubling"] = _cc_ptr_oracle_sql()
     d["q233_compaction_plan"] = """
         -- compaction-plan twin: one file per order date (size = rows
         -- x 100), contiguous cumulative packing into ~64 KB bins via
@@ -6574,6 +6576,42 @@ def _assortativity_oracle_sql() -> str:
         "CAST(m // 2 AS BIGINT) AS n_edges, "
         "ROUND(CAST(m * sxy - sx * sx AS DOUBLE) "
         "/ (m * sxx - sx * sx), 6) AS assortativity FROM s"
+    )
+
+
+def _cc_ptr_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled hash-to-min + pointer doubling — the SQL twin of
+    ``graph_ops.cc_pointer_doubling`` + ``analytics.q237``'s sparse
+    event graph.  Each round: m = min over own+neighbor labels (one
+    UNION ALL + MIN groupby), then l = m(m(v)) via a self-join on the
+    label key (labels are node ids, so the key always resolves).
+    Round-synchronous — both sides agree at any unroll depth."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT count(*) // 5 AS n FROM events)",
+        """g AS MATERIALIZED (SELECT event_id % (SELECT n FROM nn) AS a,
+                 (event_id + 23 * CAST(regexp_extract(props,
+                    '"k": (\\d+)', 1) AS BIGINT)) % (SELECT n FROM nn) AS b
+          FROM events WHERE event_id % 11 = 0)""",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS a, "
+        "GREATEST(a, b) AS b FROM g WHERE a <> b)",
+        "l0 AS MATERIALIZED (SELECT node, MIN(lab) AS label FROM ("
+        "SELECT a AS node, LEAST(a, b) AS lab FROM e0 "
+        "UNION ALL SELECT b, LEAST(a, b) FROM e0) GROUP BY node)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT node, MIN(label) AS label FROM ("
+            f"SELECT node, label FROM l{r-1} "
+            f"UNION ALL SELECT e.a AS node, l.label FROM e0 e "
+            f"JOIN l{r-1} l ON l.node = e.b "
+            f"UNION ALL SELECT e.b AS node, l.label FROM e0 e "
+            f"JOIN l{r-1} l ON l.node = e.a) GROUP BY node)")
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT m1.node, m2.label "
+            f"FROM m{r} m1 JOIN m{r} m2 ON m2.node = m1.label)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT node, label AS component FROM l{rounds} ORDER BY node"
     )
 
 

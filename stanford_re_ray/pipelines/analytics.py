@@ -8447,3 +8447,36 @@ def q236_degree_assortativity(sf_dir: str) -> pa.Table:
         "n_nodes": pa.array([int(n_nodes)], pa.int64()),
         "n_edges": pa.array([m // 2], pa.int64()),
         "assortativity": pa.array([r], pa.float64())})
+
+
+def q237_cc_pointer_doubling(sf_dir: str, n_rounds: int = 4) -> pa.Table:
+    """Connected components by hash-to-min with pointer doubling
+    (``graph_ops.cc_pointer_doubling``) — the O(log n)-round CC used
+    when component diameters outgrow plain propagation (q67's shape) —
+    over a sparse scale-adaptive event graph (n_nodes = n_events // 5,
+    every 11th event an edge → many nontrivial components plus
+    chains).  Round-synchronous: the unrolled SQL twin replays both
+    the neighbor-min step and the pointer jump exactly."""
+    from ..pipelines.graph_ops import cc_pointer_doubling
+
+    n_events = _row_count(sf_dir, "events")
+    n_nodes = max(n_events // 5, 1)
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        kk = pc.cast(pc.struct_field(hit, "k"), pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 11 == 0
+        return pa.table({"src": pa.array(eid[keep] % n_nodes),
+                         "dst": pa.array((eid[keep] + 23 * kk[keep])
+                                         % n_nodes)})
+
+    out = (cc_pointer_doubling(
+               ds.map_batches(edges, batch_format="pyarrow"),
+               n_rounds=n_rounds, est_rows=n_events)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    for c in ("node", "component"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out[["node", "component"]],
+                                preserve_index=False)

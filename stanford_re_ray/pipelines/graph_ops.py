@@ -2675,3 +2675,110 @@ def label_propagation(
         lambda t: pa.table({"node": t.column("node"),
                             "community": t.column("label")}),
         batch_format="pyarrow")
+
+
+def cc_pointer_doubling(
+    edges: ray.data.Dataset,
+    n_rounds: int = 4,
+    est_rows: int | None = None,
+) -> ray.data.Dataset:
+    """Connected components by hash-to-min with POINTER DOUBLING — the
+    O(log n)-round alternative to ``functions.dedup.connected_components``'
+    plain min-label propagation (O(diameter) rounds).  Each round has two
+    synchronized steps:
+
+    1. neighbor-min: ``m(v) = min(l(v), min_{u in N(v)} l(u))`` — one
+       label-shipping hash join + a Min groupby (own label rides the
+       same reduce as an extra message row, no second join);
+    2. pointer jump: ``l'(v) = m(m(v))`` — one self-join of the label
+       table (labels are node ids, so ``m(v)`` is always a valid key).
+
+    Propagation distance doubles per round, so web-scale components
+    (diameter ~20) close in ~5 rounds where plain propagation needs ~20
+    — at one extra join per round.  Round-synchronous ⇒ the unrolled
+    SQL oracle agrees at any depth, converged or not (the kcore
+    contract).  Returns (node, component), component = min reachable
+    label after ``n_rounds``."""
+    from ray.data.aggregate import Min
+
+    from ..functions.relational import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([s, d])),
+            "nbr": pa.array(np.concatenate([d, s])),
+        })
+
+    adj = (edges.map_batches(explode, batch_format="pyarrow")
+           .groupby(["node", "nbr"]).count()
+           .map_batches(lambda t: t.drop_columns(["count()"]),
+                        batch_format="pyarrow").materialize())
+    n_adj = adj.count()
+    if n_adj == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64())}))
+    adj = adj.repartition(max(4, n_adj // 250_000 + 1)).materialize()
+    if est_rows is None:
+        est_rows = n_adj
+
+    def own_min(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.min_element_wise(
+            pc.cast(batch.column("node"), pa.int64()),
+            pc.cast(batch.column("label"), pa.int64()))
+        return pa.table({"node": pc.cast(batch.column("node"), pa.int64()),
+                         "label": lab})
+
+    labels = (adj.groupby("node").aggregate(Min("nbr", alias_name="label"))
+              .map_batches(own_min, batch_format="pyarrow")
+              .repartition(4).materialize())
+
+    def as_msgs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"node": pc.cast(batch.column("nbr"), pa.int64(),
+                                         safe=False),
+                         "label": pc.cast(batch.column("label"), pa.int64(),
+                                          safe=False)})
+
+    for _ in range(n_rounds):
+        # step 1: neighbor-min (own label unioned into the same reduce)
+        msgs = hash_join(adj, labels, on="node", est_rows=est_rows) \
+            .map_batches(as_msgs, batch_format="pyarrow")
+        m = (labels.union(msgs).groupby("node")
+             .aggregate(Min("label", alias_name="label"))
+             .repartition(4).materialize())
+        # step 2: pointer jump l'(v) = m(m(v)) — join on the label key
+        def as_ptr(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "v": batch.column("node"),
+                "node": pc.cast(batch.column("label"), pa.int64(),
+                                safe=False)})
+
+        def unjump(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "node": pc.cast(batch.column("v"), pa.int64(), safe=False),
+                "label": pc.cast(batch.column("label"), pa.int64(),
+                                 safe=False)})
+
+        ptr = m.map_batches(as_ptr, batch_format="pyarrow")
+        jumped = hash_join(ptr, m, on="node", est_rows=est_rows)
+        labels = (jumped.map_batches(unjump, batch_format="pyarrow")
+                  .repartition(4).materialize())
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "component": t.column("label")}),
+        batch_format="pyarrow")

@@ -169,7 +169,7 @@ SQL_CHECKED = [
     "q229_moss_pairs", "q230_oov_rate",
     "q231_label_propagation", "q232_power_iteration",
     "q233_compaction_plan", "q235_community_stats",
-    "q236_degree_assortativity",
+    "q236_degree_assortativity", "q237_cc_pointer_doubling",
 ]
 
 
