@@ -118,6 +118,10 @@ def train_quality_lr(feats: ray.data.Dataset, n_docs: int,
     from ray.data.aggregate import Sum
 
     w = np.zeros(d + 1, dtype=np.float64)
+    # (d+1) rows per input block reach the reduce; below the cutoff the
+    # driver sums them directly (no shuffle), beyond it a distributed
+    # groupby takes over (1e12-doc corpora)
+    n_partial_rows = (d + 1) * feats.num_blocks()
     for _ in range(epochs):
         ref = ray.put(w)
 
@@ -134,11 +138,23 @@ def train_quality_lr(feats: ray.data.Dataset, n_docs: int,
             return pa.table({"j": pa.array(np.arange(d + 1, dtype=np.int64)),
                              "g": pa.array(g)})
 
-        rows = (feats.map_batches(grad_partial, batch_format="pyarrow")
-                .groupby("j").aggregate(Sum("g", alias_name="g"))
-                .to_pandas())
-        g = np.zeros(d + 1, dtype=np.float64)
-        g[rows["j"].to_numpy(np.int64)] = rows["g"].to_numpy(np.float64)
+        partials = feats.map_batches(grad_partial,
+                                     batch_format="pyarrow")
+        if n_partial_rows <= 2_000_000:
+            # few enough partial rows: sum them on the driver and skip
+            # the per-epoch shuffle (int64 sums — bit-identical to the
+            # groupby path under any partitioning)
+            rows = partials.to_pandas()
+            gi = np.zeros(d + 1, dtype=np.int64)
+            np.add.at(gi, rows["j"].to_numpy(np.int64),
+                      rows["g"].to_numpy(np.int64))
+            g = gi.astype(np.float64)
+        else:
+            rows = (partials.groupby("j")
+                    .aggregate(Sum("g", alias_name="g")).to_pandas())
+            g = np.zeros(d + 1, dtype=np.float64)
+            g[rows["j"].to_numpy(np.int64)] = \
+                rows["g"].to_numpy(np.float64)
         w = w - lr * (g / 1e9) / max(n_docs, 1)
     return w
 
