@@ -1178,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q235_community_stats": A.q235_community_stats,
         "q236_degree_assortativity": A.q236_degree_assortativity,
         "q237_cc_pointer_doubling": A.q237_cc_pointer_doubling,
+        "q238_best_rep_dedup": A.q238_best_rep_dedup,
     }
 
 
@@ -6454,6 +6455,23 @@ def oracle_sql() -> dict[str, str]:
     d["q235_community_stats"] = _community_stats_oracle_sql()
     d["q236_degree_assortativity"] = _assortativity_oracle_sql()
     d["q237_cc_pointer_doubling"] = _cc_ptr_oracle_sql()
+    d["q238_best_rep_dedup"] = (
+        d["q73_dedup_corpus"].split("SELECT doc_id, text FROM documents")[0]
+        .rstrip().rstrip(",") + """,
+            cs AS (SELECT component, COUNT(*) AS n_docs
+                   FROM comp GROUP BY 1),
+            cand AS (SELECT c.component, c.node AS doc_id, d2.n_chars
+                     FROM comp c JOIN documents d2 ON d2.doc_id = c.node),
+            kept AS (SELECT component, doc_id AS kept_doc,
+                            n_chars AS kept_chars FROM (
+                       SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn
+                       FROM cand) WHERE rn = 1)
+            SELECT k.component, k.kept_doc,
+                   CAST(s.n_docs AS BIGINT) AS n_docs,
+                   CAST(k.kept_chars AS BIGINT) AS kept_chars
+            FROM kept k JOIN cs s USING (component) ORDER BY component
+    """)
     d["q233_compaction_plan"] = """
         -- compaction-plan twin: one file per order date (size = rows
         -- x 100), contiguous cumulative packing into ~64 KB bins via

@@ -8480,3 +8480,60 @@ def q237_cc_pointer_doubling(sf_dir: str, n_rounds: int = 4) -> pa.Table:
         out[c] = out[c].astype("int64")
     return pa.Table.from_pandas(out[["node", "component"]],
                                 preserve_index=False)
+
+
+def q238_best_rep_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
+    """Quality-aware near-dup collapse: for every verified near-dup
+    CLUSTER (q73's LSH → exact-Jaccard → connected components), keep
+    the highest-quality member — max ``n_chars``, ties toward the
+    smallest doc_id — instead of q73's min-id convention; the decision
+    FineWeb-style curation actually makes (keep the longest variant,
+    drop truncated mirrors).  Returns one row per cluster:
+    (component, kept_doc, n_docs, kept_chars).  Shape: the cluster
+    table (≪ corpus) joins doc metadata key-partitioned, then a
+    hash-BUCKET vectorized argmax per component."""
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    from ..functions.relational import hash_join
+    from ..schema import pd_to_arrow
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    comp = connected_components(pairs).materialize()
+    meta = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cand = hash_join(comp, meta, on="doc_id", est_rows=n_docs)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("component"), pa.int64(), safe=False)
+        return pa.table({
+            "component": c,
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64(),
+                              safe=False),
+            "n_chars": pc.cast(batch.column("n_chars"), pa.int64(),
+                               safe=False),
+            "__bucket": pc.cast(
+                pc.bit_wise_and(c, pa.scalar(63, pa.int64())),
+                pa.int32())})
+
+    def best(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["component", "n_chars", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        sizes = g.groupby("component", sort=True).size()
+        top = g.drop_duplicates("component", keep="first") \
+            .sort_values("component", kind="mergesort")
+        return pd_to_arrow(pd.DataFrame({
+            "component": top["component"].to_numpy(np.int64),
+            "kept_doc": top["doc_id"].to_numpy(np.int64),
+            "n_docs": sizes.loc[top["component"]].to_numpy(np.int64),
+            "kept_chars": top["n_chars"].to_numpy(np.int64)}))
+
+    out = (cand.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bucket")
+           .map_groups(best, batch_format="pandas")
+           .to_pandas().sort_values("component").reset_index(drop=True))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out[["component", "kept_doc", "n_docs", "kept_chars"]],
+        preserve_index=False)

@@ -170,6 +170,7 @@ SQL_CHECKED = [
     "q231_label_propagation", "q232_power_iteration",
     "q233_compaction_plan", "q235_community_stats",
     "q236_degree_assortativity", "q237_cc_pointer_doubling",
+    "q238_best_rep_dedup",
 ]
 
 
