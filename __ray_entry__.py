@@ -1179,6 +1179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q236_degree_assortativity": A.q236_degree_assortativity,
         "q237_cc_pointer_doubling": A.q237_cc_pointer_doubling,
         "q238_best_rep_dedup": A.q238_best_rep_dedup,
+        "q239_padding_plan": A.q239_padding_plan,
+        "q240_prefix_cache_groups": A.q240_prefix_cache_groups,
+        "q241_doremi_weights": A.q241_doremi_weights,
     }
 
 
@@ -6455,6 +6458,72 @@ def oracle_sql() -> dict[str, str]:
     d["q235_community_stats"] = _community_stats_oracle_sql()
     d["q236_degree_assortativity"] = _assortativity_oracle_sql()
     d["q237_cc_pointer_doubling"] = _cc_ptr_oracle_sql()
+    d["q239_padding_plan"] = """
+        -- padding-plan twin: integer CASE bucket edges (no float log2),
+        -- combiner groupby, padding waste in ppm
+        WITH t AS (
+          SELECT len(list_filter(string_split_regex(lower(text),
+                     '[^0-9a-z_]+'), x -> x <> '')) AS n
+          FROM documents),
+        b AS (
+          SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                      WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                      WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+                      WHEN n <= 1024 THEN 1024 WHEN n <= 2048 THEN 2048
+                      ELSE 4096 END AS bucket, n FROM t)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+               CAST((COUNT(*) * bucket - SUM(n)) * 1000000
+                    // (COUNT(*) * bucket) AS BIGINT) AS waste_ppm,
+               CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+    d["q240_prefix_cache_groups"] = """
+        -- radix-cache twin: identical first-8-token prefixes share a
+        -- cached prefix; (n-1) x 8 tokens saved per group
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                     '[^0-9a-z_]+'), x -> x <> '') AS w
+          FROM documents),
+        p AS (
+          SELECT doc_id, array_to_string(w[1:8], ' ') AS prefix
+          FROM t WHERE len(w) >= 8)
+        SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST((COUNT(*) - 1) * 8 AS BIGINT) AS saved_tokens
+        FROM p GROUP BY prefix HAVING COUNT(*) >= 2 ORDER BY prefix
+    """
+    q52 = d["q52_perplexity_filter"]
+    head, tail = q52.rsplit("SELECT sc.doc_id", 1)
+    tail = tail.split("ORDER BY")[0]
+    d["q241_doremi_weights"] = (
+        head.rstrip().rstrip(",") + """,
+        perdoc AS (SELECT sc.doc_id""" + tail + """),
+        agg AS (
+          SELECT d2.source,
+                 CAST(SUM(-p.lp_total_q) AS BIGINT) AS nll_total_q,
+                 CAST(SUM(p.n_bigrams) AS BIGINT) AS n_bigrams
+          FROM perdoc p JOIN documents d2 USING (doc_id)
+          GROUP BY 1 HAVING SUM(p.n_bigrams) > 0),
+        r AS (
+          SELECT source, nll_total_q, n_bigrams,
+                 CAST(nll_total_q AS DOUBLE)
+                   / (1000000.0 * n_bigrams) AS nll
+          FROM agg),
+        base AS (
+          SELECT SUM(CAST(nll_total_q AS DOUBLE))
+                   / (1000000.0 * SUM(n_bigrams)) AS corpus_nll
+          FROM agg),
+        e AS (
+          SELECT source, nll_total_q, n_bigrams,
+                 EXP(nll - (SELECT corpus_nll FROM base)) AS u
+          FROM r)
+        SELECT source, nll_total_q, n_bigrams,
+               CAST(FLOOR(u / (SELECT SUM(u) FROM e) * 1000000 + 0.5)
+                    AS BIGINT) AS weight_ppm
+        FROM e ORDER BY source
+    """)
     d["q238_best_rep_dedup"] = (
         d["q73_dedup_corpus"].split("SELECT doc_id, text FROM documents")[0]
         .rstrip().rstrip(",") + """,

@@ -8537,3 +8537,132 @@ def q238_best_rep_dedup(sf_dir: str, threshold: float = 0.8) -> pa.Table:
     return pa.Table.from_pandas(
         out[["component", "kept_doc", "n_docs", "kept_chars"]],
         preserve_index=False)
+
+
+_PAD_BUCKETS = np.array([16, 32, 64, 128, 256, 512, 1024, 2048, 4096],
+                        dtype=np.int64)
+
+
+def q239_padding_plan(sf_dir: str, batch_size: int = 32) -> pa.Table:
+    """Inference length-bucketing plan: docs bucket to the smallest
+    power-of-two sequence length ≥ their token count (clamped to
+    [16, 4096]); per bucket the plan reports doc count, real tokens,
+    padded tokens, padding waste (ppm) and batch count at
+    ``batch_size`` — the table a serving stack consults to size
+    batching for minimal padding.  Bucket edges are an integer
+    CASE/searchsorted (no float log2 — exact on both engines); one
+    combiner groupby, ≤ 9 rows out."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.corpus import _tokenize_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        parent, _ = _tokenize_column(batch.column("text"))
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n, np.asarray(parent, dtype=np.int64), 1)
+        clamped = np.clip(n, 16, 4096)
+        b = _PAD_BUCKETS[np.searchsorted(_PAD_BUCKETS, clamped)]
+        return pa.table({"bucket": pa.array(b), "n_tok": pa.array(n)})
+
+    out = (docs.map_batches(buckets, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tok", alias_name="n_tokens"))
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    for c in ("bucket", "n_docs", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    out["padded_tokens"] = out["n_docs"] * out["bucket"]
+    out["waste_ppm"] = ((out["padded_tokens"] - out["n_tokens"])
+                        * 1_000_000 // out["padded_tokens"]).astype("int64")
+    out["n_batches"] = ((out["n_docs"] + batch_size - 1)
+                        // batch_size).astype("int64")
+    return pa.Table.from_pandas(
+        out[["bucket", "n_docs", "n_tokens", "padded_tokens",
+             "waste_ppm", "n_batches"]], preserve_index=False)
+
+
+def q240_prefix_cache_groups(sf_dir: str, k: int = 8) -> pa.Table:
+    """KV-prefix-cache sharing estimate (RadixAttention-style): docs
+    whose first ``k`` tokens are identical share a cached prefix —
+    per shared-prefix group, the member count and the tokens a radix
+    cache saves ((n-1) x k).  One groupby over (prefix, doc) rows;
+    only the k-token prefixes shuffle, never the documents."""
+    from ray.data.aggregate import Count
+
+    from ..functions.corpus import _tokenize_column
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefixes(batch: pa.Table) -> pa.Table:
+        parent, flat = _tokenize_column(batch.column("text"))
+        p = np.asarray(parent, dtype=np.int64)
+        toks = flat.to_pylist()
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        np.add.at(n, p, 1)
+        starts = np.cumsum(n) - n   # exclusive scan: first token of doc i
+        out = []
+        for i in range(batch.num_rows):
+            if n[i] >= k:
+                s = int(starts[i])
+                out.append(" ".join(toks[s:s + k]))
+        return pa.table({"prefix": pa.array(out, pa.string())})
+
+    out = (docs.map_batches(prefixes, batch_format="pyarrow")
+           .groupby("prefix").aggregate(Count(alias_name="n_docs"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out = out[out["n_docs"] >= 2].sort_values("prefix") \
+        .reset_index(drop=True)
+    out["saved_tokens"] = ((out["n_docs"] - 1) * k).astype("int64")
+    return pa.Table.from_pandas(
+        out[["prefix", "n_docs", "saved_tokens"]], preserve_index=False)
+
+
+def q241_doremi_weights(sf_dir: str) -> pa.Table:
+    """DoReMi-style mixture reweighting (one step): per-source excess
+    bigram-LM negative log-likelihood (the q52 scorer — LM on even-id
+    docs, odd-id docs scored) → softmax over sources → sampling
+    weights.  Every aggregate is an exact int64 sum (quantized per-doc
+    log-probs), so both engines run the softmax on IDENTICAL integers;
+    only the ppm-rounded weights are float-derived.  The
+    upweight-what-the-model-finds-hard signal that data-mixture
+    optimizers feed back into q50/q189/q207."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.corpus import perplexity_scores
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    scores = perplexity_scores(docs, est_rows=n_docs * 50)
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    agg = (hash_join(scores, src, on="doc_id", est_rows=n_docs)
+           .map_batches(lambda t: pa.table({
+               "source": t.column("source"),
+               "nll_q": pc.multiply(pc.cast(t.column("lp_total_q"),
+                                            pa.int64(), safe=False),
+                                    pa.scalar(-1, pa.int64())),
+               "nb": pc.cast(t.column("n_bigrams"), pa.int64(),
+                             safe=False)}), batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("nll_q", alias_name="nll_total_q"),
+                      Sum("nb", alias_name="n_bigrams"))
+           .to_pandas())
+    for c in ("nll_total_q", "n_bigrams"):
+        agg[c] = agg[c].astype("int64")
+    agg = agg[agg["n_bigrams"] > 0].sort_values("source") \
+        .reset_index(drop=True)
+    nll = agg["nll_total_q"].to_numpy(np.float64) \
+        / (1e6 * agg["n_bigrams"].to_numpy(np.float64))
+    corpus_nll = float(agg["nll_total_q"].sum()) \
+        / (1e6 * float(agg["n_bigrams"].sum()))
+    u = np.exp(nll - corpus_nll)
+    w_ppm = np.floor(u / u.sum() * 1_000_000 + 0.5).astype(np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "nll_total_q": pa.array(agg["nll_total_q"].to_numpy(np.int64)),
+        "n_bigrams": pa.array(agg["n_bigrams"].to_numpy(np.int64)),
+        "weight_ppm": pa.array(w_ppm),
+    })

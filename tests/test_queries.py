@@ -170,7 +170,8 @@ SQL_CHECKED = [
     "q231_label_propagation", "q232_power_iteration",
     "q233_compaction_plan", "q235_community_stats",
     "q236_degree_assortativity", "q237_cc_pointer_doubling",
-    "q238_best_rep_dedup",
+    "q238_best_rep_dedup", "q239_padding_plan",
+    "q240_prefix_cache_groups", "q241_doremi_weights",
 ]
 
 
