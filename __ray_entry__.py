@@ -1182,6 +1182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q239_padding_plan": A.q239_padding_plan,
         "q240_prefix_cache_groups": A.q240_prefix_cache_groups,
         "q241_doremi_weights": A.q241_doremi_weights,
+        "q242_source_dedup_attrition": A.q242_source_dedup_attrition,
+        "q243_cross_source_dups": A.q243_cross_source_dups,
     }
 
 
@@ -6458,6 +6460,35 @@ def oracle_sql() -> dict[str, str]:
     d["q235_community_stats"] = _community_stats_oracle_sql()
     d["q236_degree_assortativity"] = _assortativity_oracle_sql()
     d["q237_cc_pointer_doubling"] = _cc_ptr_oracle_sql()
+    comp_prefix = d["q73_dedup_corpus"].split(
+        "SELECT doc_id, text FROM documents")[0].rstrip().rstrip(",")
+    d["q242_source_dedup_attrition"] = comp_prefix + """,
+        losers AS (SELECT node AS doc_id FROM comp
+                   WHERE component <> node),
+        dr AS (SELECT d2.source, COUNT(*) AS n_dropped
+               FROM losers l JOIN documents d2 USING (doc_id)
+               GROUP BY 1),
+        tot AS (SELECT source, COUNT(*) AS n_docs FROM documents
+                GROUP BY 1)
+        SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST(COALESCE(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+               CAST(COALESCE(dr.n_dropped, 0) * 1000000 // t.n_docs
+                    AS BIGINT) AS drop_ppm
+        FROM tot t LEFT JOIN dr ON dr.source = t.source
+        ORDER BY t.source
+    """
+    pairs_prefix = d["q73_dedup_corpus"].split("und AS (")[0] \
+        .rstrip().rstrip(",")
+    d["q243_cross_source_dups"] = pairs_prefix + """,
+        tagged AS (
+          SELECT LEAST(da2.source, db2.source) AS src_a,
+                 GREATEST(da2.source, db2.source) AS src_b
+          FROM prs p
+          JOIN documents da2 ON da2.doc_id = p.da
+          JOIN documents db2 ON db2.doc_id = p.db)
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM tagged GROUP BY 1, 2 ORDER BY src_a, src_b
+    """
     d["q239_padding_plan"] = """
         -- padding-plan twin: integer CASE bucket edges (no float log2),
         -- combiner groupby, padding waste in ppm

@@ -8666,3 +8666,102 @@ def q241_doremi_weights(sf_dir: str) -> pa.Table:
         "n_bigrams": pa.array(agg["n_bigrams"].to_numpy(np.int64)),
         "weight_ppm": pa.array(w_ppm),
     })
+
+
+def q242_source_dedup_attrition(sf_dir: str,
+                                threshold: float = 0.8) -> pa.Table:
+    """Per-source near-dup attrition report (the table a FineWeb-style
+    curation run publishes): for each source, how many docs the
+    near-dup collapse (q73's LSH → verify → CC → keep min-id) would
+    drop, as a count and ppm — which sources are mirror-heavy.  The
+    cluster table (≪ corpus) joins doc sources key-partitioned; totals
+    come from one combiner groupby over the documents table."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import connected_components, ngram_jaccard_pairs
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    comp = connected_components(pairs).materialize()
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("doc_id"),
+                            batch.column("component"))
+        return batch.filter(keep).select(["doc_id"])
+
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    dropped = (hash_join(comp.map_batches(losers, batch_format="pyarrow"),
+                         src, on="doc_id", est_rows=n_docs)
+               .groupby("source").aggregate(Count(alias_name="n_dropped"))
+               .to_pandas())
+    totals = (src.groupby("source").aggregate(Count(alias_name="n_docs"))
+              .to_pandas())
+    out = totals.merge(dropped, on="source", how="left")
+    out["n_dropped"] = out["n_dropped"].fillna(0)
+    for c in ("n_docs", "n_dropped"):
+        out[c] = out[c].astype("int64")
+    out["drop_ppm"] = (out["n_dropped"] * 1_000_000
+                       // out["n_docs"]).astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_docs", "n_dropped", "drop_ppm"]],
+        preserve_index=False)
+
+
+def q243_cross_source_dups(sf_dir: str,
+                           threshold: float = 0.8) -> pa.Table:
+    """Cross-source duplication matrix — which sources mirror each
+    other: verified near-dup pairs (q73's threshold) tagged with both
+    members' sources, counted per unordered source pair.  Two
+    key-partitioned source joins onto the (tiny) verified-pair table;
+    the within-source diagonal is included (src_a = src_b)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import ngram_jaccard_pairs
+    from ..functions.relational import hash_join
+
+    n_docs = _row_count(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold) \
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    sa = src.map_batches(lambda t: t.rename_columns(["doc_a", "sa"]),
+                         batch_format="pyarrow")
+    sb = src.map_batches(lambda t: t.rename_columns(["doc_b", "sb"]),
+                         batch_format="pyarrow")
+
+    def a_key(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch.column("doc_a"),
+                         "doc_b": batch.column("doc_b")})
+
+    with_a = hash_join(pairs.map_batches(a_key, batch_format="pyarrow"),
+                       sa, on="doc_a", est_rows=n_docs)
+
+    def b_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_b": pc.cast(batch.column("doc_b"), pa.int64(),
+                             safe=True),
+            "sa": batch.column("sa")})
+
+    with_b = hash_join(with_a.map_batches(b_key, batch_format="pyarrow"),
+                       sb, on="doc_b", est_rows=n_docs)
+
+    def canon_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("sa").to_pylist()
+        b = batch.column("sb").to_pylist()
+        lo = [min(x, y) for x, y in zip(a, b)]
+        hi = [max(x, y) for x, y in zip(a, b)]
+        return pa.table({"src_a": pa.array(lo, pa.string()),
+                         "src_b": pa.array(hi, pa.string())})
+
+    out = (with_b.map_batches(canon_pair, batch_format="pyarrow")
+           .groupby(["src_a", "src_b"])
+           .aggregate(Count(alias_name="n_pairs"))
+           .to_pandas())
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    out = out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["src_a", "src_b", "n_pairs"]],
+                                preserve_index=False)

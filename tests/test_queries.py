@@ -172,6 +172,7 @@ SQL_CHECKED = [
     "q236_degree_assortativity", "q237_cc_pointer_doubling",
     "q238_best_rep_dedup", "q239_padding_plan",
     "q240_prefix_cache_groups", "q241_doremi_weights",
+    "q242_source_dedup_attrition", "q243_cross_source_dups",
 ]
 
 
