@@ -976,9 +976,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_token_budget_plan": A.q212_token_budget_plan,
         "q211_semantic_boundaries": A.q211_semantic_boundaries,
         "q210_partitioned_sink_audit": A.q210_partitioned_sink_audit,
-        "q209_contract_violations": A.q209_contract_violations,
-        "q204_missing_partitions": A.q204_missing_partitions,
-        "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
+        "q238_best_rep_dedup": A.q238_best_rep_dedup,
+        "q241_doremi_weights": A.q241_doremi_weights,
+        "q242_source_dedup_attrition": A.q242_source_dedup_attrition,
         # round-5 NEW machinery, driver-checked first time out
         "q231_label_propagation": A.q231_label_propagation,
         "q232_power_iteration": A.q232_power_iteration,
@@ -1178,12 +1178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q235_community_stats": A.q235_community_stats,
         "q236_degree_assortativity": A.q236_degree_assortativity,
         "q237_cc_pointer_doubling": A.q237_cc_pointer_doubling,
-        "q238_best_rep_dedup": A.q238_best_rep_dedup,
         "q239_padding_plan": A.q239_padding_plan,
         "q240_prefix_cache_groups": A.q240_prefix_cache_groups,
-        "q241_doremi_weights": A.q241_doremi_weights,
-        "q242_source_dedup_attrition": A.q242_source_dedup_attrition,
         "q243_cross_source_dups": A.q243_cross_source_dups,
+        "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
+        "q204_missing_partitions": A.q204_missing_partitions,
+        "q209_contract_violations": A.q209_contract_violations,
     }
 
 

@@ -253,6 +253,9 @@ def test_driver_window_covers_critical_queries(entrymod):
         "q217_winnowing", "q229_moss_pairs", "q225_random_walks",
         "q226_skipgram_pairs", "q222_bootstrap_ci",
         "q223_hll_intersection",
+        # round-5 composition flagships
+        "q238_best_rep_dedup", "q241_doremi_weights",
+        "q242_source_dedup_attrition",
     }
     missing = must - set(first50)
     assert not missing, f"critical queries outside driver window: {missing}"
