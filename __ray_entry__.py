@@ -1181,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q239_padding_plan": A.q239_padding_plan,
         "q240_prefix_cache_groups": A.q240_prefix_cache_groups,
         "q243_cross_source_dups": A.q243_cross_source_dups,
+        "q244_join_order_plan": A.q244_join_order_plan,
         "q203_cluster_pair_eval": A.q203_cluster_pair_eval,
         "q204_missing_partitions": A.q204_missing_partitions,
         "q209_contract_violations": A.q209_contract_violations,
@@ -6488,6 +6489,39 @@ def oracle_sql() -> dict[str, str]:
           JOIN documents db2 ON db2.doc_id = p.db)
         SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM tagged GROUP BY 1, 2 ORDER BY src_a, src_b
+    """
+    d["q244_join_order_plan"] = """
+        -- join-order twin: exact COUNT/COUNT(DISTINCT) base stats,
+        -- System-R containment estimates, integer arithmetic
+        WITH s AS (
+          SELECT (SELECT COUNT(*) FROM lineitem) AS n_l,
+                 (SELECT COUNT(*) FROM orders) AS n_o,
+                 (SELECT COUNT(*) FROM customer) AS n_c,
+                 (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+                   AS d_lok,
+                 (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+                   AS d_ook,
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+                   AS d_ocust,
+                 (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+                   AS d_ccust),
+        e AS (
+          SELECT n_l * n_o // GREATEST(d_lok, d_ook) AS est_lo,
+                 n_o * n_c // GREATEST(d_ocust, d_ccust) AS est_oc,
+                 * FROM s),
+        p AS (
+          SELECT 'lineitem_orders_then_customer' AS plan,
+                 est_lo AS est_intermediate,
+                 est_lo * n_c // GREATEST(d_ocust, d_ccust) AS est_final
+          FROM e
+          UNION ALL
+          SELECT 'orders_customer_then_lineitem', est_oc,
+                 est_oc * n_l // GREATEST(d_ook, d_lok)
+          FROM e)
+        SELECT plan, CAST(est_intermediate AS BIGINT) AS est_intermediate,
+               CAST(est_final AS BIGINT) AS est_final,
+               CAST(est_intermediate + est_final AS BIGINT) AS est_cost
+        FROM p ORDER BY plan
     """
     d["q239_padding_plan"] = """
         -- padding-plan twin: integer CASE bucket edges (no float log2),

@@ -8769,3 +8769,48 @@ def q243_cross_source_dups(sf_dir: str,
     out = out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["src_a", "src_b", "n_pairs"]],
                                 preserve_index=False)
+
+
+def q244_join_order_plan(sf_dir: str) -> pa.Table:
+    """System-R-style join-order advisor over the lineitem—orders—
+    customer FK chain: EXACT base-table statistics (row counts from
+    Parquet footers, distinct key counts via the q112 hash-bucket
+    exact-distinct pass — the 100 TB path uses the HLL sketch, q49)
+    feed the classic containment estimate |A ⋈ B| = |A|·|B| //
+    max(d_A, d_B); the two left-deep plans are costed by total
+    intermediate rows — the broadcast-vs-shuffle / order decision a
+    planner makes before launching q127's star join.  Integer
+    arithmetic end-to-end, so the SQL twin agrees exactly."""
+    from ..functions.profiling import profile_table
+
+    n_l = _row_count(sf_dir, "lineitem")
+    n_o = _row_count(sf_dir, "orders")
+    n_c = _row_count(sf_dir, "customer")
+
+    def distincts(table: str, cols: list[str]) -> dict[str, int]:
+        prof = profile_table(_read(sf_dir, table, cols),
+                             [(c, "num") for c in cols]).to_pandas()
+        return dict(zip(prof["col_name"], prof["n_distinct"].astype(int)))
+
+    d_l = distincts("lineitem", ["l_orderkey"])
+    d_o = distincts("orders", ["o_orderkey", "o_custkey"])
+    d_c = distincts("customer", ["c_custkey"])
+
+    est_lo = n_l * n_o // max(d_l["l_orderkey"], d_o["o_orderkey"])
+    est_lo_c = est_lo * n_c // max(d_o["o_custkey"], d_c["c_custkey"])
+    est_oc = n_o * n_c // max(d_o["o_custkey"], d_c["c_custkey"])
+    est_oc_l = est_oc * n_l // max(d_o["o_orderkey"], d_l["l_orderkey"])
+
+    plans = pd.DataFrame({
+        "plan": ["lineitem_orders_then_customer",
+                 "orders_customer_then_lineitem"],
+        "est_intermediate": [est_lo, est_oc],
+        "est_final": [est_lo_c, est_oc_l],
+    })
+    plans["est_cost"] = plans["est_intermediate"] + plans["est_final"]
+    for c in ("est_intermediate", "est_final", "est_cost"):
+        plans[c] = plans[c].astype("int64")
+    plans = plans.sort_values("plan").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        plans[["plan", "est_intermediate", "est_final", "est_cost"]],
+        preserve_index=False)

@@ -173,6 +173,7 @@ SQL_CHECKED = [
     "q238_best_rep_dedup", "q239_padding_plan",
     "q240_prefix_cache_groups", "q241_doremi_weights",
     "q242_source_dedup_attrition", "q243_cross_source_dups",
+    "q244_join_order_plan",
 ]
 
 
